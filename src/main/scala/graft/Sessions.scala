@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so Verify, Bench, and the
+  * test suites agree on semantics-critical config.
+  *
+  * - `legacy.parquet.nanosAsLong`: the driver test data's `events.ts` is
+  *   parquet TIMESTAMP(NANOS), which Spark otherwise refuses to read
+  *   ([PARQUET_TYPE_ILLEGAL]); with this flag it arrives as a long that
+  *   [[Tables.t]] converts to a µs timestamp — matching what the DuckDB
+  *   oracle sees (DuckDB truncates ns→µs on read too).
+  * - UTC session timezone: oracle determinism (SURVEY §5.2).
+  * - shuffle.partitions = cores: local[.] has no reason for 200 partitions;
+  *   on a real cluster this would instead be sized to data volume — with AQE
+  *   coalescing partitions at runtime either way.
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

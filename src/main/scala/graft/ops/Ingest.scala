@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Ingestion utilities — the Spark-native version of the reference's
+  * per-file parse/normalize/union path (`app.py:154-181`, `:297-325`).
+  *
+  * Header detection is deliberately a driver-side, plain-Scala step: a
+  * DataFrame's schema must exist before the plan does (SURVEY §1.3.1), so the
+  * probe runs over a small prefix of raw rows, then the real distributed read
+  * is built with the resolved schema.
+  */
+object Ingest {
+
+  /** Sentinel column set used by the reference's header scan
+    * (`app.py:141-146`). Comparison happens on normalized names so the probe
+    * is robust to whitespace/case.
+    */
+  val CandidateCols: Set[String] =
+    Set("Endpoint Name", "Endpoint Type", "Operating System", "Agent Version")
+      .map(Clean.normCol)
+
+  /** S1/S2 — header auto-detection (`app.py:154-163`): scan raw rows until
+    * one row's non-null values form a superset of the sentinel set; fallback
+    * header index = 1 (skip a one-line title). Runs on a driver-side prefix
+    * (the reference scans at most the whole sheet; we cap the prefix the same
+    * way its width sampling caps at 1000 rows).
+    */
+  def detectHeaderIndex(
+      rows: Seq[Seq[Any]],
+      candidates: Set[String] = CandidateCols,
+      maxScan: Int = 1000): Int = {
+    val idx = rows.iterator.take(maxScan).zipWithIndex.collectFirst {
+      case (row, i)
+          if candidates.subsetOf(
+            row.iterator
+              .filter(v => v != null && v.toString.trim.nonEmpty)
+              .map(v => Clean.normCol(v.toString))
+              .toSet) =>
+        i
+    }
+    idx.getOrElse(1) // reference fallback: assume one title line (`app.py:163`)
+  }
+
+  /** S2 — re-header raw rows after detection: row `i` becomes the column
+    * names, rows `i+1..` the data. Names are normalized (P1) on the way.
+    */
+  def reHeader(rows: Seq[Seq[Any]], headerIdx: Int): (Seq[String], Seq[Seq[Any]]) = {
+    val names = rows(headerIdx).map(v => Clean.normCol(Option(v).fold("")(_.toString)))
+    (names, rows.drop(headerIdx + 1))
+  }
+
+  /** P3 — drop rows whose every column is NULL (`app.py:178`,
+    * `dropna(how="all")`). Pure filter — stays in the scan stage.
+    */
+  def dropAllNullRows(df: DataFrame): DataFrame =
+    df.filter(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
+
+  /** P2 — drop columns whose every value is NULL (`app.py:178`,
+    * `dropna(axis=1, how="all")`). Requires one aggregate probe (a single
+    * distributed pass computing `count(c)` per column) and then a metadata-
+    * only `drop`; acceptable because it is ingest-time (SURVEY §1.3).
+    */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = df
+      .agg(count(lit(1)).as("__n"), df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
+      .head()
+    val empty = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+    if (empty.isEmpty) df else df.drop(empty.toIndexedSeq: _*)
+  }
+
+  /** U1 — union N per-source frames aligning columns **by name** and
+    * null-filling missing ones, the semantic match for `pd.concat`
+    * (`app.py:325`); positional `union` would silently mis-align (SURVEY
+    * §7.5).
+    */
+  def unionAllByName(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.7–2.8). All stock Spark hash aggregates —
+  * partial (map-side) + final pairs come free, which is the 100 TB answer:
+  * the shuffle carries one partial row per (task, group), not the raw data.
+  */
+object Summaries {
+
+  /** A1 — category frequency table (reference `app.py:245-261`,
+    * `groupby(c, dropna=False).size()`): NULL is its own group, which is
+    * Spark GROUP BY semantics already. Sorted by count desc then key for a
+    * deterministic total order (oracle requirement, SURVEY §5.2).
+    */
+  def groupCount(df: DataFrame, key: String, cntName: String = "qtd"): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as(cntName))
+      .orderBy(col(cntName).desc, col(key).asc_nulls_first)
+
+  /** A5/F15 — fixed-width histogram: bin = floor(x / w) * w. */
+  def histogram(df: DataFrame, c: String, width: Double): DataFrame =
+    df.groupBy((floor(col(c) / width) * width).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bin"))
+
+  /** A6/F14 — per-period time series aggregate. */
+  def timeSeries(df: DataFrame, ts: String, unit: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(date_trunc(unit, col(ts)).as("period"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .orderBy(col("period"))
+
+  /** Exact decimal sum of a double column, surfaced as double — the
+    * determinism device used throughout the oracle-checked queries: decimal
+    * accumulation is exact, hence independent of partial-aggregation order,
+    * where a double sum is not (SURVEY §7.5 float pitfall).
+    */
+  def exactSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(27,$scale)")).cast("double")
+
+  /** Order-insensitive mean built from the exact sum. */
+  def exactAvg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(s"decimal(27,$scale)")).cast("double") / count(c))
+}
