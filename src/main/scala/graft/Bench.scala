@@ -1,4 +1,14 @@
 package graft
+
+/** Benchmark main: times every SparkEntry query at the SF dir in
+  * SPARK_GRAFT_SF_DIR, prints one JSON line for the driver.
+  *
+  * Each query runs twice and reports the min — a single cold run is dominated
+  * by first-touch codegen/JIT noise (r1's q05 published 22.4 s cold vs 0.44 s
+  * warm), so min-of-2 is what makes round-over-round numbers comparable.
+  * Failures are recorded in an explicit "errors" field instead of being
+  * swallowed into a bogus timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -6,15 +16,29 @@ object Bench {
     // JIT + codegen warm-up outside the timed region: run the flagship once.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val attempt = (once(fn), once(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Left(_))  => Right(a)
+        case (Left(_), Right(b))  => Right(b)
+        case (Left(e), _)         => Left(e)
+      }
+      name -> attempt
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val ok   = results.collect { case (n, Right(t)) => n -> t }
+    val errs = results.collect { case (n, Left(e)) => n -> e }
+    val qs    = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es    = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -26,7 +26,10 @@ object SparkEntry {
   private def exactSum(c: Column, scale: Int = 2) = Summaries.exactSum(c, scale)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ textQueries ++ similarityQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §7.2 minimum slice — P7 date filter + A1/A4 multi-agg + O1 sort
     // (reference flagship computation re-shaped onto lineitem, TPC-H-Q1-like)
     "q01_pricing_summary" -> ((s, d) => {
@@ -143,10 +146,162 @@ object SparkEntry {
     }),
   )
 
+  /** SURVEY §2.10 T1–T3/T6, §2.6 D3, plus the LLM-pipeline text operators
+    * (language-ID, quality scoring, token counting, fingerprinting, SimHash)
+    * — all on the `documents`/`events` tables.
+    */
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1 — tokenize/explode, global term frequency top-20
+    "q13_tokenize" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // T2 — per-language token statistics
+    "q14_token_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_uniq"),
+          Summaries.r4(count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("tokens_per_doc"))
+        .orderBy(col("lang"))
+    }),
+
+    // T3 — bigram frequency top-20
+    "q15_ngrams" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // D3 exact — n-gram Jaccard near-dup via inverted shingle index
+    "q16_jaccard_neardup" -> ((s, d) => {
+      Text.jaccardNearDupPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // T6/D3 — MinHash signatures + LSH banding + exact Jaccard verify
+    "q17_minhash_lsh" -> ((s, d) => {
+      Text.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", 3, 16, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // D3 exact-content dedup, two-phase digest form (events.props: 100
+    // distinct payloads across 10k rows at sf0.01)
+    "q18_dedup_digest" -> ((s, d) => {
+      Dedup.dedupByDigest(t(s, d, "events"), "props", "event_id")
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    // SimHash document signature (16-bit, md5-derived → oracle-checkable)
+    "q19_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.simhash(col("text"), 16).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rolling-hash fingerprint (order-sensitive, integer math)
+    "q20_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic vs the labeled lang column
+    "q21_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.languageId(Text.tokenSet(col("text"))).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token count, stopword ratio, chars/token, bucket
+    "q22_quality" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val stop = Text.stopwordCount(toks, Seq("the", "a", "of", "and")).cast("double")
+      val stopRatio = Summaries.r4(stop / nTok)
+      val charsTok  = Summaries.r4(length(col("text")).cast("double") / nTok)
+      val score     = Summaries.r4(least(lit(1.0), nTok / lit(100.0)) - (stop / nTok) * 0.5)
+      t(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"), stopRatio.as("stop_ratio"),
+          charsTok.as("chars_per_token"), score.as("score"),
+          when(score >= 0.5, lit("high")).when(score >= 0.2, lit("mid")).otherwise(lit("low")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
+    "q23_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"),
+          Text.bpeishTokenCount(col("text")).as("bpe"),
+          size(Text.tokens(col("text"))).cast("long").as("ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("bpe")).as("bpe_tokens"), sum(col("ws")).as("ws_tokens"),
+          Summaries.r4(sum(col("bpe")).cast("double") / sum(col("ws"))).as("bpe_per_ws"))
+        .orderBy(col("lang"))
+    }),
+  )
+
+  /** SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9, §2.3 F17 — embedding-vector
+    * similarity on the `embeddings` table.
+    */
+  private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T5 — brute-force cosine top-3 for a probe subset (corpus never shuffles)
+    "q24_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knn(e.filter(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // J7 — cosine similarity self-join: all pairs ≥ 0.4
+    "q25_embed_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // T5 scale path — sign-LSH bucketed approximate top-3
+    "q26_ann_lsh" -> ((s, d) => {
+      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 4, 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // A9 — typed UDAF: per-label element-wise mean, exploded to rows
+    "q27_vector_mean" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(Similarity.vectorMean(col("embedding")).as("mean"))
+        .select(col("label"), posexplode(col("mean")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), Summaries.r4(col("v")).as("mv"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // F17 — array ops: size, element_at, L2 norm via aggregate
+    "q28_array_ops" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          Summaries.r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+          Summaries.r4(Similarity.norm(col("embedding"))).as("l2norm"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles ++ textOracles ++ similarityOracles
+
+  private def baseOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
          CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
@@ -209,5 +364,168 @@ object SparkEntry {
       """SELECT a.p_brand, count(*) AS n_pairs
          FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
          GROUP BY a.p_brand ORDER BY a.p_brand""",
+  )
+
+  // Determinism conventions for the text/similarity oracles:
+  // - rounding is always `floor(x*10000 + 0.5)/10000`, NEVER round(): Spark
+  //   rounds half-up, DuckDB half-even, and small-integer ratios (k/32) land
+  //   exactly on the boundary.
+  // - any hash compared across engines is the md5-derived 60-bit value:
+  //   Spark `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+  //   `('0x' || substr(md5(x),1,15))::BIGINT`.
+  // - double accumulations that must match bit-for-bit use the same fold
+  //   order on both sides: Spark `aggregate(...)` is a sequential fold, so
+  //   the oracle uses `list_reduce(list_prepend(0.0, ...))`, not list_sum.
+  private def textOracles: Map[String, String] = Map(
+    "q13_tokenize" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q14_token_stats" ->
+      """SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_uniq,
+                floor(count(*)::DOUBLE / count(DISTINCT doc_id) * 10000 + 0.5)/10000 AS tokens_per_doc
+         FROM (SELECT lang, doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "q15_ngrams" ->
+      """SELECT bigram, count(*) AS cnt
+         FROM (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ') for i in range(1, len(tk))]) AS bigram
+               FROM (SELECT string_split_regex(lower(trim(text)), '\s+') tk FROM documents))
+         GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+    "q16_jaccard_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                floor(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) * 10000 + 0.5)/10000 AS jacc
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q17_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents)),
+         sig AS (
+           SELECT doc_id,
+                  [list_min([('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT for s in ss]) for i in range(0, 16)] sg
+           FROM sh),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                floor(len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) * 10000 + 0.5)/10000 AS jacc
+         FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+         WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q18_dedup_digest" ->
+      """SELECT event_id, props FROM events
+         QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1
+         ORDER BY event_id""",
+    "q19_simhash" ->
+      """SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
+                                                  for t in list_distinct(string_split_regex(lower(trim(text)), '\s+'))]) > 0
+                               THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                               for b in range(0, 16)]) AS BIGINT) AS simhash
+         FROM documents ORDER BY doc_id""",
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+                            (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q21_langid" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  len(list_intersect(tk, ['der','die','das','und'])) s_de,
+                  len(list_intersect(tk, ['the','a','of','and'])) s_en,
+                  len(list_intersect(tk, ['el','la','los','y'])) s_es,
+                  len(list_intersect(tk, ['le','les','une','et'])) s_fr,
+                  len(list_intersect(tk, ['shi','bu','wo','zhe'])) s_zh
+           FROM (SELECT doc_id, lang, list_distinct(string_split_regex(lower(trim(text)), '\s+')) tk FROM documents))
+         SELECT doc_id, lang,
+                CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                     WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                     WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred
+         FROM s ORDER BY doc_id""",
+    "q22_quality" ->
+      """WITH q AS (
+           SELECT doc_id, len(tk) n_tokens, length(text) n_chars,
+                  len(list_filter(tk, t -> t IN ('the','a','of','and'))) stop_cnt
+           FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') tk FROM documents)),
+         sc AS (
+           SELECT doc_id, n_tokens,
+                  floor(stop_cnt::DOUBLE / n_tokens * 10000 + 0.5)/10000 AS stop_ratio,
+                  floor(n_chars::DOUBLE / n_tokens * 10000 + 0.5)/10000 AS chars_per_token,
+                  floor((least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0) - (stop_cnt::DOUBLE / n_tokens) * 0.5) * 10000 + 0.5)/10000 AS score
+           FROM q)
+         SELECT doc_id, n_tokens, stop_ratio, chars_per_token, score,
+                CASE WHEN score >= 0.5 THEN 'high' WHEN score >= 0.2 THEN 'mid' ELSE 'low' END AS bucket
+         FROM sc ORDER BY doc_id""",
+    "q23_token_count" ->
+      """SELECT lang,
+                sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
+                sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS ws_tokens,
+                floor(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::DOUBLE
+                      / sum(len(string_split_regex(lower(trim(text)), '\s+'))) * 10000 + 0.5)/10000 AS bpe_per_ws
+         FROM documents GROUP BY lang ORDER BY lang""",
+  )
+
+  private def similarityOracles: Map[String, String] = Map(
+    "q24_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         s AS (
+           SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+                  floor(list_reduce(list_prepend(0.0::DOUBLE, [p.v[i] * c.v[i] for i in range(1, len(p.v) + 1)]), (a, b) -> a + b)
+                        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in p.v]), (a, b) -> a + b))
+                           * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in c.v]), (a, b) -> a + b)))
+                        * 10000 + 0.5)/10000 AS sim
+           FROM e p JOIN e c ON p.vec_id % 10 = 0 AND p.vec_id <> c.vec_id)
+         SELECT probe_id, neighbor_id, sim, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+         WHERE rank <= 3 ORDER BY probe_id, rank""",
+    "q25_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         s AS (
+           SELECT a.vec_id vec_a, b.vec_id vec_b,
+                  list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y))) AS c
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, floor(c * 10000 + 0.5)/10000 AS sim
+         FROM s WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
+    "q26_ann_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, v2 AS v,
+                  CAST(list_sum([
+                    CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                           [v2[d + 1] * (CASE WHEN ('0x' || substr(md5((p::VARCHAR) || '_' || (d::VARCHAR)), 1, 15))::BIGINT % 2 = 1
+                                         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+                            for d in range(0, len(v2))]), (a, b) -> a + b) > 0
+                    THEN (1::BIGINT << p) ELSE 0::BIGINT END
+                    for p in range(0, 4)]) AS BIGINT) AS bucket
+           FROM (SELECT vec_id, embedding::DOUBLE[] v2 FROM embeddings)
+           ),
+         s AS (
+           SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+                  floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
+                        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
+                           * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
+                        * 10000 + 0.5)/10000 AS sim
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         SELECT probe_id, neighbor_id, sim, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+         WHERE rank <= 3 ORDER BY probe_id, rank""",
+    "q27_vector_mean" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos, floor(avg(x) * 10000 + 0.5)/10000 AS mv
+         FROM (SELECT label, unnest(embedding::DOUBLE[]) x, generate_subscripts(embedding, 1) i FROM embeddings)
+         GROUP BY label, i ORDER BY label, pos""",
+    "q28_array_ops" ->
+      """SELECT vec_id, len(embedding) AS dim,
+                floor(embedding[1]::DOUBLE * 10000 + 0.5)/10000 AS first_val,
+                floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)) * 10000 + 0.5)/10000 AS l2norm
+         FROM embeddings ORDER BY vec_id""",
   )
 }

@@ -56,13 +56,21 @@ object Dedup {
   /** D2 — all-columns distinct (reference fallback `app.py:242`). */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
-  /** Exact content dedup for document-scale data: group on a content digest
-    * rather than the full row, keeping the lowest-id representative. At
-    * 100 TB the digest (16 bytes) shuffles instead of the document body.
+  /** Exact content dedup for document-scale data, two-phase: (1) project to
+    * (digest, id) — 32 B + 8 B per row — and `groupBy(digest).agg(min(id))` to
+    * pick one winner per distinct content; (2) left-semi join the winners back
+    * on the id. The first shuffle carries only digest+id pairs, never the
+    * document bodies (the r1 window-on-digest form shuffled full rows); the
+    * semi-join hashes rows by id, and AQE turns it into a broadcast when the
+    * winner set is small. sha-256, not md5: md5 is collision-broken, and a
+    * crafted colliding pair of documents must not silently merge.
     */
   def dedupByDigest(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val withDigest = df.withColumn("__digest", md5(col(contentCol).cast("binary")))
-    keepLatest(withDigest, Seq("__digest"), Seq.empty, Seq(col(idCol)))
-      .drop("__digest")
+    val winners = df
+      .select(sha2(col(contentCol).cast("binary"), 256).as("__digest"), col(idCol).as("__keep"))
+      .groupBy(col("__digest"))
+      .agg(min(col("__keep")).as("__keep"))
+      .select(col("__keep"))
+    df.join(winners, col(idCol) === col("__keep"), "left_semi")
   }
 }

@@ -55,20 +55,22 @@ object Ingest {
     * `dropna(how="all")`). Pure filter — stays in the scan stage.
     */
   def dropAllNullRows(df: DataFrame): DataFrame =
-    df.filter(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
+    if (df.columns.isEmpty) df
+    else df.filter(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
 
   /** P2 — drop columns whose every value is NULL (`app.py:178`,
     * `dropna(axis=1, how="all")`). Requires one aggregate probe (a single
     * distributed pass computing `count(c)` per column) and then a metadata-
     * only `drop`; acceptable because it is ingest-time (SURVEY §1.3).
     */
-  def dropAllNullColumns(df: DataFrame): DataFrame = {
-    val counts = df
-      .agg(count(lit(1)).as("__n"), df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
-      .head()
-    val empty = df.columns.filter(c => counts.getAs[Long](c) == 0L)
-    if (empty.isEmpty) df else df.drop(empty.toIndexedSeq: _*)
-  }
+  def dropAllNullColumns(df: DataFrame): DataFrame =
+    if (df.columns.isEmpty) df
+    else {
+      val probes = df.columns.map(c => count(col(c)).as(c))
+      val counts = df.agg(probes.head, probes.tail.toIndexedSeq: _*).head()
+      val empty  = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+      if (empty.isEmpty) df else df.drop(empty.toIndexedSeq: _*)
+    }
 
   /** U1 — union N per-source frames aligning columns **by name** and
     * null-filling missing ones, the semantic match for `pd.concat`

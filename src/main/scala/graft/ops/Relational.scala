@@ -25,6 +25,12 @@ object Relational {
     * Ties (`rightTs == leftTs`): the right row sorts first, so it IS matched
     * (<= semantics). Multiple right rows at one timestamp: the one latest in
     * `tieBreak` order wins — deterministic.
+    *
+    * The right columns are carried as ONE struct through a single
+    * `last(_, ignoreNulls = true)` — carrying each column independently would
+    * stitch values from different right rows whenever a right row holds NULLs
+    * in some of `rightCols`, producing a row that never existed; whole-row
+    * attachment matches pandas `merge_asof` / DuckDB `ASOF JOIN`.
     */
   def asOfJoin(
       left: DataFrame,
@@ -34,20 +40,21 @@ object Relational {
       rightTs: String,
       rightCols: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
-      .select((keys ++ Seq("__ts", "__side")).map(col) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+    import org.apache.spark.sql.types.StructType
+    val leftCols    = left.columns.toSeq
+    val leftPayload = leftCols.filterNot(keys.contains)
+    val rStructType = StructType(rightCols.map(c => right.schema(c)))
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftPayload.map(c => col(c).as(s"__l_$c")) ++
+        Seq(lit(null).cast(rStructType).as("__r")) ++
         tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
-    val r = right
-      .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
-      .select((keys ++ Seq("__ts", "__side")).map(col) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        Seq(struct(rightCols.map(col): _*).as("__r")) ++
         tieBreak.map(c => col(c).as(s"__tb_$c")): _*)
     val order: Seq[Column] =
       Seq(col("__ts").asc, col("__side").asc) ++ tieBreak.map(c => col(s"__tb_$c").asc)
@@ -55,15 +62,12 @@ object Relational {
       .partitionBy(keys.map(col).toIndexedSeq: _*)
       .orderBy(order.toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).select(
-      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c")) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c")): _*)
-    carried
+    l.unionByName(r)
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++
-          leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-          rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+          leftPayload.map(c => col(s"__l_$c").as(c)) ++
+          rightCols.map(c => col(s"__rc.$c").as(s"asof_$c")): _*)
   }
 }

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity surface (SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9) over
+  * `ArrayType(FloatType)` embedding columns.
+  *
+  * All scalar math is stock higher-order functions (`zip_with` + `aggregate`)
+  * — codegen'd, no UDF boxing in the hot path. Accumulation is sequential
+  * over the array in index order, which makes the result bit-reproducible
+  * (and matchable by an oracle that sums in the same order).
+  */
+object Similarity {
+
+  /** Element-wise dot product, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** T4 — cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** T5 — brute-force top-k nearest neighbours for a set of probe vectors.
+    *
+    * The probe side is broadcast (it is the small side by construction — you
+    * probe with a query batch, not the whole corpus), so the corpus never
+    * shuffles: each task scans its corpus partition once against the
+    * in-memory probes. Ranking is on the 4-decimal-floored similarity with
+    * the neighbour id as tie-break — deterministic and oracle-matchable.
+    * This is the correctness baseline; [[annTopK]] is the scale path.
+    */
+  def knn(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val sim = Summaries.r4(cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    p.join(c, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("pv", "cv")
+  }
+
+  /** J7 — similarity self-join: all pairs with cosine ≥ threshold. Brute
+    * force (n²/2 pairs) — correct at probe scale, superseded by LSH
+    * bucketing ([[signLshBucket]]) when both sides are large.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    val c = cosine(col("va"), col("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(c >= threshold)
+      .select(col("vec_a"), col("vec_b"), Summaries.r4(c).as("sim"))
+  }
+
+  /** Random-hyperplane (sign) LSH bucket id in [0, 2^nPlanes).
+    *
+    * Hyperplane weights are pseudo-random ±1 derived from md5 of
+    * "plane_dim" — deterministic, identically computable by the DuckDB
+    * oracle, and requiring no stored model. Bit p = sign(Σ_d w(p,d)·v[d]).
+    * Cosine-close vectors agree on most hyperplane signs, so they land in
+    * the same bucket with high probability; the ANN join is then an
+    * equi-join on the bucket id — the 100 TB shape (shuffle on a small int
+    * key) instead of a cross join.
+    */
+  def signLshBucket(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => {
+            val w = when(
+              Text.hash60(concat(p.cast("string"), lit("_"), d.cast("string"))) % 2 === 1,
+              lit(1.0)).otherwise(lit(-1.0))
+            x.cast("double") * w
+          }),
+          lit(0.0), (s, v) => s + v)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+
+  /** T5 scale path — approximate top-k: rank only within the LSH bucket. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+    val withBucket = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      signLshBucket(col(vecCol), nPlanes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("id").as("probe_id"), col("v").as("pv"))
+    val b = withBucket.select(col("bucket").as("b2"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val sim = Summaries.r4(cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    a.join(b, col("bucket") === col("b2") && col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** A9 — typed UDAF: element-wise mean of an embedding column. The buffer is
+    * a primitive double array + count; merge is O(dim) — a textbook
+    * `Aggregator`, partial-aggregated map-side like any built-in.
+    */
+  case class VecMeanBuf(sums: Array[Double], n: Long)
+
+  class VectorMean extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
+    override def zero: VecMeanBuf = VecMeanBuf(Array.empty, 0L)
+    override def reduce(b: VecMeanBuf, v: Seq[Float]): VecMeanBuf = {
+      if (v == null) return b
+      val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+      var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      VecMeanBuf(s, b.n + 1)
+    }
+    override def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf = {
+      if (x.n == 0) return y
+      if (y.n == 0) return x
+      val s = x.sums.clone()
+      var i = 0
+      while (i < s.length) { s(i) += y.sums(i); i += 1 }
+      VecMeanBuf(s, x.n + y.n)
+    }
+    override def finish(b: VecMeanBuf): Seq[Double] =
+      if (b.n == 0) Seq.empty else b.sums.toSeq.map(_ / b.n)
+    override def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Registered column form of [[VectorMean]]. */
+  def vectorMean(c: Column): Column = udaf(new VectorMean).apply(c)
+}

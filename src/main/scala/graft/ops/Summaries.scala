@@ -42,4 +42,11 @@ object Summaries {
   /** Order-insensitive mean built from the exact sum. */
   def exactAvg(c: Column, scale: Int = 4): Column =
     (sum(c.cast(s"decimal(27,$scale)")).cast("double") / count(c))
+
+  /** Deterministic 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴`, written the
+    * same way in oracle SQL. NOT `round(_, 4)` — Spark rounds half-up while
+    * DuckDB rounds half-even, and ratios of small integers (k/32, k/64)
+    * land exactly on the .00005 boundary where the two disagree.
+    */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 }

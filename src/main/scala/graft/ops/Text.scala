@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis & fuzzy-dedup surface (SURVEY §2.10: T1–T3, T6, D3) plus the
+  * LLM-pipeline extensions (language-ID, quality scoring, token counting,
+  * document fingerprinting, SimHash).
+  *
+  * Everything is built from stock codegen'd expressions — `split`, the array
+  * higher-order functions, `md5` — no UDFs, so the whole per-document feature
+  * pass fuses into one whole-stage-codegen scan stage with zero shuffles.
+  * Cross-engine determinism device: where a hash value must be reproducible by
+  * the DuckDB oracle, the hash is the first 60 bits of md5 ([[hash60]]) rather
+  * than Spark's murmur3 `hash` (which DuckDB cannot compute). The md5 form
+  * costs more per call but only runs on tokens/shingles, not on every row of a
+  * fact table; swap in `xxhash64` when oracle parity is not required.
+  */
+object Text {
+
+  /** T1 — whitespace tokenization, case-folded. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Distinct token set (order-insensitive ops: SimHash, language-ID). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** T3 — all n-token grams joined by a single space (one entry per
+    * occurrence, for frequency counting). `sequence` must be guarded:
+    * Spark's `sequence(1, 0)` counts DOWN, so a doc with fewer than n tokens
+    * needs the empty-array branch.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** T3/T6 — de-duplicated shingle set (the MinHash/Jaccard input). */
+  def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
+
+  /** 60-bit deterministic hash: decimal value of the first 15 hex digits of
+    * md5. Same value in DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT` —
+    * this is what makes the MinHash/SimHash pipelines oracle-checkable.
+    */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** T6 — k-element MinHash signature over a shingle set. Seed i perturbs the
+    * hash by suffixing `#i`, the standard k-permutation approximation.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => hash60(concat(s, lit("#"), i.cast("string"))))))
+
+  /** Jaccard similarity of two array columns (inputs must be de-duplicated). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** D3/T6/J7 — near-duplicate pairs by MinHash + LSH, then exact verify.
+    *
+    * Scale shape (the 100 TB story): signatures are k longs per doc computed
+    * in the scan stage; the LSH join is a plain equi-join on (band, value) —
+    * k rows of (id, band, long) per doc shuffle, NEVER the text — and only
+    * the candidate pairs (a vanishing fraction of n²) pull their shingle sets
+    * through the verify join. Nothing is all-pairs.
+    *
+    * Bands are r=1 (one signature row per band): candidate iff ANY of the k
+    * minhashes collide, giving recall 1-(1-j)^k — ~1 for j≥0.5, k=16.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), nShingle).as("ss"))
+    val sig = sh
+      .select(col("id"), posexplode(minhashSignature(col("ss"), k)).as(Seq("band", "hv")))
+    val cand = sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val j = jaccard(col("x.ss"), col("y.ss"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.id"))
+      .join(sh.as("y"), col("doc_b") === col("y.id"))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
+  }
+
+  /** D3 exact variant — n-gram Jaccard near-dup via an inverted shingle
+    * index: explode (id, shingle), self-equi-join on the shingle, count
+    * intersections per pair, then Jaccard from |A|+|B|-|A∩B|. Guaranteed
+    * recall for any threshold > 0 (a qualifying pair shares ≥1 shingle), at
+    * the cost of generating one candidate row per shared shingle — the right
+    * tool when shingles are selective (long shingles), with MinHash-LSH as
+    * the fallback when they are not.
+    */
+  def jaccardNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      threshold: Double): DataFrame = {
+    val sh    = docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), nShingle).as("ss"))
+    val inv   = sh.select(col("id"), explode(col("ss")).as("s"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("id"), size(col("ss")).cast("long").as("n"))
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .withColumn("na", col("sa.n"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("nb", col("sb.n"))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
+  }
+
+  /** SimHash (nBits ≤ 60) over the distinct token set: bit b of the signature
+    * is the sign of Σ_tokens (2·bit_b(hash60(t)) − 1). Near-dup docs differ in
+    * few bits, so banding the signature gives another LSH family. Integer
+    * arithmetic throughout — bit-exact in any engine.
+    */
+  def simhash(textCol: Column, nBits: Int): Column = {
+    val hashes = transform(array_distinct(split(lower(trim(textCol)), "\\s+")),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(hashes, lit(0L),
+          (s, h) => s + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      })
+  }
+
+  /** Rolling-hash document fingerprint: fold character codes through
+    * h = (h·31 + code) mod 1e9+7. Order-sensitive (unlike a token-set hash),
+    * so re-ordered text fingerprints differently; integer math — bit-exact
+    * cross-engine.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** Marker-word tables for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "une", "et"),
+    "zh" -> Seq("shi", "bu", "wo", "zhe"))
+
+  /** Language-ID heuristic: count marker-word hits per language in the token
+    * set; predict the argmax, ties resolved in [[LangMarkers]] order. A real
+    * deployment would use character-n-gram profiles; the *shape* — a pure
+    * per-row expression, no shuffle, no model service — is the part that
+    * matters at 100 TB.
+    */
+  def languageId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (the usual pre-tokenizer regex shape).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Stopword-hit count (not distinct) for quality ratios. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+}

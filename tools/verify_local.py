@@ -17,7 +17,7 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-fails, rows_only = 0, []
+fails, ok, rows_only = 0, 0, []
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 for name in names:
     got = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
@@ -49,6 +49,8 @@ for name in names:
     status = "OK  " if not msgs else "FAIL"
     if msgs:
         fails += 1
+    else:
+        ok += 1
     print(status, name, "; ".join(msgs))
 missing = set(oracle) - set(names)
 for m in sorted(missing):
@@ -56,5 +58,5 @@ for m in sorted(missing):
     fails += 1
 for n, r in rows_only:
     print("ROWS", n, f"{r} rows (no oracle — weaker check)")
-print(f"\n{len(names) - len(rows_only) - fails + len(missing)*0}/{len(names) - len(rows_only)} oracle-checked OK; {fails} FAIL; {len(rows_only)} rows-only")
+print(f"\n{ok}/{ok + fails} oracle-checked OK; {fails} FAIL; {len(rows_only)} rows-only")
 sys.exit(1 if fails else 0)
