@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -27,7 +28,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ textQueries ++ similarityQueries
+    baseQueries ++ textQueries ++ similarityQueries ++ closureQueries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §7.2 minimum slice — P7 date filter + A1/A4 multi-agg + O1 sort
@@ -296,10 +297,276 @@ object SparkEntry {
     }),
   )
 
+  /** SQL-closure / windows / JSON / composition surface: SURVEY §2.3
+    * F10/F11/F13/F16/F18, §2.4 U2, §2.7 A3/A7/A8, §2.8 O3, §2.9 W2/W3,
+    * §2.11 ST1–ST3 batch forms, J5-aggregated, J6, S5, and the §3.1
+    * pipeline replica.
+    */
+  private def closureQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J5 at scale — aggregate-first theta join: join the tiny per-(brand,
+    // size) histograms instead of the raw rows, then sum cnt_a*cnt_b.
+    // Same result as q12 with O(|brands|·|sizes|²) work instead of O(n²).
+    "q29_theta_agg" -> ((s, d) => {
+      val h = t(s, d, "part").groupBy(col("p_brand"), col("p_size")).agg(count(lit(1)).as("cnt"))
+      val a = h.select(col("p_brand"), col("p_size").as("size_a"), col("cnt").as("cnt_a"))
+      val b = h.select(col("p_brand").as("brand_b"), col("p_size").as("size_b"), col("cnt").as("cnt_b"))
+      a.join(b, col("p_brand") === col("brand_b") && col("size_a") < col("size_b"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cnt_a") * col("cnt_b")).as("n_pairs"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // F16 — JSON field extraction from events.props
+    "q30_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
+        .orderBy(col("k"))
+    }),
+
+    // F18 — map ops after from_json → MapType
+    "q31_map_ops" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, MapType, StringType}
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      t(s, d, "events")
+        .select(col("event_id"), size(map_keys(m)).as("n_keys"),
+          element_at(m, "k").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A8 — rollup with grouping_id to disambiguate total rows
+    "q32_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // A7 — exact distinct count
+    "q33_distinct_count" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A7 approx — HLL++; no oracle (approximate by design), rows-only check
+    "q34_approx_distinct" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // W2 — lag/lead analytics per user ((user_id, ts) is unique in the data)
+    "q35_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W3 — frame-spec running total (exact decimal accumulation → order-free)
+    "q36_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // U2 — intersect: customers ordering in both 1995 and 1996
+    "q37_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // U2 — except: 1995 customers who did not order in 1996
+    "q38_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ST1 batch form — tumbling 1-day window counts
+    "q39_window_tumbling" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ST2 batch form — sliding 2-day window, 1-day slide (each event in 2)
+    "q40_window_sliding" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 days", "1 day"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"))
+    }),
+
+    // ST3 batch form — session windows (4 h gap) per user
+    "q41_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("user_id"), col("cnt"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // A6/F14 — daily time series
+    "q42_timeseries" -> ((s, d) => {
+      Summaries.timeSeries(t(s, d, "events"), "ts", "day",
+        Seq(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value")))
+    }),
+
+    // A5/F15 — fixed-width histogram of extended price
+    "q43_histogram" -> ((s, d) => Summaries.histogram(t(s, d, "lineitem"), "l_extendedprice", 500.0)),
+
+    // O4 — top-3 most recent events per user
+    "q44_topk_group" -> ((s, d) => {
+      Dedup.topKPerGroup(t(s, d, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").asc), 3)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // J6 — as-of join: latest click at-or-before each purchase, per user
+    "q45_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      Relational.asOfJoin(
+          left = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value"),
+          right = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts", "value"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id", "value"), tieBreak = Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §3.1 pipeline replica on real tables: split → unionByName → dedup
+    // keep-latest → keyword failure filter → group count
+    "q46_pipeline" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val a = e.filter(col("event_id") % 2 === 0).select("event_id", "ts", "user_id", "event_type", "value")
+      val b = e.filter(col("event_id") % 2 === 1).select("event_id", "ts", "user_id", "event_type", "props")
+      val u = Ingest.unionAllByName(Seq(a, b))
+      val deduped = Dedup.keepLatest(u, keys = Seq("user_id", "event_type"),
+        recency = Seq("ts"), tieBreak = Seq(col("event_id")))
+      Summaries.groupCount(
+        deduped.filter(Clean.keywordAny(Seq(col("event_type"), col("props")), Clean.FailurePattern)),
+        "event_type")
+    }),
+
+    // F10/F11 — timestamp and thousands-separator number formatting
+    "q47_format" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od_str"),
+          format_number(col("o_orderkey") * 1000, 0).as("pretty_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F13/A3 — length stats per lang (+ cross-check against n_chars)
+    "q48_length_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(length(col("text"))).as("max_len"),
+          min(length(col("text"))).as("min_len"),
+          Summaries.r4(sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"),
+          count(when(length(col("text")) =!= col("n_chars"), 1)).as("n_mismatch"))
+        .orderBy(col("lang"))
+    }),
+
+    // P6 — null filter over union-induced missing columns
+    "q49_null_filter" -> ((s, d) => {
+      val li  = t(s, d, "lineitem")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val a = li.filter(col("l_shipdate") < cut).select("l_orderkey", "l_linenumber", "l_quantity")
+      val b = li.filter(col("l_shipdate") >= cut).select("l_orderkey", "l_linenumber", "l_extendedprice")
+      Ingest.unionAllByName(Seq(a, b))
+        .filter(col("l_quantity").isNull)
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_linenumber"))
+    }),
+
+    // O3 — deterministic top-N via sort + limit
+    "q50_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // S5 — CSV sink + source round-trip (schema-explicit read back)
+    "q51_csv_roundtrip" -> ((s, d) => {
+      val src  = t(s, d, "part")
+      val path = s"/root/repo/target/tmp/csv_part_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema(src.schema).csv(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // SQL surface over the registered table catalog
+    "q52_sql_surface" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n_name, count(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    // Multimodal plumbing — opaque binary payload + typed metadata: byte
+    // length, sha-256 fingerprint, head-bytes probe, every-64th-byte sample
+    "q53_multimodal" -> ((s, d) => {
+      val payload = col("text").cast("binary")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(payload).as("byte_len"),
+          sha2(payload, 256).as("sha"),
+          conv(hex(substring(payload, 1, 7)), 16, 10).cast("long").as("head7"),
+          expr("concat_ws('', transform(sequence(1, length(text), 64), i -> substr(text, i, 1)))").as("sample"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
+    "q54_clean_strings" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val ipSrc = concat(lit("host "),
+        when(pk % 3 === 0, lit("n/a"))
+          .otherwise(concat(lit("10.2."), (pk % 200).cast("string"), lit(".7"))))
+      val ip6Src = when(pk % 2 === 0, lit("fe80::1, 10.0.0.1")).otherwise(lit("1.2.3.4"))
+      val tsSrc = when(pk % 5 === 0, lit("garbage"))
+        .otherwise(concat(lit("2024-01-"), lpad((pk % 27 + 1).cast("string"), 2, "0")))
+      t(s, d, "part")
+        .select(pk,
+          Clean.titleCase(concat(lit("  "), col("p_name"), lit(" "))).as("cleaned"),
+          Clean.firstIpv4(ipSrc).as("ip"),
+          Clean.firstIpv6(ip6Src).as("ip6"),
+          Clean.parseTs(tsSrc).as("ts_parsed"))
+        .orderBy(pk)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = baseOracles ++ textOracles ++ similarityOracles
+  def oracleSql: Map[String, String] =
+    baseOracles ++ textOracles ++ similarityOracles ++ closureOracles
 
   private def baseOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -527,5 +794,159 @@ object SparkEntry {
                 floor(embedding[1]::DOUBLE * 10000 + 0.5)/10000 AS first_val,
                 floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)) * 10000 + 0.5)/10000 AS l2norm
          FROM embeddings ORDER BY vec_id""",
+  )
+
+  // `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as long nanos and
+  // [[Tables.t]] truncates to µs; the oracle mirrors that exact truncation
+  // with make_timestamp(epoch_ns(ts)//1000) wherever ts reaches the output.
+  // (All generated values are µs-aligned, but the cast keeps types identical.)
+  private def closureOracles: Map[String, String] = Map(
+    "q29_theta_agg" ->
+      """SELECT a.p_brand, count(*) AS n_pairs
+         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+         GROUP BY a.p_brand ORDER BY a.p_brand""",
+    "q30_json_extract" ->
+      """SELECT json_extract_string(props, '$.k')::INT AS k, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY k ORDER BY k""",
+    "q31_map_ops" ->
+      """SELECT event_id, CAST(len(json_keys(props)) AS INT) AS n_keys,
+                json_extract_string(props, '$.k')::BIGINT AS k_val
+         FROM events ORDER BY event_id""",
+    "q32_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q33_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q35_lag_lead" ->
+      """SELECT user_id, event_id, value,
+                value - lag(value, 1) OVER w AS delta_prev,
+                lead(event_type, 1) OVER w AS next_type
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+    "q36_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q37_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q38_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q39_window_tumbling" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS cnt
+         FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""",
+    "q40_window_sliding" ->
+      """SELECT window_start, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT CAST(unnest([time_bucket(INTERVAL '1 day', ts),
+                                   time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day']) AS TIMESTAMP) AS window_start,
+                      value
+               FROM events)
+         GROUP BY window_start ORDER BY window_start""",
+    "q41_session_window" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) uts FROM events),
+         g AS (SELECT user_id, uts,
+                      CASE WHEN uts - lag(uts) OVER (PARTITION BY user_id ORDER BY uts) < INTERVAL '4 hours'
+                           THEN 0 ELSE 1 END ns
+               FROM e),
+         sess AS (SELECT user_id, uts,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY uts ROWS UNBOUNDED PRECEDING) sid
+                  FROM g)
+         SELECT min(uts) AS session_start, max(uts) + INTERVAL '4 hours' AS session_end,
+                user_id, count(*) AS cnt
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q42_timeseries" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY period ORDER BY period""",
+    "q43_histogram" ->
+      """SELECT floor(l_extendedprice / 500.0) * 500.0 AS bin, count(*) AS cnt
+         FROM lineitem GROUP BY bin ORDER BY bin""",
+    "q44_topk_group" ->
+      """SELECT user_id, event_id, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) <= 3
+         ORDER BY user_id, event_id""",
+    "q45_asof_join" ->
+      """SELECT l.user_id, l.event_id, make_timestamp(epoch_ns(l.ts)//1000) AS ts, l.value,
+                r.event_id AS asof_event_id, r.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
+    "q46_pipeline" ->
+      """WITH u AS (
+           SELECT event_id, ts, user_id, event_type, value, NULL::VARCHAR AS props
+           FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT event_id, ts, user_id, event_type, NULL::DOUBLE, props
+           FROM events WHERE event_id % 2 = 1),
+         dd AS (
+           SELECT * FROM u
+           QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id) = 1)
+         SELECT event_type, count(*) AS qtd FROM dd
+         WHERE COALESCE(regexp_matches(lower(CAST(event_type AS VARCHAR)), 'fail|timed out|faulty|lost|error'), false)
+            OR COALESCE(regexp_matches(lower(CAST(props AS VARCHAR)), 'fail|timed out|faulty|lost|error'), false)
+         GROUP BY event_type ORDER BY qtd DESC, event_type ASC NULLS FIRST""",
+    "q47_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+                format('{:,}', o_orderkey * 1000) AS pretty_key
+         FROM orders ORDER BY o_orderkey""",
+    "q48_length_stats" ->
+      """SELECT lang, count(*) AS n_docs, max(length(text)) AS max_len, min(length(text)) AS min_len,
+                floor(sum(length(text))::DOUBLE / count(*) * 10000 + 0.5)/10000 AS avg_len,
+                count(*) FILTER (length(text) <> n_chars) AS n_mismatch
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q49_null_filter" ->
+      """SELECT l_linenumber, count(*) AS cnt
+         FROM (SELECT l_linenumber, NULL AS l_quantity
+               FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+         WHERE l_quantity IS NULL
+         GROUP BY l_linenumber ORDER BY l_linenumber""",
+    "q50_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q51_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q52_sql_surface" ->
+      """SELECT n_name, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q53_multimodal" ->
+      """SELECT doc_id, length(text) AS byte_len, sha256(text) AS sha,
+                ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,
+                array_to_string([substr(text, i, 1) for i in range(1, length(text) + 1, 64)], '') AS sample
+         FROM documents ORDER BY doc_id""",
+    "q54_clean_strings" ->
+      """WITH src AS (
+           SELECT p_partkey, p_name,
+                  'host ' || CASE WHEN p_partkey % 3 = 0 THEN 'n/a'
+                                  ELSE '10.2.' || (p_partkey % 200)::VARCHAR || '.7' END AS ip_src,
+                  CASE WHEN p_partkey % 2 = 0 THEN 'fe80::1, 10.0.0.1' ELSE '1.2.3.4' END AS ip6_src,
+                  CASE WHEN p_partkey % 5 = 0 THEN 'garbage'
+                       ELSE '2024-01-' || lpad((p_partkey % 27 + 1)::VARCHAR, 2, '0') END AS ts_src
+           FROM part)
+         SELECT p_partkey,
+                array_to_string([upper(substr(w, 1, 1)) || lower(substr(w, 2)) for w in string_split(trim('  ' || p_name || ' '), ' ')], ' ') AS cleaned,
+                NULLIF(regexp_extract(ip_src, '\b(\d{1,3}(?:\.\d{1,3}){3})\b', 1), '') AS ip,
+                CASE WHEN len(list_filter([trim(p) for p in string_split(ip6_src, ',')], p -> instr(p, ':') > 0)) > 0
+                     THEN list_filter([trim(p) for p in string_split(ip6_src, ',')], p -> instr(p, ':') > 0)[1] END AS ip6,
+                TRY_CAST(ts_src AS TIMESTAMP) AS ts_parsed
+         FROM src ORDER BY p_partkey""",
   )
 }

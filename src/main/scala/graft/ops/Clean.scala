@@ -36,10 +36,11 @@ object Clean {
   def titleCase(c: Column): Column = initcap(trim(c))
 
   /** F9 — date parse with coercion (reference `app.py:184-186`,
-    * `errors="coerce"`): unparseable strings become NULL, which is Spark's
-    * default `to_timestamp` behavior.
+    * `errors="coerce"`): unparseable strings become NULL. Must be
+    * `try_to_timestamp` — under Spark 4's default ANSI mode a plain
+    * `to_timestamp` THROWS on malformed input.
     */
-  def parseTs(c: Column): Column = to_timestamp(c)
+  def parseTs(c: Column): Column = try_to_timestamp(c)
 
   private val Ipv4Pattern = "\\b(\\d{1,3}(?:\\.\\d{1,3}){3})\\b"
 
