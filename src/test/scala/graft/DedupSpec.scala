@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Run a scalacheck property deterministically under scalatest. */
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("keepLatest keeps the most recent row per key, ties broken deterministically") {
+    val df = Seq(
+      ("k1", "2024-01-02", 1), ("k1", "2024-01-03", 2), ("k1", "2024-01-03", 3),
+      ("k2", "2024-01-01", 4)).toDF("k", "d", "id")
+    val out = Dedup.keepLatest(df, Seq("k"), Seq("d"), Seq(col("id"))).orderBy("k")
+    // tie at 2024-01-03 resolves to the LOWEST id (tie-break asc)
+    assert(out.select("id").as[Int].collect().toSeq == Seq(2, 4))
+  }
+
+  test("topKPerGroup returns k rows per key in order") {
+    val df  = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val out = Dedup.topKPerGroup(df, Seq("k"), Seq(col("v").desc), 2)
+    assert(out.filter($"k" === "a").select("v").as[Int].collect().toSet == Set(3, 2))
+    assert(out.filter($"k" === "b").count() == 1)
+  }
+
+  test("dedupByDigest keeps the lowest id per distinct content") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("id", "txt")
+    val out = Dedup.dedupByDigest(df, "txt", "id").select("id").as[Long].collect().toSet
+    assert(out == Set(3L, 7L))
+  }
+
+  test("property: keepLatest ≤1 row/key, survivor has max recency + min tie-break, ⊆ input") {
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 5); d <- Gen.choose(0, 9); id <- Gen.choose(0, 1000)
+    } yield (k, d, id))
+    check(Prop.forAll(gen) { rows =>
+      val df    = rows.toDF("k", "d", "id")
+      val out   = Dedup.keepLatest(df, Seq("k"), Seq("d"), Seq(col("id"))).collect()
+      val byKey = rows.groupBy(_._1)
+      out.length == byKey.size && out.forall { r =>
+        val (k, d, id) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val grp = byKey(k)
+        d == grp.map(_._2).max &&
+          grp.contains((k, d, id)) &&
+          id == grp.filter(_._2 == d).map(_._3).min // deterministic tie-break
+      }
+    })
+  }
+
+  test("property: union counts add (U1)") {
+    val ints = Gen.listOf(Gen.choose(0, 100))
+    check(Prop.forAll(ints, ints) { (a, b) =>
+      val da = a.toDF("x"); val db = b.toDF("x")
+      graft.ops.Ingest.unionAllByName(Seq(da, db)).count() == a.size + b.size
+    }, n = 10)
+  }
+
+  test("property: normCol matches a reference reimplementation on arbitrary strings") {
+    def ref(s: String): String = s.trim
+      .replaceAll("[^0-9A-Za-z]+", "_").replaceAll("_+", "_")
+      .replaceAll("^_|_$", "").toLowerCase
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      graft.ops.Clean.normCol(s) == ref(s)
+    }, n = 200)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §4.2): the operators must not merely be
+  * correct — the physical plans must be the ones that survive a 100× scale-up
+  * (pushdown into the scan, broadcast for dims, no body-shuffle in dedup).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: date filter is pushed down to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan schema is pruned to the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q11: dimension joins are broadcast, not shuffled") {
+    val p = plan("q11_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q18: two-phase digest dedup ends in a semi-join (no window over bodies)") {
+    val p = plan("q18_dedup_digest")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q24 knn: probe side is broadcast; corpus is not exchanged") {
+    val p = plan("q24_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the scan→filter→aggregate pipeline (q01)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // force execution so AQE finalizes the physical plan
+    // codegen stages print as `*(n)` prefixes in the final adaptive plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 200L, "b"),
+      (2L, ts("2024-01-01 09:30:00"), 300L, "c")).toDF("k", "ts", "rid", "rv")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("rid", "rv"), tieBreak = Seq("rid"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).getAs[Long]("asof_rid") == 100L)   // 10:00 sees 09:30
+    assert(out(1).getAs[Long]("asof_rid") == 200L)   // 12:00 sees 11:00
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_rid"))) // 09:00 precedes all
+  }
+
+  test("asOfJoin tie at equal timestamps matches (<= semantics)") {
+    val left  = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "ts", "lv")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7L, "x")).toDF("k", "ts", "rid", "rv")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("rid", "rv"))
+      .collect()
+    assert(out(0).getAs[Long]("asof_rid") == 7L)
+  }
+
+  test("asOfJoin carries right rows WHOLESALE: NULLs don't stitch across rows") {
+    // the ADVICE bug: row@11:00 has rv=NULL; per-column carry would pair
+    // rid=200 with rv='a' from the EARLIER row — a row that never existed.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 200L, null: String)).toDF("k", "ts", "rid", "rv")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("rid", "rv"))
+      .collect()
+    assert(out(0).getAs[Long]("asof_rid") == 200L)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_rv"))) // NULL from the SAME row
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f), Seq(-1f, 0f))).toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c"), Similarity.cosine($"a", $"d"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("knn top-1 is the true nearest neighbour") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.knn(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    assert(out == 1L)
+  }
+
+  test("vectorMean UDAF equals per-position average") {
+    val vecs = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 0f))).toDF("label", "embedding")
+    val out = vecs.groupBy($"label").agg(Similarity.vectorMean($"embedding").as("m"))
+      .orderBy("label").select("m").as[Seq[Double]].collect()
+    assert(out(0) == Seq(2.0, 4.0))
+    assert(out(1) == Seq(10.0, 0.0))
+  }
+
+  test("annTopK returns pairs only within a shared LSH bucket, ranked by sim") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(-1f, 0f, 0f, 0f)), (3L, Seq(-0.98f, -0.02f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(vecs, "vec_id", "embedding", 2, 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // near-identical vectors must share a bucket and pick each other
+    assert(out.get(0L).contains(1L) && out.get(1L).contains(0L))
+    assert(out.get(2L).contains(3L) && out.get(3L).contains(2L))
+  }
+
+  test("signLshBucket is deterministic and bounded") {
+    val vecs = Seq((0L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()
+    val b2 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()
+    assert(b1 == b2 && b1 >= 0 && b1 < 16)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Streaming
+import graft.ops.Streaming.Ev
+
+/** ST1–ST7 driven through MemoryStream (SURVEY §5.5: streaming stays out of
+  * the DuckDB oracle; batch forms q39–q41 cover the window semantics there).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private var qid = 0
+  private def nextName(): String = { qid += 1; s"st_out_$qid" }
+
+  test("ST1/ST4/ST7: tumbling window counts over a stream (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = Streaming.tumblingCounts(input.toDF(), "ts", "1 hour", "2 hours", Seq("event_type"))
+    val name = nextName()
+    val q = counts.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "view"),
+        Ev(1, ts("2024-01-01 10:55:00"), "view"),
+        Ev(2, ts("2024-01-01 11:05:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table(name).orderBy("window_start", "event_type")
+        .select("cnt").as[Long].collect().toSeq
+      assert(rows == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("ST3: session window stream groups by gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sess = Streaming.sessionCounts(input.toDF(), "ts", "30 minutes", "1 hour", Seq("user_id"))
+    val name = nextName()
+    val q = sess.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "a"),
+        Ev(1, ts("2024-01-01 10:10:00"), "a"), // same session
+        Ev(1, ts("2024-01-01 12:00:00"), "a")) // new session
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+    } finally q.stop()
+  }
+
+  test("ST5: streaming dedup drops exact-key duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dd = Streaming.dedupEvents(input.toDF(), "ts", "1 hour", Seq("user_id", "event_type"))
+    val name = nextName()
+    val q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val e = Ev(1, ts("2024-01-01 10:00:00"), "view")
+      input.addData(e, e, Ev(2, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+    } finally q.stop()
+  }
+
+  test("ST6: flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Streaming.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "a"),
+        Ev(1, ts("2024-01-01 10:10:00"), "a"))
+      q.processAllAvailable()
+      // second batch: a far-later event closes the first session
+      input.addData(Ev(1, ts("2024-01-01 13:00:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Streaming.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).n_events == 2 && rows(0).closed)
+      assert(rows(0).start == ts("2024-01-01 10:00:00") && rows(0).end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: tumblingCounts on a static frame matches groupBy window") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), "v"),
+      Ev(2, ts("2024-01-01 10:55:00"), "v"),
+      Ev(3, ts("2024-01-01 11:05:00"), "v")).toDF()
+    val out = Streaming.tumblingCounts(df, "ts", "1 hour", "2 hours", Seq("event_type"))
+      .orderBy("window_start").select("cnt").as[Long].collect().toSeq
+    assert(out == Seq(2L, 1L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens + ngrams: counts and short-doc guard") {
+    val df = Seq("a b c d", "x y", "solo").toDF("t")
+    val grams = df.select(size(Text.ngrams(Text.tokens($"t"), 3)).as("n")).as[Int].collect()
+    assert(grams.toSeq == Seq(2, 0, 0)) // len<n → empty, not sequence-down
+  }
+
+  test("shingles are distinct; jaccard of identical sets is 1") {
+    val df = Seq(("a b a b c", "a b a b c")).toDF("x", "y")
+    val out = df.select(
+      Text.jaccard(
+        Text.shingles(Text.tokens($"x"), 2),
+        Text.shingles(Text.tokens($"y"), 2)).as("j")).as[Double].head()
+    assert(out == 1.0)
+  }
+
+  test("minhashNearDupPairs finds a planted near-dup and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away now"),
+      (3L, "completely different words about spark catalyst tungsten execution")).toDF("doc_id", "text")
+    val pairs = Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccardNearDupPairs (exact inverted index) agrees with minhash on planted dups") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val exact = Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text → identical signature; disjoint text → different") {
+    val df = Seq(("a b c", "a b c", "x y z")).toDF("p", "q", "r")
+    val row = df.select(Text.simhash($"p", 16), Text.simhash($"q", 16), Text.simhash($"r", 16)).head()
+    assert(row.getLong(0) == row.getLong(1))
+    assert(row.getLong(0) != row.getLong(2))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq(("ab cd", "cd ab")).toDF("p", "q")
+    val row = df.select(Text.fingerprint($"p"), Text.fingerprint($"q")).head()
+    assert(row.getLong(0) != row.getLong(1))
+  }
+
+  test("languageId picks the language with most marker hits; 'und' when none") {
+    val df = Seq("the cat and the hat", "el gato y la casa", "qqq www eee").toDF("t")
+    val out = df.select(Text.languageId(Text.tokenSet($"t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("bpeishTokenCount counts letter runs, digit runs, punctuation") {
+    val out = Seq("ab12 cd, ef!").toDF("t")
+      .select(Text.bpeishTokenCount($"t")).as[Int].head()
+    // ab, 12, cd, ',', ef, '!'
+    assert(out == 6)
+  }
+}
