@@ -26,6 +26,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
   }
+
+  /** Engine-native codegen expressions, addressable from any Column context
+    * via `call_function` (and from SQL). Idempotent per session.
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => graft.expr.CosineSimilarity(exprs(0), exprs(1)), "built-in")
 }

@@ -154,7 +154,7 @@ object SparkEntry {
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1 — tokenize/explode, global term frequency top-20
     "q13_tokenize" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"))
@@ -164,7 +164,7 @@ object SparkEntry {
 
     // T2 — per-language token statistics
     "q14_token_stats" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("lang"), col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("lang"))
         .agg(
@@ -176,8 +176,8 @@ object SparkEntry {
 
     // T3 — bigram frequency top-20
     "q15_ngrams" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
+      Tables.spread(t(s, d, "documents"))
+        .select(explode(Text.ngramsOf(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
@@ -206,21 +206,21 @@ object SparkEntry {
 
     // SimHash document signature (16-bit, md5-derived → oracle-checkable)
     "q19_simhash" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), Text.simhash(col("text"), 16).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
     // Rolling-hash fingerprint (order-sensitive, integer math)
     "q20_fingerprint" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
     // Language-ID heuristic vs the labeled lang column
     "q21_langid" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"),
           Text.languageId(Text.tokenSet(col("text"))).as("pred"))
         .orderBy(col("doc_id"))
@@ -234,7 +234,7 @@ object SparkEntry {
       val stopRatio = Summaries.r4(stop / nTok)
       val charsTok  = Summaries.r4(length(col("text")).cast("double") / nTok)
       val score     = Summaries.r4(least(lit(1.0), nTok / lit(100.0)) - (stop / nTok) * 0.5)
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), size(toks).as("n_tokens"), stopRatio.as("stop_ratio"),
           charsTok.as("chars_per_token"), score.as("score"),
           when(score >= 0.5, lit("high")).when(score >= 0.2, lit("mid")).otherwise(lit("low")).as("bucket"))
@@ -243,7 +243,7 @@ object SparkEntry {
 
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
-      t(s, d, "documents")
+      Tables.spread(t(s, d, "documents"))
         .select(col("lang"),
           Text.bpeishTokenCount(col("text")).as("bpe"),
           size(Text.tokens(col("text"))).cast("long").as("ws"))

@@ -25,7 +25,27 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view so SQL-surface queries work. */
+  private val registered = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
+  /** Register every table as a temp view so SQL-surface queries work.
+    * Idempotent per (session, dir): re-registration invalidates every cached
+    * plan that references the views, which showed up as seconds of repeated
+    * analysis in the bench sweep.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    registered.getOrElseUpdate((spark, dir), {
+      names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    })
+
+  /** Round-robin the rows across the cluster before a CPU-heavy narrow pass.
+    *
+    * The driver test files are single-row-group parquet, which Spark cannot
+    * split — without this, per-document hashing/scoring runs in ONE task no
+    * matter how many cores exist. On a real corpus (many files, many row
+    * groups) the scan parallelizes by itself and this exchange is unnecessary;
+    * it costs one shuffle of the projected columns, which the expression work
+    * it unlocks dwarfs.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

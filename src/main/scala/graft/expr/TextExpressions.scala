@@ -1,0 +1,174 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the hot per-document paths.
+  *
+  * The HOF forms (`transform(sequence(...), i -> concat_ws(' ', slice(...)))`
+  * and the md5 minhash lambda) are CodegenFallback and evaluate an
+  * interpreted expression tree PER ARRAY ELEMENT — profiled at ~36 µs per
+  * shingle, which made shingling alone cost ~10 s at sf0.1. These
+  * expressions evaluate once per ROW in compiled JVM code; semantics are
+  * bit-identical to the HOF forms and to the DuckDB oracle SQL.
+  */
+
+/** Whitespace-tokenize (trim → lower → split `\s+`) and emit all n-token
+  * grams joined by one space; `distinct` keeps first occurrences only
+  * (matching `array_distinct`). Equivalent to the SURVEY T3 HOF form.
+  */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val t    = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val toks = t.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out =
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= toks.length - n) {
+          seen.add(joinGram(toks, i)); i += 1
+        }
+        val arr = new Array[Any](seen.size)
+        val it  = seen.iterator()
+        var j   = 0
+        while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+        arr
+      } else {
+        val arr = new Array[Any](toks.length - n + 1)
+        var i = 0
+        while (i <= toks.length - n) {
+          arr(i) = UTF8String.fromString(joinGram(toks, i)); i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  private def joinGram(toks: Array[String], start: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(start))
+    var k  = 1
+    while (k < n) { sb.append(' ').append(toks(start + k)); k += 1 }
+    sb.toString
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two `array<string>` columns whose
+  * elements are already de-duplicated (the shingle-set invariant). One hash
+  * set and two counters per pair — replaces the interpreted
+  * `size(array_intersect)/size(array_union)` pair which built four
+  * collections per candidate in the verify joins.
+  */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_jaccard expects (array<string>, array<string>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 && ny == 0) return null // 0/0, matches SQL NULL division
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < ny) { if (set.contains(y.getUTF8String(j))) inter += 1; j += 1 }
+    inter.toDouble / (nx + ny - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** k-element MinHash signature over a shingle array: element i is
+  * min over shingles of the 60-bit md5-derived hash of `shingle + "#" + i`
+  * — the exact value of the SQL form
+  * `conv(substring(md5(concat(s, '#', i)), 1, 15), 16, 10)` / DuckDB
+  * `('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT`, so the oracle
+  * replays it verbatim. Empty input → k NULLs (the `array_min(empty)`
+  * convention of the HOF form).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m   = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val md  = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](k)
+    val shingleBytes = new Array[Array[Byte]](m)
+    var s = 0
+    while (s < m) {
+      shingleBytes(s) = arr.getUTF8String(s).toString.getBytes("UTF-8"); s += 1
+    }
+    var i = 0
+    while (i < k) {
+      val suffix = s"#$i".getBytes("UTF-8")
+      var best   = Long.MaxValue
+      var j      = 0
+      while (j < m) {
+        md.reset()
+        md.update(shingleBytes(j))
+        md.update(suffix)
+        val h = first60Bits(md.digest())
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Value of the first 15 hex digits of the digest (= 60 bits). */
+  private def first60Bits(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

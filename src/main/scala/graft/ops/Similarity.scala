@@ -23,8 +23,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** T4 — cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** T4 — cosine similarity via the native codegen expression
+    * [[graft.expr.CosineSimilarity]] (registered in [[graft.Sessions]]): the
+    * HOF form is CodegenFallback and was the r2 bench bottleneck when run
+    * per candidate pair. Same fold order, bit-identical results.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** T5 — brute-force top-k nearest neighbours for a set of probe vectors.
     *
@@ -60,30 +64,34 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), Summaries.r4(c).as("sim"))
   }
 
+  /** ±1 hyperplane weight, derived from md5 of "plane_dim" — deterministic,
+    * identically computable by the DuckDB oracle (`('0x'||substr(md5(k),1,
+    * 15))::BIGINT % 2`), and requiring no stored model.
+    */
+  private[graft] def planeWeight(plane: Int, dim: Int): Float = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0f else -1.0f
+  }
+
   /** Random-hyperplane (sign) LSH bucket id in [0, 2^nPlanes).
     *
-    * Hyperplane weights are pseudo-random ±1 derived from md5 of
-    * "plane_dim" — deterministic, identically computable by the DuckDB
-    * oracle, and requiring no stored model. Bit p = sign(Σ_d w(p,d)·v[d]).
-    * Cosine-close vectors agree on most hyperplane signs, so they land in
-    * the same bucket with high probability; the ANN join is then an
-    * equi-join on the bucket id — the 100 TB shape (shuffle on a small int
-    * key) instead of a cross join.
+    * Bit p = sign(Σ_d w(p,d)·v[d]). Cosine-close vectors agree on most
+    * hyperplane signs, so they land in the same bucket with high
+    * probability; the ANN join is then an equi-join on the bucket id — the
+    * 100 TB shape (shuffle on a small int key) instead of a cross join.
+    *
+    * The weight matrix is a CONSTANT, so it is materialized driver-side as
+    * literal arrays (recomputing md5 per row was the r2 hotspot), and each
+    * projection sign runs through the codegen'd [[cosine]] — valid because
+    * norms are positive, so sign(cosine) == sign(dot), bit-exactly.
     */
-  def signLshBucket(vec: Column, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)), lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => {
-            val w = when(
-              Text.hash60(concat(p.cast("string"), lit("_"), d.cast("string"))) % 2 === 1,
-              lit(1.0)).otherwise(lit(-1.0))
-            x.cast("double") * w
-          }),
-          lit(0.0), (s, v) => s + v)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+  def signLshBucket(vec: Column, nPlanes: Int, dim: Int = 64): Column =
+    (0 until nPlanes).map { p =>
+      val w = typedlit((0 until dim).map(d => planeWeight(p, d)))
+      when(cosine(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** T5 scale path — approximate top-k: rank only within the LSH bucket. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {

@@ -38,6 +38,30 @@ object Text {
   /** T3/T6 — de-duplicated shingle set (the MinHash/Jaccard input). */
   def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
 
+  // -- native-expression fast paths (bit-identical to the HOF forms above;
+  //    see graft.expr.TextExpressions for why) ------------------------------
+
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def asExpr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** T3 fast path — all n-grams straight from the text column. */
+  def ngramsOf(text: Column, n: Int): Column =
+    asCol(graft.expr.WordNgrams(asExpr(text), n, distinct = false))
+
+  /** T3/T6 fast path — distinct shingle set straight from the text column. */
+  def shinglesOf(text: Column, n: Int): Column =
+    asCol(graft.expr.WordNgrams(asExpr(text), n, distinct = true))
+
+  /** T6 fast path — MinHash signature of a shingle array. */
+  def minhashSignatureOf(sh: Column, k: Int): Column =
+    asCol(graft.expr.MinHashSignature(asExpr(sh), k))
+
+  /** Jaccard fast path for distinct `array<string>` sets. */
+  def jaccardOf(a: Column, b: Column): Column =
+    asCol(graft.expr.ArrayJaccard(asExpr(a), asExpr(b)))
+
   /** 60-bit deterministic hash: decimal value of the first 15 hex digits of
     * md5. Same value in DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT` —
     * this is what makes the MinHash/SimHash pipelines oracle-checkable.
@@ -73,16 +97,28 @@ object Text {
       nShingle: Int,
       k: Int,
       threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), nShingle).as("ss"))
+    // The signature pass is CPU-bound; a small parquet input arrives as ONE
+    // split, which would serialize it. Spread the raw (id, text) rows across
+    // the cluster before the heavy expression (at real scale the source has
+    // enough splits and this round-robin exchange of the id+text pairs is
+    // noise; single-threaded hashing is not).
+    val spread = docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    // Shuffle the signature rows by the LSH join key. Both sides of the
+    // self-join below are then IDENTICAL subplans ending in the same
+    // exchange, so Spark's ReusedExchange computes the signatures once and
+    // the join runs co-partitioned with no further shuffle.
     val sig = sh
-      .select(col("id"), posexplode(minhashSignature(col("ss"), k)).as(Seq("band", "hv")))
+      .select(col("id"), posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
+      .repartition(col("band"), col("hv"))
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val j = jaccard(col("x.ss"), col("y.ss"))
+    val j = jaccardOf(col("x.ss"), col("y.ss"))
     cand
       .join(sh.as("x"), col("doc_a") === col("x.id"))
       .join(sh.as("y"), col("doc_b") === col("y.id"))
@@ -104,7 +140,9 @@ object Text {
       textCol: String,
       nShingle: Int,
       threshold: Double): DataFrame = {
-    val sh    = docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), nShingle).as("ss"))
+    val spread = docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
+    val sh    = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
     val inv   = sh.select(col("id"), explode(col("ss")).as("s"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

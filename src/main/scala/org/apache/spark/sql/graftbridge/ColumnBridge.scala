@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 made `ExpressionUtils` private[sql]; the supported pattern for
+  * libraries shipping native Catalyst expressions (as this engine does for
+  * its text/similarity hot paths) is a one-file shim inside the
+  * `org.apache.spark.sql` namespace. Nothing else in this repo lives here.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -44,6 +44,23 @@ class TextSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("native fast paths are bit-identical to the HOF forms") {
+    val df = Seq("the quick brown fox the quick", "x", "", "a  b\tc").toDF("t")
+    val cmp = df.select(
+      Text.ngramsOf($"t", 2).as("fast_ng"),
+      Text.ngrams(Text.tokens($"t"), 2).as("hof_ng"),
+      Text.shinglesOf($"t", 3).as("fast_sh"),
+      Text.shingles(Text.tokens($"t"), 3).as("hof_sh"),
+      Text.minhashSignatureOf(Text.shinglesOf($"t", 3), 8).as("fast_sig"),
+      Text.minhashSignature(Text.shingles(Text.tokens($"t"), 3), 8).as("hof_sig"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "ngrams")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "shingles")
+      assert(r.getSeq[Any](4) == r.getSeq[Any](5), "minhash")
+    }
+  }
+
   test("simhash: identical text → identical signature; disjoint text → different") {
     val df = Seq(("a b c", "a b c", "x y z")).toDF("p", "q", "r")
     val row = df.select(Text.simhash($"p", 16), Text.simhash($"q", 16), Text.simhash($"r", 16)).head()
