@@ -543,6 +543,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // D3 — SimHash-banded near-dup (third LSH family; Hamming verify)
+    "q55_simhash_neardup" -> ((s, d) => {
+      Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Multimodal decode path — mapPartitions feature extraction (stub
+    // decoder); not SQL-expressible → rows-only check
+    "q56_decode_features" -> ((s, d) => {
+      val payload = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(Tables.spread(payload), "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), col("byte_len"),
+          Summaries.r4(element_at(col("features"), 1).cast("double")).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -932,6 +949,22 @@ object SparkEntry {
                 ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,
                 array_to_string([substr(text, i, 1) for i in range(1, length(text) + 1, 64)], '') AS sample
          FROM documents ORDER BY doc_id""",
+    "q55_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+         shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
+                                                    for t in ss]) > 0
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                                 for b in range(0, 48)]) AS BIGINT) AS sig
+           FROM shl),
+         ex AS (SELECT doc_id, sig, p AS band, (sig >> (p*16)) & 65535 AS bv FROM sh, unnest([0,1,2]) t(p)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig sa, b.doc_id AS doc_b, b.sig sb
+                  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+         ORDER BY doc_a, doc_b""",
     "q54_clean_strings" ->
       """WITH src AS (
            SELECT p_partkey, p_name,

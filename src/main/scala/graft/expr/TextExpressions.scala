@@ -111,6 +111,54 @@ case class ArrayJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** SimHash signature (nBits ≤ 60) over an `array<string>` element set: bit b
+  * of the output is the sign of Σ_elements (2·bit_b(h(e)) − 1), h = the
+  * 60-bit md5 hash. One md5 per element, integer math throughout —
+  * bit-exact in any engine (DuckDB oracle replays it with `>>`, `&`,
+  * list_sum). Empty array → 0 (every bit-sum is 0, no positive sign).
+  */
+case class SimHashOfSet(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 60, "nBits must be in [1, 60]")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m   = arr.numElements()
+    val md  = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](nBits)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      md.update(arr.getUTF8String(j).toString.getBytes("UTF-8"))
+      val h = graft.expr.MinHashSignature.first60Bits(md.digest())
+      var b = 0
+      while (b < nBits) {
+        sums(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b   = 0
+    while (b < nBits) {
+      if (sums(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-element MinHash signature over a shingle array: element i is
   * min over shingles of the 60-bit md5-derived hash of `shingle + "#" + i`
   * — the exact value of the SQL form
@@ -152,7 +200,7 @@ case class MinHashSignature(child: Expression, k: Int)
         md.reset()
         md.update(shingleBytes(j))
         md.update(suffix)
-        val h = first60Bits(md.digest())
+        val h = MinHashSignature.first60Bits(md.digest())
         if (h < best) best = h
         j += 1
       }
@@ -162,13 +210,15 @@ case class MinHashSignature(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
-  /** Value of the first 15 hex digits of the digest (= 60 bits). */
-  private def first60Bits(d: Array[Byte]): Long = {
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** Value of the first 15 hex digits of an md5 digest (= 60 bits). */
+  private[expr] def first60Bits(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -62,6 +62,55 @@ object Text {
   def jaccardOf(a: Column, b: Column): Column =
     asCol(graft.expr.ArrayJaccard(asExpr(a), asExpr(b)))
 
+  /** SimHash of an element set (native expression). */
+  def simhashOfSet(arr: Column, nBits: Int): Column =
+    asCol(graft.expr.SimHashOfSet(asExpr(arr), nBits))
+
+  /** D3 — SimHash-banded near-dup pairs: the third LSH family (after
+    * MinHash-LSH and the inverted shingle index).
+    *
+    * Shingle-set SimHash (unigram SimHash is useless on a small shared
+    * vocabulary — every document collides), split into `bands` equal bit
+    * slices; candidates share ≥1 band (pigeonhole: any pair within
+    * `bands-1` differing bits is guaranteed caught, and near-dups with a few
+    * more differing bits are caught with high probability); verified by
+    * Hamming distance on the full signature. Bit-exact cross-engine:
+    * everything is integer arithmetic.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      nBits: Int = 48,
+      bands: Int = 3,
+      maxHamming: Int = 8): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bandWidth = nBits / bands
+    val mask      = (1L << bandWidth) - 1
+    val spread = docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sig = spread.select(col("id"),
+      simhashOfSet(shinglesOf(col(textCol), nShingle), nBits).as("sig"))
+    // identical subplans on both sides of the band join → ReusedExchange
+    val ex = sig
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          p => call_function("shiftright", col("sig"), p * lit(bandWidth)).bitwiseAND(lit(mask))))
+          .as(Seq("band", "bv")))
+      .repartition(col("band"), col("bv"))
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("a.sig").as("sa"),
+        col("b.id").as("doc_b"), col("b.sig").as("sb"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
+  }
+
   /** 60-bit deterministic hash: decimal value of the first 15 hex digits of
     * md5. Same value in DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT` —
     * this is what makes the MinHash/SimHash pipelines oracle-checkable.

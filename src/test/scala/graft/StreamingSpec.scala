@@ -35,6 +35,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST2: sliding window stream counts each event in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = Streaming.slidingCounts(input.toDF(), "ts", "2 hours", "1 hour", "4 hours")
+    val name = nextName()
+    val q = counts.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:30:00"), "v"))
+      q.processAllAvailable()
+      // one event, 2h window sliding 1h → exactly two windows contain it
+      assert(spark.table(name).count() == 2)
+    } finally q.stop()
+  }
+
   test("ST3: session window stream groups by gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -68,6 +68,30 @@ class TextSpec extends AnyFunSuite {
     assert(row.getLong(0) != row.getLong(2))
   }
 
+  test("simhashNearDupPairs: planted near-dup caught, shuffled doc not") {
+    // SimHash is a TIGHT-dup detector: one appended token keeps Hamming ~2;
+    // reordering the same tokens (identical token SET, different shingles)
+    // lands ~28 bits away and must not pair.
+    val words = ("one two three four five six seven eight nine ten eleven twelve thirteen " +
+      "fourteen fifteen sixteen seventeen eighteen nineteen twenty alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa").split(" ")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ") + " extra"),
+      (3L, words.reverse.mkString(" "))).toDF("doc_id", "text")
+    val pairs = Text.simhashNearDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhashOfSet: order-insensitive over the set; empty set → 0") {
+    val df = Seq((Seq("a b c", "d e f"), Seq("d e f", "a b c"), Seq.empty[String])).toDF("x", "y", "z")
+    val r = df.select(
+      Text.simhashOfSet($"x", 48), Text.simhashOfSet($"y", 48), Text.simhashOfSet($"z", 48)).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == 0L)
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq(("ab cd", "cd ab")).toDF("p", "q")
     val row = df.select(Text.fingerprint($"p"), Text.fingerprint($"q")).head()
