@@ -101,4 +101,26 @@ object Pipeline {
     catalog.foreach { case (name, df) =>
       df.write.mode("overwrite").format(format).save(s"$dir/$name")
     }
+
+  /** S1 — full Excel ingest path: workbook file → raw rows → header-detected,
+    * pruned, normalized DataFrame.
+    */
+  def ingestExcel(spark: SparkSession, path: String): DataFrame =
+    ingestRaw(spark, Excel.readRaw(path))
+
+  /** S6 — the reference's ACTUAL sink: one multi-sheet .xlsx workbook
+    * (`app.py:367`). Collects to the driver by design — a workbook is a
+    * single machine's byte stream and this is a human-scale presentation
+    * export; [[exportCatalog]] (parquet per table) is the 100 TB sink.
+    * Header row + stringified cells, sheet names truncated like `app.py:55`.
+    */
+  def exportCatalogXlsx(catalog: Map[String, DataFrame], path: String): Unit = {
+    val sheets = catalog.toSeq.map { case (name, df) =>
+      val header: Seq[Any] = df.columns.toSeq
+      val rows = df.collect().toSeq.map(r =>
+        (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i).toString))
+      name -> (header +: rows)
+    }
+    Excel.writeRaw(path, sheets)
+  }
 }

@@ -1,0 +1,181 @@
+package graft.ops
+
+import java.io.{ByteArrayOutputStream, FileInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+
+/** Dependency-free XLSX support (reference S1 source `app.py:170` and S6
+  * multi-sheet sink `app.py:35-134`).
+  *
+  * An .xlsx file is a ZIP of SpreadsheetML XML parts; the JDK ships both a
+  * ZIP codec and a DOM parser, so no external library is needed (this
+  * container has no network for spark-excel/POI). Reading is deliberately
+  * DRIVER-SIDE: header detection must run before a DataFrame schema exists
+  * (SURVEY §1.3.1) — parse a workbook's raw rows here, then hand them to
+  * [[graft.Pipeline.ingestRaw]] which resolves the header and builds the
+  * distributed frame. Writing is likewise a driver-side presentation sink
+  * (one workbook = one machine's byte stream); parquet remains the
+  * at-scale sink (SURVEY §2.1 S6).
+  *
+  * Supported on read: shared strings, inline strings, numbers, formula
+  * string results, blanks, sparse cell references. Written cells are inline
+  * strings — enough for a faithful round-trip of the reference's use.
+  */
+object Excel {
+
+  // ---- read ----------------------------------------------------------------
+
+  /** Raw positional rows of the FIRST worksheet, header undetected (the
+    * shape `pd.read_excel(..., header=None)` returns).
+    */
+  def readRaw(path: String): Seq[Seq[Any]] = {
+    val parts = readZip(path)
+    val shared = parts.keys.find(_ == "xl/sharedStrings.xml")
+      .map(k => parseSharedStrings(parts(k))).getOrElse(Vector.empty)
+    val sheetName = parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(s"$path: no worksheet found"))
+    parseSheet(parts(sheetName), shared)
+  }
+
+  private def readZip(path: String): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new FileInputStream(path))
+    try {
+      val out = Map.newBuilder[String, Array[Byte]]
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        val buf = new ByteArrayOutputStream()
+        zin.transferTo(buf)
+        out += e.getName -> buf.toByteArray
+        e = zin.getNextEntry
+      }
+      out.result()
+    } finally zin.close()
+  }
+
+  private def parseXml(bytes: Array[Byte]): Element = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes)).getDocumentElement
+  }
+
+  private def elems(parent: Element, tag: String): Seq[Element] = {
+    val nl = parent.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] =
+    elems(parseXml(bytes), "si").map(si => elems(si, "t").map(_.getTextContent).mkString).toVector
+
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[Any]] = {
+    val rows = ArrayBuffer.empty[Seq[Any]]
+    elems(parseXml(bytes), "row").foreach { row =>
+      val cells = ArrayBuffer.empty[Any]
+      elems(row, "c").foreach { c =>
+        val idx = Option(c.getAttribute("r")).filter(_.nonEmpty)
+          .map(colIndex).getOrElse(cells.length)
+        while (cells.length < idx) cells += null
+        cells += cellValue(c, shared)
+      }
+      rows += cells.toSeq
+    }
+    rows.toSeq
+  }
+
+  /** "C5" → 0-based column 2. */
+  private[graft] def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+
+  private def cellValue(c: Element, shared: Vector[String]): Any = {
+    def v  = elems(c, "v").headOption.map(_.getTextContent)
+    def is = elems(c, "is").headOption.map(e => elems(e, "t").map(_.getTextContent).mkString)
+    c.getAttribute("t") match {
+      case "s"         => v.map(s => shared(s.toInt)).orNull
+      case "inlineStr" => is.orNull
+      case _           => v.orNull // number / "str" formula result / blank
+    }
+  }
+
+  // ---- write ---------------------------------------------------------------
+
+  /** Multi-sheet workbook from named row sets (the engine-side contract of
+    * the reference's `df_to_xlsx_bytes`): sheet names are sanitized and
+    * truncated to Excel's 31-char limit like `app.py:55,108`.
+    */
+  def writeRaw(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
+    require(sheets.nonEmpty, "at least one sheet")
+    val names = sheets.map { case (n, _) => sheetName(n) }
+    val zout  = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    try {
+      val sheetTypes = names.indices
+        .map(i => s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString
+      put("[Content_Types].xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+           |<Default Extension="xml" ContentType="application/xml"/>
+           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+           |$sheetTypes
+           |</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      val sheetRefs = names.zipWithIndex.map { case (n, i) =>
+        s"""<sheet name="${escape(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString
+      put("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets>$sheetRefs</sheets>
+           |</workbook>""".stripMargin)
+      val rels = names.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+      }.mkString
+      put("xl/_rels/workbook.xml.rels",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""".stripMargin)
+      sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+        val body = rows.zipWithIndex.map { case (r, ri) =>
+          val cells = r.zipWithIndex.collect {
+            case (v, ci) if v != null =>
+              s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${escape(v.toString)}</t></is></c>"""
+          }.mkString
+          s"""<row r="${ri + 1}">$cells</row>"""
+        }.mkString
+        put(s"xl/worksheets/sheet${i + 1}.xml",
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+             |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+             |<sheetData>$body</sheetData>
+             |</worksheet>""".stripMargin)
+      }
+    } finally zout.close()
+  }
+
+  /** Reference sheet-name handling: strip illegal chars, cap at 31. */
+  private[graft] def sheetName(n: String): String = {
+    val cleaned = n.replaceAll("[\\\\/*?\\[\\]:]", "_")
+    (if (cleaned.isEmpty) "Sheet" else cleaned).take(31)
+  }
+
+  private[graft] def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+}
