@@ -32,6 +32,31 @@ object Relational {
     * in some of `rightCols`, producing a row that never existed; whole-row
     * attachment matches pandas `merge_asof` / DuckDB `ASOF JOIN`.
     */
+  /** Skew-safe equi-join: salt the skewed (left) side's key into `salts`
+    * sub-keys and replicate the right side once per salt, so one hot key
+    * spreads over `salts` reducers instead of melting a single task.
+    *
+    * The salt is `pmod(hash(whole left row), salts)` — deterministic, no
+    * rand(), so plans stay replayable. AQE's skew-join handles moderate skew
+    * on its own; explicit salting is the tool for the pathological case
+    * (one key = 30% of 100 TB) where even a split partition overwhelms
+    * memory. Result is identical to the plain join (property-tested).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey), joinType)
+      .drop("__salt")
+  }
+
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,

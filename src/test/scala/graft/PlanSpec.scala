@@ -42,6 +42,12 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q17 minhash: the LSH self-join reuses one signature exchange") {
+    val df = SparkEntry.queries("q17_minhash_lsh")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("q24 knn: probe side is broadcast; corpus is not exchanged") {
     val p = plan("q24_knn")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -35,6 +35,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("asof_rid") == 7L)
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import org.apache.spark.sql.functions._
+    val left = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, s"l$i")).toDF("k", "lv")
+    val right = Seq((1L, "hot"), (460L, "cold")).toDF("rk", "rv")
+    val plain  = left.join(right, left("k") === right("rk")).select("k", "lv", "rv")
+    val salted = Relational.saltedJoin(left, right, "k", "rk", salts = 8).select("k", "lv", "rv")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located by bucket: no hash-partitioning exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("asOfJoin carries right rows WHOLESALE: NULLs don't stitch across rows") {
     // the ADVICE bug: row@11:00 has rv=NULL; per-column carry would pair
     // rid=200 with rv='a' from the EARLIER row — a row that never existed.
