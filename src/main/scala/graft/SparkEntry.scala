@@ -560,6 +560,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // F4 — value normalization: collapse non-alnum runs + canonical text
+    "q57_norm_values" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          Clean.collapseNonAlnum(col("p_type")).as("type_slug"),
+          Clean.canonicalText(concat(col("p_name"), lit("  "), col("p_brand"))).as("canon"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -965,6 +974,11 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 8
          ORDER BY doc_a, doc_b""",
+    "q57_norm_values" ->
+      """SELECT p_partkey,
+                regexp_replace(regexp_replace(p_type, '[^0-9A-Za-z]+', '_', 'g'), '_+', '_', 'g') AS type_slug,
+                lower(trim(regexp_replace(p_name || '  ' || p_brand, '\s+', ' ', 'g'))) AS canon
+         FROM part ORDER BY p_partkey""",
     "q54_clean_strings" ->
       """WITH src AS (
            SELECT p_partkey, p_name,

@@ -50,11 +50,12 @@ class RelationalSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      val sfx = System.nanoTime() // files outlive the per-JVM metastore
       val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
       val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
-      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
-      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
-      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(s"bkt_a_$sfx")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(s"bkt_b_$sfx")
+      val joined = spark.table(s"bkt_a_$sfx").join(spark.table(s"bkt_b_$sfx"), "k")
       joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       // co-located by bucket: no hash-partitioning exchange on either side

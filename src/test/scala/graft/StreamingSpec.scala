@@ -104,6 +104,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST7: parquet file sink with checkpoint survives and is readable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val base  = s"/root/repo/target/tmp/stream_sink_${System.nanoTime()}"
+    val q = Streaming.dedupEvents(input.toDF(), "ts", "1 hour", Seq("user_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:00:00"), "a"), Ev(2, ts("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$base/data").count() == 2)
+  }
+
   test("batch/stream parity: tumblingCounts on a static frame matches groupBy window") {
     import spark.implicits._
     val df = Seq(
