@@ -102,6 +102,21 @@ object Pipeline {
       df.write.mode("overwrite").format(format).save(s"$dir/$name")
     }
 
+  /** S6 at scale — partitioned parquet export: one directory tree per table,
+    * hive-partitioned by the given columns (per-table). Partition pruning on
+    * read is what makes a 100 TB result set addressable; the flat form above
+    * is for small catalogs.
+    */
+  def exportCatalogPartitioned(
+      catalog: Map[String, DataFrame],
+      dir: String,
+      partitionCols: Map[String, Seq[String]]): Unit =
+    catalog.foreach { case (name, df) =>
+      val w = df.write.mode("overwrite")
+      partitionCols.get(name).filter(_.nonEmpty).fold(w)(cs => w.partitionBy(cs: _*))
+        .parquet(s"$dir/$name")
+    }
+
   /** S1 — full Excel ingest path: workbook file → raw rows → header-detected,
     * pruned, normalized DataFrame.
     */

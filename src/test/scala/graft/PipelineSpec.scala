@@ -71,6 +71,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(falhas == Set("host-b", "host-c")) // Failed, Timed Out/error
   }
 
+  test("exportCatalogPartitioned writes hive-partitioned output with pruning") {
+    val dir = s"/root/repo/target/tmp/pipeline_part_${System.nanoTime()}"
+    Pipeline.exportCatalogPartitioned(catalog, dir,
+      Map("base_limpa" -> Seq("endpoint_type")))
+    val back = spark.read.parquet(s"$dir/base_limpa")
+    assert(back.count() == 3)
+    // partition pruning: only the SERVER directory is scanned
+    val pruned = back.filter($"endpoint_type" === "SERVER")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(endpoint_type"))
+    assert(pruned.count() == 2)
+  }
+
   test("exportCatalog writes one parquet dir per table (S6)") {
     val dir = s"/root/repo/target/tmp/pipeline_export_${System.nanoTime()}"
     Pipeline.exportCatalog(catalog, dir)
