@@ -3,11 +3,13 @@ package graft
 /** Benchmark main: times every SparkEntry query at the SF dir in
   * SPARK_GRAFT_SF_DIR, prints one JSON line for the driver.
   *
-  * Each query runs twice and reports the min — a single cold run is dominated
-  * by first-touch codegen/JIT noise (r1's q05 published 22.4 s cold vs 0.44 s
-  * warm), so min-of-2 is what makes round-over-round numbers comparable.
-  * Failures are recorded in an explicit "errors" field instead of being
-  * swallowed into a bogus timing.
+  * Each query is timed once per FULL PASS over the suite, two passes, and
+  * the per-query min is reported: a single cold run is dominated by
+  * first-touch codegen/JIT noise (r1's q05 published 22.4 s cold vs 0.44 s
+  * warm), and back-to-back repeats of one query can both land in the same
+  * GC/system pause — separating the two timings by a whole sweep
+  * decorrelates them. Failures are recorded in an explicit "errors" field
+  * instead of being swallowed into a bogus timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,8 +24,11 @@ object Bench {
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempt = (once(fn), once(fn)) match {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1   = ordered.map { case (name, fn) => name -> once(fn) }
+    val pass2   = ordered.map { case (name, fn) => name -> once(fn) }
+    val results = pass1.zip(pass2).map { case ((name, r1), (_, r2)) =>
+      val attempt = (r1, r2) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Right(a), Left(_))  => Right(a)
         case (Left(_), Right(b))  => Right(b)

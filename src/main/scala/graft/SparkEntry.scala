@@ -277,6 +277,12 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // T5 scale path #2 — IVF-bucketed approximate top-3 (8 seed cells)
+    "q58_ivf_ann" -> ((s, d) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // A9 — typed UDAF: per-label element-wise mean, exploded to rows
     "q27_vector_mean" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -808,6 +814,29 @@ object SparkEntry {
                            * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
                         * 10000 + 0.5)/10000 AS sim
            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         SELECT probe_id, neighbor_id, sim, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+         WHERE rank <= 3 ORDER BY probe_id, rank""",
+    "q58_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         seeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, s_id AS cell FROM (
+             SELECT e.vec_id, e.v, seeds.s_id,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * seeds.sv[i] for i in range(1, len(e.v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e.v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in seeds.sv]), (a, b) -> a + b))) DESC,
+                      seeds.s_id ASC) rn
+             FROM e, seeds)
+           WHERE rn = 1),
+         s AS (
+           SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+                  floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
+                        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
+                           * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
+                        * 10000 + 0.5)/10000 AS sim
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          SELECT probe_id, neighbor_id, sim, rank FROM (
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",

@@ -108,6 +108,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style cell assignment: the coarse quantizer is the first `nCells`
+    * vectors by id (deterministic, model-free); every vector joins against
+    * the broadcast seed set and takes the most-cosine-similar seed as its
+    * cell. Fully distributed — the corpus never shuffles for assignment —
+    * and exactly replayable in SQL (the oracle derives the same seeds with
+    * `WHERE vec_id < nCells`). A trained k-means codebook would slot in as
+    * a different seed DataFrame without changing the plan.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val seeds = broadcast(
+      df.filter(col(idCol) < nCells).select(col(idCol).as("s_id"), col(vecCol).as("sv")))
+    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("s_id").asc)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(seeds)
+      .select(col("id"), col("v"), col("s_id"), cosine(col("v"), col("sv")).as("c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("s_id").as("cell"))
+  }
+
+  /** T5 scale path #2 — IVF top-k: rank only within the vector's cell.
+    * Complements [[annTopK]] (sign-LSH buckets); same join shape — an
+    * equi-join on a small cell id instead of a cross join.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, nCells)
+    val a = assigned.select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
+    val b = assigned.select(col("cell").as("c2"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val sim = Summaries.r4(cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    a.join(b, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** A9 — typed UDAF: element-wise mean of an embedding column. The buffer is
     * a primitive double array + count; merge is O(dim) — a textbook
     * `Aggregator`, partial-aggregated map-side like any built-in.

@@ -47,6 +47,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.get(2L).contains(3L) && out.get(3L).contains(2L))
   }
 
+  test("ivfAssign puts each vector in its most-similar seed cell") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),          // seeds (ids < 2)
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "embedding", 2)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("ivfTopK finds within-cell neighbours") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", 2, 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // cell 0 contains {0,2,3}: 2's nearest is 3 (cos .9984 vs .9938 to 0);
+    // 3's nearest is the seed 0 (cos .9986 vs .9984 to 2)
+    assert(out(2L) == 3L && out(3L) == 0L)
+  }
+
   test("signLshBucket is deterministic and bounded") {
     val vecs = Seq((0L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()
