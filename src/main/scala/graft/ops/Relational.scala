@@ -53,7 +53,8 @@ object Relational {
     val l = left.withColumn("__salt",
       pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey), joinType)
+    // qualified refs: leftKey and rightKey may share a name
+    l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey), joinType)
       .drop("__salt")
   }
 
