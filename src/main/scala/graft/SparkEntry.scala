@@ -566,6 +566,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // A-pivot — wide category table (conditional aggregation both engines)
+    "q59_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    // Deterministic content-addressed sampling + train/val/test split
+    "q60_hash_split" -> ((s, d) => {
+      val split = Sampling.splitColumn(Seq(col("doc_id").cast("string")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      t(s, d, "documents")
+        .select(col("doc_id"), split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("split"))
+    }),
+
     // F4 — value normalization: collapse non-alnum runs + canonical text
     "q57_norm_values" -> ((s, d) => {
       t(s, d, "part")
@@ -1003,6 +1024,24 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 8
          ORDER BY doc_a, doc_b""",
+    "q59_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY day ORDER BY day""",
+    "q60_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 8000 THEN 'train'
+                     WHEN bucket < 9000 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n, min(doc_id) AS first_doc
+         FROM b GROUP BY split ORDER BY split""",
     "q57_norm_values" ->
       """SELECT p_partkey,
                 regexp_replace(regexp_replace(p_type, '[^0-9A-Za-z]+', '_', 'g'), '_+', '_', 'g') AS type_slug,

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling and dataset splitting — the
+  * training-data-pipeline primitives `df.sample()` cannot provide: Spark's
+  * seeded sample is partition-layout-dependent, so the "same" 1% differs
+  * across cluster sizes and reruns. Hashing the KEY instead makes membership
+  * a pure function of the data: stable across engines, reruns, repartitions,
+  * and incremental arrivals (a document keeps its split forever — no
+  * train/eval leakage when the corpus grows).
+  *
+  * Hash is the md5-derived [[Text.hash60]], so the DuckDB oracle replays
+  * membership exactly; swap xxhash64 in when cross-engine replay is not
+  * needed.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) from the concatenated key columns. */
+  def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column =
+    pmod(Text.hash60(concat_ws("", keys: _*)), lit(buckets))
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keys: Seq[String], fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(keys.map(col)) < (fraction * 10000).toInt)
+  }
+
+  /** Train/val/test-style assignment: `weights` are cumulative-normalized;
+    * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
+    */
+  def splitColumn(keys: Seq[Column], weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    val bucket = hashBucket(keys)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 10000).round)
+    weights.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) { case ((name, cut), acc) =>
+        when(bucket < cut, lit(name)).otherwise(acc)
+      }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashSample is deterministic and layout-independent") {
+    val df = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("id")
+    val a = Sampling.hashSample(df, Seq("id"), 0.1).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(7), Seq("id"), 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)                      // repartition must not change membership
+    assert(a.size > 120 && a.size < 280) // ~10%
+  }
+
+  test("hashSample membership is stable under corpus growth (no leakage)") {
+    val small = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
+    val big   = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("id")
+    val s = Sampling.hashSample(small, Seq("id"), 0.2).select("id").as[Long].collect().toSet
+    val g = Sampling.hashSample(big, Seq("id"), 0.2).select("id").as[Long].collect().toSet
+    assert(s.subsetOf(g)) // existing rows keep their membership as data arrives
+  }
+
+  test("splitColumn covers every row with the right proportions") {
+    val df = (1 to 3000).map(i => Tuple1(i.toLong)).toDF("id")
+    val counts = df
+      .select(Sampling.splitColumn(Seq($"id".cast("string")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 3000)
+    assert(counts("train") > 2200 && counts("val") > 150 && counts("test") > 150)
+  }
+
+  test("splitColumn rejects weights that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(Seq($"x"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
