@@ -576,6 +576,17 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // unpivot/melt — long form back out of wide columns
+    "q61_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(exactSum(col("l_quantity")).as("qty"),
+          exactSum(col("l_extendedprice")).as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // Deterministic content-addressed sampling + train/val/test split
     "q60_hash_split" -> ((s, d) => {
       val split = Sampling.splitColumn(Seq(col("doc_id").cast("string")),
@@ -1032,6 +1043,16 @@ object SparkEntry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY day ORDER BY day""",
+    "q61_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'price', price FROM w
+         ORDER BY l_returnflag, measure""",
     "q60_hash_split" ->
       """WITH b AS (
            SELECT doc_id,
