@@ -576,6 +576,44 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // A8 — cube: all grouping-set combinations with grouping_id
+    "q62_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // exact interpolated percentiles (median + p90)
+    "q63_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Summaries.r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          Summaries.r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // statistical aggregates: correlation, sample stddev (r4 masks the
+    // partition-order jitter of streaming co-moments)
+    "q64_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Summaries.r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          Summaries.r4(stddev_samp(col("l_discount"))).as("sd_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ordered string aggregation (deterministic: sort the set, then join)
+    "q65_stringagg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("priorities"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // unpivot/melt — long form back out of wide columns
     "q61_unpivot" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1043,6 +1081,25 @@ object SparkEntry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY day ORDER BY day""",
+    "q62_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q63_percentiles" ->
+      """SELECT l_returnflag,
+                floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5)/10000 AS median_qty,
+                floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5)/10000 AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q64_stats" ->
+      """SELECT l_returnflag,
+                floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)/10000 AS corr_qty_price,
+                floor(stddev_samp(l_discount) * 10000 + 0.5)/10000 AS sd_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q65_stringagg" ->
+      """SELECT o_orderstatus,
+                string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q61_unpivot" ->
       """WITH w AS (
            SELECT l_returnflag,
