@@ -576,6 +576,21 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // banded interval join: purchase↔click pairs within 1 h per user —
+    // equi-join on (user, time band), never a per-key cross product
+    "q66_interval_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      Relational.intervalJoin(
+          left = e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts")),
+          right = e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts")),
+          keys = Seq("user_id"), leftTs = "p_ts", rightTs = "c_ts",
+          toleranceSec = 3600)
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
     // A8 — cube: all grouping-set combinations with grouping_id
     "q62_cube" -> ((s, d) => {
       t(s, d, "orders")
@@ -1081,6 +1096,13 @@ object SparkEntry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY day ORDER BY day""",
+    "q66_interval_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND abs(epoch(p.ts) - epoch(c.ts)) <= 3600
+         ORDER BY p_id, c_id""",
     "q62_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                 CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid

@@ -58,6 +58,38 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Banded interval join: pairs with the same key whose timestamps lie
+    * within `toleranceSec` of each other.
+    *
+    * NOT the naive `|l.ts - r.ts| <= tol` theta join (which degenerates to a
+    * per-key cross product): both sides are bucketed by
+    * `floor(epoch / tolerance)` and the right side is exploded into its
+    * bucket ±1 — any qualifying pair is then guaranteed to collide on
+    * (key, bucket), so the join is a plain equi-join with a cheap residual
+    * filter. Cost: 3× the right side's (key, bucket, payload) rows through
+    * one hash shuffle; candidates per pair are bounded by band occupancy,
+    * never by the key's row count.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      toleranceSec: Long): DataFrame = {
+    require(toleranceSec > 0, "tolerance must be positive")
+    val l = left.withColumn("__band", floor(unix_timestamp(col(leftTs)) / toleranceSec))
+    val r = right
+      .withColumn("__b0", floor(unix_timestamp(col(rightTs)) / toleranceSec))
+      .withColumn("__band", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      l("__band") === r("__band") &&
+      abs(unix_timestamp(l(leftTs)) - unix_timestamp(r(rightTs))) <= toleranceSec
+    val joined = l.join(r, cond).drop(l("__band")).drop(r("__band"))
+    keys.foldLeft(joined)((df, k) => df.drop(r(k))) // keep the left copy of each key
+  }
+
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,

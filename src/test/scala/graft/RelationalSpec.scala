@@ -35,6 +35,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("asof_rid") == 7L)
   }
 
+  test("intervalJoin equals the naive range join, incl. band-boundary pairs") {
+    import org.apache.spark.sql.functions._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 13:00:00")),
+      (2L, 12L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 20L, ts("2024-01-01 10:59:59")), // inside, crosses the band edge
+      (1L, 21L, ts("2024-01-01 11:00:01")), // just outside 1 h
+      (1L, 22L, ts("2024-01-01 12:30:00")), // inside for 13:00
+      (2L, 23L, ts("2024-01-01 09:00:00"))).toDF("k", "rid", "rts")
+    val banded = Relational.intervalJoin(left, right, Seq("k"), "lts", "rts", 3600)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, left("k") === right("k") &&
+        abs(unix_timestamp(left("lts")) - unix_timestamp(right("rts"))) <= 3600)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(banded == Set((10L, 20L), (11L, 22L), (12L, 23L)))
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import org.apache.spark.sql.functions._
     val left = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, s"l$i")).toDF("k", "lv")
