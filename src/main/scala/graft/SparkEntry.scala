@@ -162,6 +162,12 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TF-IDF — top-3 distinguishing terms per document
+    "q67_tfidf" -> ((s, d) => {
+      Text.tfidfTopTerms(Tables.spread(t(s, d, "documents")), "doc_id", "text", 3)
+        .orderBy(col("id"), col("rank"))
+    }),
+
     // T2 — per-language token statistics
     "q14_token_stats" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -765,6 +771,21 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q67_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         n AS (SELECT count(DISTINCT doc_id) nn FROM documents),
+         tf AS (SELECT id, term, count(*) tf FROM toks GROUP BY id, term),
+         dfq AS (SELECT term, count(DISTINCT id) df FROM toks GROUP BY term)
+         SELECT id, term, score, rank FROM (
+           SELECT tf.id, tf.term,
+                  floor(tf.tf * ln((SELECT nn FROM n)::DOUBLE / dfq.df) * 10000 + 0.5)/10000 AS score,
+                  CAST(row_number() OVER (PARTITION BY tf.id ORDER BY
+                    floor(tf.tf * ln((SELECT nn FROM n)::DOUBLE / dfq.df) * 10000 + 0.5)/10000 DESC,
+                    tf.term ASC) AS INT) AS rank
+           FROM tf JOIN dfq ON tf.term = dfq.term)
+         WHERE rank <= 3 ORDER BY id, rank""",
     "q14_token_stats" ->
       """SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_uniq,
                 floor(count(*)::DOUBLE / count(DISTINCT doc_id) * 10000 + 0.5)/10000 AS tokens_per_doc

@@ -237,6 +237,28 @@ object Text {
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
+  /** TF-IDF top terms: term frequency per doc × ln(N / doc-frequency),
+    * top `k` per document. Two aggregations over the exploded token table —
+    * the DF side is a tiny (term, df) frame joined back broadcast-style —
+    * and one window for the per-doc top-k. log() differences across engines
+    * are sub-ulp; ranking uses the 4-decimal-floored score with the term as
+    * tie-break, so order is reproducible.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val n    = docs.select(col(idCol)).distinct().count()
+    val tf   = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq  = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = Summaries.r4(col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfq, "term")
+      .select(col("id"), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Marker-word tables for the language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und"),
