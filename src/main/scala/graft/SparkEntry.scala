@@ -561,6 +561,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // D3 survivor resolution — connected components keep-one over the
+    // simhash near-dup pair graph (q55's candidates): every cluster keeps
+    // exactly its minimum doc_id (reference keep-first semantics, app.py:240)
+    "q68_neardup_survivors" -> ((s, d) => {
+      val pairs = Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+      Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal decode path — mapPartitions feature extraction (stub
     // decoder); not SQL-expressible → rows-only check
     "q56_decode_features" -> ((s, d) => {
@@ -766,6 +775,18 @@ object SparkEntry {
   // - double accumulations that must match bit-for-bit use the same fold
   //   order on both sides: Spark `aggregate(...)` is a sequential fold, so
   //   the oracle uses `list_reduce(list_prepend(0.0, ...))`, not list_sum.
+  /** The k MinHash signature slots as DuckDB SQL, using the same coefficient
+    * tables as [[graft.expr.MinHashSignature]] — `hs` must be in scope as the
+    * list of 60-bit md5 hashes already reduced mod 2^31−1.
+    */
+  private def minhashSigSqlTerms(k: Int): String = {
+    val as = graft.expr.MinHashSignature.coeffA(k)
+    val bs = graft.expr.MinHashSignature.coeffB(k)
+    (0 until k)
+      .map(i => s"list_min([(${as(i)} * h + ${bs(i)}) % 2147483647 for h in hs])")
+      .mkString("[", ",\n                  ", "]")
+  }
+
   private def textOracles: Map[String, String] = Map(
     "q13_tokenize" ->
       """SELECT token, count(*) AS cnt
@@ -806,13 +827,12 @@ object SparkEntry {
          WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
          ORDER BY doc_a, doc_b""",
     "q17_minhash_lsh" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
            SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents)),
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
          sig AS (
-           SELECT doc_id,
-                  [list_min([('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT for s in ss]) for i in range(0, 16)] sg
-           FROM sh),
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
          ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -871,9 +891,9 @@ object SparkEntry {
          FROM sc ORDER BY doc_id""",
     "q23_token_count" ->
       """SELECT lang,
-                sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
+                sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS bpe_tokens,
                 sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS ws_tokens,
-                floor(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::DOUBLE
+                floor(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')))::DOUBLE
                       / sum(len(string_split_regex(lower(trim(text)), '\s+'))) * 10000 + 0.5)/10000 AS bpe_per_ws
          FROM documents GROUP BY lang ORDER BY lang""",
   )
@@ -1109,6 +1129,27 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 8
          ORDER BY doc_a, doc_b""",
+    "q68_neardup_survivors" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+         shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
+                                                    for t in ss]) > 0
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                                 for b in range(0, 48)]) AS BIGINT) AS sig
+           FROM shl),
+         ex AS (SELECT doc_id, sig, p AS band, (sig >> (p*16)) & 65535 AS bv FROM sh, unnest([0,1,2]) t(p)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig sa, b.doc_id AS doc_b, b.sig sb
+                  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, root) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.id)
+         SELECT id AS doc_id, min(root) AS comp, (id = min(root)) AS keep
+         FROM walk GROUP BY id ORDER BY doc_id""",
     "q59_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                 count(*) FILTER (event_type = 'click') AS click,

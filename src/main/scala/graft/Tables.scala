@@ -25,17 +25,24 @@ object Tables {
     else df
   }
 
-  private val registered = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private val registered = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
   /** Register every table as a temp view so SQL-surface queries work.
-    * Idempotent per (session, dir): re-registration invalidates every cached
-    * plan that references the views, which showed up as seconds of repeated
-    * analysis in the bench sweep.
+    *
+    * View names are global to the session, so the memo tracks the LAST
+    * registered dir per session and re-registers whenever it differs —
+    * a per-(session, dir) memo would leave the views pointing at dir B while
+    * claiming dir A is registered when dirs alternate. Skipping the no-op
+    * re-registration matters: `createOrReplaceTempView` invalidates every
+    * cached plan referencing the views, which showed up as seconds of
+    * repeated analysis in the bench sweep.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate((spark, dir), {
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registered.get(spark).contains(dir)) {
       names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
-    })
+      registered.update(spark, dir)
+    }
+  }
 
   /** Round-robin the rows across the cluster before a CPU-heavy narrow pass.
     *

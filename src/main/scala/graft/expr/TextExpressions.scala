@@ -159,12 +159,18 @@ case class SimHashOfSet(child: Expression, nBits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** k-element MinHash signature over a shingle array: element i is
-  * min over shingles of the 60-bit md5-derived hash of `shingle + "#" + i`
-  * — the exact value of the SQL form
-  * `conv(substring(md5(concat(s, '#', i)), 1, 15), 16, 10)` / DuckDB
-  * `('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT`, so the oracle
-  * replays it verbatim. Empty input → k NULLs (the `array_min(empty)`
+/** k-element MinHash signature over a shingle array.
+  *
+  * Each shingle is md5-digested ONCE — `h = first60Bits(md5(s)) mod p`,
+  * p = 2^31−1 — and the k permutations are derived by integer mixing
+  * `(a_i·h + b_i) mod p` with fixed coefficients [[MinHashSignature.coeffA]]/
+  * [[MinHashSignature.coeffB]]. All intermediates stay below 2^62, so the
+  * identical arithmetic runs overflow-free in 64-bit on any engine and the
+  * DuckDB oracle replays it verbatim:
+  * `(a_i * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647) + b_i) % 2147483647`.
+  * (The previous scheme digested shingle+"#i" per permutation — k× the md5
+  * work for the same signature quality; this is the standard one-hash
+  * k-permutation family.) Empty input → k NULLs (the `array_min(empty)`
   * convention of the HOF form).
   */
 case class MinHashSignature(child: Expression, k: Int)
@@ -181,32 +187,30 @@ case class MinHashSignature(child: Expression, k: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
+    import MinHashSignature.P
     val arr = input.asInstanceOf[ArrayData]
     val m   = arr.numElements()
     if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
-    val md  = MessageDigest.getInstance("MD5")
-    val out = new Array[Any](k)
-    val shingleBytes = new Array[Array[Byte]](m)
-    var s = 0
-    while (s < m) {
-      shingleBytes(s) = arr.getUTF8String(s).toString.getBytes("UTF-8"); s += 1
-    }
-    var i = 0
-    while (i < k) {
-      val suffix = s"#$i".getBytes("UTF-8")
-      var best   = Long.MaxValue
-      var j      = 0
-      while (j < m) {
-        md.reset()
-        md.update(shingleBytes(j))
-        md.update(suffix)
-        val h = MinHashSignature.first60Bits(md.digest())
-        if (h < best) best = h
-        j += 1
+    val md   = MessageDigest.getInstance("MD5")
+    val as   = MinHashSignature.coeffA(k)
+    val bs   = MinHashSignature.coeffB(k)
+    val best = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      md.update(arr.getUTF8String(j).getBytes)
+      val h = MinHashSignature.first60Bits(md.digest()) % P
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < best(i)) best(i) = v
+        i += 1
       }
-      out(i) = best
-      i += 1
+      j += 1
     }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = best(i); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -214,8 +218,25 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 object MinHashSignature {
+  /** Mersenne prime 2^31−1: the permutation modulus. Small enough that
+    * a·h + b < 2^62 (no 64-bit overflow in any engine), large enough that
+    * hash collisions are negligible against shingle-set sizes.
+    */
+  val P: Long = 2147483647L
+
+  /** Multiplier for permutation i (Knuth's 2654435761, cycled mod p, forced
+    * nonzero so every permutation is a bijection of Z_p).
+    */
+  def coeffA(k: Int): Array[Long] = Array.tabulate(k) { i =>
+    val a = (2654435761L * (i + 1)) % P
+    if (a == 0L) 1L else a
+  }
+
+  /** Additive constant for permutation i. */
+  def coeffB(k: Int): Array[Long] = Array.tabulate(k)(i => (40503L * (i + 1) + 17L) % P)
+
   /** Value of the first 15 hex digits of an md5 digest (= 60 bits). */
-  private[expr] def first60Bits(d: Array[Byte]): Long = {
+  private[graft] def first60Bits(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

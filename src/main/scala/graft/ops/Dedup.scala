@@ -73,4 +73,80 @@ object Dedup {
       .select(col("__keep"))
     df.join(winners, col(idCol) === col("__keep"), "left_semi")
   }
+
+  /** D3 final step — connected components over a candidate-pair graph by
+    * iterative min-label propagation, entirely in DataFrame space.
+    *
+    * Every node starts labeled with its own id; each round every node takes
+    * the minimum label among itself and its neighbors (one equi-join + one
+    * min-aggregate = two shuffles per round), converging in O(graph diameter)
+    * rounds. Near-dup graphs are dense clusters with tiny diameters, so this
+    * typically fixpoints in 2–4 rounds; `maxIter` bounds adversarial chains.
+    * Convergence is detected by the label sum — labels only ever decrease, so
+    * the (exact, decimal) sum is strictly decreasing until fixpoint — costing
+    * one cheap aggregate action per round, and `localCheckpoint` truncates
+    * the growing lineage so round N's plan does not replay rounds 1..N-1.
+    * (At extreme graph scale the alternating large-star/small-star variant
+    * [Kiveris et al., CC in MapReduce] halves the round count; plain min
+    * propagation keeps the per-round plan to stock joins which AQE handles.)
+    *
+    * @return one row per node that appears in any pair: (id, comp) where
+    *         comp is the minimum id of the node's component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): String =
+      String.valueOf(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var sig       = labelSum(labels)
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val nsig = labelSum(next)
+      converged = nsig == sig
+      sig = nsig
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivor resolution over candidate pairs (the keep-one semantics of the
+    * reference's `drop_duplicates(keep="first")`, `app.py:240`, lifted to the
+    * fuzzy-pair graph): each near-dup cluster keeps exactly its minimum id.
+    */
+  def nearDupSurvivors(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
+
+  /** Produce the deduplicated corpus: drop every non-survivor of every
+    * near-dup cluster; documents in no pair are untouched. The loser set is
+    * tiny relative to the corpus (it is bounded by the pair count), so the
+    * anti-join broadcasts under AQE — the corpus itself never shuffles.
+    */
+  def dropNearDups(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
 }

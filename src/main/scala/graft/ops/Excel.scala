@@ -59,6 +59,14 @@ object Excel {
   private def parseXml(bytes: Array[Byte]): Element = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
+    // XLSX is untrusted upload content in the reference product: refuse
+    // DOCTYPE outright and disable external-entity resolution so a crafted
+    // workbook can't XXE the driver (local file read / SSRF).
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes)).getDocumentElement
   }
 

@@ -41,6 +41,12 @@ object Relational {
     * on its own; explicit salting is the tool for the pathological case
     * (one key = 30% of 100 TB) where even a split partition overwhelms
     * memory. Result is identical to the plain join (property-tested).
+    *
+    * Only left-preserving join types are supported: the right side is
+    * replicated once per salt, so a `right_outer`/`full_outer` would emit
+    * every UNMATCHED right row `salts` times — diverging from the plain
+    * join. (Matched right rows are fine in any type: a right row matches at
+    * most one salt value per left row.)
     */
   def saltedJoin(
       left: DataFrame,
@@ -50,6 +56,10 @@ object Relational {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be positive")
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val l = left.withColumn("__salt",
       pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -21,10 +21,14 @@ object Sampling {
   def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column =
     pmod(Text.hash60(concat_ws("", keys: _*)), lit(buckets))
 
-  /** Keep ~`fraction` of rows, deterministically by key. */
+  /** Keep ~`fraction` of rows, deterministically by key. The cutoff uses
+    * `math.round`, matching [[splitColumn]]'s cut computation — plain
+    * truncation turns FP error like 0.7*10000 = 6999.999… into an
+    * off-by-one-bucket boundary.
+    */
   def hashSample(df: DataFrame, keys: Seq[String], fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(hashBucket(keys.map(col)) < (fraction * 10000).toInt)
+    df.filter(hashBucket(keys.map(col)) < math.round(fraction * 10000).toInt)
   }
 
   /** Train/val/test-style assignment: `weights` are cumulative-normalized;

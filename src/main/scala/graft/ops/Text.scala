@@ -117,12 +117,21 @@ object Text {
     */
   def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** T6 — k-element MinHash signature over a shingle set. Seed i perturbs the
-    * hash by suffixing `#i`, the standard k-permutation approximation.
+  /** T6 — k-element MinHash signature over a shingle set (HOF reference form
+    * of [[graft.expr.MinHashSignature]]): one md5 per shingle reduced mod
+    * p=2^31−1, then k affine permutations `(a_i·h + b_i) mod p` with the
+    * shared coefficient tables — bit-identical to the native expression.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => hash60(concat(s, lit("#"), i.cast("string"))))))
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val p  = graft.expr.MinHashSignature.P
+    val as = graft.expr.MinHashSignature.coeffA(k)
+    val bs = graft.expr.MinHashSignature.coeffB(k)
+    val hs = transform(sh, s => hash60(s) % p)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hs, h =>
+        (element_at(array(as.map(lit): _*), i + 1) * h +
+          element_at(array(bs.map(lit): _*), i + 1)) % p)))
+  }
 
   /** Jaccard similarity of two array columns (inputs must be de-duplicated). */
   def jaccard(a: Column, b: Column): Column =
@@ -176,34 +185,47 @@ object Text {
   }
 
   /** D3 exact variant — n-gram Jaccard near-dup via an inverted shingle
-    * index: explode (id, shingle), self-equi-join on the shingle, count
-    * intersections per pair, then Jaccard from |A|+|B|-|A∩B|. Guaranteed
-    * recall for any threshold > 0 (a qualifying pair shares ≥1 shingle), at
-    * the cost of generating one candidate row per shared shingle — the right
-    * tool when shingles are selective (long shingles), with MinHash-LSH as
-    * the fallback when they are not.
+    * index: explode (id, shingle), drop shingles hotter than `maxDf`
+    * documents (standard prefix filtering — a stop-phrase shingle shared by
+    * d documents alone generates O(d²) candidate rows, a quadratic bomb at
+    * corpus scale), self-equi-join the filtered index on the shingle to get
+    * DISTINCT candidate pairs, then verify each candidate with the exact
+    * Jaccard of the FULL shingle sets (the cutoff affects only candidate
+    * generation, never the similarity value).
+    *
+    * Recall contract: a qualifying pair is missed only if EVERY shingle it
+    * shares has document frequency > maxDf. At threshold ≥ 0.5 a near-dup
+    * pair shares most of its shingles, so it is found unless the documents
+    * are built entirely of corpus-wide boilerplate; set maxDf above the df
+    * of any discriminating phrase (default 500 ≫ the testdata max of 25,
+    * where output is bit-identical to the unfiltered form).
     */
   def jaccardNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       nShingle: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDf: Int = 500): DataFrame = {
     val spread = docs.select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
-    val sh    = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
-    val inv   = sh.select(col("id"), explode(col("ss")).as("s"))
-    val inter = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("id"), size(col("ss")).cast("long").as("n"))
-    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
-      .withColumn("na", col("sa.n"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
-      .withColumn("nb", col("sb.n"))
+    val sh  = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    val inv = sh.select(col("id"), explode(col("ss")).as("s"))
+      .repartition(col("s")) // both join sides + the df window reuse this one exchange
+    // Per-shingle df via a window over the already-co-partitioned index —
+    // no extra shuffle, and the hot-shingle drop happens before the join.
+    val rare = inv
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .select(col("id"), col("s"))
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val j = jaccardOf(col("x.ss"), col("y.ss"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.id"))
+      .join(sh.as("y"), col("doc_b") === col("y.id"))
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
   }
@@ -243,17 +265,23 @@ object Text {
     * and one window for the per-doc top-k. log() differences across engines
     * are sub-ulp; ranking uses the 4-decimal-floored score with the term as
     * tie-break, so order is reproducible.
+    *
+    * The corpus size N is computed INSIDE the plan (a 1-row broadcast
+    * cross-join), not via an eager `.count()` while building it — at corpus
+    * scale an eager count is a full extra pass over the table before the
+    * real job even starts.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-    val n    = docs.select(col(idCol)).distinct().count()
+    val n    = docs.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
     val tf   = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfq  = toks.select(col("id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val score = Summaries.r4(col("tf") * log(lit(n.toDouble) / col("df")))
+    val score = Summaries.r4(col("tf") * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
     tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
       .select(col("id"), col("term"), score.as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -285,9 +313,17 @@ object Text {
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (the usual pre-tokenizer regex shape).
+    *
+    * Every class is an explicit ASCII enumeration — letter/digit runs plus
+    * the four ASCII punctuation ranges `!-/ :-@ [-` {-~` — and the raw text
+    * is matched without case folding. The earlier `[^a-z0-9\s]` complement
+    * class diverged between Java regex and DuckDB/RE2 on non-ASCII text
+    * (accented/CJK rows of the documents table); positive ASCII-only classes
+    * count identically in both engines, with non-ASCII codepoints
+    * contributing zero everywhere.
     */
   def bpeishTokenCount(c: Column): Column =
-    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[!-/:-@\\[-`{-~]"))
 
   /** Stopword-hit count (not distinct) for quality ratios. */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
