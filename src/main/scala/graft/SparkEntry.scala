@@ -277,15 +277,20 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // T5 scale path — sign-LSH bucketed approximate top-3
+    // T5 scale path — multi-table sign-LSH approximate top-3 (8 independent
+    // tables × 3 planes: recall@3 ≥ 0.85 vs q24 ground truth on the isotropic
+    // test embeddings; gated in SimilaritySpec)
     "q26_ann_lsh" -> ((s, d) => {
-      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 4, 3)
+      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, 3, nTables = 8)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // T5 scale path #2 — IVF-bucketed approximate top-3 (8 seed cells)
+    // T5 scale path #2 — IVF approximate top-3 (8 seed cells, nProbe=5:
+    // the testdata embeddings are structureless, so recall tracks the probed
+    // fraction — recall@3 ≈ 0.85, gated in SimilaritySpec)
     "q58_ivf_ann" -> ((s, d) => {
-      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3)
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3,
+          nProbe = 5)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -922,24 +927,27 @@ object SparkEntry {
          SELECT vec_a, vec_b, floor(c * 10000 + 0.5)/10000 AS sim
          FROM s WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
     "q26_ann_lsh" ->
-      """WITH e AS (
-           SELECT vec_id, v2 AS v,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         eb AS (
+           SELECT vec_id, t,
                   CAST(list_sum([
                     CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-                           [v2[d + 1] * (CASE WHEN ('0x' || substr(md5((p::VARCHAR) || '_' || (d::VARCHAR)), 1, 15))::BIGINT % 2 = 1
+                           [v[d + 1] * (CASE WHEN ('0x' || substr(md5((t*100 + p)::VARCHAR || '_' || (d::VARCHAR)), 1, 15))::BIGINT % 2 = 1
                                          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
-                            for d in range(0, len(v2))]), (a, b) -> a + b) > 0
+                            for d in range(0, len(v))]), (a, b) -> a + b) > 0
                     THEN (1::BIGINT << p) ELSE 0::BIGINT END
-                    for p in range(0, 4)]) AS BIGINT) AS bucket
-           FROM (SELECT vec_id, embedding::DOUBLE[] v2 FROM embeddings)
-           ),
+                    for p in range(0, 3)]) AS BIGINT) AS bucket
+           FROM e, unnest([0,1,2,3,4,5,6,7]) tt(t)),
+         cand AS (
+           SELECT DISTINCT a.vec_id probe_id, b.vec_id neighbor_id
+           FROM eb a JOIN eb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          s AS (
-           SELECT a.vec_id probe_id, b.vec_id neighbor_id,
-                  floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
-                        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
-                           * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
+           SELECT probe_id, neighbor_id,
+                  floor(list_reduce(list_prepend(0.0::DOUBLE, [pa.v[i] * pb.v[i] for i in range(1, len(pa.v) + 1)]), (x, y) -> x + y)
+                        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in pa.v]), (x, y) -> x + y))
+                           * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in pb.v]), (x, y) -> x + y)))
                         * 10000 + 0.5)/10000 AS sim
-           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           FROM cand JOIN e pa ON probe_id = pa.vec_id JOIN e pb ON neighbor_id = pb.vec_id)
          SELECT probe_id, neighbor_id, sim, rank FROM (
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",
@@ -947,7 +955,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          seeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
          asg AS (
-           SELECT vec_id, v, s_id AS cell FROM (
+           SELECT vec_id, v, s_id AS cell, rn FROM (
              SELECT e.vec_id, e.v, seeds.s_id,
                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
                       list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * seeds.sv[i] for i in range(1, len(e.v) + 1)]), (a, b) -> a + b)
@@ -955,14 +963,14 @@ object SparkEntry {
                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in seeds.sv]), (a, b) -> a + b))) DESC,
                       seeds.s_id ASC) rn
              FROM e, seeds)
-           WHERE rn = 1),
+           WHERE rn <= 5),
          s AS (
            SELECT a.vec_id probe_id, b.vec_id neighbor_id,
                   floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
                         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
                            * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
                         * 10000 + 0.5)/10000 AS sim
-           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+           FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id)
          SELECT probe_id, neighbor_id, sim, rank FROM (
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",

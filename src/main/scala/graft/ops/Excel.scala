@@ -30,15 +30,19 @@ object Excel {
   // ---- read ----------------------------------------------------------------
 
   /** Raw positional rows of the FIRST worksheet, header undetected (the
-    * shape `pd.read_excel(..., header=None)` returns).
+    * shape `pd.read_excel(..., header=None)` returns). Numeric cells whose
+    * style carries a date/time number format arrive as `java.sql.Timestamp`
+    * (matching `pd.read_excel` + `to_datetime`, `app.py:170,184-186`);
+    * everything else arrives as the raw string.
     */
   def readRaw(path: String): Seq[Seq[Any]] = {
     val parts = readZip(path)
     val shared = parts.keys.find(_ == "xl/sharedStrings.xml")
       .map(k => parseSharedStrings(parts(k))).getOrElse(Vector.empty)
+    val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles).getOrElse(Set.empty)
     val sheetName = parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq.sorted.headOption
       .getOrElse(throw new IllegalArgumentException(s"$path: no worksheet found"))
-    parseSheet(parts(sheetName), shared)
+    parseSheet(parts(sheetName), shared, dateStyles)
   }
 
   private def readZip(path: String): Map[String, Array[Byte]] = {
@@ -78,7 +82,10 @@ object Excel {
   private def parseSharedStrings(bytes: Array[Byte]): Vector[String] =
     elems(parseXml(bytes), "si").map(si => elems(si, "t").map(_.getTextContent).mkString).toVector
 
-  private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[Any]] = {
+  private def parseSheet(
+      bytes: Array[Byte],
+      shared: Vector[String],
+      dateStyles: Set[Int]): Seq[Seq[Any]] = {
     val rows = ArrayBuffer.empty[Seq[Any]]
     elems(parseXml(bytes), "row").foreach { row =>
       val cells = ArrayBuffer.empty[Any]
@@ -86,24 +93,65 @@ object Excel {
         val idx = Option(c.getAttribute("r")).filter(_.nonEmpty)
           .map(colIndex).getOrElse(cells.length)
         while (cells.length < idx) cells += null
-        cells += cellValue(c, shared)
+        cells += cellValue(c, shared, dateStyles)
       }
       rows += cells.toSeq
     }
     rows.toSeq
   }
 
+  /** Style indices (the sheet's `s=` attribute values) whose number format is
+    * a date/time format: built-in numFmtIds 14–22 and 45–47, plus any custom
+    * `numFmt` whose code contains a date token (y/m/d/h/s) outside quoted
+    * literals and `[...]` sections — the same style-based detection
+    * pandas/openpyxl use (there is no cell-level "date" type in
+    * SpreadsheetML; dates are just styled numbers).
+    */
+  private def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
+    val root = parseXml(bytes)
+    val custom = elems(root, "numFmts").headOption.map(e => elems(e, "numFmt")).getOrElse(Nil)
+      .flatMap { f =>
+        val code = f.getAttribute("formatCode")
+          .replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "").toLowerCase
+        if (code.exists("ymdhs".contains(_))) Some(f.getAttribute("numFmtId").toInt) else None
+      }.toSet
+    val dateIds = ((14 to 22) ++ (45 to 47)).toSet ++ custom
+    elems(root, "cellXfs").headOption.map(e => elems(e, "xf")).getOrElse(Nil)
+      .zipWithIndex
+      .collect {
+        case (xf, i)
+            if Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
+              .exists(id => dateIds.contains(id.toInt)) =>
+          i
+      }
+      .toSet
+  }
+
+  /** Excel serial day count → timestamp. Base 1899-12-30 (not 1899-12-31):
+    * the convention openpyxl/pandas use, which absorbs Excel's fictitious
+    * 1900-02-29 so every post-Feb-1900 date converts exactly.
+    */
+  private[graft] def serialToTimestamp(serial: Double): java.sql.Timestamp = {
+    val base = java.time.LocalDateTime.of(1899, 12, 30, 0, 0, 0)
+    java.sql.Timestamp.valueOf(
+      base.plus(math.round(serial * 86400000.0), java.time.temporal.ChronoUnit.MILLIS))
+  }
+
   /** "C5" → 0-based column 2. */
   private[graft] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
 
-  private def cellValue(c: Element, shared: Vector[String]): Any = {
+  private def cellValue(c: Element, shared: Vector[String], dateStyles: Set[Int]): Any = {
     def v  = elems(c, "v").headOption.map(_.getTextContent)
     def is = elems(c, "is").headOption.map(e => elems(e, "t").map(_.getTextContent).mkString)
     c.getAttribute("t") match {
       case "s"         => v.map(s => shared(s.toInt)).orNull
       case "inlineStr" => is.orNull
-      case _           => v.orNull // number / "str" formula result / blank
+      case "" | "n" => // numeric (possibly date-styled) / blank
+        val isDate = Option(c.getAttribute("s")).filter(_.nonEmpty)
+          .exists(s => dateStyles.contains(s.toInt))
+        v.map(raw => if (isDate) serialToTimestamp(raw.toDouble) else (raw: Any)).orNull
+      case _ => v.orNull // "str" formula result / "b" / "e"
     }
   }
 

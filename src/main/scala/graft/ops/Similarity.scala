@@ -75,7 +75,9 @@ object Similarity {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0f else -1.0f
   }
 
-  /** Random-hyperplane (sign) LSH bucket id in [0, 2^nPlanes).
+  /** Random-hyperplane (sign) LSH bucket id in [0, 2^nPlanes) for hash
+    * table `table` (plane id = table·100 + p, so tables draw independent
+    * hyperplane sets).
     *
     * Bit p = sign(Σ_d w(p,d)·v[d]). Cosine-close vectors agree on most
     * hyperplane signs, so they land in the same bucket with high
@@ -87,22 +89,44 @@ object Similarity {
     * projection sign runs through the codegen'd [[cosine]] — valid because
     * norms are positive, so sign(cosine) == sign(dot), bit-exactly.
     */
-  def signLshBucket(vec: Column, nPlanes: Int, dim: Int = 64): Column =
+  def signLshBucket(vec: Column, nPlanes: Int, dim: Int = 64, table: Int = 0): Column = {
+    require(nPlanes >= 1 && nPlanes < 100, "nPlanes in [1, 100)")
     (0 until nPlanes).map { p =>
-      val w = typedlit((0 until dim).map(d => planeWeight(p, d)))
+      val w = typedlit((0 until dim).map(d => planeWeight(table * 100 + p, d)))
       when(cosine(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
-  /** T5 scale path — approximate top-k: rank only within the LSH bucket. */
-  def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
-    val withBucket = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      signLshBucket(col(vecCol), nPlanes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("id").as("probe_id"), col("v").as("pv"))
-    val b = withBucket.select(col("bucket").as("b2"), col("id").as("neighbor_id"), col("v").as("cv"))
+  /** T5 scale path — approximate top-k via multi-table sign-LSH: candidates
+    * are pairs sharing a bucket in ANY of `nTables` independent hash tables,
+    * deduplicated, then exactly ranked.
+    *
+    * One table of k planes has per-pair recall (1−θ/π)^k — low for the
+    * moderate-similarity neighbours that dominate isotropic embeddings; L
+    * independent tables lift it to 1−(1−r)^L while keeping the join an
+    * equi-join on (table, bucket). L and k trade candidate volume against
+    * recall: the (id, table, bucket) index is 3 ints per vector per table,
+    * and only candidate pairs ever pull vectors through the verify join —
+    * the same never-all-pairs shape as the MinHash pipeline.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
+      nTables: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tb = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"), signLshBucket(col("v"), nPlanes, table = t).as("b"))): _*))
+    val slim = base.select(col("id"), tb.as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
+    val cand = slim.as("a")
+      .join(slim.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"))
+      .distinct()
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    a.join(b, col("bucket") === col("b2") && col("probe_id") =!= col("neighbor_id"))
+    cand
+      .join(base.select(col("id"), col("v").as("pv")), col("probe_id") === col("id")).drop("id")
+      .join(base.select(col("id"), col("v").as("cv")), col("neighbor_id") === col("id")).drop("id")
       .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -116,26 +140,39 @@ object Similarity {
     * `WHERE vec_id < nCells`). A trained k-means codebook would slot in as
     * a different seed DataFrame without changing the plan.
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    ivfAssignN(df, idCol, vecCol, nCells, 1).drop("rn")
+
+  /** Top-`nProbe` cell assignments per vector (rn = 1 is the home cell). */
+  private def ivfAssignN(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int): DataFrame = {
     val seeds = broadcast(
       df.filter(col(idCol) < nCells).select(col(idCol).as("s_id"), col(vecCol).as("sv")))
     val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("s_id").asc)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(seeds)
       .select(col("id"), col("v"), col("s_id"), cosine(col("v"), col("sv")).as("c"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("s_id").as("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("id"), col("v"), col("s_id").as("cell"), col("rn"))
   }
 
-  /** T5 scale path #2 — IVF top-k: rank only within the vector's cell.
-    * Complements [[annTopK]] (sign-LSH buckets); same join shape — an
-    * equi-join on a small cell id instead of a cross join.
+  /** T5 scale path #2 — IVF top-k: every vector is STORED in its home cell
+    * (rn = 1) and SEARCHES its `nProbe` nearest cells — the standard IVF
+    * recall knob. Complements [[annTopK]] (sign-LSH buckets); same join
+    * shape — an equi-join on a small cell id instead of a cross join.
+    * Candidates are naturally distinct (each neighbour lives in exactly one
+    * cell), so no dedup step is needed. On isotropic (structureless)
+    * vectors recall tracks the probed fraction nProbe/nCells — no partition
+    * scheme can beat that without structure to exploit; on real clustered
+    * embeddings a small nProbe recovers high recall.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, nCells)
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe)
     val a = assigned.select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
-    val b = assigned.select(col("cell").as("c2"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val b = assigned.filter(col("rn") === 1)
+      .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("v").as("cv"))
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     a.join(b, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))

@@ -30,4 +30,29 @@ class ContractSpec extends AnyFunSuite {
       assert(df.schema.nonEmpty, name)
     }
   }
+
+  // The two rows-only queries get bound checks here instead of the oracle:
+  // q34 is approximate BY DESIGN (HLL++), so the contract is an error bound
+  // against the exact q33 counts; q56's decoder is a stub, so the contract
+  // is bit-determinism across independent runs.
+
+  test("q34 approx distinct is within 5% of q33 exact per group") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q33_distinct_count")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q34_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("q56 decode features are deterministic across two runs") {
+    val sf = "/root/testdata/sf0.001"
+    val a  = SparkEntry.queries("q56_decode_features")(spark, sf).collect().toSeq
+    val b  = SparkEntry.queries("q56_decode_features")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -65,6 +65,50 @@ class DedupSpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("connectedComponents labels a chain and a separate pair correctly") {
+    // chain 1-2-3 (transitive closure spans >1 hop) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupSurvivors keeps exactly the min id per cluster; dropNearDups removes the rest") {
+    val pairs = Seq((5L, 2L), (2L, 9L)).toDF("doc_a", "doc_b")
+    val surv = Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(surv == Set((2L, 2L, true), (5L, 2L, false), (9L, 2L, false)))
+    val docs = Seq(1L, 2L, 5L, 9L, 42L).toDF("doc_id") // 1 and 42 in no pair
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 42L))
+  }
+
+  test("property: connectedComponents on random graphs — every cluster keeps exactly its min id") {
+    val gen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 20L); b <- Gen.choose(0L, 20L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(gen) { edges =>
+      val out = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // reference union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want  = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      out == want
+    }, n = 10)
+  }
+
   test("property: normCol matches a reference reimplementation on arbitrary strings") {
     def ref(s: String): String = s.trim
       .replaceAll("[^0-9A-Za-z]+", "_").replaceAll("_+", "_")

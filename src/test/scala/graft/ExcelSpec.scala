@@ -25,6 +25,36 @@ class ExcelSpec extends AnyFunSuite {
     assert(Excel.sheetName("x" * 40).length == 31)
   }
 
+  test("numeric cells styled as dates arrive as typed timestamps (serial conversion)") {
+    // Hand-built workbook: style index 1 → built-in date numFmtId 14; cell A2
+    // is the Excel serial for 2024-01-01, C2 for 2024-01-01 06:00; B2 is a
+    // plain (unstyled) number and must stay a string.
+    val path = tmp("dates")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    try {
+      put("xl/styles.xml",
+        """<styleSheet><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>""")
+      put("xl/worksheets/sheet1.xml",
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>
+          |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2"><v>12.5</v></c><c r="C2" s="1"><v>45292.25</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    } finally zout.close()
+    val rows = Excel.readRaw(path)
+    assert(rows(1)(0) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(rows(1)(1) == "12.5")
+    assert(rows(1)(2) == java.sql.Timestamp.valueOf("2024-01-01 06:00:00"))
+    // the stringified form survives the pipeline's parseTs date coercion
+    val parsed = Seq(rows(1)(0).toString).toDF("t")
+      .select(graft.ops.Clean.parseTs(org.apache.spark.sql.functions.col("t")).as("ts"))
+      .collect()(0).getTimestamp(0)
+    assert(parsed == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
+
   test("write → read round-trip preserves cells, nulls, sparse rows, escapes") {
     val rows: Seq[Seq[Any]] = Seq(
       Seq("Header A", "B & <C>", "D"),

@@ -67,6 +67,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == 3L && out(3L) == 0L)
   }
 
+  test("ANN recall@3 vs q24 brute-force ground truth is ≥ 0.7 (sf0.001)") {
+    // Retrieval-quality gate: the bucketed paths are CORRECT against their
+    // own oracles by construction; this pins that future bucket/cell tuning
+    // cannot silently degrade what they retrieve.
+    val sf = "/root/testdata/sf0.001"
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topk("q24_knn")
+    for (name <- Seq("q26_ann_lsh", "q58_ivf_ann")) {
+      val approx  = topk(name)
+      val recalls = truth.toSeq.map { case (p, t) =>
+        approx.get(p).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+      }
+      val recall = recalls.sum / recalls.size
+      assert(recall >= 0.7, s"$name recall@3 = $recall")
+    }
+  }
+
   test("signLshBucket is deterministic and bounded") {
     val vecs = Seq((0L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()

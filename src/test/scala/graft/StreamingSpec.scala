@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/data").count() == 2)
   }
 
+  test("S8: parquet file-source stream over a staged directory matches the batch form") {
+    // The real S8 shape — readStream.schema(s).parquet(dir) — not MemoryStream:
+    // the same tumblingCounts plan over a directory of parquet files must emit
+    // exactly what the static read computes.
+    val events = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val base = s"/root/repo/target/tmp/file_stream_${System.nanoTime()}"
+    events.write.parquet(s"$base/in")
+    val src    = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val counts = Streaming.tumblingCounts(src, "ts", "1 day", "2 days", Seq("event_type"))
+    val name   = nextName()
+    val q = counts.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).orderBy("window_start", "event_type").collect().toSeq
+      val batch = Streaming.tumblingCounts(events, "ts", "1 day", "2 days", Seq("event_type"))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch/stream parity: tumblingCounts on a static frame matches groupBy window") {
     import spark.implicits._
     val df = Seq(
