@@ -611,6 +611,15 @@ object SparkEntry {
         .orderBy(col("p_id"), col("c_id"))
     }),
 
+    // A8 — arbitrary GROUPING SETS: the reference's two parallel summaries
+    // (app.py:245-261) as ONE pass — sets ((status),(priority))
+    "q69_grouping_sets" -> ((s, d) => {
+      Summaries.groupingSetsCount(t(s, d, "orders"),
+          Seq(Seq("o_orderstatus"), Seq("o_orderpriority")))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // A8 — cube: all grouping-set combinations with grouping_id
     "q62_cube" -> ((s, d) => {
       t(s, d, "orders")
@@ -1173,6 +1182,11 @@ object SparkEntry {
            ON p.user_id = c.user_id
           AND abs(epoch(p.ts) - epoch(c.ts)) <= 3600
          ORDER BY p_id, c_id""",
+    "q69_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS qtd,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q62_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                 CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid

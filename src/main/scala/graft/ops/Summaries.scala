@@ -19,6 +19,19 @@ object Summaries {
       .agg(count(lit(1)).as(cntName))
       .orderBy(col(cntName).desc, col(key).asc_nulls_first)
 
+  /** A8 — arbitrary GROUPING SETS as a library operator (not just raw SQL):
+    * the reference's two PARALLEL summaries over status and OS
+    * (`app.py:245-261`) are exactly `GROUPING SETS ((status),(os))` — one
+    * pass over the data and one shuffle instead of two separate group-bys
+    * scanning the input twice. `grouping_id()` disambiguates which set each
+    * output row belongs to.
+    */
+  def groupingSetsCount(df: DataFrame, sets: Seq[Seq[String]], cntName: String = "qtd"): DataFrame = {
+    val keys = sets.flatten.distinct.map(col)
+    df.groupingSets(sets.map(_.map(col)), keys: _*)
+      .agg(count(lit(1)).as(cntName), grouping_id().as("gid"))
+  }
+
   /** A5/F15 — fixed-width histogram: bin = floor(x / w) * w. */
   def histogram(df: DataFrame, c: String, width: Double): DataFrame =
     df.groupBy((floor(col(c) / width) * width).as("bin"))

@@ -15,3 +15,12 @@ object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Test-support shim: flush the SparkListener bus so listener-counted
+  * assertions (e.g. "building this plan launches no job") are exact.
+  * `listenerBus` is private[spark]; this package sits inside the
+  * org.apache.spark tree for precisely these two narrow accesses.
+  */
+object ListenerBridge {
+  def flush(sc: org.apache.spark.SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}

@@ -59,4 +59,27 @@ class PlanSpec extends AnyFunSuite {
     // codegen stages print as `*(n)` prefixes in the final adaptive plan
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("q67 tfidf: building the plan launches no job; corpus count is in-plan") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // The scope of this pin is tfidfTopTerms itself (its r2 form ran an eager
+    // .count() while BUILDING the plan), so the source read — which may run
+    // its own footer/listing job — happens before the listener attaches.
+    val docs = Tables.t(spark, sf, "documents")
+    docs.queryExecution.optimizedPlan // force analysis of the read up front
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.sql.graftbridge.ListenerBridge.flush(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.ops.Text.tfidfTopTerms(docs, "doc_id", "text", 3)
+      val plan = df.queryExecution.optimizedPlan.toString // analyze+optimize, never execute
+      org.apache.spark.sql.graftbridge.ListenerBridge.flush(spark.sparkContext)
+      assert(jobs.get() == 0, "plan construction must not run a Spark job (eager count regression)")
+      assert(plan.toLowerCase.contains("count(distinct"),
+        "corpus size N must be computed inside the plan")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
