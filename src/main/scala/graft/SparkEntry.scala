@@ -49,13 +49,15 @@ object SparkEntry {
     // D1 — dedup keep-most-recent (reference app.py:233-242) via
     // Window/row_number with explicit tie-break (SURVEY §7.5)
     "q02_dedup_keep_latest" -> ((s, d) => {
+      // project BEFORE the window so the dedup exchange carries only the six
+      // output columns, not the full 16-column row
       Dedup
         .keepLatest(
-          t(s, d, "lineitem"),
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_shipdate"),
           keys = Seq("l_orderkey", "l_partkey", "l_suppkey"),
           recency = Seq("l_shipdate"),
           tieBreak = Seq(col("l_linenumber")))
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_shipdate")
         .orderBy("l_orderkey", "l_partkey", "l_suppkey")
     }),
 
@@ -244,6 +246,17 @@ object SparkEntry {
         .select(col("doc_id"), size(toks).as("n_tokens"), stopRatio.as("stop_ratio"),
           charsTok.as("chars_per_token"), score.as("score"),
           when(score >= 0.5, lit("high")).when(score >= 0.2, lit("mid")).otherwise(lit("low")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-corpus decontamination: drop corpus docs sharing any 5-gram
+    // with a benchmark subset (doc_id % 37 == 0 plays the eval set)
+    "q70_decontaminate" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val bench  = docs.filter(col("doc_id") % 37 === 0)
+      Text.decontaminate(corpus, "doc_id", "text", bench, "text", 5)
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -689,6 +702,18 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // PII redaction — emails / dotted quads / long digit runs → placeholders
+    // (synthetic PII derived from p_partkey so the scrub is demonstrable)
+    "q71_pii_redact" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val txt = concat(
+        lit("contact user"), pk.cast("string"), lit("@example.com or 10.0."),
+        (pk % 256).cast("string"), lit(".1 ref "), (pk * 1234567).cast("string"), lit(" end"))
+      t(s, d, "part")
+        .select(pk, Clean.redactPii(txt).as("redacted"))
+        .orderBy(pk)
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -903,6 +928,19 @@ object SparkEntry {
          SELECT doc_id, n_tokens, stop_ratio, chars_per_token, score,
                 CASE WHEN score >= 0.5 THEN 'high' WHEN score >= 0.2 THEN 'mid' ELSE 'low' END AS bucket
          FROM sc ORDER BY doc_id""",
+    "q70_decontaminate" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+         bench AS (
+           SELECT DISTINCT unnest(list_distinct([array_to_string(list_slice(tk, i, i+4), ' ') for i in range(1, len(tk)-3)])) s
+           FROM (SELECT string_split_regex(lower(trim(text)), '\s+') tk FROM documents WHERE doc_id % 37 = 0)),
+         bad AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(tk, i, i+4), ' ') for i in range(1, len(tk)-3)])) s
+             FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM corpus))
+           WHERE s IN (SELECT s FROM bench))
+         SELECT doc_id, lang FROM corpus
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
     "q23_token_count" ->
       """SELECT lang,
                 sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS bpe_tokens,
@@ -1230,6 +1268,17 @@ object SparkEntry {
       """SELECT p_partkey,
                 regexp_replace(regexp_replace(p_type, '[^0-9A-Za-z]+', '_', 'g'), '_+', '_', 'g') AS type_slug,
                 lower(trim(regexp_replace(p_name || '  ' || p_brand, '\s+', ' ', 'g'))) AS canon
+         FROM part ORDER BY p_partkey""",
+    "q71_pii_redact" ->
+      """SELECT p_partkey,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      'contact user' || p_partkey::VARCHAR || '@example.com or 10.0.' ||
+                      (p_partkey % 256)::VARCHAR || '.1 ref ' || (p_partkey * 1234567)::VARCHAR || ' end',
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{7,}\b', '<NUM>', 'g') AS redacted
          FROM part ORDER BY p_partkey""",
     "q54_clean_strings" ->
       """WITH src AS (

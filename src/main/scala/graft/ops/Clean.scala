@@ -84,4 +84,21 @@ object Clean {
     */
   def canonicalText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** PII scrubbing for training text: emails → `<EMAIL>`, dotted quads →
+    * `<IP>`, 7+-digit runs (phone/account numbers) → `<NUM>`. A pure
+    * per-row expression chain — fuses into the scan stage, no shuffle, the
+    * only shape that works when the scrub runs over every byte of a 100 TB
+    * corpus. Patterns are explicit-ASCII so Java regex and RE2 agree
+    * (`\d`/`\b` are ASCII in both engines' defaults). Order matters: emails
+    * first (an address contains digit runs), then IPs (a dotted quad
+    * contains digit runs), then bare digit runs.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{7,}\\b", "<NUM>")
 }

@@ -49,6 +49,34 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(idCols :+ tsCol)
 
+  /** Watermarked stream-stream interval join: left rows enriched with right
+    * rows on the same key whose timestamp falls in
+    * `[leftTs − toleranceSec, leftTs]`.
+    *
+    * Both sides carry watermarks and the join condition bounds rightTs
+    * relative to leftTs, which is what lets Spark EXPIRE join state — without
+    * the time bound each side would buffer forever waiting for future
+    * matches. State per key is bounded by tolerance + watermark; this is the
+    * streaming form of [[Relational.intervalJoin]]'s batch semantics
+    * (single-sided tolerance). Key columns are emitted once (left copy).
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      toleranceSec: Long,
+      watermark: String): DataFrame = {
+    require(toleranceSec > 0, "tolerance must be positive")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $toleranceSec SECONDS") &&
+      r(rightTs) <= l(leftTs)
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   // ---- ST6: arbitrary stateful sessionization ------------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -328,4 +328,34 @@ object Text {
   /** Stopword-hit count (not distinct) for quality ratios. */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Training-corpus decontamination: drop every corpus document that shares
+    * at least one word n-gram with the benchmark/eval set — the standard
+    * guard against test-set leakage into training data.
+    *
+    * Scale shape: the benchmark n-gram set is tiny next to the corpus
+    * (benchmarks are thousands of documents, the corpus is billions), so the
+    * contamination probe is a semi-join of the corpus's exploded n-grams
+    * against a broadcast benchmark set, then an anti-join of the corpus on
+    * the contaminated ids — the corpus shuffles nothing; both joins
+    * broadcast under AQE. Long n-grams (n≥5 is conventional) keep the
+    * benchmark set selective.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shinglesOf(col(benchTextCol), n)).as("__s"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("__id"), explode(shinglesOf(col(textCol), n)).as("__s"))
+      .join(benchGrams, Seq("__s"), "left_semi")
+      .select(col("__id"))
+      .distinct()
+    corpus.join(contaminated, corpus(idCol) === contaminated("__id"), "left_anti")
+  }
 }

@@ -65,4 +65,10 @@ class CleanSpec extends AnyFunSuite {
     val out = Seq("  Fast\t\tCar  ").toDF("s").select(Clean.canonicalText($"s")).as[String].head()
     assert(out == "fast car")
   }
+
+  test("redactPii masks emails, IPs, and long digit runs; leaves short numbers") {
+    val out = Seq("mail a.b+c@ex-1.org, host 10.0.255.1, acct 12345678, port 80")
+      .toDF("s").select(Clean.redactPii($"s")).as[String].head()
+    assert(out == "mail <EMAIL>, host <IP>, acct <NUM>, port 80")
+  }
 }

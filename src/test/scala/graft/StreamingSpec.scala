@@ -121,6 +121,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/data").count() == 2)
   }
 
+  test("stream-stream interval join matches within tolerance, expires outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks    = MemoryStream[Ev]
+    val joined = Streaming.streamStreamJoin(
+      purchases.toDF().withColumnRenamed("ts", "p_ts").withColumnRenamed("event_type", "p_type"),
+      clicks.toDF().withColumnRenamed("ts", "c_ts").withColumnRenamed("event_type", "c_type"),
+      keys = Seq("user_id"), leftTs = "p_ts", rightTs = "c_ts",
+      toleranceSec = 3600, watermark = "2 hours")
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(1, ts("2024-01-01 09:30:00"), "click"), // within 1 h of the purchase
+        Ev(1, ts("2024-01-01 07:00:00"), "click"), // too early
+        Ev(2, ts("2024-01-01 09:45:00"), "click")) // wrong user
+      purchases.addData(Ev(1, ts("2024-01-01 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("user_id", "c_ts").as[(Long, java.sql.Timestamp)].collect()
+      assert(rows.toSeq == Seq((1L, ts("2024-01-01 09:30:00"))))
+    } finally q.stop()
+  }
+
   test("S8: parquet file-source stream over a staged directory matches the batch form") {
     // The real S8 shape — readStream.schema(s).parquet(dir) — not MemoryStream:
     // the same tumblingCounts plan over a directory of parquet files must emit

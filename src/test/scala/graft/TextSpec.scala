@@ -61,6 +61,18 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate drops only corpus docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),           // shares the 3-gram with bench
+      (2L, "one two three four five"),                  // clean
+      (3L, "unrelated words entirely different here")). // clean
+      toDF("doc_id", "text")
+    val bench = Seq("xxx alpha beta gamma yyy").toDF("text")
+    val kept = Text.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("simhash: identical text → identical signature; disjoint text → different") {
     val df = Seq(("a b c", "a b c", "x y z")).toDF("p", "q", "r")
     val row = df.select(Text.simhash($"p", 16), Text.simhash($"q", 16), Text.simhash($"r", 16)).head()
