@@ -291,8 +291,8 @@ object SparkEntry {
     }),
 
     // T5 scale path — multi-table sign-LSH approximate top-3 (8 independent
-    // tables × 3 planes: recall@3 ≥ 0.85 vs q24 ground truth on the isotropic
-    // test embeddings; gated in SimilaritySpec)
+    // tables × 3 planes: measured recall@3 ≈ 0.87 vs q24 ground truth on the
+    // isotropic test embeddings; SimilaritySpec gates it at ≥ 0.7)
     "q26_ann_lsh" -> ((s, d) => {
       Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, 3, nTables = 8)
         .orderBy(col("probe_id"), col("rank"))
@@ -300,7 +300,7 @@ object SparkEntry {
 
     // T5 scale path #2 — IVF approximate top-3 (8 seed cells, nProbe=5:
     // the testdata embeddings are structureless, so recall tracks the probed
-    // fraction — recall@3 ≈ 0.85, gated in SimilaritySpec)
+    // fraction — measured recall@3 ≈ 0.85; SimilaritySpec gates it at ≥ 0.7)
     "q58_ivf_ann" -> ((s, d) => {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3,
           nProbe = 5)
@@ -581,7 +581,10 @@ object SparkEntry {
 
     // D3 survivor resolution — connected components keep-one over the
     // simhash near-dup pair graph (q55's candidates): every cluster keeps
-    // exactly its minimum doc_id (reference keep-first semantics, app.py:240)
+    // exactly its minimum doc_id (reference keep-first semantics, app.py:240).
+    // NOTE: unlike every other entry, building this DataFrame RUNS the
+    // iterative label propagation (documented on Dedup.connectedComponents) —
+    // the one queries-map entry that is an algorithm, not a lazy plan.
     "q68_neardup_survivors" -> ((s, d) => {
       val pairs = Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
       Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")

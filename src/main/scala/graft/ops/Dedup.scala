@@ -90,6 +90,12 @@ object Dedup {
     * [Kiveris et al., CC in MapReduce] halves the round count; plain min
     * propagation keeps the per-round plan to stock joins which AQE handles.)
     *
+    * NOTE this is an ITERATIVE ALGORITHM, not a lazy operator: calling it
+    * materializes the pair graph and runs the propagation rounds immediately
+    * (like fitting a model), because each round's convergence test is an
+    * action. Build the pairs DataFrame lazily as usual; invoke this at
+    * execution time.
+    *
     * @return one row per node that appears in any pair: (id, comp) where
     *         comp is the minimum id of the node's component.
     */
@@ -122,6 +128,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a node could carry keep=true
+    // without being its component's minimum), and a dedup that silently
+    // retains duplicates is worse than one that fails loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the pair graph has a component with diameter > maxIter; raise maxIter")
     labels
   }
 

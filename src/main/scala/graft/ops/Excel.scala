@@ -103,16 +103,21 @@ object Excel {
   /** Style indices (the sheet's `s=` attribute values) whose number format is
     * a date/time format: built-in numFmtIds 14–22 and 45–47, plus any custom
     * `numFmt` whose code contains a date token (y/m/d/h/s) outside quoted
-    * literals and `[...]` sections — the same style-based detection
-    * pandas/openpyxl use (there is no cell-level "date" type in
-    * SpreadsheetML; dates are just styled numbers).
+    * literals, `[...]` sections, and backslash-escaped characters — the same
+    * style-based detection pandas/openpyxl use (there is no cell-level
+    * "date" type in SpreadsheetML; dates are just styled numbers). An xf
+    * with `applyNumberFormat="0"` declares its format NOT applied and is
+    * never a date style.
     */
   private def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
     val root = parseXml(bytes)
     val custom = elems(root, "numFmts").headOption.map(e => elems(e, "numFmt")).getOrElse(Nil)
       .flatMap { f =>
         val code = f.getAttribute("formatCode")
-          .replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "").toLowerCase
+          .replaceAll("\"[^\"]*\"", "")  // quoted literals render verbatim
+          .replaceAll("\\[[^\\]]*\\]", "") // color/locale/elapsed sections
+          .replaceAll("\\\\.", "")       // backslash-escaped literal chars
+          .toLowerCase
         if (code.exists("ymdhs".contains(_))) Some(f.getAttribute("numFmtId").toInt) else None
       }.toSet
     val dateIds = ((14 to 22) ++ (45 to 47)).toSet ++ custom
@@ -120,8 +125,9 @@ object Excel {
       .zipWithIndex
       .collect {
         case (xf, i)
-            if Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
-              .exists(id => dateIds.contains(id.toInt)) =>
+            if xf.getAttribute("applyNumberFormat") != "0" &&
+              Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
+                .exists(id => dateIds.contains(id.toInt)) =>
           i
       }
       .toSet

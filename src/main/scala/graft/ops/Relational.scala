@@ -57,7 +57,7 @@ object Relational {
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be positive")
     require(
-      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti", "cross")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
     val l = left.withColumn("__salt",

@@ -73,6 +73,15 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents fails loudly when maxIter is too small for the diameter") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, "a", "b", maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain resolves to one component
+    val ok = Dedup.connectedComponents(chain, "a", "b").as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("nearDupSurvivors keeps exactly the min id per cluster; dropNearDups removes the rest") {
     val pairs = Seq((5L, 2L), (2L, 9L)).toDF("doc_a", "doc_b")
     val surv = Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")
