@@ -549,6 +549,29 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // S — JSON-lines sink + source round-trip (schema-explicit read back;
+    // Spark writes shortest-round-trip doubles, so values survive exactly)
+    "q72_json_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val path = s"/root/repo/target/tmp/json_orders_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // S — ORC sink + source round-trip (columnar alternative to parquet)
+    "q73_orc_roundtrip" -> ((s, d) => {
+      val src  = t(s, d, "supplier")
+      val path = s"/root/repo/target/tmp/orc_supplier_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      src.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // SQL surface over the registered table catalog
     "q52_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -1160,6 +1183,14 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS cnt,
                 CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q72_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q73_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS sum_bal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q52_sql_surface" ->
       """SELECT n_name, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue

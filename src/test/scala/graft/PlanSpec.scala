@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions (SURVEY §4.2): the operators must not merely be
@@ -58,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     df.collect() // force execution so AQE finalizes the physical plan
     // codegen stages print as `*(n)` prefixes in the final adaptive plan
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("partitioned write → filtered read prunes partitions at the source") {
+    val base = s"/root/repo/target/tmp/part_events_${System.nanoTime()}"
+    Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .write.partitionBy("event_type").parquet(base)
+    val df   = spark.read.parquet(base).filter(col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate must land in the scan's PartitionFilters (directory
+    // pruning — only the click/ partition is listed), not a post-scan Filter
+    assert(plan.contains("PartitionFilters: ["), plan.take(400))
+    assert(plan.replaceAll("#\\d+", "").contains("(event_type = click)"), plan.take(400))
   }
 
   test("q67 tfidf: building the plan launches no job; corpus count is in-plan") {
