@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with dozens of broadcast joins in one JVM needs headroom;
   // 8g showed old-gen GC thrash across a long query sweep.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 75 codegen'd queries overflow the default 240 MB JIT code cache mid-sweep;
+  // once full, the JIT stops compiling and late queries run interpreted
+  // (q16 measured 8.7 s full-cache vs 5.4 s with headroom).
+  "-XX:ReservedCodeCacheSize=1g",
 )

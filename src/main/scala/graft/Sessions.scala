@@ -23,6 +23,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries; a sweep of 70+
+      // distinct queries evicts everything between passes and re-pays janino
+      // compilation per stage. Any many-query workload (BI server, test
+      // suite, this engine's Verify/Bench) wants this sized to its plan count.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

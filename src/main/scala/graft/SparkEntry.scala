@@ -260,6 +260,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition-based quality (Gopher-rule family): top-token dominance and
+    // duplicate-bigram fraction per document
+    "q74_repetition" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          Summaries.r4(Text.topTokenRatio(toks)).as("top_tok_ratio"),
+          Summaries.r4(Text.dupBigramRatio(Text.ngramsOf(col("text"), 2))).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -594,6 +605,17 @@ object SparkEntry {
           conv(hex(substring(payload, 1, 7)), 16, 10).cast("long").as("head7"),
           expr("concat_ws('', transform(sequence(1, length(text), 64), i -> substr(text, i, 1)))").as("sample"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental exact dedup — drop batch rows whose content already exists
+    // in the corpus (the daily-increment path of a growing training set)
+    "q75_incremental_dedup" -> ((s, d) => {
+      val e      = t(s, d, "events")
+      val corpus = e.filter(col("event_id") % 10 < 8)
+      val batch  = e.filter(col("event_id") % 10 >= 8)
+      Dedup.dedupAgainstCorpus(batch, corpus, "props")
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
     }),
 
     // D3 — SimHash-banded near-dup (third LSH family; Hamming verify)
@@ -967,6 +989,18 @@ object SparkEntry {
          SELECT doc_id, lang FROM corpus
          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "q74_repetition" ->
+      """WITH tkx AS (
+           SELECT doc_id, tk,
+                  [array_to_string(list_slice(tk, i, i+1), ' ') for i in range(1, len(tk))] bg
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents))
+         SELECT doc_id,
+                floor(list_max([len(list_filter(tk, x -> x = t)) for t in list_distinct(tk)])::DOUBLE
+                      / len(tk) * 10000 + 0.5)/10000 AS top_tok_ratio,
+                floor((CASE WHEN len(bg) > 0
+                            THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                            ELSE 0.0 END) * 10000 + 0.5)/10000 AS dup_bigram_ratio
+         FROM tkx ORDER BY doc_id""",
     "q23_token_count" ->
       """SELECT lang,
                 sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS bpe_tokens,
@@ -1202,6 +1236,13 @@ object SparkEntry {
                 ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,
                 array_to_string([substr(text, i, 1) for i in range(1, length(text) + 1, 64)], '') AS sample
          FROM documents ORDER BY doc_id""",
+    "q75_incremental_dedup" ->
+      """SELECT event_id, props
+         FROM events b
+         WHERE event_id % 10 >= 8
+           AND NOT EXISTS (SELECT 1 FROM events c
+                           WHERE c.event_id % 10 < 8 AND c.props = b.props)
+         ORDER BY event_id""",
     "q55_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
          shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),

@@ -217,6 +217,85 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All `nTables` sign-LSH bucket ids of a float-vector column in one compiled
+  * pass: bucket bit p of table t is `sign(Σ_d v[d]·w(t·100+p, d))`, with the
+  * ±1 hyperplane weights derived from md5 exactly like
+  * `Similarity.planeWeight` (and the DuckDB oracle). The Column-level form
+  * inlines nTables×nPlanes literal-array cosine calls into one generated
+  * method — past ~8 KB of bytecode the JVM refuses to JIT it and the whole
+  * stage runs interpreted; this expression is a plain nested loop instead.
+  * Accumulation is a sequential double fold in index order — bit-identical
+  * to the oracle's `list_reduce` form, so `> 0` signs agree exactly.
+  */
+case class SignLshBuckets(child: Expression, nTables: Int, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nTables >= 1 && nPlanes >= 1 && nPlanes < 64, "bad table/plane counts")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_buckets expects array<float|double>, got ${other.simpleString}")
+  }
+
+  @transient private var cachedDim: Int = -1
+  @transient private var weights: Array[Array[Double]] = _
+
+  /** ±1 weights per (table, plane), materialized once per input dimension. */
+  private def weightsFor(dim: Int): Array[Array[Double]] = {
+    if (cachedDim != dim) {
+      weights = Array.tabulate(nTables * nPlanes) { i =>
+        val plane = (i / nPlanes) * 100 + (i % nPlanes)
+        Array.tabulate(dim) { d =>
+          val md  = MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"${plane}_$d".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
+        }
+      }
+      cachedDim = dim
+    }
+    weights
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      d += 1
+    }
+    val w   = weightsFor(dim)
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val wv  = w(t * nPlanes + p)
+        var acc = 0.0
+        var i   = 0
+        while (i < dim) { acc += v(i) * wv(i); i += 1 }
+        if (acc > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MinHashSignature {
   /** Mersenne prime 2^31−1: the permutation modulus. Small enough that
     * a·h + b < 2^62 (no 64-bit overflow in any engine), large enough that

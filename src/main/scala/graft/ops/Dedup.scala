@@ -146,6 +146,26 @@ object Dedup {
     connectedComponents(pairs, aCol, bCol)
       .select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
 
+  /** Incremental exact dedup: drop batch rows whose content digest already
+    * exists in the corpus — the daily-increment operation of a continuously
+    * growing training set. The corpus side is reduced to its distinct digest
+    * set (32 B per distinct document) before the anti-join, so the batch —
+    * the small side by construction — joins against digests, never against
+    * corpus bodies; neither side's documents cross the network.
+    */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      contentCol: String): DataFrame = {
+    val seen = corpus
+      .select(sha2(col(contentCol).cast("binary"), 256).as("__digest"))
+      .distinct()
+    batch
+      .withColumn("__digest", sha2(col(contentCol).cast("binary"), 256))
+      .join(seen, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** Produce the deduplicated corpus: drop every non-survivor of every
     * near-dup cluster; documents in no pair are untouched. The loser set is
     * tiny relative to the corpus (it is bounded by the pair count), so the

@@ -112,10 +112,12 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
       nTables: Int = 1): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val tb = explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("t"), signLshBucket(col("v"), nPlanes, table = t).as("b"))): _*))
-    val slim = base.select(col("id"), tb.as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // all tables' buckets in ONE compiled pass (the inlined-literal Column
+    // form generated >8 KB methods that the JIT refused — see SignLshBuckets)
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.SignLshBuckets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), nTables, nPlanes))
+    val slim = base.select(col("id"), posexplode(buckets).as(Seq("t", "b")))
       .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
     val cand = slim.as("a")
       .join(slim.as("b"),

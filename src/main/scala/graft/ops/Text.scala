@@ -211,13 +211,15 @@ object Text {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
     val sh  = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
     val inv = sh.select(col("id"), explode(col("ss")).as("s"))
-      .repartition(col("s")) // both join sides + the df window reuse this one exchange
-    // Per-shingle df via a window over the already-co-partitioned index —
-    // no extra shuffle, and the hot-shingle drop happens before the join.
-    val rare = inv
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .select(col("id"), col("s"))
+      .repartition(col("s")) // both join sides + the df aggregate reuse this one exchange
+    // Hot-shingle set via a partial-aggregated count on the co-partitioned
+    // index (no extra exchange, no sort — a window over `s` would sort all
+    // 750k index rows); the hot set is tiny by definition, so dropping it is
+    // a broadcast anti-join.
+    val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("s"))
+    val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -328,6 +330,25 @@ object Text {
   /** Stopword-hit count (not distinct) for quality ratios. */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Repetition-based quality signals (the Gopher-rule family): fraction of
+    * tokens belonging to the single most frequent token, and fraction of
+    * bigram OCCURRENCES that are duplicates of an earlier occurrence.
+    * Machine-generated and boilerplate text scores high on both; natural
+    * prose stays low. Pure per-row array expressions — no shuffle, fused
+    * into the scan stage like the rest of the quality battery.
+    */
+  def topTokenRatio(toks: Column): Column = {
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    array_max(counts).cast("double") / size(toks).cast("double")
+  }
+
+  /** Duplicate-bigram fraction: 1 − distinct_bigrams/total_bigrams. */
+  def dupBigramRatio(ngramsCol: Column): Column =
+    when(size(ngramsCol) > 0,
+      lit(1.0) - size(array_distinct(ngramsCol)).cast("double") / size(ngramsCol).cast("double"))
+      .otherwise(lit(0.0))
 
   /** Training-corpus decontamination: drop every corpus document that shares
     * at least one word n-gram with the benchmark/eval set — the standard

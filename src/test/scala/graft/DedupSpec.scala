@@ -65,6 +65,15 @@ class DedupSpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("dedupAgainstCorpus drops batch rows whose content the corpus already has") {
+    val corpus = Seq((1L, "seen"), (2L, "also seen")).toDF("id", "txt")
+    val batch  = Seq((10L, "seen"), (11L, "fresh"), (12L, null.asInstanceOf[String])).toDF("id", "txt")
+    val kept = Dedup.dedupAgainstCorpus(batch, corpus, "txt")
+      .select("id").as[Long].collect().toSet
+    // null content has no digest → never "seen", kept (matches NOT EXISTS semantics)
+    assert(kept == Set(11L, 12L))
+  }
+
   test("connectedComponents labels a chain and a separate pair correctly") {
     // chain 1-2-3 (transitive closure spans >1 hop) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

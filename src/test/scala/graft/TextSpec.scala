@@ -61,6 +61,17 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: dominated/repeated text scores high, varied text low") {
+    val df = Seq(
+      "spam spam spam spam eggs",      // top token 4/5; bigram "spam spam" ×3 of 4 → dup 0.5
+      "one two three four five").toDF("t")
+    val out = df.select(
+      Text.topTokenRatio(Text.tokens($"t")).as("tt"),
+      Text.dupBigramRatio(Text.ngramsOf($"t", 2)).as("db")).collect()
+    assert(out(0).getDouble(0) == 0.8 && out(0).getDouble(1) == 0.5)
+    assert(out(1).getDouble(0) == 0.2 && out(1).getDouble(1) == 0.0)
+  }
+
   test("decontaminate drops only corpus docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),           // shares the 3-gram with bench
