@@ -618,6 +618,66 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Per-domain quota: at most k docs per source, content-addressed pick
+    "q76_domain_cap" -> ((s, d) => {
+      Curation.domainCap(t(s, d, "documents"), "source", "doc_id", "text", 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Boilerplate-line removal (CCNet-style) over fixed-width token chunks
+    "q77_boilerplate" -> ((s, d) => {
+      val docs  = Tables.spread(t(s, d, "documents"))
+      val lines = Curation.tokenChunks(docs, "doc_id", "source", "text", 5)
+      Curation.stripBoilerplate(docs, lines, "doc_id", "source", maxFrac = 0.5)
+        .select(col("doc_id"), col("source"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dense global ids without a single-partition window
+    "q78_global_ids" -> ((s, d) => {
+      Ingest.withGlobalId(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"), "gid")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-entropy information-density score
+    "q79_entropy" -> ((s, d) => {
+      Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          Summaries.r4(Curation.charEntropy(col("text"))).as("char_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified deterministic sampling: per-language fractions
+    "q81_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(t(s, d, "documents"), "lang",
+          Seq("doc_id"), Map("en" -> 0.5, "zh" -> 0.2), default = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-score outlier trim: docs whose length is >2 sd from their source mean
+    "q82_outliers" -> ((s, d) => {
+      Curation.zScoreOutliers(t(s, d, "documents"), "source", "n_chars", 2.0)
+        .select(col("doc_id"), col("source"), Summaries.r4(col("z")).as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bucketed co-located join: shuffle paid once at write time, join is
+    // exchange-free (plan pinned in StorageSpec)
+    "q80_bucketed_join" -> ((s, d) => {
+      Storage.writeBucketed(t(s, d, "customer"), "q80_cust_b", Seq("c_custkey"), 4)
+      Storage.writeBucketed(
+        t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "q80_ord_b", Seq("c_custkey"), 4)
+      Storage.coLocatedJoin(s, "q80_cust_b", "q80_ord_b", Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // D3 — SimHash-banded near-dup (third LSH family; Hamming verify)
     "q55_simhash_neardup" -> ((s, d) => {
       Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
@@ -1243,6 +1303,75 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM events c
                            WHERE c.event_id % 10 < 8 AND c.props = b.props)
          ORDER BY event_id""",
+    "q76_domain_cap" ->
+      """WITH rk AS (
+           SELECT doc_id, source,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source FROM rk WHERE rk <= 10 ORDER BY doc_id""",
+    "q77_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') tk
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, source,
+                  [array_to_string(list_slice(tk, i, i + 4), ' ')
+                   for i in range(1, len(tk) + 1, 5)] AS ls
+           FROM toks),
+         ex AS (
+           SELECT doc_id, source, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+           FROM chunks),
+         nd AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         hot AS (
+           SELECT ex.source, line
+           FROM ex JOIN nd USING (source)
+           GROUP BY ex.source, line, n
+           HAVING count(DISTINCT doc_id) >= 2
+              AND count(DISTINCT doc_id) > n * 0.5),
+         kept AS (
+           SELECT e.doc_id, string_agg(e.line, chr(10) ORDER BY e.pos) AS clean_text
+           FROM ex e ANTI JOIN hot h ON e.source = h.source AND e.line = h.line
+           GROUP BY e.doc_id)
+         SELECT d.doc_id, d.source, coalesce(k.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN kept k USING (doc_id)
+         ORDER BY doc_id""",
+    "q78_global_ids" ->
+      """SELECT doc_id, source,
+                row_number() OVER (ORDER BY doc_id) - 1 AS gid
+         FROM documents ORDER BY doc_id""",
+    "q79_entropy" ->
+      """WITH cs AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+         ks AS (
+           SELECT doc_id, len(ch) AS n,
+                  [len(list_filter(ch, x -> x = c))
+                   for c in list_sort(list_distinct(ch))] AS counts
+           FROM cs)
+         SELECT doc_id,
+                floor(list_sum([-(k::DOUBLE / n) * log2(k::DOUBLE / n)
+                                for k in counts]) * 10000 + 0.5) / 10000 AS char_entropy
+         FROM ks ORDER BY doc_id""",
+    "q80_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, max(o_totalprice) AS max_price
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q81_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+           FROM documents)
+         WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 1000 END
+         ORDER BY doc_id""",
+    "q82_outliers" ->
+      """WITH s AS (
+           SELECT source, avg(n_chars) AS mu, stddev(n_chars) AS sd
+           FROM documents GROUP BY source)
+         SELECT doc_id, d.source,
+                floor((n_chars - mu) / sd * 10000 + 0.5) / 10000 AS z
+         FROM documents d JOIN s USING (source)
+         WHERE abs((n_chars - mu) / sd) > 2.0
+         ORDER BY doc_id""",
     "q55_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
          shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),

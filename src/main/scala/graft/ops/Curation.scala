@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a web-scale training-data pipeline runs after
+  * dedup and before tokenization: per-domain quotas, boilerplate stripping,
+  * and information-density scoring. The reference product curates only by
+  * exact duplicate removal and failure filters (`/root/reference/app.py:240,
+  * 267-276`); these extend that intent to the quota/boilerplate rules that
+  * published web-corpus pipelines (CCNet, RefinedWeb, Gopher) apply at the
+  * 100 TB scale this engine targets.
+  */
+object Curation {
+
+  /** Per-domain quota: keep at most `k` documents from each domain — the
+    * standard guard against a handful of mega-domains dominating a crawl.
+    * Selection is content-addressed (rank by 60-bit md5 of the content, id
+    * as tiebreak), so the surviving set is a pure function of the data:
+    * stable across reruns, partition layouts, and corpus growth — a document
+    * only loses its slot when a lexicographically-smaller-hash one arrives.
+    *
+    * Shape at scale: one hash-exchange on the domain column feeding a
+    * window; rows never widen. Domain skew is bounded by the quota itself
+    * only AFTER ranking, so a pathological domain still sorts all its rows
+    * in one partition — for crawl-scale skew, pre-filter with an
+    * AQE-handled `groupBy(domain).count()` gate or raise parallelism; the
+    * testdata's uniform domains don't need it.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+      contentCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"quota must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(Text.hash60(col(contentCol)), col(idCol))
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Boilerplate-line removal (CCNet-style): drop every line that occurs in
+    * more than `maxFrac` of its domain's documents — nav bars, cookie
+    * banners, license footers — and reassemble the survivors in original
+    * order. A document whose lines are all boilerplate survives with empty
+    * text (filter it with a length rule afterwards if desired).
+    *
+    * `lines` is any (id, domain, pos, line) decomposition — see
+    * [[linesOf]] for the newline form and [[tokenChunks]] for a
+    * fixed-width-token form on single-line corpora.
+    *
+    * Shape at scale: the line df aggregate is partially aggregated
+    * (map-side combine) on (domain, line); the boilerplate set is tiny by
+    * definition — bounded by lines/doc × domains, independent of corpus
+    * size — so removal is a broadcast anti-join and document bodies are
+    * never joined against the frequency table. Reassembly shuffles
+    * (id, line) pairs once.
+    */
+  def stripBoilerplate(docs: DataFrame, lines: DataFrame, idCol: String,
+      domainCol: String, maxFrac: Double, minDf: Int = 2): DataFrame = {
+    require(maxFrac > 0 && maxFrac < 1, s"maxFrac in (0,1), got $maxFrac")
+    require(minDf >= 2, s"minDf >= 2 (df=1 lines are unique content), got $minDf")
+    val domDocs = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    // minDf keeps tiny domains sane: in a 1-doc domain every line has
+    // df = 1 > n·maxFrac and the whole document would vanish
+    val hot = lines
+      .groupBy(col(domainCol), col("line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .join(broadcast(domDocs), Seq(domainCol))
+      .filter(col("__df") >= minDf && col("__df") > col("__n") * maxFrac)
+      .select(col(domainCol), col("line"))
+    val kept = lines.join(broadcast(hot), Seq(domainCol, "line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), p => p("line")), "\n").as("clean_text"))
+    docs.select(col(idCol), col(domainCol))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  /** Newline decomposition of a text column into (id, domain, pos, line). */
+  def linesOf(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+
+  /** Fixed-width token chunks as pseudo-lines for single-line corpora:
+    * consecutive `width`-token windows, space-joined. Deterministic, so the
+    * DuckDB oracle replays it exactly.
+    */
+  def tokenChunks(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, width: Int): DataFrame = {
+    val tk = Text.tokens(col(textCol))
+    docs.select(col(idCol), col(domainCol),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(tk).cast("double") / width).cast("int") - 1),
+          i => array_join(slice(tk, i * width + 1, lit(width)), " "))).as(Seq("pos", "line")))
+  }
+
+  /** Character-level Shannon entropy (bits/char) — the cheap
+    * information-density score: gibberish and key-mash text score near the
+    * charset's log2, templated/repeated text scores low. Pure per-row
+    * expression, fused into the scan stage.
+    *
+    * Summation runs over the SORTED distinct characters so the float
+    * accumulation order is engine-independent — the DuckDB oracle sums the
+    * identical sequence and the 4-decimal round then agrees exactly.
+    */
+  /** Distribution-based outlier trim: rows whose `valCol` sits more than
+    * `threshold` sample standard deviations from their group's mean —
+    * truncation-length spikes, pathological documents, sensor glitches.
+    * The per-group stats table has one row per group (broadcast), so the
+    * corpus takes one narrow pass: no self-join, no window sort.
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valCol)).as("__mu"), stddev(col(valCol)).as("__sd"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", (col(valCol) - col("__mu")) / col("__sd"))
+      .filter(abs(col("z")) > threshold)
+      .drop("__mu", "__sd")
+  }
+
+  def charEntropy(textCol: Column): Column = {
+    val cs = split(textCol, "")
+    val n  = size(cs).cast("double")
+    val ks = transform(array_sort(array_distinct(cs)),
+      c => size(filter(cs, x => x === c)).cast("double"))
+    aggregate(ks, lit(0.0d), (acc, k) => acc - (k / n) * log2(k / n))
+  }
+}

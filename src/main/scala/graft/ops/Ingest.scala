@@ -79,4 +79,41 @@ object Ingest {
     */
   def unionAllByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Dense global row ids 0..n−1 in `orderCols` order, WITHOUT the
+    * single-partition window that `row_number() OVER (ORDER BY …)` plans —
+    * a global window funnels all 100 TB through one task; this stays fully
+    * parallel:
+    *
+    *   1. range-partition + in-partition sort on `orderCols` (one exchange;
+    *      partitions are globally ordered),
+    *   2. `zipWithIndex`, which runs a count-only job for the per-partition
+    *      offsets (tiny driver state: one long per partition) and then maps
+    *      each partition once.
+    *
+    * Two passes over the sorted data — the same cost Spark's own
+    * `zipWithIndex` contract pays — vs. zero parallelism for the window
+    * form. `orderCols` must be a total order (unique key) for the ids to be
+    * deterministic; ties would land on whichever side of a range boundary
+    * sampling put them.
+    *
+    * This is the one operator in the batch surface that goes through an RDD:
+    * per-partition offset arithmetic is genuinely imperative, outside
+    * relational semantics. The RDD boundary also ends Catalyst's view of the
+    * plan, so apply it LAST (after filters/projections have been pushed).
+    */
+  def withGlobalId(df: DataFrame, orderCols: Seq[String], idName: String,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(p, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

@@ -31,6 +31,23 @@ object Sampling {
     df.filter(hashBucket(keys.map(col)) < math.round(fraction * 10000).toInt)
   }
 
+  /** Stratified deterministic sampling: each stratum keeps its own fraction
+    * (rebalancing a skewed corpus — downsample the dominant language, keep
+    * all of a rare one). Same content-addressed membership as [[hashSample]],
+    * so a document's in/out decision never changes as the corpus grows;
+    * strata absent from `fractions` keep `default`.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keys: Seq[String],
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions in [0,1]")
+    val cut = fractions.foldLeft(lit(math.round(default * 10000).toInt): Column) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(math.round(f * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(keys.map(col)) < cut)
+  }
+
   /** Train/val/test-style assignment: `weights` are cumulative-normalized;
     * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     */

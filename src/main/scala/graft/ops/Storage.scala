@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage-layout operators — the table-format side of running at 100 TB.
+  * The reference's storage story is a single xlsx (`/root/reference/app.py:
+  * 369-378`); at cluster scale the equivalent concerns are join co-location
+  * (bucketing) and small-file hygiene (compaction), both of which operate on
+  * HOW bytes land on disk rather than on row values.
+  */
+object Storage {
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed table. Two tables
+    * bucketed the same way on their join key sort-merge-join with NO
+    * exchange on either side — the shuffle is paid once at write time and
+    * amortized over every subsequent join/aggregation on that key
+    * (CoLocationSpec pins the exchange-free plan). This is the staple layout
+    * for a fact table that is joined on the same key daily.
+    *
+    * Bucket count is a layout contract, not a tuning knob: both sides must
+    * match, and at 100 TB it should divide the data into bucket files of
+    * O(100 MB–1 GB) — resize means rewrite.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty && buckets >= 1, "need at least one key and bucket")
+    require(!table.contains("."), s"unqualified table name expected, got $table")
+    // True overwrite even across sessions: with a non-persistent catalog the
+    // managed location can survive while the table entry does not, and the
+    // CREATE path then refuses the non-empty directory.
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Join two identically-bucketed tables on their bucket keys — planned as
+    * an exchange-free sort-merge join (the `merge` hint keeps the small-SF
+    * test honest; at scale stats pick SMJ anyway).
+    */
+  def coLocatedJoin(spark: SparkSession, tableA: String, tableB: String,
+      keys: Seq[String]): DataFrame =
+    spark.table(tableA).hint("merge").join(spark.table(tableB), keys)
+
+  /** Rewrite a directory of parquet files into ~`targetBytes` files at
+    * `outDir` and return (files before, files after). THE small-file fix: a
+    * streaming sink or an over-parallel job leaves thousands of KB-scale
+    * files whose per-file open/footer cost dominates scans; compaction is a
+    * single narrow repartition pass sized from the actual on-disk bytes.
+    *
+    * Output file count = ceil(input bytes / targetBytes) — parquet encoding
+    * is roughly size-preserving on already-encoded input, so the on-disk
+    * math carries over. Compact to a NEW directory and swap atomically at
+    * the catalog/orchestration layer; in-place compaction that deletes
+    * inputs mid-job is how corruption happens at scale.
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"no parquet files under $dir")
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outParts = fs.listStatus(new Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, outParts)
+  }
+}

@@ -77,6 +77,39 @@ object Streaming {
     keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 
+  /** Streaming incremental corpus dedup: each micro-batch is anti-joined
+    * against the accumulated corpus's content digests
+    * ([[Dedup.dedupAgainstCorpus]]) and only genuinely-new documents are
+    * appended — a training corpus that grows continuously but never
+    * re-admits content it already holds.
+    *
+    * `foreachBatch` is the right tool (not a stateful operator): the "state"
+    * is the corpus itself, which must outlive the query, be readable by
+    * batch jobs mid-stream, and scale past executor state stores. Batch +
+    * append is idempotent-ish under retries only per content (a replayed
+    * batch re-checks the corpus, so duplicates cannot enter; a crash BETWEEN
+    * the read and the append can at worst re-admit rows written by that very
+    * attempt — at-least-once, deduped at the content level).
+    */
+  def incrementalDedupSink(stream: DataFrame, corpusDir: String,
+      contentCol: String, idCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir)))
+            Dedup.dedupAgainstCorpus(batch, spark.read.parquet(corpusDir), contentCol)
+          else batch
+        // dedup WITHIN the batch too: two copies in one micro-batch must land once
+        Dedup.dedupByDigest(fresh, contentCol, idCol)
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   // ---- ST6: arbitrary stateful sessionization ------------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -49,6 +49,23 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile tracks q63's exact percentiles within 5%") {
+    // the scale path for q63: exact `percentile` sorts every group member;
+    // approx_percentile is the sketch used when a group holds billions
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.t(spark, sf, "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("q63_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) / m <= 0.05, s"$k: approx ${approx(k)} vs exact $m")
+    }
+  }
+
   test("q56 decode features are deterministic across two runs") {
     val sf = "/root/testdata/sf0.001"
     val a  = SparkEntry.queries("q56_decode_features")(spark, sf).collect().toSeq

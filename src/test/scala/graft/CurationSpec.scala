@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Ingest}
+
+class CurationSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("domainCap keeps at most k docs per domain, content-addressed") {
+    val docs = (1L to 30L).map(i => (i, s"dom${i % 2}", s"text $i")).toDF("id", "dom", "txt")
+    val out  = Curation.domainCap(docs, "dom", "id", "txt", 5)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("dom0" -> 5L, "dom1" -> 5L))
+    // deterministic: same pick on a re-run with shuffled input order
+    val again = Curation.domainCap(docs.orderBy(rand(7)), "dom", "id", "txt", 5)
+    assert(out.select("id").as[Long].collect().sorted.sameElements(
+      again.select("id").as[Long].collect().sorted))
+  }
+
+  test("stripBoilerplate drops domain-frequent lines, keeps order, empty-text survivor") {
+    val docs = Seq(
+      (1L, "d", "COOKIE BANNER\nreal content one\nFOOTER"),
+      (2L, "d", "COOKIE BANNER\nreal content two\nFOOTER"),
+      (3L, "d", "COOKIE BANNER\nFOOTER"), // all boilerplate -> empty text
+      (4L, "e", "COOKIE BANNER\nunique here")  // different domain: banner is rare there
+    ).toDF("id", "dom", "txt")
+    val lines = Curation.linesOf(docs, "id", "dom", "txt")
+    val out = Curation.stripBoilerplate(docs, lines, "id", "dom", maxFrac = 0.6)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "real content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "")
+    assert(out(4L) == "COOKIE BANNER\nunique here")
+  }
+
+  test("tokenChunks windows tokens into fixed-width pseudo-lines") {
+    val docs = Seq((1L, "d", "a b c d e f g")).toDF("id", "dom", "txt")
+    val got = Curation.tokenChunks(docs, "id", "dom", "txt", 3)
+      .orderBy("pos").select("line").as[String].collect().toSeq
+    assert(got == Seq("a b c", "d e f", "g"))
+  }
+
+  test("charEntropy hits the closed-form values") {
+    val got = Seq("aaaa", "ab", "abab", "abcd").toDF("t")
+      .select(Curation.charEntropy($"t")).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0, 1.0, 2.0))
+  }
+
+  test("zScoreOutliers flags only far-from-mean rows, per group") {
+    // group a: tight cluster around 100 plus one spike; group b: all tight
+    val df = (Seq.tabulate(20)(i => ("a", 100L + (i % 3))) :+ (("a", 500L)))
+      .++(Seq.tabulate(10)(i => ("b", 50L + (i % 2))))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val out = Curation.zScoreOutliers(df, "grp", "v", 2.0)
+      .select("grp", "v").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 500L)))
+  }
+
+  test("withGlobalId assigns dense ids in key order across many partitions") {
+    val df  = spark.range(1000).select((col("id") * 37 % 1000).as("k")) // permuted keys
+      .repartition(8)
+    val out = Ingest.withGlobalId(df, Seq("k"), "gid", partitions = 6)
+    val rows = out.select("k", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sameElements(rows.map(_._1))) // gid == rank == k here
+    assert(out.rdd.getNumPartitions == 6)
+  }
+}

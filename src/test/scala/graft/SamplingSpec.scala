@@ -41,4 +41,21 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitColumn(Seq($"x"), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("stratifiedSample applies per-stratum fractions and the default") {
+    val df = (1 to 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val counts = Sampling
+      .stratifiedSample(df, "lang", Seq("id"), Map("en" -> 0.9, "zh" -> 0.1), default = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") > 800 && counts("en") <= 1000)
+    assert(counts("zh") > 50 && counts("zh") < 200)
+    assert(!counts.contains("fr")) // default 0 drops absent strata entirely
+    // same membership rule as hashSample: an en row keeps its fate at any fraction order
+    val again = Sampling
+      .stratifiedSample(df.orderBy(rand(3)), "lang", Seq("id"), Map("zh" -> 0.1, "en" -> 0.9))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
 }

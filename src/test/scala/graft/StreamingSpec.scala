@@ -166,6 +166,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incrementalDedupSink grows a corpus without re-admitting seen content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/incdedup_${System.nanoTime()}"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupSink(
+      input.toDF().toDF("id", "content"), s"$base/corpus", "content", "id", s"$base/ckpt")
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // in-batch dup
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma"))                // cross-batch dup
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("content").as[String].collect().sorted.toSeq
+      assert(corpus == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("batch/stream parity: tumblingCounts on a static frame matches groupBy window") {
     import spark.implicits._
     val df = Seq(
