@@ -15,6 +15,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * from user SQL by a rule).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a foldable int argument (the SQL form of a Scala `Int` param:
+    * `graft_minhash(s, 16)`); rejects non-literal shapes up front so the
+    * error is "argument must be a literal", not a runtime cast failure.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
@@ -26,5 +41,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "graft_jaccard(a, b) - Jaccard similarity of two string-array sets"),
       (children: Seq[Expression]) => graft.expr.ArrayJaccard(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(text, n) - space-joined word n-grams (ordered, with dups)"),
+      (children: Seq[Expression]) =>
+        graft.expr.WordNgrams(children(0), litInt(children(1), "graft_ngrams", "n"),
+          distinct = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingle set"),
+      (children: Seq[Expression]) =>
+        graft.expr.WordNgrams(children(0), litInt(children(1), "graft_shingles", "n"),
+          distinct = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(shingles, nBits) - SimHash of a string-array set"),
+      (children: Seq[Expression]) =>
+        graft.expr.SimHashOfSet(children(0), litInt(children(1), "graft_simhash", "nBits"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-element MinHash signature"),
+      (children: Seq[Expression]) =>
+        graft.expr.MinHashSignature(children(0), litInt(children(1), "graft_minhash", "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      info("graft_lsh_buckets",
+        "graft_lsh_buckets(vec, nTables, nPlanes) - sign-LSH bucket id per hash table"),
+      (children: Seq[Expression]) =>
+        graft.expr.SignLshBuckets(children(0),
+          litInt(children(1), "graft_lsh_buckets", "nTables"),
+          litInt(children(2), "graft_lsh_buckets", "nPlanes"))))
   }
 }

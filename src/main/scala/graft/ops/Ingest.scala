@@ -80,6 +80,35 @@ object Ingest {
   def unionAllByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Malformed-record quarantine for JSON-lines ingest: one pass over the
+    * raw text, routed into (parsed rows, rejected raw lines). The bad stream
+    * keeps the ORIGINAL line so it can be re-driven after a fix — dropping
+    * malformed input silently is how pipelines lose data unnoticed.
+    *
+    * Built on `from_json` over a text scan rather than the JSON reader's
+    * PERMISSIVE mode: the reader's corrupt-record column has the documented
+    * restriction that it cannot be queried alone without caching the whole
+    * frame — a non-starter at 100 TB. Here the corrupt-record field is part
+    * of the parse expression itself, so routing is a pure scan-stage
+    * operation and both branches share the one file scan.
+    *
+    * "Malformed" = unparseable JSON. A parseable object that merely misses
+    * fields yields nulls in those fields — schema enforcement is a
+    * separate, later filter by design.
+    */
+  def readJsonQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("__corrupt"), "__corrupt is reserved")
+    val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j"))
+    val good = parsed.filter(col("j.__corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
+    val bad = parsed.filter(col("j.__corrupt").isNotNull).select(col("value").as("raw"))
+    (good, bad)
+  }
+
   /** Dense global row ids 0..n−1 in `orderCols` order, WITHOUT the
     * single-partition window that `row_number() OVER (ORDER BY …)` plans —
     * a global window funnels all 100 TB through one task; this stays fully

@@ -22,6 +22,23 @@ class ExtensionsSpec extends AnyFunSuite {
         .head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
+      // the full text/similarity battery is SQL-addressable too
+      val t = s2.sql(
+        """SELECT graft_ngrams('a b a b', 2) ng,
+                  graft_shingles('a b a b', 2) sh,
+                  graft_simhash(array('x','y'), 16) simh,
+                  graft_minhash(array('x','y'), 4) mh,
+                  graft_lsh_buckets(array(0.5f, -0.25f), 2, 3) lb""").head()
+      assert(t.getSeq[String](0) == Seq("a b", "b a", "a b"))
+      assert(t.getSeq[String](1).toSet == Set("a b", "b a"))
+      assert(t.getLong(2) >= 0 && t.getLong(2) < (1L << 16))
+      assert(t.getSeq[Long](3).size == 4)
+      assert(t.getSeq[Long](4).size == 2 && t.getSeq[Long](4).forall(b => b >= 0 && b < 8))
+      // non-literal size arguments are rejected with a clear message
+      val ex = intercept[Exception] {
+        s2.sql("SELECT graft_minhash(array('x'), cast(rand()*4 AS INT))").head()
+      }
+      assert(ex.getMessage.contains("literal"))
     } finally {
       SparkSession.setDefaultSession(prev.get)
       SparkSession.setActiveSession(prev.get)

@@ -52,6 +52,25 @@ class IngestSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("keep"))
   }
 
+  test("readJsonQuarantine routes malformed lines whole, parses the rest") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonq")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "fine", "extra": true}""",
+        """{"id": 3, "name": BROKEN""",
+        """not json at all""",
+        """{"id": 4}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = Ingest.readJsonQuarantine(spark, dir.toString, schema)
+    val g = good.orderBy("id").collect()
+    assert(g.length == 3 && g(0).getLong(0) == 1 && g(2).isNullAt(1)) // id=4: missing field -> null, NOT quarantined
+    val b = bad.as[String].collect().toSet
+    assert(b == Set("""{"id": 3, "name": BROKEN""", "not json at all"))
+  }
+
   test("unionAllByName aligns by name and null-fills (pd.concat, app.py:325)") {
     val a = Seq((1, "x")).toDF("k", "a_only")
     val b = Seq((2, 9.5)).toDF("k", "b_only")
