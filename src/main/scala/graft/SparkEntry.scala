@@ -665,6 +665,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // S — malformed-record quarantine: JSON-lines ingest routed into
+    // (parsed, rejected-raw) off ONE text scan (Ingest.readJsonQuarantine).
+    // Three corrupt lines are injected next to the good part-files; the
+    // good side must aggregate exactly like the source table and the bad
+    // side must count exactly the injected lines.
+    "q83_json_quarantine" -> ((s, d) => {
+      val src  = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = s"/root/repo/target/tmp/jsonq_orders_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      src.write.mode("overwrite").json(path)
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "corrupt.txt"),
+        java.util.Arrays.asList(
+          """{"o_orderkey": 1, "o_orderstatus": BROKEN""",
+          "not json at all",
+          """{"truncated"""))
+      val (good, bad) = Ingest.readJsonQuarantine(s, path, src.schema)
+      val g = good.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("o_totalprice")).as("sum_price"))
+      val b = bad.agg(count(lit(1)).as("cnt"))
+        .select(lit("__quarantined").as("o_orderstatus"), col("cnt"),
+          lit(null).cast("double").as("sum_price"))
+      g.unionByName(b).orderBy(col("o_orderstatus"))
+    }),
+
     // Bucketed co-located join: shuffle paid once at write time, join is
     // exchange-free (plan pinned in StorageSpec)
     "q80_bucketed_join" -> ((s, d) => {
@@ -1372,6 +1395,14 @@ object SparkEntry {
          FROM documents d JOIN s USING (source)
          WHERE abs((n_chars - mu) / sd) > 2.0
          ORDER BY doc_id""",
+    "q83_json_quarantine" ->
+      """SELECT o_orderstatus, cnt, sum_price FROM (
+           SELECT o_orderstatus, count(*) AS cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT '__quarantined', 3, NULL)
+         ORDER BY o_orderstatus""",
     "q55_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
          shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
