@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  private def litString(e: Expression, fn: String, arg: String): String = {
+    require(e.foldable, s"$fn: $arg must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
@@ -71,5 +80,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expr.SignLshBuckets(children(0),
           litInt(children(1), "graft_lsh_buckets", "nTables"),
           litInt(children(2), "graft_lsh_buckets", "nPlanes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_strip_accents"),
+      info("graft_strip_accents",
+        "graft_strip_accents(s) - accent folding (NFD, drop marks, NFC)"),
+      (children: Seq[Expression]) => graft.expr.StripAccents(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", "graft_normalize(s, form) - Unicode normal form (NFC/NFD/NFKC/NFKD)"),
+      (children: Seq[Expression]) =>
+        graft.expr.UnicodeNormalize(children(0),
+          litString(children(1), "graft_normalize", "form"))))
   }
 }

@@ -701,6 +701,37 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Skew-safe salted equi-join: one hot key spreads over 8 reducers; the
+    // result is identical to the plain join (that identity IS the oracle)
+    "q84_salted_join" -> ((s, d) => {
+      Relational.saltedJoin(
+          t(s, d, "lineitem"), t(s, d, "orders"), "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // One-pass column profiler: rows / non-null / exact distinct / min / max
+    // per column off a single scan (multi-distinct via Expand, not one scan
+    // per column)
+    "q85_profile" -> ((s, d) => {
+      Summaries.profile(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Unicode canonicalization: accent folding + NFC recomposition. The
+    // prefix carries precomposed AND decomposed accents so both paths are
+    // exercised on every row (corpus text itself is ASCII-only).
+    "q86_normalize" -> ((s, d) => {
+      val decorated = concat(
+        lit("Caf\u00e9 Z\u00fcrich ni\u00f1o Cafe\u0301 "), substring(col("text"), 1, 24))
+      t(s, d, "documents").select(col("doc_id"),
+          Clean.stripAccents(decorated).as("folded"),
+          Clean.unicodeNormalize(decorated, "NFC").as("nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D3 — SimHash-banded near-dup (third LSH family; Hamming verify)
     "q55_simhash_neardup" -> ((s, d) => {
       Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
@@ -1395,6 +1426,31 @@ object SparkEntry {
          FROM documents d JOIN s USING (source)
          WHERE abs((n_chars - mu) / sd) > 2.0
          ORDER BY doc_id""",
+    "q84_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q85_profile" ->
+      """SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+                  min(o_orderstatus), max(o_orderstatus) FROM orders)
+         ORDER BY col_name""",
+    "q86_normalize" ->
+      """SELECT doc_id,
+                strip_accents('Caf' || chr(233) || ' Z' || chr(252) || 'rich ni' ||
+                              chr(241) || 'o Cafe' || chr(769) || ' ' || substr(text, 1, 24)) AS folded,
+                nfc_normalize('Caf' || chr(233) || ' Z' || chr(252) || 'rich ni' ||
+                              chr(241) || 'o Cafe' || chr(769) || ' ' || substr(text, 1, 24)) AS nfc
+         FROM documents ORDER BY doc_id""",
     "q83_json_quarantine" ->
       """SELECT o_orderstatus, cnt, sum_price FROM (
            SELECT o_orderstatus, count(*) AS cnt,

@@ -101,4 +101,20 @@ object Clean {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\b\\d{7,}\\b", "<NUM>")
+
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def asExpr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** Unicode normal-form canonicalization (NFC default) — precomposed and
+    * decomposed spellings of the same text hash identically afterwards, a
+    * prerequisite for exact/fuzzy dedup over multilingual corpora.
+    */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    asCol(graft.expr.UnicodeNormalize(asExpr(c), form))
+
+  /** Accent folding (`Café` → `Cafe`); DuckDB `strip_accents` parity. */
+  def stripAccents(c: Column): Column =
+    asCol(graft.expr.StripAccents(asExpr(c)))
 }

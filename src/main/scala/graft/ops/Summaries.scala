@@ -62,4 +62,29 @@ object Summaries {
     * land exactly on the .00005 boundary where the two disagree.
     */
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** One-pass column profiler: total rows, non-null count, exact distinct
+    * count, min/max per named column — one output row per column. Everything
+    * folds into a SINGLE aggregate over one scan (Catalyst plans the
+    * multi-distinct via Expand), instead of the naive one-scan-per-column
+    * loop that costs `cols.size` passes over a 100 TB table. min/max
+    * aggregate in native type and cast to string only at the end, so numeric
+    * columns order numerically, not lexically.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
 }

@@ -71,4 +71,25 @@ class CleanSpec extends AnyFunSuite {
       .toDF("s").select(Clean.redactPii($"s")).as[String].head()
     assert(out == "mail <EMAIL>, host <IP>, acct <NUM>, port 80")
   }
+
+  test("stripAccents folds combining and precomposed accents, leaves ligatures/CJK") {
+    val rows = Seq("Café Zürich niño", "Café", "œ ß 中文", "plain 123", null)
+      .toDF("s").select(Clean.stripAccents($"s")).as[String].collect()
+    assert(rows(0) == "Cafe Zurich nino")
+    assert(rows(1) == "Cafe")                  // decomposed input folds too
+    assert(rows(2) == "œ ß 中文") // ligatures + CJK untouched (DuckDB parity)
+    assert(rows(3) == "plain 123")
+    assert(rows(4) == null)
+  }
+
+  test("unicodeNormalize NFC unifies decomposed and precomposed spellings") {
+    val df  = Seq(("Café", "Café")).toDF("a", "b")
+    val out = df.select(
+      Clean.unicodeNormalize($"a").as("na"), Clean.unicodeNormalize($"b").as("nb"),
+      length(Clean.unicodeNormalize($"a", "NFD")).as("dlen")).head()
+    assert(out.getString(0) == out.getString(1)) // same canonical form
+    assert(out.getString(0) == "Café")
+    assert(out.getInt(2) == 5)                   // NFD re-splits into e + mark
+    intercept[IllegalArgumentException] { Clean.unicodeNormalize($"a", "bogus") }
+  }
 }

@@ -34,6 +34,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(t.getLong(2) >= 0 && t.getLong(2) < (1L << 16))
       assert(t.getSeq[Long](3).size == 4)
       assert(t.getSeq[Long](4).size == 2 && t.getSeq[Long](4).forall(b => b >= 0 && b < 8))
+      val n = s2.sql(
+        """SELECT graft_strip_accents('Caf' || chr(233) || ' Z' || chr(252) || 'rich'),
+                  graft_normalize('Cafe' || decode(unhex('CC81'), 'UTF-8'), 'NFC')""").head()
+      assert(n.getString(0) == "Cafe Zurich")
+      assert(n.getString(1) == "Café")
       // non-literal size arguments are rejected with a clear message
       val ex = intercept[Exception] {
         s2.sql("SELECT graft_minhash(array('x'), cast(rand()*4 AS INT))").head()
