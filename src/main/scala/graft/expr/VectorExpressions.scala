@@ -1,0 +1,82 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** IVF coarse quantization: the `nProbe` most-cosine-similar codebook cells
+  * for an embedding, in rank order (cosine desc, then cell id asc — the
+  * DuckDB `row_number() OVER (ORDER BY cos DESC, s_id)` tie-break).
+  *
+  * The codebook rides along as expression literals (O(nCells·dim) doubles on
+  * every executor), so assignment is ONE compiled pass over the corpus —
+  * replacing the `corpus × nCells` expand-join + per-vector window that the
+  * join formulation plans, which shuffles the whole corpus `nCells`-fold
+  * amplified just to run an argmax. At 1000 cells over 100 TB that join
+  * shape is a non-starter; this form's cost is `nCells` dot products per
+  * row inside the scan stage, no shuffle at all.
+  *
+  * Cosine accumulation is sequential in index order — bit-identical to
+  * [[CosineSimilarity]] and to the oracle's `list_reduce` fold.
+  */
+case class NearestCells(
+    child: Expression,
+    seedIds: Seq[Long],
+    seedVecs: Seq[Seq[Float]],
+    nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(seedIds.nonEmpty && seedIds.length == seedVecs.length,
+    "nearest_cells: seedIds and seedVecs must be same-length and non-empty")
+  require(nProbe >= 1, "nearest_cells: nProbe must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ids: Array[Long] = seedIds.toArray
+  @transient private lazy val vecs: Array[Array[Float]] = seedVecs.map(_.toArray).toArray
+  @transient private lazy val seedNorms: Array[Double] = vecs.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr  = input.asInstanceOf[ArrayData]
+    val m    = ids.length
+    val cos  = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val sv = vecs(s)
+      val n  = math.min(arr.numElements(), sv.length)
+      var dot = 0.0; var na = 0.0; var i = 0
+      while (i < n) {
+        val xi = arr.getFloat(i).toDouble
+        dot += xi * sv(i).toDouble; na += xi * xi
+        i += 1
+      }
+      cos(s) = dot / (math.sqrt(na) * seedNorms(s))
+      s += 1
+    }
+    val order = Array.tabulate(m)(identity)
+    val boxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(cos(b), cos(a)) // desc; NaN sorts first, as in both engines
+      if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+    })
+    val k   = math.min(nProbe, m)
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) { out(j) = ids(boxed(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

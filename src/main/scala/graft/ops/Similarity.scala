@@ -135,28 +135,42 @@ object Similarity {
   }
 
   /** IVF-style cell assignment: the coarse quantizer is the first `nCells`
-    * vectors by id (deterministic, model-free); every vector joins against
-    * the broadcast seed set and takes the most-cosine-similar seed as its
-    * cell. Fully distributed — the corpus never shuffles for assignment —
-    * and exactly replayable in SQL (the oracle derives the same seeds with
-    * `WHERE vec_id < nCells`). A trained k-means codebook would slot in as
-    * a different seed DataFrame without changing the plan.
+    * vectors by id (deterministic, model-free); every vector takes its
+    * most-cosine-similar seed as its cell. Exactly replayable in SQL (the
+    * oracle derives the same seeds with `WHERE vec_id < nCells`). A trained
+    * k-means codebook would slot in as a different seed set without
+    * changing the plan.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
     ivfAssignN(df, idCol, vecCol, nCells, 1).drop("rn")
 
-  /** Top-`nProbe` cell assignments per vector (rn = 1 is the home cell). */
+  /** Top-`nProbe` cell assignments per vector (rn = 1 is the home cell).
+    *
+    * The codebook fetch below is the ONE deliberate driver action in the
+    * ANN family: `nCells` rows (the model artifact — bounded, tiny) pulled
+    * through a pushed-down `id < nCells` scan and inlined into a
+    * [[graft.expr.NearestCells]] expression. Assignment is then a single
+    * compiled pass inside the scan stage — no join, no window, no shuffle.
+    * The previous expand-join + argmax-window form shuffled the corpus
+    * `nCells`-fold amplified; at 1000s of cells over 100 TB only the
+    * expression form survives.
+    */
   private def ivfAssignN(
       df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int): DataFrame = {
-    val seeds = broadcast(
-      df.filter(col(idCol) < nCells).select(col(idCol).as("s_id"), col(vecCol).as("sv")))
-    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("s_id").asc)
+    val seedRows = df
+      .select(col(idCol).cast("long").as("s_id"), col(vecCol).as("sv"))
+      .filter(col("s_id") < nCells)
+      .orderBy(col("s_id"))
+      .collect()
+    val cells = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.NearestCells(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+        seedRows.map(_.getLong(0)).toSeq,
+        seedRows.map(_.getSeq[Float](1)).toSeq,
+        nProbe))
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(seeds)
-      .select(col("id"), col("v"), col("s_id"), cosine(col("v"), col("sv")).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("id"), col("v"), col("s_id").as("cell"), col("rn"))
+      .select(col("id"), col("v"), posexplode(cells).as(Seq("p", "cell")))
+      .select(col("id"), col("v"), col("cell"), (col("p") + 1).cast("int").as("rn"))
   }
 
   /** T5 scale path #2 — IVF top-k: every vector is STORED in its home cell
