@@ -701,6 +701,29 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // End-to-end corpus curation: quality gate → exact dedup → domain cap →
+    // deterministic split, composed as ONE lazy plan
+    "q87_curation_pipeline" -> ((s, d) => {
+      Curation.curationPipeline(t(s, d, "documents"), "doc_id", "text", "source",
+          minTokens = 20, maxTokens = 80, cap = 12,
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget corpus mixing: per-source keep-fractions computed in-plan
+    // from token totals; membership content-addressed
+    "q88_token_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+      Sampling.tokenBudgetMix(docs, Seq("doc_id"), "source",
+          col("n_tokens"), budget = 8000.0,
+          Map("src0" -> 0.5, "src1" -> 0.25), default = 0.0125)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Skew-safe salted equi-join: one hot key spreads over 8 reducers; the
     // result is identical to the plain join (that identity IS the oracle)
     "q84_salted_join" -> ((s, d) => {
@@ -1426,6 +1449,42 @@ object SparkEntry {
          FROM documents d JOIN s USING (source)
          WHERE abs((n_chars - mu) / sd) > 2.0
          ORDER BY doc_id""",
+    "q87_curation_pipeline" ->
+      """WITH gated AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 20 AND 80),
+         dd AS (
+           SELECT doc_id, source, text FROM gated
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         capped AS (
+           SELECT doc_id, source FROM dd
+           QUALIFY row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, doc_id) <= 12)
+         SELECT doc_id, source,
+                CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+               FROM capped)
+         ORDER BY doc_id""",
+    "q88_token_mix" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS tot FROM d GROUP BY source),
+         f AS (SELECT source,
+                      least(1.0::DOUBLE,
+                            (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                                         ELSE 0.0125 END) * 8000.0 / tot) AS frac
+               FROM tot),
+         kept AS (
+           SELECT d.source, d.n_tokens FROM d JOIN f USING (source)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                 < floor(frac * 10000))
+         SELECT source, count(*) AS n_docs, sum(n_tokens) AS kept_tokens
+         FROM kept GROUP BY source ORDER BY source""",
     "q84_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty

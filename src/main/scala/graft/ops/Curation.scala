@@ -39,6 +39,31 @@ object Curation {
       .drop("__rk")
   }
 
+  /** End-to-end corpus curation — the composed training-data path, each
+    * stage one §2 operator, the whole thing ONE lazy plan:
+    *
+    *   1. quality gate: token count within [minTokens, maxTokens]
+    *   2. exact content dedup (sha-256 digest, keep min id — [[Dedup.dedupByDigest]])
+    *   3. per-domain quota (content-addressed — [[domainCap]])
+    *   4. deterministic train/val/test split ([[Sampling.splitColumn]])
+    *
+    * Scale shape: stage 1 is a narrow scan-stage filter; stage 2 shuffles
+    * (digest, id) pairs only; stage 3 one hash exchange on the domain;
+    * stage 4 a pure per-row expression. Nothing widens rows, nothing
+    * touches the driver, and Catalyst fuses/pushes across the stage
+    * boundaries because it is all one plan.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, minTokens: Int, maxTokens: Int, cap: Int,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val gated   = docs.filter(
+      size(Text.tokens(col(textCol))).between(minTokens, maxTokens))
+    val deduped = Dedup.dedupByDigest(gated, textCol, idCol)
+    val capped  = domainCap(deduped, domainCol, idCol, textCol, cap)
+    capped.withColumn("split",
+      Sampling.splitColumn(Seq(col(idCol).cast("string")), splits))
+  }
+
   /** Boilerplate-line removal (CCNet-style): drop every line that occurs in
     * more than `maxFrac` of its domain's documents — nav bars, cookie
     * banners, license footers — and reassemble the survivors in original

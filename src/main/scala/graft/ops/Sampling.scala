@@ -31,6 +31,34 @@ object Sampling {
     df.filter(hashBucket(keys.map(col)) < math.round(fraction * 10000).toInt)
   }
 
+  /** Token-budget corpus mixing: sample each source down so its expected
+    * token mass is ≈ `weight(source) · budget`, keeping everything from
+    * sources already under their target. The standard "data mixture" step
+    * of LLM corpus assembly — rebalance web/books/code/… to a recipe.
+    *
+    * The per-source keep-fraction `min(1, w·budget / sourceTokens)` is
+    * computed IN-PLAN: one partially-aggregated pass builds the per-source
+    * token totals (one row per source), which broadcast-join back onto the
+    * corpus — no driver action, no second scan of the data. Membership is
+    * content-addressed ([[hashBucket]]), so the sampled mixture is stable
+    * across reruns and corpus growth, and the same document never flips
+    * between mixtures when an unrelated source changes.
+    */
+  def tokenBudgetMix(df: DataFrame, keys: Seq[String], sourceCol: String,
+      tokenCol: Column, budget: Double, weights: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (src, wt)) => when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCol).cast("double").as("__tot"))
+    df.join(broadcast(totals), sourceCol)
+      .filter(hashBucket(keys.map(col)) <
+        floor(least(lit(1.0), w * lit(budget) / col("__tot")) * 10000).cast("long"))
+      .drop("__tot")
+  }
+
   /** Stratified deterministic sampling: each stratum keeps its own fraction
     * (rebalancing a skewed corpus — downsample the dominant language, keep
     * all of a rare one). Same content-addressed membership as [[hashSample]],

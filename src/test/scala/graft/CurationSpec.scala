@@ -20,6 +20,27 @@ class CurationSpec extends AnyFunSuite {
       again.select("id").as[Long].collect().sorted))
   }
 
+  test("curationPipeline gates, dedups, caps, and splits in one plan") {
+    val docs = Seq(
+      (1L, "d", "one two three four five"),   // passes gate
+      (2L, "d", "one two three four five"),   // exact dup of 1 -> dropped
+      (3L, "d", "alpha beta gamma delta eps"),
+      (4L, "d", "too short"),                 // gated out (< 4 tokens)
+      (5L, "e", "omega psi chi phi upsilon")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curationPipeline(docs, "doc_id", "text", "source",
+        minTokens = 4, maxTokens = 10, cap = 10,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 5L)) // 2 deduped, 4 gated
+    assert(out.values.forall(Set("train", "val", "test")))
+    // cap binds: with cap = 1, one survivor per source
+    val capped = Curation.curationPipeline(docs, "doc_id", "text", "source",
+      4, 10, 1, Seq("train" -> 1.0))
+    assert(capped.groupBy("source").count().as[(String, Long)].collect().toMap ==
+      Map("d" -> 1L, "e" -> 1L))
+  }
+
   test("stripBoilerplate drops domain-frequent lines, keeps order, empty-text survivor") {
     val docs = Seq(
       (1L, "d", "COOKIE BANNER\nreal content one\nFOOTER"),

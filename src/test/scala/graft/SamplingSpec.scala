@@ -42,6 +42,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMix keeps under-budget sources whole, samples the rest") {
+    val docs = (1L to 400L).map { i =>
+      (i, if (i <= 200) "big" else "small", 10L) // big: 2000 tokens, small: 2000 tokens
+    }.toDF("id", "source", "n_tokens")
+    // budget 1000: big frac = min(1, .9*1000/2000) = .45;
+    // small (default weight .55) frac = min(1, .55*1000/2000) = .275
+    val out = graft.ops.Sampling.tokenBudgetMix(docs, Seq("id"), "source",
+        col("n_tokens"), budget = 1000.0, Map("big" -> 0.9), default = 0.55)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("big") > 60 && out("big") < 120)     // ~45% of 200
+    assert(out("small") > 30 && out("small") < 80)  // ~27.5% of 200
+    // a huge budget keeps everything
+    val all = graft.ops.Sampling.tokenBudgetMix(docs, Seq("id"), "source",
+      col("n_tokens"), budget = 1e9, Map("big" -> 0.9), default = 0.55)
+    assert(all.count() == 400)
+  }
+
   test("stratifiedSample applies per-stratum fractions and the default") {
     val df = (1 to 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
