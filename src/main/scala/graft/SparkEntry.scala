@@ -724,6 +724,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Sequence packing: concat-and-chop into 512-token training sequences,
+    // bucketed so the running-offset windows parallelize
+    "q89_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Sampling.packSequences(docs, "doc_id", col("n_tokens"), maxTokens = 512L, buckets = 4)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("offset"), col("seq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Skew-safe salted equi-join: one hot key spreads over 8 reducers; the
     // result is identical to the plain join (that identity IS the oracle)
     "q84_salted_join" -> ((s, d) => {
@@ -1485,6 +1496,20 @@ object SparkEntry {
                  < floor(frac * 10000))
          SELECT source, count(*) AS n_docs, sum(n_tokens) AS kept_tokens
          FROM kept GROUP BY source ORDER BY source""",
+    "q89_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM documents),
+         o AS (
+           SELECT doc_id, h % 4 AS bucket, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+                       - n_tokens AS BIGINT) AS "offset"
+           FROM d)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "offset",
+                CAST(bucket * 1000000 + floor("offset" / 512) AS BIGINT) AS seq
+         FROM o ORDER BY doc_id""",
     "q84_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty

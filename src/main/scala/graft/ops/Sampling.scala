@@ -59,6 +59,37 @@ object Sampling {
       .drop("__tot")
   }
 
+  /** Sequence packing (the concat-and-chop step of LLM batch prep): lay
+    * documents end to end and assign each to the fixed-size training
+    * sequence its first token lands in — `seq = floor(offset / maxTokens)`
+    * over a running token offset.
+    *
+    * A single global running sum would plan a one-partition window (the
+    * whole corpus through one task), so documents are first spread over
+    * `buckets` content-addressed bins and packed WITHIN each bin: the
+    * windows partition by bucket and run in parallel, and the only
+    * fragmentation cost is one potentially-short tail sequence per bucket —
+    * bounded by `buckets · maxTokens` padding tokens corpus-wide,
+    * negligible for buckets ≪ corpusTokens/maxTokens. Ordering inside a
+    * bucket is (content hash, id): deterministic, replayable, and an
+    * implicit shuffle of the corpus so consecutive documents are unrelated
+    * (the usual training-time requirement).
+    *
+    * @return input plus (bucket, seq, offset) — offset is the document's
+    *         first token position within its sequence's bucket stream.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+      maxTokens: Long, buckets: Int): DataFrame = {
+    require(maxTokens >= 1 && buckets >= 1, "maxTokens and buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Text.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("bucket", hashBucket(Seq(col(idCol)), buckets))
+      .withColumn("offset", sum(tokenCol).over(w) - tokenCol)
+      .withColumn("seq",
+        (col("bucket") * lit(1000000L) + floor(col("offset") / maxTokens)).cast("long"))
+  }
+
   /** Stratified deterministic sampling: each stratum keeps its own fraction
     * (rebalancing a skewed corpus — downsample the dominant language, keep
     * all of a rare one). Same content-addressed membership as [[hashSample]],

@@ -59,6 +59,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == 400)
   }
 
+  test("packSequences: offsets are contiguous per bucket, seqs respect maxTokens starts") {
+    val docs = (1L to 300L).map(i => (i, 7L)).toDF("id", "n_tokens")
+    val out = graft.ops.Sampling.packSequences(docs, "id", col("n_tokens"), 50L, 3)
+      .select("id", "bucket", "offset", "seq").collect()
+    val byBucket = out.groupBy(_.getLong(1))
+    byBucket.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      // offsets are the running sum: 0, 7, 14, …
+      assert(sorted.zipWithIndex.forall { case (r, i) => r.getLong(2) == 7L * i })
+      // a doc's seq is determined by where its FIRST token lands
+      assert(sorted.forall(r => r.getLong(3) % 1000000L == r.getLong(2) / 50L))
+    }
+    // deterministic across replays with different input order
+    val again = graft.ops.Sampling.packSequences(docs.orderBy(rand(3)), "id",
+      col("n_tokens"), 50L, 3).select("id", "seq").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap == again)
+  }
+
   test("stratifiedSample applies per-stratum fractions and the default") {
     val df = (1 to 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
