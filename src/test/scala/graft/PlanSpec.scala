@@ -54,6 +54,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("ivfAssign plans zero exchanges: assignment is one narrow pass") {
+    val docs = graft.Tables.t(spark, sf, "embeddings")
+    val p = graft.ops.Similarity.ivfAssign(docs, "vec_id", "embedding", 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle the corpus:\n$p")
+  }
+
+  test("tokenBudgetMix joins the per-source totals by broadcast") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(
+        graft.ops.Text.tokens(col("text"))))
+    val p = graft.ops.Sampling.tokenBudgetMix(docs, Seq("doc_id"), "source",
+        col("n_tokens"), 8000.0, Map("src0" -> 0.5), default = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("curationPipeline: the token gate runs below the first exchange (scan stage)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val p = graft.ops.Curation.curationPipeline(docs, "doc_id", "text", "source",
+        20, 80, 12, Seq("train" -> 1.0))
+      .queryExecution.executedPlan.toString
+    val lines     = p.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("size("))
+    val firstExch = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0 && firstExch >= 0)
+    // plans print top-down: a LATER line is DEEPER (closer to the scan)
+    assert(filterIdx > firstExch,
+      s"token gate should sit beneath the dedup exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate pipeline (q01)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // force execution so AQE finalizes the physical plan
