@@ -16,6 +16,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+  }
+}
+
+/** The one registry of SQL-addressable engine functions — shared by the
+  * extensions injector above and [[Sessions.registerFunctions]], so the
+  * `spark.sql.extensions` path and `Sessions.local()` expose the identical
+  * surface.
+  */
+object GraftExtensions {
+
   /** Evaluate a foldable int argument (the SQL form of a Scala `Int` param:
     * `graft_minhash(s, 16)`); rejects non-literal shapes up front so the
     * error is "argument must be a literal", not a runtime cast failure.
@@ -39,57 +55,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
-      (children: Seq[Expression]) => graft.expr.CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_jaccard"),
-      info("graft_jaccard", "graft_jaccard(a, b) - Jaccard similarity of two string-array sets"),
-      (children: Seq[Expression]) => graft.expr.ArrayJaccard(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_ngrams"),
-      info("graft_ngrams", "graft_ngrams(text, n) - space-joined word n-grams (ordered, with dups)"),
+  /** (name, usage, builder) for every SQL-addressable function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays",
+      (children: Seq[Expression]) => graft.expr.CosineSimilarity(children(0), children(1))),
+    ("graft_jaccard", "graft_jaccard(a, b) - Jaccard similarity of two string-array sets",
+      (children: Seq[Expression]) => graft.expr.ArrayJaccard(children(0), children(1))),
+    ("graft_ngrams", "graft_ngrams(text, n) - space-joined word n-grams (ordered, with dups)",
       (children: Seq[Expression]) =>
         graft.expr.WordNgrams(children(0), litInt(children(1), "graft_ngrams", "n"),
-          distinct = false)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      info("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingle set"),
+          distinct = false)),
+    ("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingle set",
       (children: Seq[Expression]) =>
         graft.expr.WordNgrams(children(0), litInt(children(1), "graft_shingles", "n"),
-          distinct = true)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(shingles, nBits) - SimHash of a string-array set"),
+          distinct = true)),
+    ("graft_simhash", "graft_simhash(shingles, nBits) - SimHash of a string-array set",
       (children: Seq[Expression]) =>
-        graft.expr.SimHashOfSet(children(0), litInt(children(1), "graft_simhash", "nBits"))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles, k) - k-element MinHash signature"),
+        graft.expr.SimHashOfSet(children(0), litInt(children(1), "graft_simhash", "nBits"))),
+    ("graft_minhash", "graft_minhash(shingles, k) - k-element MinHash signature",
       (children: Seq[Expression]) =>
-        graft.expr.MinHashSignature(children(0), litInt(children(1), "graft_minhash", "k"))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_lsh_buckets"),
-      info("graft_lsh_buckets",
-        "graft_lsh_buckets(vec, nTables, nPlanes) - sign-LSH bucket id per hash table"),
+        graft.expr.MinHashSignature(children(0), litInt(children(1), "graft_minhash", "k"))),
+    ("graft_lsh_buckets",
+      "graft_lsh_buckets(vec, nTables, nPlanes) - sign-LSH bucket id per hash table",
       (children: Seq[Expression]) =>
         graft.expr.SignLshBuckets(children(0),
           litInt(children(1), "graft_lsh_buckets", "nTables"),
-          litInt(children(2), "graft_lsh_buckets", "nPlanes"))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_strip_accents"),
-      info("graft_strip_accents",
-        "graft_strip_accents(s) - accent folding (NFD, drop marks, NFC)"),
-      (children: Seq[Expression]) => graft.expr.StripAccents(children(0))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_normalize"),
-      info("graft_normalize", "graft_normalize(s, form) - Unicode normal form (NFC/NFD/NFKC/NFKD)"),
+          litInt(children(2), "graft_lsh_buckets", "nPlanes"))),
+    ("graft_strip_accents", "graft_strip_accents(s) - accent folding (NFD, drop marks, NFC)",
+      (children: Seq[Expression]) => graft.expr.StripAccents(children(0))),
+    ("graft_normalize", "graft_normalize(s, form) - Unicode normal form (NFC/NFD/NFKC/NFKD)",
       (children: Seq[Expression]) =>
         graft.expr.UnicodeNormalize(children(0),
           litString(children(1), "graft_normalize", "form"))))
-  }
 }

@@ -36,9 +36,13 @@ object Sessions {
   }
 
   /** Engine-native codegen expressions, addressable from any Column context
-    * via `call_function` (and from SQL). Idempotent per session.
+    * via `call_function` (and from SQL) — the same registry the
+    * `spark.sql.extensions=graft.GraftExtensions` path injects. Idempotent
+    * per session.
     */
   def registerFunctions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => graft.expr.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder(_), "built-in")
+    }
 }

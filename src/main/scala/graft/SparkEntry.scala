@@ -594,6 +594,27 @@ object SparkEntry {
            GROUP BY n_name ORDER BY n_name""")
     }),
 
+    // The full fuzzy-dedup path in PURE SQL via the injected function
+    // battery (graft_shingles/graft_minhash/graft_jaccard) — same semantics
+    // as q17's operator form, same oracle
+    "q90_sql_neardup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH sh AS (SELECT doc_id, graft_shingles(text, 3) AS ss FROM documents),
+           sig AS (
+             SELECT doc_id, band, hv
+             FROM sh LATERAL VIEW posexplode(graft_minhash(ss, 16)) t AS band, hv),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sig a JOIN sig b
+               ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b,
+                  floor(graft_jaccard(x.ss, y.ss) * 10000 + 0.5)/10000 AS jacc
+           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+           WHERE graft_jaccard(x.ss, y.ss) >= 0.5
+           ORDER BY doc_a, doc_b""")
+    }),
+
     // Multimodal plumbing — opaque binary payload + typed metadata: byte
     // length, sha-256 fingerprint, head-bytes probe, every-64th-byte sample
     "q53_multimodal" -> ((s, d) => {
@@ -1022,6 +1043,26 @@ object SparkEntry {
       .mkString("[", ",\n                  ", "]")
   }
 
+  /** Shared by q17 (operator form) and q90 (pure-SQL form) — the two queries
+    * are semantically identical by construction, so they share one oracle.
+    */
+  private def minhashLshOracle: String =
+    s"""WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                floor(len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) * 10000 + 0.5)/10000 AS jacc
+         FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+         WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5
+         ORDER BY doc_a, doc_b"""
+
   private def textOracles: Map[String, String] = Map(
     "q13_tokenize" ->
       """SELECT token, count(*) AS cnt
@@ -1061,22 +1102,9 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
          ORDER BY doc_a, doc_b""",
-    "q17_minhash_lsh" ->
-      s"""WITH sh AS (
-           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
-         sig AS (
-           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
-           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
-         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b,
-                floor(len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) * 10000 + 0.5)/10000 AS jacc
-         FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-         WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5
-         ORDER BY doc_a, doc_b""",
+    "q17_minhash_lsh" -> minhashLshOracle,
+    // identical semantics driven through the pure-SQL surface (q90)
+    "q90_sql_neardup" -> minhashLshOracle,
     "q18_dedup_digest" ->
       """SELECT event_id, props FROM events
          QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1
