@@ -110,6 +110,39 @@ object Streaming {
       }
       .start()
 
+  /** Streaming malformed-record quarantine — the streaming form of
+    * [[Ingest.readJsonQuarantine]]: a text file stream parsed with the
+    * in-expression corrupt-record field, routed into a good parquet sink
+    * and a raw-lines reject sink. `foreachBatch` because one streaming
+    * query cannot feed two sinks and two separate queries would scan the
+    * source twice; the micro-batch is persisted across the two writes so
+    * the parse runs once. Rejected lines keep their original bytes, so a
+    * fixed parser can re-drive the reject directory later.
+    */
+  def jsonQuarantineStream(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, goodDir: String,
+      badDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!schema.fieldNames.contains("__corrupt"), "__corrupt is reserved")
+    val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+    spark.readStream.text(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = batch.select(col("value"),
+          from_json(col("value"), withCorrupt,
+            Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
+        try {
+          parsed.filter(col("j.__corrupt").isNull)
+            .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
+            .write.mode("append").parquet(goodDir)
+          parsed.filter(col("j.__corrupt").isNotNull)
+            .select(col("value").as("raw"))
+            .write.mode("append").text(badDir)
+        } finally parsed.unpersist()
+      }
+      .start()
+  }
+
   // ---- ST6: arbitrary stateful sessionization ------------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

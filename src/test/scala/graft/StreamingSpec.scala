@@ -184,6 +184,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = s"/root/repo/target/tmp/jsonqs_${System.nanoTime()}"
+    val in   = java.nio.file.Paths.get(s"$base/in")
+    java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.write(in.resolve("f1.jsonl"), java.util.Arrays.asList(
+      """{"id": 1, "name": "ok"}""", """{"id": 2, BROKEN"""))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val q = Streaming.jsonQuarantineStream(spark, s"$base/in", schema,
+      s"$base/good", s"$base/bad", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // a second file arriving mid-stream is picked up incrementally
+      java.nio.file.Files.write(in.resolve("f2.jsonl"), java.util.Arrays.asList(
+        """{"id": 3, "name": "late"}""", "garbage"))
+      q.processAllAvailable()
+      val good = spark.read.schema(schema).parquet(s"$base/good")
+        .select("id").as[Long].collect().sorted.toSeq
+      val bad = spark.read.text(s"$base/bad").as[String].collect().toSet
+      assert(good == Seq(1L, 3L))
+      assert(bad == Set("""{"id": 2, BROKEN""", "garbage"))
+    } finally q.stop()
+  }
+
   test("batch/stream parity: tumblingCounts on a static frame matches groupBy window") {
     import spark.implicits._
     val df = Seq(
