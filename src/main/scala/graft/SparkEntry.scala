@@ -594,6 +594,22 @@ object SparkEntry {
            GROUP BY n_name ORDER BY n_name""")
     }),
 
+    // TPC-H Q3-shaped composite (shipping priority): segment-filtered
+    // 3-table join, revenue agg, top-10 — the classic relational stress
+    // pattern, exactSum so the ranking is partition-order-free
+    "q91_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // The full fuzzy-dedup path in PURE SQL via the injected function
     // battery (graft_shingles/graft_minhash/graft_jaccard) — same semantics
     // as q17's operator form, same oracle
@@ -1019,6 +1035,17 @@ object SparkEntry {
       """SELECT a.p_brand, count(*) AS n_pairs
          FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
          GROUP BY a.p_brand ORDER BY a.p_brand""",
+    "q91_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
   )
 
   // Determinism conventions for the text/similarity oracles:

@@ -82,6 +82,28 @@ class CleanSpec extends AnyFunSuite {
     assert(rows(4) == null)
   }
 
+  test("stripAccents/unicodeNormalize properties: idempotent, mark-free, length-bounded") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // strings mixing ASCII, precomposed accents, combining marks, CJK
+    val g = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ñ', 'Å', 'ç', '中', 'œ', '́', '̈', ' ')
+    )).map(_.mkString)
+    val p = Prop.forAll(g) { s: String =>
+      val out = Seq(s).toDF("s").select(
+        Clean.stripAccents($"s").as("f"),
+        Clean.stripAccents(Clean.stripAccents($"s")).as("ff"),
+        Clean.unicodeNormalize(Clean.unicodeNormalize($"s")).as("nn"),
+        Clean.unicodeNormalize($"s").as("n")).head()
+      val folded = out.getString(0)
+      folded == out.getString(1) &&                       // stripAccents idempotent
+      out.getString(2) == out.getString(3) &&             // NFC idempotent
+      !folded.exists(ch => Character.getType(ch) == Character.NON_SPACING_MARK)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withInitialSeed(7L), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unicodeNormalize NFC unifies decomposed and precomposed spellings") {
     val df  = Seq(("Café", "Café")).toDF("a", "b")
     val out = df.select(
