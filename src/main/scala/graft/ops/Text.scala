@@ -220,14 +220,34 @@ object Text {
       .filter(col("df") > maxDf)
       .select(col("s"))
     val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
-    val cand = rare.as("a")
+    // Intersection sizes fall straight out of the index self-join — one
+    // count-aggregated row per candidate pair. Candidate pairs NEVER pull
+    // their shingle sets: the verify-by-set-join form materialized two
+    // full shingle arrays per candidate (~kBs × millions of pairs — it was
+    // 75% of this operator's runtime and would be a network melter at
+    // corpus scale); here the pair graph carries three integers per row.
+    val oRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-    val j = jaccardOf(col("x.ss"), col("y.ss"))
-    cand
-      .join(sh.as("x"), col("doc_a") === col("x.id"))
-      .join(sh.as("y"), col("doc_b") === col("y.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("o"))
+    // The rare-side count misses shared HOT shingles when the cutoff binds;
+    // add their contribution back from the hot postings, which join only
+    // against the (already-bounded) candidate pairs.
+    val hotInv = inv.join(broadcast(hot), Seq("s"), "left_semi")
+    val oHot = oRare.select(col("doc_a"), col("doc_b"))
+      .join(hotInv.as("ha"), col("doc_a") === col("ha.id"))
+      .join(hotInv.as("hb"),
+        col("doc_b") === col("hb.id") && col("ha.s") === col("hb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("oh"))
+    // |x ∩ y| exact; |x ∪ y| = mx + my − o from the per-doc set sizes —
+    // 12 bytes/row (corpus cardinality, so NOT force-broadcast; AQE decides)
+    val sizes = sh.select(col("id"), size(col("ss")).as("m"))
+    val j = col("o") / (col("x.m") + col("y.m") - col("o"))
+    oRare.join(oHot, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("o") + coalesce(col("oh"), lit(0L))).as("o"))
+      .join(sizes.as("x"), col("doc_a") === col("x.id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.id"))
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
   }
