@@ -644,6 +644,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image-header parsing: docs wrapped in a constructed PNG header
+    // (width = doc_id % 500 + 1, height = 256); ImageDims must recover the
+    // dimensions the construction encoded
+    "q92_image_dims" -> ((s, d) => {
+      val w = (col("doc_id") % 500 + 1).cast("int")
+      val payload = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")), // PNG sig + IHDR len/type
+        unhex(lpad(hex(w), 8, "0")),                    // width  BE32
+        unhex(lit("00000100")),                         // height BE32 = 256
+        col("text").cast("binary"))
+      t(s, d, "documents").select(col("doc_id"),
+          Multimodal.inferFormat(payload).as("format"),
+          Multimodal.imageDims(payload).getField("width").as("width"),
+          Multimodal.imageDims(payload).getField("height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental exact dedup — drop batch rows whose content already exists
     // in the corpus (the daily-increment path of a growing training set)
     "q75_incremental_dedup" -> ((s, d) => {
@@ -1434,6 +1451,10 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q92_image_dims" ->
+      """SELECT doc_id, 'png' AS format,
+                CAST(doc_id % 500 + 1 AS INT) AS width, CAST(256 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
     "q53_multimodal" ->
       """SELECT doc_id, length(text) AS byte_len, sha256(text) AS sha,
                 ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,

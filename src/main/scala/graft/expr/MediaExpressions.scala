@@ -1,0 +1,112 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Real container-header parsers for multimodal `binary` columns — byte
+  * arithmetic only, no codec libraries, so unlike the (stubbed) pixel
+  * decode these run for real in any environment. They extract the metadata
+  * a curation pipeline filters on (resolution gates, aspect-ratio gates,
+  * sample-rate gates) WITHOUT decoding payloads — a scan-stage expression
+  * over the first kilobyte of each blob.
+  */
+
+/** Image dimensions from PNG (IHDR), JPEG (SOF marker scan), or GIF
+  * (logical screen descriptor) headers; NULL for anything else or any
+  * truncated/corrupt header — a malformed blob must route to a filter,
+  * not kill the job.
+  */
+case class ImageDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_dims expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val dims: (Int, Int) =
+      if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+        // PNG: 8-byte signature, IHDR length+type (8), then width/height BE32
+        (be32(b, 16), be32(b, 20))
+      } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+        // JPEG: walk marker segments to the first SOFn (C0–CF except C4/C8/CC)
+        var i = 2
+        var found: (Int, Int) = null
+        while (found == null && i + 9 < b.length && b(i) == 0xff.toByte) {
+          val m = b(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            found = (be16(b, i + 7), be16(b, i + 5)) // (width, height)
+          } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) {
+            i += 2 // standalone marker, no length field
+          } else {
+            i += 2 + be16(b, i + 2) // skip the segment payload
+          }
+        }
+        found
+      } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+        (le16(b, 6), le16(b, 8)) // GIF logical screen, LE16
+      } else null
+    if (dims == null) null else InternalRow(dims._1, dims._2)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WAV (RIFF/WAVE) audio header: (sample_rate, channels, bits_per_sample)
+  * from the fmt chunk, walked chunk-by-chunk (the fmt chunk is usually but
+  * not always first). NULL for non-WAV or truncated input.
+  */
+case class WavInfo(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_info expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def le16(b: Array[Byte], i: Int): Int = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 36 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length || size < 16) return null
+        return InternalRow(le32(b, i + 12), le16(b, i + 10), le16(b, i + 22))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+      if (size < 0) return null  // corrupt length must not loop forever
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -40,6 +40,25 @@ object Multimodal {
   def frameOffsets(payload: Column, step: Int): Column =
     sequence(lit(1), octet_length(payload), lit(step))
 
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def asExpr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** REAL header parsing (not the decode stub): `struct(width, height)`
+    * from PNG/JPEG/GIF headers, NULL on anything else — the resolution /
+    * aspect-ratio gate of an image-curation pipeline, run in the scan
+    * stage over header bytes only.
+    */
+  def imageDims(payload: Column): Column =
+    asCol(graft.expr.ImageDims(asExpr(payload)))
+
+  /** REAL WAV header parsing: `struct(sample_rate, channels,
+    * bits_per_sample)` from the RIFF fmt chunk, NULL otherwise.
+    */
+  def wavInfo(payload: Column): Column =
+    asCol(graft.expr.WavInfo(asExpr(payload)))
+
   /** Deterministic stand-in for a real decoder (STUB — see object docs): a
     * rolling hash of the bytes seeds each feature lane. Real decode would
     * replace only this function; the Spark plumbing is unchanged.

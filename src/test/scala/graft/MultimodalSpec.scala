@@ -33,6 +33,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == Seq(1, 5, 9))
   }
 
+  test("imageDims parses real PNG/JPEG/GIF headers; corrupt input is NULL, not a crash") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* w=640 */ 0, 0, 0x01, 0xe0 /* h=480 */)
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,              // APP0 segment to skip
+      0xff, 0xc2, 0x00, 0x0b, 8,                       // SOF2 (progressive)
+      0x00, 0x64, /* h=100 */ 0x01, 0x40, /* w=320 */ 3, 0, 0, 0)
+    val gif  = bytes('G', 'I', 'F', '8', '9', 'a', 0x90, 0x01, /* w=400 LE */ 0x2c, 0x01 /* h=300 */)
+    val junk = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00) // JPEG cut off mid-SOF
+    val rows = Seq(png, jpeg, gif, junk, "not an image".getBytes)
+      .zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "bin")
+      .select($"i", Multimodal.imageDims($"bin").as("d")).orderBy("i")
+      .select($"d.width", $"d.height").collect()
+    assert(rows(0).getInt(0) == 640 && rows(0).getInt(1) == 480)
+    assert(rows(1).getInt(0) == 320 && rows(1).getInt(1) == 100)
+    assert(rows(2).getInt(0) == 400 && rows(2).getInt(1) == 300)
+    assert(rows(3).isNullAt(0) && rows(4).isNullAt(0))
+  }
+
+  test("wavInfo walks RIFF chunks to fmt; corrupt sizes terminate as NULL") {
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    // RIFF/WAVE with a junk chunk BEFORE fmt (fmt-not-first is the edge case)
+    val wav = (Seq('R'.toInt, 'I', 'F', 'F') ++ le32(100) ++ Seq('W'.toInt, 'A', 'V', 'E') ++
+      Seq('j'.toInt, 'u', 'n', 'k') ++ le32(4) ++ Seq(0, 0, 0, 0) ++
+      Seq('f'.toInt, 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(2) /* stereo */ ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)).map(_.toByte).toArray
+    val out = Seq((1, wav), (2, "RIFFxxxxWAVE".getBytes ++ Array.fill(30)(0.toByte)))
+      .toDF("i", "bin").select($"i", Multimodal.wavInfo($"bin").as("w")).orderBy("i")
+      .select($"w.sample_rate", $"w.channels", $"w.bits_per_sample").collect()
+    assert(out(0).getInt(0) == 44100 && out(0).getInt(1) == 2 && out(0).getInt(2) == 16)
+    assert(out(1).isNullAt(0)) // no fmt chunk found
+  }
+
   test("decodeFeatures: fixed schema, fixed dim, deterministic, null-safe") {
     val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, "abcd".getBytes("UTF-8")),
       (3L, null: Array[Byte])).toDF("id", "payload")
