@@ -204,6 +204,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // D3 scoped fuzzy dedup: same MinHash+LSH plan with the language in the
+    // candidate join key — per-language dedup of a multilingual corpus
+    // without a per-language driver loop (and with smaller LSH buckets)
+    "q93_scoped_neardup" -> ((s, d) => {
+      Text.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", 3, 16, 0.5,
+          scopeCols = Seq("lang"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // D3 exact-content dedup, two-phase digest form (events.props: 100
     // distinct payloads across 10k rows at sf0.01)
     "q18_dedup_digest" -> ((s, d) => {
@@ -1087,25 +1096,29 @@ object SparkEntry {
       .mkString("[", ",\n                  ", "]")
   }
 
-  /** Shared by q17 (operator form) and q90 (pure-SQL form) — the two queries
-    * are semantically identical by construction, so they share one oracle.
+  /** Shared by q17 (operator form), q90 (pure-SQL form), and q93 (scoped
+    * form) — q17/q90 are semantically identical by construction; q93 adds
+    * the language scope to the candidate join key.
     */
-  private def minhashLshOracle: String =
+  private def minhashLshOracle(scoped: Boolean = false): String = {
+    val langSel = if (scoped) ", lang" else ""
+    val langEq  = if (scoped) " AND a.lang = b.lang" else ""
     s"""WITH sh AS (
-           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
+           SELECT doc_id$langSel, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id$langSel, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
          sig AS (
-           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
-           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
-         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+           SELECT doc_id$langSel, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id$langSel, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id$langSel, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv$langEq AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b,
                 floor(len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) * 10000 + 0.5)/10000 AS jacc
          FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
          WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5
          ORDER BY doc_a, doc_b"""
+  }
 
   private def textOracles: Map[String, String] = Map(
     "q13_tokenize" ->
@@ -1146,9 +1159,11 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
          ORDER BY doc_a, doc_b""",
-    "q17_minhash_lsh" -> minhashLshOracle,
+    "q17_minhash_lsh" -> minhashLshOracle(),
     // identical semantics driven through the pure-SQL surface (q90)
-    "q90_sql_neardup" -> minhashLshOracle,
+    "q90_sql_neardup" -> minhashLshOracle(),
+    // the per-language scoped form (q93)
+    "q93_scoped_neardup" -> minhashLshOracle(scoped = true),
     "q18_dedup_digest" ->
       """SELECT event_id, props FROM events
          QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1

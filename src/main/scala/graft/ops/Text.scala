@@ -154,26 +154,34 @@ object Text {
       textCol: String,
       nShingle: Int,
       k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     // The signature pass is CPU-bound; a small parquet input arrives as ONE
     // split, which would serialize it. Spread the raw (id, text) rows across
     // the cluster before the heavy expression (at real scale the source has
     // enough splits and this round-robin exchange of the id+text pairs is
     // noise; single-threaded hashing is not).
-    val spread = docs.select(col(idCol).as("id"), col(textCol))
+    val scope  = scopeCols.map(col)
+    val spread = docs.select(col(idCol).as("id") +: col(textCol) +: scope: _*)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val sh = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    val sh = spread.select(col("id") +: shinglesOf(col(textCol), nShingle).as("ss") +: scope: _*)
     // Shuffle the signature rows by the LSH join key. Both sides of the
     // self-join below are then IDENTICAL subplans ending in the same
     // exchange, so Spark's ReusedExchange computes the signatures once and
-    // the join runs co-partitioned with no further shuffle.
+    // the join runs co-partitioned with no further shuffle. `scopeCols`
+    // (e.g. language) extend the join key: pairs never cross a scope
+    // boundary AND every scope's postings land in separate buckets — the
+    // standard per-language dedup of a multilingual corpus is the same
+    // plan with smaller buckets, not a per-language driver loop.
     val sig = sh
-      .select(col("id"), posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
-      .repartition(col("band"), col("hv"))
+      .select(col("id") +: posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")) +: scope: _*)
+      .repartition(col("band") +: col("hv") +: scope: _*)
+    val scopeEq = scopeCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
-          col("a.id") < col("b.id"))
+          scopeEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val j = jaccardOf(col("x.ss"), col("y.ss"))
