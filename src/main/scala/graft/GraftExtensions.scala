@@ -86,5 +86,11 @@ object GraftExtensions {
     ("graft_normalize", "graft_normalize(s, form) - Unicode normal form (NFC/NFD/NFKC/NFKD)",
       (children: Seq[Expression]) =>
         graft.expr.UnicodeNormalize(children(0),
-          litString(children(1), "graft_normalize", "form"))))
+          litString(children(1), "graft_normalize", "form"))),
+    ("graft_image_dims",
+      "graft_image_dims(bin) - struct(width, height) from PNG/JPEG/GIF headers, else NULL",
+      (children: Seq[Expression]) => graft.expr.ImageDims(children(0))),
+    ("graft_wav_info",
+      "graft_wav_info(bin) - struct(sample_rate, channels, bits_per_sample) from RIFF/WAVE, else NULL",
+      (children: Seq[Expression]) => graft.expr.WavInfo(children(0))))
 }

@@ -911,6 +911,17 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Quantile binning: quartile cut points computed in-plan, rows labeled
+    // with their bucket — the discretization step of feature prep
+    "q94_quantile_bin" -> ((s, d) => {
+      Summaries.quantileBin(t(s, d, "lineitem"), "l_quantity", 4)
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
+          max(col("l_quantity")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // statistical aggregates: correlation, sample stddev (r4 masks the
     // partition-order jitter of streaming co-moments)
     "q64_stats" -> ((s, d) => {
@@ -1701,6 +1712,13 @@ object SparkEntry {
                 floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5)/10000 AS median_qty,
                 floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5)/10000 AS p90_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q94_quantile_bin" ->
+      """WITH cuts AS (SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS cs FROM lineitem)
+         SELECT bin, count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi FROM (
+           SELECT l_quantity,
+                  CAST(len(list_filter((SELECT cs FROM cuts), c -> c <= l_quantity)) AS INT) AS bin
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+         GROUP BY bin ORDER BY bin""",
     "q64_stats" ->
       """SELECT l_returnflag,
                 floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)/10000 AS corr_qty_price,

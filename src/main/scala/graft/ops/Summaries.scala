@@ -63,6 +63,29 @@ object Summaries {
     */
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Quantile binning (feature discretization): rows are labeled with the
+    * index of the quantile bucket their value falls in. The `nBins − 1`
+    * exact-percentile cut points are computed IN-PLAN (one aggregate row)
+    * and broadcast back onto the corpus — no driver action, one wide scan
+    * + one narrow pass, the same shape at any scale. Swap
+    * `approx_percentile` in at 100 TB when exact interpolation isn't
+    * required; the plan is unchanged.
+    */
+  def quantileBin(df: DataFrame, valCol: String, nBins: Int,
+      binName: String = "bin"): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val ps   = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.agg(
+      expr(s"percentile($valCol, array(${ps.mkString(",")}))").as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(binName,
+        // NULL value → NULL bin (the HOF filter would silently yield bin 0)
+        when(col(valCol).isNull, lit(null))
+          .otherwise(size(filter(col("__cuts"), c => c <= col(valCol))))
+          .cast("int"))
+      .drop("__cuts")
+  }
+
   /** One-pass column profiler: total rows, non-null count, exact distinct
     * count, min/max per named column — one output row per column. Everything
     * folds into a SINGLE aggregate over one scan (Catalyst plans the

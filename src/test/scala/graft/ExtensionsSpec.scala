@@ -34,6 +34,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(t.getLong(2) >= 0 && t.getLong(2) < (1L << 16))
       assert(t.getSeq[Long](3).size == 4)
       assert(t.getSeq[Long](4).size == 2 && t.getSeq[Long](4).forall(b => b >= 0 && b < 8))
+      val m = s2.sql(
+        """SELECT graft_image_dims(unhex('89504E470D0A1A0A0000000D49484452' ||
+                                         '00000280' || '000001E0')).width,
+                  graft_wav_info(cast('junk' AS BINARY))""").head()
+      assert(m.getInt(0) == 640 && m.isNullAt(1))
       val n = s2.sql(
         """SELECT graft_strip_accents('Caf' || chr(233) || ' Z' || chr(252) || 'rich'),
                   graft_normalize('Cafe' || decode(unhex('CC81'), 'UTF-8'), 'NFC')""").head()
