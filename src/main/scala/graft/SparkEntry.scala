@@ -603,6 +603,26 @@ object SparkEntry {
            GROUP BY n_name ORDER BY n_name""")
     }),
 
+    // Capstone: raw corpus → training shards in ONE lazy plan — curation
+    // (gate/dedup/cap/split) → token-budget mixing → sequence packing →
+    // per-(split, bucket) shard manifest
+    "q95_training_shards" -> ((s, d) => {
+      val curated = Curation.curationPipeline(t(s, d, "documents"),
+        "doc_id", "text", "source", minTokens = 20, maxTokens = 80, cap = 12,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val withTok = curated.withColumn("n_tokens",
+        size(Text.tokens(col("text"))).cast("long"))
+      val mixed = Sampling.tokenBudgetMix(withTok, Seq("doc_id"), "source",
+        col("n_tokens"), budget = 8000.0,
+        Map("src0" -> 0.5, "src1" -> 0.25), default = 0.0125)
+      val packed = Sampling.packSequences(mixed, "doc_id", col("n_tokens"), 512L, 4)
+      packed
+        .groupBy(col("split"), col("bucket").cast("long").as("bucket"))
+        .agg(countDistinct(col("seq")).as("n_seqs"), count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"), col("bucket"))
+    }),
+
     // TPC-H Q3-shaped composite (shipping priority): segment-filtered
     // 3-table join, revenue agg, top-10 — the classic relational stress
     // pattern, exactSum so the ranking is partition-order-free
@@ -1612,6 +1632,47 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "offset",
                 CAST(bucket * 1000000 + floor("offset" / 512) AS BIGINT) AS seq
          FROM o ORDER BY doc_id""",
+    "q95_training_shards" ->
+      """WITH gated AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 20 AND 80),
+         dd AS (
+           SELECT doc_id, source, text FROM gated
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         capped AS (
+           SELECT doc_id, source, text FROM dd
+           QUALIFY row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, doc_id) <= 12),
+         base AS (
+           SELECT doc_id, source,
+                  CASE WHEN h % 10000 < 8000 THEN 'train'
+                       WHEN h % 10000 < 9000 THEN 'val' ELSE 'test' END AS split,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+                  h
+           FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                 FROM capped)),
+         tot AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS tot FROM base GROUP BY source),
+         f AS (SELECT source,
+                      least(1.0::DOUBLE,
+                            (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                                         ELSE 0.0125 END) * 8000.0 / tot) AS frac
+               FROM tot),
+         kept AS (
+           SELECT base.* FROM base JOIN f USING (source)
+           WHERE h % 10000 < floor(frac * 10000)),
+         packed AS (
+           SELECT split, h % 4 AS bucket, doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+                       - n_tokens AS BIGINT) AS off
+           FROM kept),
+         seqs AS (
+           SELECT split, bucket, n_tokens,
+                  CAST(bucket * 1000000 + floor(off / 512) AS BIGINT) AS seq
+           FROM packed)
+         SELECT split, CAST(bucket AS BIGINT) AS bucket, count(DISTINCT seq) AS n_seqs,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM seqs GROUP BY split, bucket ORDER BY split, bucket""",
     "q84_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
