@@ -127,6 +127,30 @@ class DedupSpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("property: connectedComponentsStar agrees with min-label propagation on random graphs") {
+    val gen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 20L); b <- Gen.choose(0L, 20L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(gen) { edges =>
+      val df   = edges.toDF("a", "b")
+      val star = Dedup.connectedComponentsStar(df, "a", "b").as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(df, "a", "b").as[(Long, Long)].collect().toMap
+      star == prop
+    }, n = 8)
+  }
+
+  test("connectedComponentsStar handles a chain whose diameter defeats label propagation") {
+    // a 120-hop chain: min-label propagation needs ~120 rounds (> its default
+    // maxIter of 50); star alternation converges in O(log² n)
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b").collect()
+    }
+    val out = Dedup.connectedComponentsStar(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == 121 && out.forall(_._2 == 0L))
+  }
+
   test("property: normCol matches a reference reimplementation on arbitrary strings") {
     def ref(s: String): String = s.trim
       .replaceAll("[^0-9A-Za-z]+", "_").replaceAll("_+", "_")
