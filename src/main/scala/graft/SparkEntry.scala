@@ -690,6 +690,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // F16 via Spark 4's native VariantType: parse once to variant, typed
+    // path extraction — the open-schema semi-structured path (vs q30's
+    // fixed-schema from_json)
+    "q96_variant_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))
+    }),
+
     // Incremental exact dedup — drop batch rows whose content already exists
     // in the corpus (the daily-increment path of a growing training set)
     "q75_incremental_dedup" -> ((s, d) => {
@@ -1497,6 +1508,10 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q96_variant_extract" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
+         GROUP BY k_mod ORDER BY k_mod""",
     "q92_image_dims" ->
       """SELECT doc_id, 'png' AS format,
                 CAST(doc_id % 500 + 1 AS INT) AS width, CAST(256 AS INT) AS height
