@@ -1645,7 +1645,7 @@ object SparkEntry {
                        - n_tokens AS BIGINT) AS "offset"
            FROM d)
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "offset",
-                CAST(bucket * 1000000 + floor("offset" / 512) AS BIGINT) AS seq
+                CAST(bucket * 1099511627776 + floor("offset" / 512) AS BIGINT) AS seq
          FROM o ORDER BY doc_id""",
     "q95_training_shards" ->
       """WITH gated AS (
@@ -1683,7 +1683,7 @@ object SparkEntry {
            FROM kept),
          seqs AS (
            SELECT split, bucket, n_tokens,
-                  CAST(bucket * 1000000 + floor(off / 512) AS BIGINT) AS seq
+                  CAST(bucket * 1099511627776 + floor(off / 512) AS BIGINT) AS seq
            FROM packed)
          SELECT split, CAST(bucket AS BIGINT) AS bucket, count(DISTINCT seq) AS n_seqs,
                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens

@@ -52,6 +52,8 @@ case class ImageDims(child: Expression)
           val m = b(i + 1) & 0xff
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
             found = (be16(b, i + 7), be16(b, i + 5)) // (width, height)
+          } else if (m == 0xff) {
+            i += 1 // fill byte (spec B.1.1.2): markers may be 0xFF-padded
           } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) {
             i += 2 // standalone marker, no length field
           } else {
@@ -95,15 +97,18 @@ case class WavInfo(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     if (b.length < 36 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-    var i = 12
+    // walk in Long space: a crafted chunk size near Int.MaxValue must not
+    // overflow `i` negative (corrupt input yields NULL, never a crash)
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val size = le32(b, i.toInt + 4).toLong & 0xffffffffL
+      if (b(i.toInt) == 'f' && b(i.toInt + 1) == 'm' &&
+          b(i.toInt + 2) == 't' && b(i.toInt + 3) == ' ') {
         if (i + 8 + 16 > b.length || size < 16) return null
-        return InternalRow(le32(b, i + 12), le16(b, i + 10), le16(b, i + 22))
+        val j = i.toInt
+        return InternalRow(le32(b, j + 12), le16(b, j + 10), le16(b, j + 22))
       }
       i += 8 + size + (size & 1) // chunks are word-aligned
-      if (size < 0) return null  // corrupt length must not loop forever
     }
     null
   }

@@ -124,15 +124,6 @@ object Curation {
           i => array_join(slice(tk, i * width + 1, lit(width)), " "))).as(Seq("pos", "line")))
   }
 
-  /** Character-level Shannon entropy (bits/char) — the cheap
-    * information-density score: gibberish and key-mash text score near the
-    * charset's log2, templated/repeated text scores low. Pure per-row
-    * expression, fused into the scan stage.
-    *
-    * Summation runs over the SORTED distinct characters so the float
-    * accumulation order is engine-independent — the DuckDB oracle sums the
-    * identical sequence and the 4-decimal round then agrees exactly.
-    */
   /** Distribution-based outlier trim: rows whose `valCol` sits more than
     * `threshold` sample standard deviations from their group's mean —
     * truncation-length spikes, pathological documents, sensor glitches.
@@ -150,6 +141,15 @@ object Curation {
       .drop("__mu", "__sd")
   }
 
+  /** Character-level Shannon entropy (bits/char) — the cheap
+    * information-density score: gibberish and key-mash text score near the
+    * charset's log2, templated/repeated text scores low. Pure per-row
+    * expression, fused into the scan stage.
+    *
+    * Summation runs over the SORTED distinct characters so the float
+    * accumulation order is engine-independent — the DuckDB oracle sums the
+    * identical sequence and the 4-decimal round then agrees exactly.
+    */
   def charEntropy(textCol: Column): Column = {
     val cs = split(textCol, "")
     val n  = size(cs).cast("double")

@@ -125,6 +125,7 @@ object Dedup {
       val nsig = labelSum(next)
       converged = nsig == sig
       sig = nsig
+      labels.unpersist() // superseded checkpoint — don't pin O(rounds) copies
       labels = next
       iter += 1
     }
@@ -236,6 +237,7 @@ object Dedup {
         .localCheckpoint(true)
       converged = afterSmall.count() == edges.count() &&
         afterSmall.except(edges).isEmpty
+      edges.unpersist() // superseded checkpoint — don't pin O(rounds) copies
       edges = afterSmall
       iter += 1
     }

@@ -120,7 +120,10 @@ object Excel {
           .toLowerCase
         if (code.exists("ymdhs".contains(_))) Some(f.getAttribute("numFmtId").toInt) else None
       }.toSet
-    val dateIds = ((14 to 22) ++ (45 to 47)).toSet ++ custom
+    // built-in date ids: 14–22 + elapsed-time 45–47, PLUS the East Asian
+    // date/era blocks 27–36 and 50–58 (ECMA-376 §18.8.30 — implied, never
+    // written to styles.xml, so zh/ja/ko-locale workbooks carry them bare)
+    val dateIds = ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet ++ custom
     elems(root, "cellXfs").headOption.map(e => elems(e, "xf")).getOrElse(Nil)
       .zipWithIndex
       .collect {

@@ -103,9 +103,13 @@ object Ingest {
     val parsed = spark.read.text(path)
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j"))
-    val good = parsed.filter(col("j.__corrupt").isNull)
+    // blank/whitespace-only lines parse to a NULL struct (not a corrupt
+    // record), which `__corrupt IS NULL` alone would wave through as an
+    // all-null row — they are not valid JSON, so they quarantine too
+    val isGood = col("j").isNotNull && col("j.__corrupt").isNull
+    val good = parsed.filter(isGood)
       .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
-    val bad = parsed.filter(col("j.__corrupt").isNotNull).select(col("value").as("raw"))
+    val bad = parsed.filter(!isGood).select(col("value").as("raw"))
     (good, bad)
   }
 

@@ -86,8 +86,11 @@ object Sampling {
       .orderBy(Text.hash60(col(idCol).cast("string")), col(idCol))
     df.withColumn("bucket", hashBucket(Seq(col(idCol)), buckets))
       .withColumn("offset", sum(tokenCol).over(w) - tokenCol)
+      // 2^40 sequences of id-space per bucket: a bucket would need
+      // > maxTokens·2^40 tokens (petabytes at maxTokens=512) before its seq
+      // ids could collide with the next bucket's
       .withColumn("seq",
-        (col("bucket") * lit(1000000L) + floor(col("offset") / maxTokens)).cast("long"))
+        (col("bucket") * lit(1L << 40) + floor(col("offset") / maxTokens)).cast("long"))
   }
 
   /** Stratified deterministic sampling: each stratum keeps its own fraction

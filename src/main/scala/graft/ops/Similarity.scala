@@ -90,7 +90,7 @@ object Similarity {
     * norms are positive, so sign(cosine) == sign(dot), bit-exactly.
     */
   def signLshBucket(vec: Column, nPlanes: Int, dim: Int = 64, table: Int = 0): Column = {
-    require(nPlanes >= 1 && nPlanes < 100, "nPlanes in [1, 100)")
+    require(nPlanes >= 1 && nPlanes < 64, "nPlanes in [1, 64): bucket bits live in one Long")
     (0 until nPlanes).map { p =>
       val w = typedlit((0 until dim).map(d => planeWeight(table * 100 + p, d)))
       when(cosine(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))

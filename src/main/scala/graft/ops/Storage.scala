@@ -67,6 +67,10 @@ object Storage {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the lazy read + overwrite write would DELETE the inputs before reading
+    // them — exactly the in-place corruption the doc warns about
+    require(fs.makeQualified(new Path(dir)) != fs.makeQualified(new Path(outDir)),
+      s"compactTo must write to a NEW directory, got outDir == dir ($dir)")
     val parts = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(parts.nonEmpty, s"no parquet files under $dir")

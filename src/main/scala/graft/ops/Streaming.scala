@@ -131,11 +131,14 @@ object Streaming {
         val parsed = batch.select(col("value"),
           from_json(col("value"), withCorrupt,
             Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
+        // blank lines parse to a NULL struct, not a corrupt record — they
+        // quarantine too (see Ingest.readJsonQuarantine)
+        val isGood = col("j").isNotNull && col("j.__corrupt").isNull
         try {
-          parsed.filter(col("j.__corrupt").isNull)
+          parsed.filter(isGood)
             .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
             .write.mode("append").parquet(goodDir)
-          parsed.filter(col("j.__corrupt").isNotNull)
+          parsed.filter(!isGood)
             .select(col("value").as("raw"))
             .write.mode("append").text(badDir)
         } finally parsed.unpersist()

@@ -61,6 +61,7 @@ class IngestSpec extends AnyFunSuite {
         """{"id": 2, "name": "fine", "extra": true}""",
         """{"id": 3, "name": BROKEN""",
         """not json at all""",
+        "   ", // whitespace-only: NULL struct from from_json, must quarantine
         """{"id": 4}"""))
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
@@ -68,7 +69,7 @@ class IngestSpec extends AnyFunSuite {
     val g = good.orderBy("id").collect()
     assert(g.length == 3 && g(0).getLong(0) == 1 && g(2).isNullAt(1)) // id=4: missing field -> null, NOT quarantined
     val b = bad.as[String].collect().toSet
-    assert(b == Set("""{"id": 3, "name": BROKEN""", "not json at all"))
+    assert(b == Set("""{"id": 3, "name": BROKEN""", "not json at all", "   "))
   }
 
   test("unionAllByName aligns by name and null-fills (pd.concat, app.py:325)") {

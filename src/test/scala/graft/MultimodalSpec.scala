@@ -54,6 +54,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(0) && rows(4).isNullAt(0))
   }
 
+  test("imageDims: 0xFF fill padding before SOF is skipped (JPEG spec B.1.1.2)") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val padded = bytes(0xff, 0xd8, 0xff, /* fill */ 0xff, 0xc0, 0x00, 0x0b, 8,
+      0x00, 0x64, 0x01, 0x40, 3, 0, 0, 0)
+    val r = Seq(Tuple1(padded)).toDF("bin")
+      .select(Multimodal.imageDims($"bin").as("d")).select($"d.width", $"d.height").head()
+    assert(r.getInt(0) == 320 && r.getInt(1) == 100)
+  }
+
+  test("wavInfo: a crafted near-Int.MaxValue chunk size yields NULL, not a crash") {
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val evil = (Seq('R'.toInt, 'I', 'F', 'F') ++ le32(100) ++ Seq('W'.toInt, 'A', 'V', 'E') ++
+      Seq('j'.toInt, 'u', 'n', 'k') ++ le32(0x7ffffff8) ++ Seq.fill(16)(0)).map(_.toByte).toArray
+    val r = Seq(Tuple1(evil)).toDF("bin")
+      .select(Multimodal.wavInfo($"bin").as("w")).select($"w.sample_rate").head()
+    assert(r.isNullAt(0))
+  }
+
   test("wavInfo walks RIFF chunks to fmt; corrupt sizes terminate as NULL") {
     def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
     def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)

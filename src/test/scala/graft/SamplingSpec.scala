@@ -69,7 +69,7 @@ class SamplingSpec extends AnyFunSuite {
       // offsets are the running sum: 0, 7, 14, …
       assert(sorted.zipWithIndex.forall { case (r, i) => r.getLong(2) == 7L * i })
       // a doc's seq is determined by where its FIRST token lands
-      assert(sorted.forall(r => r.getLong(3) % 1000000L == r.getLong(2) / 50L))
+      assert(sorted.forall(r => r.getLong(3) % (1L << 40) == r.getLong(2) / 50L))
     }
     // deterministic across replays with different input order
     val again = graft.ops.Sampling.packSequences(docs.orderBy(rand(3)), "id",
