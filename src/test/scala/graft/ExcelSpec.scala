@@ -55,6 +55,28 @@ class ExcelSpec extends AnyFunSuite {
     assert(parsed == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
   }
 
+  test("East Asian built-in date styles (numFmtId 27, 57) convert serials too") {
+    // ids 27–36 / 50–58 are implied built-ins (never in styles.xml) used by
+    // zh/ja/ko-locale Excel for era/CJK date formats
+    val path = tmp("cjkdates")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    try {
+      put("xl/styles.xml",
+        """<styleSheet><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="27"/><xf numFmtId="57"/></cellXfs></styleSheet>""")
+      put("xl/worksheets/sheet1.xml",
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" s="1"><v>45292</v></c><c r="B1" s="2"><v>45292.5</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    } finally zout.close()
+    val rows = Excel.readRaw(path)
+    assert(rows(0)(0) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(rows(0)(1) == java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
+  }
+
   test("write → read round-trip preserves cells, nulls, sparse rows, escapes") {
     val rows: Seq[Seq[Any]] = Seq(
       Seq("Header A", "B & <C>", "D"),
