@@ -829,11 +829,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Skew-safe salted equi-join: one hot key spreads over 8 reducers; the
+    // Skew-safe salted equi-join: one hot key spreads over 4 reducers; the
     // result is identical to the plain join (that identity IS the oracle)
     "q84_salted_join" -> ((s, d) => {
       Relational.saltedJoin(
-          t(s, d, "lineitem"), t(s, d, "orders"), "l_orderkey", "o_orderkey", salts = 8)
+          t(s, d, "lineitem"), t(s, d, "orders"), "l_orderkey", "o_orderkey", salts = 4)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
