@@ -186,14 +186,17 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhash expects array<string>, got ${other.simpleString}")
   }
 
+  // permutation coefficients are a pure function of k — computed once per
+  // task, not once per ROW (this eval is the corpus-scan hot path)
+  @transient private lazy val as = MinHashSignature.coeffA(k)
+  @transient private lazy val bs = MinHashSignature.coeffB(k)
+
   override protected def nullSafeEval(input: Any): Any = {
     import MinHashSignature.P
     val arr = input.asInstanceOf[ArrayData]
     val m   = arr.numElements()
     if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     val md   = MessageDigest.getInstance("MD5")
-    val as   = MinHashSignature.coeffA(k)
-    val bs   = MinHashSignature.coeffB(k)
     val best = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < m) {

@@ -51,6 +51,11 @@ case class NearestCells(
   override protected def nullSafeEval(input: Any): Any = {
     val arr  = input.asInstanceOf[ArrayData]
     val m    = ids.length
+    // a truncated dot product against full seed norms would produce a
+    // silently wrong hybrid "cosine" — dimension mismatch is a data bug
+    // that must surface, not re-rank
+    require(arr.numElements() == vecs(0).length,
+      s"nearest_cells: vector dim ${arr.numElements()} != codebook dim ${vecs(0).length}")
     val cos  = new Array[Double](m)
     var s = 0
     while (s < m) {

@@ -124,11 +124,13 @@ object Curation {
           i => array_join(slice(tk, i * width + 1, lit(width)), " "))).as(Seq("pos", "line")))
   }
 
-  /** Distribution-based outlier trim: rows whose `valCol` sits more than
-    * `threshold` sample standard deviations from their group's mean —
-    * truncation-length spikes, pathological documents, sensor glitches.
-    * The per-group stats table has one row per group (broadcast), so the
-    * corpus takes one narrow pass: no self-join, no window sort.
+  /** Distribution-based outlier DETECTION: returns the rows whose `valCol`
+    * sits more than `threshold` sample standard deviations from their
+    * group's mean (truncation-length spikes, pathological documents, sensor
+    * glitches) — i.e. the OUTLIERS themselves, for inspection or anti-join
+    * removal; it is NOT the cleaned corpus. The per-group stats table has
+    * one row per group (broadcast), so the corpus takes one narrow pass:
+    * no self-join, no window sort.
     */
   def zScoreOutliers(df: DataFrame, groupCol: String, valCol: String,
       threshold: Double): DataFrame = {
@@ -153,8 +155,29 @@ object Curation {
   def charEntropy(textCol: Column): Column = {
     val cs = split(textCol, "")
     val n  = size(cs).cast("double")
-    val ks = transform(array_sort(array_distinct(cs)),
-      c => size(filter(cs, x => x === c)).cast("double"))
-    aggregate(ks, lit(0.0d), (acc, k) => acc - (k / n) * log2(k / n))
+    // run-length over the SORTED characters: one linear pass instead of the
+    // O(distinct × length) count-per-distinct form (quadratic on
+    // high-charset text, e.g. CJK). Each run closes by adding its
+    // −(k/n)·log2(k/n) term in sorted order — the identical additions in
+    // the identical order as the previous form, so oracle parity holds
+    // bit-for-bit; the final open run closes in the finish lambda.
+    aggregate(
+      array_sort(cs),
+      struct(lit("").as("prev"), lit(0.0d).as("run"), lit(0.0d).as("ent")),
+      (acc, c) => {
+        val prev = acc.getField("prev")
+        val run  = acc.getField("run")
+        val ent  = acc.getField("ent")
+        when(run === 0.0d || c === prev,
+          struct(c.as("prev"), (run + 1.0d).as("run"), ent.as("ent")))
+        .otherwise(
+          struct(c.as("prev"), lit(1.0d).as("run"),
+            (ent - (run / n) * log2(run / n)).as("ent")))
+      },
+      acc => {
+        val run = acc.getField("run")
+        val ent = acc.getField("ent")
+        when(run > 0.0d, ent - (run / n) * log2(run / n)).otherwise(ent)
+      })
   }
 }

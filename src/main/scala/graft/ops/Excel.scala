@@ -118,7 +118,8 @@ object Excel {
           .replaceAll("\\[[^\\]]*\\]", "") // color/locale/elapsed sections
           .replaceAll("\\\\.", "")       // backslash-escaped literal chars
           .toLowerCase
-        if (code.exists("ymdhs".contains(_))) Some(f.getAttribute("numFmtId").toInt) else None
+        // untrusted content: a missing/garbage numFmtId must not crash ingest
+        if (code.exists("ymdhs".contains(_))) f.getAttribute("numFmtId").toIntOption else None
       }.toSet
     // built-in date ids: 14–22 + elapsed-time 45–47, PLUS the East Asian
     // date/era blocks 27–36 and 50–58 (ECMA-376 §18.8.30 — implied, never
@@ -158,8 +159,13 @@ object Excel {
       case "inlineStr" => is.orNull
       case "" | "n" => // numeric (possibly date-styled) / blank
         val isDate = Option(c.getAttribute("s")).filter(_.nonEmpty)
-          .exists(s => dateStyles.contains(s.toInt))
-        v.map(raw => if (isDate) serialToTimestamp(raw.toDouble) else (raw: Any)).orNull
+          .exists(s => s.toIntOption.exists(dateStyles.contains))
+        // untrusted content: a date-styled cell with a non-numeric <v>
+        // degrades to the raw string instead of crashing ingest
+        v.map { raw =>
+          val serial = if (isDate) raw.toDoubleOption else None
+          serial.map(serialToTimestamp).getOrElse(raw: Any)
+        }.orNull
       case _ => v.orNull // "str" formula result / "b" / "e"
     }
   }

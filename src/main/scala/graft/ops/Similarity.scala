@@ -168,7 +168,10 @@ object Similarity {
         seedRows.map(_.getLong(0)).toSeq,
         seedRows.map(_.getSeq[Float](1)).toSeq,
         nProbe))
+    // NULL embeddings cannot be assigned a cell; exclude them EXPLICITLY
+    // (posexplode would drop them silently, which reads as data loss)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
       .select(col("id"), col("v"), posexplode(cells).as(Seq("p", "cell")))
       .select(col("id"), col("v"), col("cell"), (col("p") + 1).cast("int").as("rn"))
   }

@@ -33,7 +33,18 @@ object Storage {
     if (!spark.catalog.tableExists(table)) {
       val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // Only reclaim a directory that is recognizably a previous Spark
+        // table write (part- files / _SUCCESS / spec files). An arbitrary
+        // same-named directory is NOT ours to rm -rf — fail loudly instead.
+        val names = fs.listStatus(loc).map(_.getPath.getName)
+        val sparkish = names.forall(n =>
+          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+        require(sparkish,
+          s"$loc exists but does not look like a previous table write " +
+            s"(contents: ${names.take(5).mkString(", ")}); refusing to delete it")
+        fs.delete(loc, true)
+      }
     }
     df.write
       .mode("overwrite")
@@ -71,16 +82,24 @@ object Storage {
     // them — exactly the in-place corruption the doc warns about
     require(fs.makeQualified(new Path(dir)) != fs.makeQualified(new Path(outDir)),
       s"compactTo must write to a NEW directory, got outDir == dir ($dir)")
-    val parts = fs.listStatus(new Path(dir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // recursive listing: the read path below recurses into partition
+    // subdirectories (dir/date=…/part-*.parquet), so the size math must too
+    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it  = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.result()
+    }
+    val parts = parquetFiles(new Path(dir))
     require(parts.nonEmpty, s"no parquet files under $dir")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    val outParts = fs.listStatus(new Path(outDir))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (parts.length, outParts)
+    (parts.length, parquetFiles(new Path(outDir)).length)
   }
 }

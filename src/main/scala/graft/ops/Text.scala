@@ -367,9 +367,20 @@ object Text {
     * into the scan stage like the rest of the quality battery.
     */
   def topTokenRatio(toks: Column): Column = {
-    val counts = transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))
-    array_max(counts).cast("double") / size(toks).cast("double")
+    // run-length max over the SORTED tokens: one linear pass, not the
+    // O(distinct × length) count-per-distinct-token form (quadratic on
+    // high-vocabulary documents — a scan-stage quality score can't be)
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(acc.getField("run") === 0 || t === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / size(toks).cast("double")
   }
 
   /** Duplicate-bigram fraction: 1 − distinct_bigrams/total_bigrams. */
