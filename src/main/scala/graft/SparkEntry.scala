@@ -701,6 +701,27 @@ object SparkEntry {
         .orderBy(col("k_mod"))
     }),
 
+    // REAL WAV-header parsing: RIFF/fmt chunks constructed in-plan with
+    // little-endian byte plumbing; WavInfo must recover the encoded
+    // (sample_rate, channels, bits)
+    "q97_wav_info" -> ((s, d) => {
+      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+      val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+      val ch   = (col("doc_id") % 2 + 1).cast("int")
+      val payload = concat(
+        lit("RIFF").cast("binary"), unhex(lit("64000000")), lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), unhex(lit("10000000")),
+        le(lit(1), 2), le(ch, 2), le(rate, 4),
+        le(rate * 4, 4), le(lit(4), 2), le(lit(16), 2))
+      val w = Multimodal.wavInfo(payload)
+      t(s, d, "documents").select(col("doc_id"),
+          w.getField("sample_rate").as("sample_rate"),
+          w.getField("channels").as("channels"),
+          w.getField("bits_per_sample").as("bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental exact dedup — drop batch rows whose content already exists
     // in the corpus (the daily-increment path of a growing training set)
     "q75_incremental_dedup" -> ((s, d) => {
@@ -1512,6 +1533,10 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
          GROUP BY k_mod ORDER BY k_mod""",
+    "q97_wav_info" ->
+      """SELECT doc_id, CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+                CAST(doc_id % 2 + 1 AS INT) AS channels, CAST(16 AS INT) AS bits
+         FROM documents ORDER BY doc_id""",
     "q92_image_dims" ->
       """SELECT doc_id, 'png' AS format,
                 CAST(doc_id % 500 + 1 AS INT) AS width, CAST(256 AS INT) AS height
