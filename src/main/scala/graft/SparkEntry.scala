@@ -673,6 +673,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping token-window chunking (RAG/long-doc prep): 30-token
+    // windows advancing by 15
+    "q98_token_windows" -> ((s, d) => {
+      Curation.slidingTokenWindows(t(s, d, "documents"), "doc_id", "text", 30, 15)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // REAL image-header parsing: docs wrapped in a constructed PNG header
     // (width = doc_id % 500 + 1, height = 256); ImageDims must recover the
     // dimensions the construction encoded
@@ -1533,6 +1540,14 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
          GROUP BY k_mod ORDER BY k_mod""",
+    "q98_token_windows" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(list_slice(tk, i, i + 29), ' ') AS chunk
+         FROM (SELECT doc_id, tk, greatest(len(tk) - 29, 1) AS ms
+               FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+                     FROM documents)),
+              unnest(list_distinct(list_append([x for x in range(1, ms + 1, 15)], ms))) t(i)
+         ORDER BY doc_id, pos""",
     "q97_wav_info" ->
       """SELECT doc_id, CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
                 CAST(doc_id % 2 + 1 AS INT) AS channels, CAST(16 AS INT) AS bits

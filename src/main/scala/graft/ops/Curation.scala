@@ -124,6 +124,26 @@ object Curation {
           i => array_join(slice(tk, i * width + 1, lit(width)), " "))).as(Seq("pos", "line")))
   }
 
+  /** Overlapping token-window chunking (RAG indexing / long-document
+    * training prep): windows of `width` tokens advancing by `stride`
+    * (stride < width ⇒ overlap), each emitted as (id, pos, chunk). The
+    * final window start is always included even when it falls off the
+    * stride grid, so every token is covered by some window; a document
+    * shorter than one window yields exactly one (short) chunk. Pure
+    * per-row explode — fuses into the scan stage, no shuffle.
+    */
+  def slidingTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1, "width and stride must be positive")
+    val tk       = Text.tokens(col(textCol))
+    val maxStart = greatest(size(tk) - width + 1, lit(1))
+    val starts   = array_distinct(concat(
+      sequence(lit(1), maxStart, lit(stride)), array(maxStart)))
+    docs.select(col(idCol), col(textCol), explode(starts).as("pos"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(Text.tokens(col(textCol)), col("pos"), lit(width)), " ").as("chunk"))
+  }
+
   /** Distribution-based outlier DETECTION: returns the rows whose `valCol`
     * sits more than `threshold` sample standard deviations from their
     * group's mean (truncation-length spikes, pathological documents, sensor

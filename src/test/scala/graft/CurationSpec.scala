@@ -64,6 +64,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq("a b c", "d e f", "g"))
   }
 
+  test("slidingTokenWindows: overlap, clamped tail, short doc yields one chunk") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("id", "txt")
+    val out = graft.ops.Curation.slidingTokenWindows(docs, "id", "txt", 4, 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 1, "a b c d"), (1L, 3, "c d e f"),
+      (1L, 4, "d e f g"), // off-grid final start: tail token covered
+      (2L, 1, "x y")))    // short doc: one short chunk
+  }
+
   test("charEntropy hits the closed-form values") {
     val got = Seq("aaaa", "ab", "abab", "abcd").toDF("t")
       .select(Curation.charEntropy($"t")).as[Double].collect().toSeq
