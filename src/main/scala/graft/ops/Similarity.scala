@@ -119,11 +119,16 @@ object Similarity {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), nTables, nPlanes))
     val slim = base.select(col("id"), posexplode(buckets).as(Seq("t", "b")))
       .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
-    val cand = slim.as("a")
+    // dedup the UNDIRECTED pair once (half the join output through the
+    // distinct's shuffle), then mirror — each probe still ranks its own
+    // neighbor list, and the pair set is identical to the a≠b form
+    val half = slim.as("a")
       .join(slim.as("b"),
-        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"))
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("x"), col("b.id").as("y"))
       .distinct()
+    val cand = half.select(col("x").as("probe_id"), col("y").as("neighbor_id"))
+      .union(half.select(col("y").as("probe_id"), col("x").as("neighbor_id")))
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     cand
