@@ -142,10 +142,15 @@ object Dedup {
   /** Survivor resolution over candidate pairs (the keep-one semantics of the
     * reference's `drop_duplicates(keep="first")`, `app.py:240`, lifted to the
     * fuzzy-pair graph): each near-dup cluster keeps exactly its minimum id.
+    * `useStar = true` routes through [[connectedComponentsStar]] for pair
+    * graphs whose diameter may exceed propagation's round budget.
     */
-  def nearDupSurvivors(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
+  def nearDupSurvivors(pairs: DataFrame, aCol: String, bCol: String,
+      useStar: Boolean = false): DataFrame = {
+    val cc = if (useStar) connectedComponentsStar(pairs, aCol, bCol)
+             else connectedComponents(pairs, aCol, bCol)
+    cc.select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
+  }
 
   /** Incremental exact dedup: drop batch rows whose content digest already
     * exists in the corpus — the daily-increment operation of a continuously
@@ -177,10 +182,11 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("__loser"))
+      bCol: String,
+      useStar: Boolean = false): DataFrame = {
+    val losers = nearDupSurvivors(pairs, aCol, bCol, useStar)
+      .filter(!col("keep"))
+      .select(col("doc_id").as("__loser"))
     docs.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 

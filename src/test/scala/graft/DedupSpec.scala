@@ -139,6 +139,14 @@ class DedupSpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("dropNearDups(useStar = true) dedups a long chain end to end") {
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val docs  = (0L to 121L).toDF("doc_id") // 121 is in no pair
+    val kept = Dedup.dropNearDups(docs, "doc_id", chain, "a", "b", useStar = true)
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 121L)) // whole chain is one cluster keeping its min
+  }
+
   test("connectedComponentsStar handles a chain whose diameter defeats label propagation") {
     // a 120-hop chain: min-label propagation needs ~120 rounds (> its default
     // maxIter of 50); star alternation converges in O(log² n)
