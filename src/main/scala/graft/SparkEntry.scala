@@ -1308,8 +1308,8 @@ object SparkEntry {
          FROM tkx ORDER BY doc_id""",
     "q23_token_count" ->
       """SELECT lang,
-                sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS bpe_tokens,
-                sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS BIGINT) AS bpe_tokens,
+                CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS ws_tokens,
                 floor(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')))::DOUBLE
                       / sum(len(string_split_regex(lower(trim(text)), '\s+'))) * 10000 + 0.5)/10000 AS bpe_per_ws
          FROM documents GROUP BY lang ORDER BY lang""",
@@ -1671,7 +1671,7 @@ object SparkEntry {
            SELECT d.source, d.n_tokens FROM d JOIN f USING (source)
            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
                  < floor(frac * 10000))
-         SELECT source, count(*) AS n_docs, sum(n_tokens) AS kept_tokens
+         SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
          FROM kept GROUP BY source ORDER BY source""",
     "q89_pack_sequences" ->
       """WITH d AS (
