@@ -28,6 +28,12 @@ object Sessions {
       // compilation per stage. Any many-query workload (BI server, test
       // suite, this engine's Verify/Bench) wants this sized to its plan count.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // ObjectHashAggregate (TypedImperativeAggregate, e.g. the bounded
+      // top-k ranker) falls back to SORT-based aggregation after 128
+      // distinct keys by default — re-paying exactly the full-candidate
+      // sort the bounded buffer exists to avoid. Per-task group counts in
+      // the ranking paths are `probes`, far above 128 and far below memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("similarity ranking is a bounded aggregate, not a candidate-stream sort") {
+    // kNN/ANN/IVF top-k must partial-aggregate (ObjectHashAggregate over
+    // TopKPairs) — a Window would sort the FULL candidate stream per probe
+    for (q <- Seq("q24_knn", "q26_ann_lsh", "q58_ivf_ann")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via window sort:\n$p")
+      assert(p.contains("ObjectHashAggregate") && p.contains("topkpairs"),
+        s"$q missing bounded top-k aggregate:\n$p")
+    }
+  }
+
   test("ivfAssign plans zero exchanges: assignment is one narrow pass") {
     val docs = graft.Tables.t(spark, sf, "embeddings")
     val p = graft.ops.Similarity.ivfAssign(docs, "vec_id", "embedding", 4)

@@ -28,6 +28,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == 1L)
   }
 
+  test("rankTopK equals the row_number window form, ties included") {
+    // deterministic pseudo-random candidates with FORCED sim ties (sims
+    // quantized to one decimal) so the (sim desc, id asc) tie-break is hit
+    val rng = new scala.util.Random(7)
+    val cand = Seq.tabulate(2000) { i =>
+      (rng.nextInt(37).toLong, i.toLong, math.floor(rng.nextDouble() * 10) / 10)
+    }.toDF("probe_id", "neighbor_id", "sim")
+    val k = 5
+    val viaAgg = Similarity.rankTopK(cand, k)
+      .orderBy("probe_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val viaWindow = cand.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .orderBy("probe_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaAgg.sameElements(viaWindow))
+  }
+
   test("vectorMean UDAF equals per-position average") {
     val vecs = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 0f))).toDF("label", "embedding")
     val out = vecs.groupBy($"label").agg(Similarity.vectorMean($"embedding").as("m"))
