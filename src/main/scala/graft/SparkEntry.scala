@@ -269,6 +269,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-pruned anti-join (blocklist decontamination): the exclusion
+    // set's bloom routes rows in-plan (scalar subquery) so the clean
+    // majority never shuffles; only bloom-positives reach the exact
+    // anti-join, and the result equals a plain NOT IN
+    "q99_bloom_decontaminate" -> ((s, d) => {
+      val bad = t(s, d, "customer").filter(col("c_acctbal") < 0)
+      Curation.bloomAntiJoin(t(s, d, "orders"), col("o_custkey"),
+          bad, col("c_custkey"), expectedItems = 2000L, fpp = 0.01)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Repetition-based quality (Gopher-rule family): top-token dominance and
     // duplicate-bigram fraction per document
     "q74_repetition" -> ((s, d) => {
@@ -1294,6 +1306,10 @@ object SparkEntry {
          SELECT doc_id, lang FROM corpus
          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "q99_bloom_decontaminate" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY o_orderkey""",
     "q74_repetition" ->
       """WITH tkx AS (
            SELECT doc_id, tk,

@@ -13,6 +13,54 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Bloom-pruned anti-join: remove corpus rows whose `keyCol` appears in
+    * `exclude.excludeKey` — same result as a plain left-anti join, reached
+    * without shuffling the corpus.
+    *
+    * The exclusion set's Bloom filter is built IN-PLAN
+    * (`bloom_filter_agg` over `xxhash64(key)`, one aggregate row) and
+    * reaches the corpus as a scalar subquery. Rows the bloom rejects are
+    * definitively clean and exit through a scan+filter branch with no
+    * exchange; only bloom-positives (true hits + the fpp fraction) proceed
+    * to the exact anti-join that removes false positives. The final result
+    * is EXACTLY the anti-join — the bloom only routes rows — so the DuckDB
+    * oracle is a plain `NOT IN`.
+    *
+    * 100 TB shape: this is the regime where the exclusion set is too big to
+    * broadcast as a hash table but its bloom fits comfortably
+    * (100M keys ≈ 120 MB at 1% fpp): a plain shuffle anti-join would
+    * exchange the whole corpus; here the corpus is scanned twice (columnar
+    * scans are cheap; the second scan reads only bloom-positives' columns
+    * forward) and only ~fpp of it is ever shuffled. For exclusion sets small
+    * enough to broadcast, skip the bloom and let AQE pick the broadcast
+    * anti-join.
+    */
+  def bloomAntiJoin(corpus: DataFrame, keyCol: Column, exclude: DataFrame,
+      excludeKey: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "need expectedItems > 0, fpp in (0,1)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(excludeKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bf = exclude.agg(bloomAgg.as("bf")).scalar()
+    // NULL keys: might_contain yields NULL; a plain anti-join KEEPS null-key
+    // rows (null never equals), so route them through the clean branch
+    val maybe = coalesce(
+      ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(bf),
+        ColumnBridge.expression(xxhash64(keyCol)))),
+      lit(false))
+    val clean = corpus.filter(!maybe)
+    val suspects = corpus.filter(maybe)
+      .join(exclude.select(excludeKey.as("__ek")), keyCol === col("__ek"), "left_anti")
+    clean.unionByName(suspects)
+  }
+
   /** Per-domain quota: keep at most `k` documents from each domain — the
     * standard guard against a handful of mega-domains dominating a crawl.
     * Selection is content-addressed (rank by 60-bit md5 of the content, id

@@ -9,6 +9,28 @@ class CurationSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bloomAntiJoin equals the plain anti-join, false positives corrected") {
+    val corpus  = (1L to 400L).map(i => (i, s"doc $i")).toDF("id", "k")
+    val exclude = (1L to 400L by 3).map(i => (s"doc $i", 0)).toDF("k", "pad")
+    // 64-bit filter for ~134 keys → high fpp, so the exact-confirm branch
+    // is genuinely exercised (a roomy bloom would make it vacuous)
+    val out = Curation.bloomAntiJoin(corpus, col("k"), exclude, col("k"),
+        expectedItems = 134L, fpp = 0.5)
+      .orderBy("id").as[(Long, String)].collect()
+    val ref = corpus.join(exclude, corpus("k") === exclude("k"), "left_anti")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.sameElements(ref))
+    assert(ref.length == 400 - 134)
+  }
+
+  test("bloomAntiJoin keeps null-key rows, like the anti-join it replaces") {
+    val corpus  = Seq((1L, "a"), (2L, null), (3L, "b")).toDF("id", "k")
+    val exclude = Seq(("a", 0)).toDF("k", "pad")
+    val out = Curation.bloomAntiJoin(corpus, col("k"), exclude, col("k"), 10L)
+      .select("id").as[Long].collect().sorted
+    assert(out.sameElements(Array(2L, 3L)))
+  }
+
   test("domainCap keeps at most k docs per domain, content-addressed") {
     val docs = (1L to 30L).map(i => (i, s"dom${i % 2}", s"text $i")).toDF("id", "dom", "txt")
     val out  = Curation.domainCap(docs, "dom", "id", "txt", 5)

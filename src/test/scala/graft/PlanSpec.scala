@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q99 bloom anti-join: corpus routes via might_contain, never hash-shuffles") {
+    val p = plan("q99_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom filter not in plan:\n$p")
+    // the only exchanges are the one-row bloom aggregate (SinglePartition),
+    // the anti-join broadcast, and the final order-by range partitioning —
+    // a hash exchange would mean the corpus itself is being shuffled
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus hash-shuffled:\n$p")
+  }
+
   test("similarity ranking is a bounded aggregate, not a candidate-stream sort") {
     // kNN/ANN/IVF top-k must partial-aggregate (ObjectHashAggregate over
     // TopKPairs) — a Window would sort the FULL candidate stream per probe
