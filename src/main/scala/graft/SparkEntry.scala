@@ -339,6 +339,18 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // Int8 scalar quantization: per-vector max-abs scale + tinyint code;
+    // cos_q is the reconstruction similarity (cosine is scale-invariant)
+    "q101_int8_quant" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      e.select(col("vec_id"), col("embedding"),
+          Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          Summaries.r4(col("qz.scale")).as("scale4"),
+          Summaries.r4(Similarity.dequantCosine(col("embedding"), col("qz"))).as("cos_q"))
+        .orderBy(col("vec_id"))
+    }),
+
     // A9 — typed UDAF: per-label element-wise mean, exploded to rows
     "q27_vector_mean" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -750,6 +762,18 @@ object SparkEntry {
       Dedup.dedupAgainstCorpus(batch, corpus, "props")
         .select(col("event_id"), col("props"))
         .orderBy(col("event_id"))
+    }),
+
+    // Incremental FUZZY dedup — drop batch docs with a MinHash near-dup
+    // already in the corpus (the paraphrase-resistant increment path; q75
+    // is the exact-digest counterpart)
+    "q100_fuzzy_incremental" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val batch  = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Text.minhashDedupAgainstCorpus(batch, corpus, "doc_id", "text", 3, 16, 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // Per-domain quota: at most k docs per source, content-addressed pick
@@ -1202,6 +1226,30 @@ object SparkEntry {
          ORDER BY doc_a, doc_b"""
   }
 
+  /** Batch-vs-corpus variant of [[minhashLshOracle]] for q100: candidates
+    * pair a batch doc (doc_id % 10 = 0) with a corpus doc, and the batch
+    * survivors are those with no verified near-dup.
+    */
+  private def minhashIncrementalOracle(): String =
+    s"""WITH sh AS (
+           SELECT doc_id, lang, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv
+           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         dup AS (
+           SELECT DISTINCT bid FROM cand
+           JOIN sh x ON bid = x.doc_id JOIN sh y ON cid = y.doc_id
+           WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
+         ORDER BY doc_id"""
+
   private def textOracles: Map[String, String] = Map(
     "q13_tokenize" ->
       """SELECT token, count(*) AS cnt
@@ -1242,6 +1290,7 @@ object SparkEntry {
          WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
          ORDER BY doc_a, doc_b""",
     "q17_minhash_lsh" -> minhashLshOracle(),
+    "q100_fuzzy_incremental" -> minhashIncrementalOracle(),
     // identical semantics driven through the pure-SQL surface (q90)
     "q90_sql_neardup" -> minhashLshOracle(),
     // the per-language scoped form (q93)
@@ -1332,6 +1381,20 @@ object SparkEntry {
   )
 
   private def similarityOracles: Map[String, String] = Map(
+    "q101_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE embedding IS NOT NULL),
+         s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),
+         qv AS (SELECT vec_id, v, scale,
+                      CASE WHEN scale = 0 THEN [0.0 for x in v]
+                           ELSE [floor(x / scale + 0.5) for x in v] END AS q
+                FROM s)
+         SELECT vec_id,
+                floor(scale * 10000 + 0.5)/10000 AS scale4,
+                floor(list_reduce(list_prepend(0.0::DOUBLE, [v[i] * q[i] for i in range(1, len(v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in q]), (a, b) -> a + b)))
+                      * 10000 + 0.5)/10000 AS cos_q
+         FROM qv ORDER BY vec_id""",
     "q24_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          s AS (

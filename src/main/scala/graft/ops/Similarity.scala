@@ -222,6 +222,37 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
   }
 
+  /** Scalar (max-abs) int8 quantization of an embedding column: per-vector
+    * `scale = max|v_i| / 127`, `q_i = floor(v_i/scale + 0.5)` — the storage
+    * form ANN candidate stores ship at scale (4× smaller than float32, and
+    * int8 dot kernels where the hardware has them). `floor(x + 0.5)` is
+    * spelled out (not `round`) so Spark and the DuckDB oracle round
+    * identically, including negatives.
+    *
+    * Returns `struct(scale: double, q: array<tinyint>)`. Zero vectors get
+    * scale 0 and an all-zero code. Quantization error is measured by
+    * [[dequantCosine]]: cosine is scale-invariant, so `cos(v, q)` IS the
+    * reconstruction similarity — no dequantized array needed.
+    *
+    * Pure per-row expressions — fused into the scan stage, no shuffle. The
+    * HOFs here are CodegenFallback, which is fine for a once-per-row
+    * storage transform; the HOT path (per candidate pair) stays on the
+    * codegen'd [[cosine]].
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val vd    = transform(vec, _.cast("double"))
+    val scale = array_max(transform(vd, x => abs(x))) / lit(127.0)
+    val q = when(scale === 0.0, transform(vd, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(vd, x => floor(x / scale + lit(0.5)).cast("tinyint")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Cosine between the original vector and its int8 code (= its
+    * reconstruction, since cosine ignores the scale factor).
+    */
+  def dequantCosine(vec: Column, quant: Column): Column =
+    cosine(transform(vec, _.cast("float")), transform(quant.getField("q"), _.cast("float")))
+
   /** A9 — typed UDAF: element-wise mean of an embedding column. The buffer is
     * a primitive double array + count; merge is O(dim) — a textbook
     * `Aggregator`, partial-aggregated map-side like any built-in.

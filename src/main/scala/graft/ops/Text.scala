@@ -192,6 +192,56 @@ object Text {
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
   }
 
+  /** D3 incremental fuzzy variant — drop batch documents that have a
+    * MinHash near-duplicate ALREADY IN the corpus: the fuzzy counterpart of
+    * [[graft.ops.Dedup.dedupAgainstCorpus]] (exact digests, q75), and the
+    * operation a continuously-ingesting pipeline runs per increment so new
+    * paraphrases of known content never enter the training set.
+    *
+    * Same LSH shape as [[minhashNearDupPairs]] but batch×corpus instead of
+    * self-join: both sides reduce to k (id, band, hv) longs per doc, the
+    * candidate join is an equi-join on (band, hv) — the batch side is tiny
+    * so AQE broadcasts it against the corpus index — and only candidates
+    * pull shingle sets through the exact-Jaccard verify. Batch-internal
+    * duplicates are NOT removed here (run the self-join family for that).
+    *
+    * At 100 TB the corpus signature pass should not be re-run per batch:
+    * the (band, hv, id) index is the thing to persist (bucketed by
+    * (band, hv) via [[graft.ops.Storage.writeBucketed]]), after which each
+    * increment joins against it exchange-free. This operator expresses the
+    * one-batch run; the plan is identical with a stored index source.
+    */
+  def minhashDedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      k: Int,
+      threshold: Double): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
+      .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    def sigOf(sh: DataFrame) = sh
+      .select(col("id"), posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
+    val bsh = shingled(batch)
+    val csh = shingled(corpus)
+    val cand = sigOf(bsh).as("a")
+      .join(sigOf(csh).as("b"),
+        col("a.band") === col("b.band") && col("a.hv") === col("b.hv"))
+      .select(col("a.id").as("bid"), col("b.id").as("cid"))
+      .distinct()
+    val j = jaccardOf(col("x.ss"), col("y.ss"))
+    val dupIds = cand
+      .join(bsh.as("x"), col("bid") === col("x.id"))
+      .join(csh.as("y"), col("cid") === col("y.id"))
+      .filter(j >= threshold)
+      .select(col("bid"))
+      .distinct()
+    batch.join(dupIds, batch(idCol) === dupIds("bid"), "left_anti")
+  }
+
   /** D3 exact variant — n-gram Jaccard near-dup via an inverted shingle
     * index: explode (id, shingle), drop shingles hotter than `maxDf`
     * documents (standard prefix filtering — a stop-phrase shingle shared by

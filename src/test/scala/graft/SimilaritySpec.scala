@@ -47,6 +47,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaAgg.sameElements(viaWindow))
   }
 
+  test("quantizeInt8: max-abs maps to ±127, zero vector gets zero code, cosine survives") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+        Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"vec_id", $"qz.scale", $"qz.q")
+      .orderBy("vec_id")
+      .collect()
+    assert(math.abs(out(0).getDouble(1) - 1.0 / 127) < 1e-12)
+    assert(out(0).getSeq[Byte](2) == Seq[Byte](64, -127, 32)) // floor(x/scale+0.5)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Byte](2) == Seq[Byte](0, 0, 0))
+    val cos = df.filter($"vec_id" === 1)
+      .select(Similarity.dequantCosine($"embedding",
+        Similarity.quantizeInt8($"embedding"))).head().getDouble(0)
+    assert(cos > 0.9999, s"int8 reconstruction cosine too low: $cos")
+  }
+
   test("vectorMean UDAF equals per-position average") {
     val vecs = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 0f))).toDF("label", "embedding")
     val out = vecs.groupBy($"label").agg(Similarity.vectorMean($"embedding").as("m"))

@@ -34,6 +34,22 @@ class TextSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhashDedupAgainstCorpus drops corpus near-dups, keeps batch-internal ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "completely different words about spark catalyst tungsten execution")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away now"), // ~doc 1
+      (11L, "unrelated fresh content mentioning streaming watermarks and state stores"),
+      (12L, "unrelated fresh content mentioning streaming watermarks and state store")) // ~doc 11, batch-internal
+      .toDF("doc_id", "text")
+    val out = Text.minhashDedupAgainstCorpus(batch, corpus, "doc_id", "text", 3, 16, 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 10 dropped (near-dup of corpus doc 1); 11 and 12 both kept — batch-
+    // internal duplicates are out of scope by contract
+    assert(out.sameElements(Array(11L, 12L)))
+  }
+
   test("jaccardNearDupPairs (exact inverted index) agrees with minhash on planted dups") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten eleven twelve"),
