@@ -92,5 +92,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => graft.expr.ImageDims(children(0))),
     ("graft_wav_info",
       "graft_wav_info(bin) - struct(sample_rate, channels, bits_per_sample) from RIFF/WAVE, else NULL",
-      (children: Seq[Expression]) => graft.expr.WavInfo(children(0))))
+      (children: Seq[Expression]) => graft.expr.WavInfo(children(0))),
+    ("graft_top_k",
+      "graft_top_k(sim, id, k) - aggregate: best k (sim desc, id asc) pairs, partial map-side",
+      (children: Seq[Expression]) =>
+        graft.expr.TopKPairs(children(0), children(1),
+          litInt(children(2), "graft_top_k", "k"))))
 }

@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * session configured only via spark.sql.extensions (no Sessions.local).
   */
 class ExtensionsSpec extends AnyFunSuite {
+  test("graft_top_k aggregates in pure SQL: best-k pairs, ranked") {
+    val s = TestSpark.spark
+    val r = s.sql(
+      """SELECT g, graft_top_k(sim, id, 2) top FROM VALUES
+           (1, 0.9d, 10L), (1, 0.7d, 11L), (1, 0.9d, 9L), (2, 0.1d, 20L)
+           AS t(g, sim, id)
+         GROUP BY g ORDER BY g""")
+      .collect()
+    val g1 = r(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(x => (x.getDouble(0), x.getLong(1))) == Seq((0.9, 9L), (0.9, 10L)))
+    val g2 = r(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(g2.map(x => (x.getDouble(0), x.getLong(1))) == Seq((0.1, 20L)))
+  }
+
   test("spark.sql.extensions=graft.GraftExtensions injects graft_cosine/graft_jaccard") {
     val prev = Some(TestSpark.spark) // shared context stays up
     SparkSession.clearDefaultSession()
