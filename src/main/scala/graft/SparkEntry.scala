@@ -764,6 +764,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Keyed upsert (MERGE fast path): a priced-up increment replaces its
+    // keys; untouched rows pass through; the current table never shuffles
+    "q102_upsert" -> ((s, d) => {
+      val orders  = t(s, d, "orders")
+      val updates = orders.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Dedup.upsert(orders, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Summaries.r4(col("o_totalprice")).as("price4"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Incremental FUZZY dedup — drop batch docs with a MinHash near-dup
     // already in the corpus (the paraphrase-resistant increment path; q75
     // is the exact-digest counterpart)
@@ -1015,6 +1027,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
           max(col("l_quantity")).as("hi"))
         .orderBy(col("bin"))
+    }),
+
+    // Z-order cells: two quantile-binned dims bit-interleaved into the
+    // Morton value that zOrderWrite clusters files by — the cell census a
+    // layout job reports (StorageSpec proves the span-bounding on disk)
+    "q103_zorder_cells" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val binned = Summaries.quantileBin(
+        Summaries.quantileBin(li, "l_extendedprice", 16, "bx"),
+        "l_quantity", 16, "by")
+      binned
+        .withColumn("z", Storage.zValue(Seq(col("bx"), col("by")), 4))
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("z"))
     }),
 
     // statistical aggregates: correlation, sample stddev (r4 masks the
@@ -1291,6 +1318,11 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q17_minhash_lsh" -> minhashLshOracle(),
     "q100_fuzzy_incremental" -> minhashIncrementalOracle(),
+    "q102_upsert" ->
+      """SELECT o_orderkey, o_orderstatus,
+                floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1
+                            ELSE o_totalprice END) * 10000 + 0.5)/10000 AS price4
+         FROM orders ORDER BY o_orderkey""",
     // identical semantics driven through the pure-SQL surface (q90)
     "q90_sql_neardup" -> minhashLshOracle(),
     // the per-language scoped form (q93)
@@ -1914,6 +1946,19 @@ object SparkEntry {
                   CAST(len(list_filter((SELECT cs FROM cuts), c -> c <= l_quantity)) AS INT) AS bin
            FROM lineitem WHERE l_quantity IS NOT NULL)
          GROUP BY bin ORDER BY bin""",
+    "q103_zorder_cells" ->
+      """WITH cx AS (SELECT quantile_cont(l_extendedprice, [x / 16.0 for x in range(1, 16)]) AS cs FROM lineitem),
+         cy AS (SELECT quantile_cont(l_quantity, [x / 16.0 for x in range(1, 16)]) AS cs FROM lineitem),
+         b AS (
+           SELECT len(list_filter((SELECT cs FROM cx), c -> c <= l_extendedprice)) AS bx,
+                  len(list_filter((SELECT cs FROM cy), c -> c <= l_quantity)) AS qb
+           FROM lineitem),
+         zz AS (
+           SELECT CAST(list_sum([((bx >> p) & 1) * (1::BIGINT << (2 * p)) +
+                                 ((qb >> p) & 1) * (1::BIGINT << (2 * p + 1))
+                                 for p in range(0, 4)]) AS BIGINT) AS z
+           FROM b)
+         SELECT z, count(*) AS n FROM zz GROUP BY z ORDER BY z""",
     "q64_stats" ->
       """SELECT l_returnflag,
                 floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)/10000 AS corr_qty_price,

@@ -10,9 +10,17 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** Bounded top-k buffer: the best `k` (sim desc, id asc) pairs seen so far,
-  * kept in ranked order by insertion — O(k) worst-case per offer, O(1) for
-  * the common reject (candidate worse than the current k-th).
+/** Bounded top-k buffer: the best `k` (sim desc, id asc) pairs seen so far
+  * over DISTINCT ids, kept in ranked order by insertion — O(k) worst-case
+  * per offer, O(1) for the common reject (candidate worse than the current
+  * k-th).
+  *
+  * Id-dedup is what lets multi-table LSH feed candidates STRAIGHT into the
+  * aggregate: the same (probe, neighbor) pair surfacing from several hash
+  * tables (with the same sim, since sim is a function of the pair) would
+  * otherwise occupy several of the k slots — the callers previously paid a
+  * full candidate-stream `distinct()` exchange to prevent exactly that.
+  * If an id re-arrives with a different score, its best entry wins.
   */
 final class TopKBuffer(val k: Int) {
   val sims = new Array[Double](k)
@@ -23,6 +31,18 @@ final class TopKBuffer(val k: Int) {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def offer(s: Double, i: Long): Unit = {
+    // in-buffer dedup: drop the worse entry for a repeated id
+    var d = 0
+    while (d < n) {
+      if (ids(d) == i) {
+        if (!better(s, i, sims(d), ids(d))) return // existing entry is better
+        // remove the existing (worse) entry, then insert the new one below
+        var m = d
+        while (m < n - 1) { sims(m) = sims(m + 1); ids(m) = ids(m + 1); m += 1 }
+        n -= 1
+        d = n // exit scan
+      } else d += 1
+    }
     if (n == k && !better(s, i, sims(n - 1), ids(n - 1))) return
     var pos = math.min(n, k - 1)
     while (pos > 0 && better(s, i, sims(pos - 1), ids(pos - 1))) {
@@ -44,7 +64,8 @@ final class TopKBuffer(val k: Int) {
   * map-side: each task keeps at most k entries per group, so the exchange
   * carries `partitions × groups × k` entries regardless of candidate
   * volume. Ranking semantics are identical to the window (sim desc, id
-  * asc, dense 1..k), so the DuckDB oracles are unchanged.
+  * asc, dense 1..k) over DISTINCT ids — each id ranks once, by its best
+  * entry — so the DuckDB oracles are unchanged.
   *
   * Null sims are skipped (the similarity paths never produce one; the
   * window form would rank them last under `desc` ordering — the two agree

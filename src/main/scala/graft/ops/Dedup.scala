@@ -152,6 +152,31 @@ object Dedup {
     cc.select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
   }
 
+  /** Keyed upsert (the MERGE / SCD-type-1 fast path): rows of `updates`
+    * replace same-key rows of `current`; unmatched current rows pass
+    * through; new keys insert. Spelled as `updates ∪ (current ⟕̸ update
+    * keys)` — the anti-join probes only the KEY COLUMNS of the updates
+    * (broadcast under AQE when the increment is small, the overwhelmingly
+    * common case), so the current table streams through one narrow
+    * scan+filter and never shuffles. This is how a table-format MERGE
+    * executes its not-matched path at scale; a row-level transaction log
+    * is storage's job, not the engine's.
+    *
+    * `updates` must be unique per key — pass a `resolveBy` recency column
+    * to reduce a multi-version increment with [[keepLatest]] first
+    * (checking the contract here would launch an eager job at plan-build
+    * time, which this engine bans — see the TF-IDF in-plan-count
+    * precedent).
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      resolveBy: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val up = resolveBy.fold(updates)(o =>
+      keepLatest(updates, keys, Seq(o), keys.map(col)))
+    up.unionByName(
+      current.join(up.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  }
+
   /** Incremental exact dedup: drop batch rows whose content digest already
     * exists in the corpus — the daily-increment operation of a continuously
     * growing training set. The corpus side is reduced to its distinct digest

@@ -120,7 +120,8 @@ object Similarity {
 
   /** T5 scale path — approximate top-k via multi-table sign-LSH: candidates
     * are pairs sharing a bucket in ANY of `nTables` independent hash tables,
-    * deduplicated, then exactly ranked.
+    * exactly ranked (cross-table duplicates are absorbed by the ranking
+    * aggregate's in-buffer id-dedup).
     *
     * One table of k planes has per-pair recall (1−θ/π)^k — low for the
     * moderate-similarity neighbours that dominate isotropic embeddings; L
@@ -140,16 +141,16 @@ object Similarity {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), nTables, nPlanes))
     val slim = base.select(col("id"), posexplode(buckets).as(Seq("t", "b")))
       .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
-    // dedup the UNDIRECTED pair once (half the join output through the
-    // distinct's shuffle), then mirror — each probe still ranks its own
-    // neighbor list, and the pair set is identical to the a≠b form
-    val half = slim.as("a")
+    // A pair sharing buckets in SEVERAL tables surfaces once per table; no
+    // pairwise distinct() is needed because TopKPairs dedups ids in-buffer
+    // (same pair → same sim, so duplicates can't skew the ranking). That
+    // distinct was the one candidate-stream exchange in this plan — the
+    // verify join broadcasts `base`, so with it gone candidates never
+    // shuffle at all, at any corpus size.
+    val cand = slim.as("a")
       .join(slim.as("b"),
-        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("x"), col("b.id").as("y"))
-      .distinct()
-    val cand = half.select(col("x").as("probe_id"), col("y").as("neighbor_id"))
-      .union(half.select(col("y").as("probe_id"), col("x").as("neighbor_id")))
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"))
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
     rankTopK(
       cand

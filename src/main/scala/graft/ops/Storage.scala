@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the table-format side of running at 100 TB.
   * The reference's storage story is a single xlsx (`/root/reference/app.py:
@@ -61,6 +62,56 @@ object Storage {
   def coLocatedJoin(spark: SparkSession, tableA: String, tableB: String,
       keys: Seq[String]): DataFrame =
     spark.table(tableA).hint("merge").join(spark.table(tableB), keys)
+
+  /** Morton (z-order) interleave of per-column bin ids: bit `b` of column
+    * `i` lands at result bit `b·N + i`, so consecutive z-values walk a
+    * space-filling curve — rows close in z are close in EVERY binned
+    * dimension at once. Inputs must be ints in `[0, 2^bits)` (use
+    * [[Summaries.quantileBin]] to get them); a NULL bin yields a NULL
+    * z-value.
+    */
+  def zValue(binCols: Seq[Column], bits: Int): Column = {
+    require(binCols.nonEmpty && bits >= 1 && bits * binCols.size <= 62,
+      "need columns and bits with bits*cols <= 62")
+    val n = binCols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- binCols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write — the multi-column data-skipping layout
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` semantics, expressed as a plain
+    * repartition+sort+write).
+    *
+    * A single-column sort gives perfect file-level min/max pruning on that
+    * column and NONE on any other: every file spans the full range of the
+    * second column, so a `WHERE x = … AND y = …` scan skips nothing on y.
+    * Clustering by z-value bounds EVERY clustered column's span per file
+    * (~range/2^(bits·(i/N)) after i interleaved bits), so engine-independent
+    * parquet min/max stats skip files on ANY clustered column —
+    * StorageSpec measures exactly this (z-ordered y-span ≪ sorted-by-x
+    * y-span). Quantile binning (not fixed-width) makes the cells equal-
+    * POPULATION, so skewed columns still spread over the full bit range.
+    *
+    * One wide exchange (the range partition on z) at write time, amortized
+    * over every subsequent selective scan — same economics as
+    * [[writeBucketed]].
+    */
+  def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int, outDir: String,
+      nFiles: Int): Unit = {
+    require(cols.size >= 2, "z-order needs at least two columns (sort for one)")
+    val binned = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      Summaries.quantileBin(acc, c, 1 << bits, s"__zb_$i")
+    }
+    binned
+      .withColumn("__z", zValue(cols.indices.map(i => col(s"__zb_$i")), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(cols.indices.map(i => s"__zb_$i") :+ "__z": _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Rewrite a directory of parquet files into ~`targetBytes` files at
     * `outDir` and return (files before, files after). THE small-file fix: a

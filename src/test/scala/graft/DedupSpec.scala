@@ -65,6 +65,22 @@ class DedupSpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("upsert: updates replace, new keys insert, untouched rows pass through") {
+    val current = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v")
+    val updates = Seq((2L, "b2", 21), (9L, "new", 90)).toDF("k", "s", "v")
+    val out = Dedup.upsert(current, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Int)].collect()
+    assert(out.toSeq == Seq((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30), (9L, "new", 90)))
+  }
+
+  test("upsert resolveBy reduces a multi-version increment to its latest") {
+    val current = Seq((1L, "a", 10)).toDF("k", "s", "v")
+    val updates = Seq((1L, "v1", 1), (1L, "v2", 2)).toDF("k", "s", "v")
+    val out = Dedup.upsert(current, updates, Seq("k"), resolveBy = Some("v"))
+      .orderBy("k").as[(Long, String, Int)].collect()
+    assert(out.toSeq == Seq((1L, "v2", 2)))
+  }
+
   test("dedupAgainstCorpus drops batch rows whose content the corpus already has") {
     val corpus = Seq((1L, "seen"), (2L, "also seen")).toDF("id", "txt")
     val batch  = Seq((10L, "seen"), (11L, "fresh"), (12L, null.asInstanceOf[String])).toDF("id", "txt")

@@ -47,6 +47,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaAgg.sameElements(viaWindow))
   }
 
+  test("rankTopK dedups repeated ids, keeping each id's best entry") {
+    val cand = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 10L, 0.9), // multi-table dup
+      (1L, 11L, 0.3), (1L, 11L, 0.8),                 // same id, better later
+      (1L, 12L, 0.5)).toDF("probe_id", "neighbor_id", "sim")
+    val out = Similarity.rankTopK(cand, 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq((10L, 0.9, 1), (11L, 0.8, 2)))
+  }
+
   test("quantizeInt8: max-abs maps to ±127, zero vector gets zero code, cosine survives") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),

@@ -28,6 +28,38 @@ class StorageSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("zOrderWrite bounds per-file spans on BOTH columns; a plain sort does not") {
+    val sf  = "/root/testdata/sf0.001"
+    val li  = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    // per-file average span of `c`, as a fraction of the global span
+    def avgSpanFrac(dir: String, c: String): Double = {
+      val global = li.agg((max(col(c)) - min(col(c))).as("s")).head().getDouble(0)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length > 1, s"expected multiple files in $dir")
+      val spans = files.map { f =>
+        spark.read.parquet(f).agg((max(col(c)) - min(col(c))).as("s")).head().getDouble(0)
+      }
+      spans.sum / spans.length / global
+    }
+
+    Storage.zOrderWrite(li, Seq("l_extendedprice", "l_quantity"), bits = 4,
+      s"$tmp/z", nFiles = 8)
+    li.repartitionByRange(8, col("l_extendedprice"))
+      .sortWithinPartitions(col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$tmp/x")
+
+    // the x-sorted layout prunes x but leaves y files spanning ~everything;
+    // z-order bounds both. Thresholds leave wide margins over the measured
+    // values so layout jitter can't flake the test.
+    assert(avgSpanFrac(s"$tmp/z", "l_extendedprice") < 0.65)
+    assert(avgSpanFrac(s"$tmp/z", "l_quantity") < 0.65)
+    assert(avgSpanFrac(s"$tmp/x", "l_quantity") > 0.8, "x-sort should NOT bound y")
+  }
+
   test("compactTo rewrites many small files into the computed target count") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.range(100000).select(col("id"), (col("id") % 97).as("v"))
