@@ -292,6 +292,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Heavy-hitter tokens via the DataSketches frequent-items aggregate:
+    // tasks keep a maxItemsTracked-bounded summary and merge map-side, so
+    // corpus-scale token stats never shuffle the full vocabulary (billions
+    // of keys for web text) — only tasks × maxItems entries. Here the
+    // vocabulary fits the sketch, so counts are exact and oracle-checkable;
+    // the overflow regime's subset guarantee is pinned in ContractSpec.
+    "q104_heavy_hitters" -> ((s, d) => {
+      Tables.spread(t(s, d, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 40, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1318,6 +1333,10 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q17_minhash_lsh" -> minhashLshOracle(),
     "q100_fuzzy_incremental" -> minhashIncrementalOracle(),
+    "q104_heavy_hitters" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1

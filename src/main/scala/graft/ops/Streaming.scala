@@ -110,6 +110,38 @@ object Streaming {
       }
       .start()
 
+  /** Streaming keyed upsert sink — the streaming MERGE: each micro-batch
+    * SCD-1-upserts into a parquet table via [[Dedup.upsert]], with
+    * [[Dedup.keepLatest]] resolving multi-version keys INSIDE a batch by
+    * `versionCol`. The table is rewritten to a fresh directory then swapped
+    * (write-new, delete-old, rename — parquet has no transactional row
+    * update; a table format would make the swap atomic, which is storage's
+    * job, not the plan's). Per batch this reads the table once and writes
+    * it once — the economics of merge-on-read compaction, acceptable when
+    * batches are minutes apart; the anti-join inside upsert broadcasts the
+    * increment, so the rewrite is one narrow scan+union pass.
+    */
+  def upsertSink(stream: DataFrame, tableDir: String, keys: Seq[String],
+      versionCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol), keys.map(col))
+        val merged =
+          if (fs.exists(dir)) Dedup.upsert(spark.read.parquet(tableDir), resolved, keys)
+          else resolved
+        val tmp = new org.apache.hadoop.fs.Path(tableDir + "__next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"swap failed: $tmp -> $dir")
+      }
+      .start()
+
   /** Streaming malformed-record quarantine — the streaming form of
     * [[Ingest.readJsonQuarantine]]: a text file stream parsed with the
     * in-expression corrupt-record field, routed into a good parquet sink

@@ -66,6 +66,25 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k overflow regime: every truly-frequent item is reported") {
+    // q104 runs the sketch where the vocabulary FITS (counts exact, oracle-
+    // checked); this pins the 100 TB regime it exists for — vocabulary far
+    // beyond maxItemsTracked — via the frequent-items guarantee: an item
+    // with count > εN cannot be evicted from every task summary.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hot  = (1 to 20).flatMap(h => Seq.fill(500)(s"hot_$h"))
+    val tail = (1 to 30000).map(i => s"tail_$i")
+    val df = spark.createDataset(new scala.util.Random(11).shuffle(hot ++ tail)).toDF("t")
+      .repartition(8)
+    val reported = df.agg(expr("approx_top_k(t, 20, 256)").as("tk"))
+      .select(explode(col("tk")).as("e")).select($"e.item")
+      .as[String].collect().toSet
+    (1 to 20).foreach { h =>
+      assert(reported.contains(s"hot_$h"), s"hot_$h (n=500 of 40000) evicted")
+    }
+  }
+
   test("q56 decode features are deterministic across two runs") {
     val sf = "/root/testdata/sf0.001"
     val a  = SparkEntry.queries("q56_decode_features")(spark, sf).collect().toSeq

@@ -184,6 +184,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink merges micro-batches: replace, insert, in-batch version resolve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/upsert_${System.nanoTime()}"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streaming.upsertSink(
+      input.toDF().toDF("k", "s", "v"), s"$base/table", Seq("k"), "v", s"$base/ckpt")
+    try {
+      input.addData((1L, "a0", 1L), (2L, "b0", 1L), (2L, "b1", 2L)) // in-batch versions
+      q.processAllAvailable()
+      input.addData((1L, "a2", 3L), (3L, "c0", 1L)) // replace + insert
+      q.processAllAvailable()
+      val table = spark.read.parquet(s"$base/table")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(table == Seq((1L, "a2", 3L), (2L, "b1", 2L), (3L, "c0", 1L)))
+    } finally q.stop()
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._
