@@ -292,6 +292,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Entity-resolution near-match: customer names within one substitution,
+    // blocked by deletion variants (bucket sizes bounded by construction —
+    // boilerplate-proof, unlike prefix blocking)
+    "q106_name_match" -> ((s, d) => {
+      Text.singleEditNearPairs(t(s, d, "customer"), "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Heavy-hitter tokens via the DataSketches frequent-items aggregate:
     // tasks keep a maxItemsTracked-bounded summary and merge map-side, so
     // corpus-scale token stats never shuffle the full vocabulary (billions
@@ -467,6 +475,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           sum(col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // W1 completion — the rank family beyond row_number: ntile buckets,
+    // percent_rank, cume_dist, dense_rank (all ANSI, engine-portable)
+    "q105_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          Summaries.r4(percent_rank().over(w)).as("pr"),
+          Summaries.r4(cume_dist().over(w)).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // U2 — intersect: customers ordering in both 1995 and 1996
@@ -1337,6 +1359,20 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",
+    "q106_name_match" ->
+      """WITH m AS (
+           SELECT c_custkey k, c_name n,
+                  unnest([concat(substr(c_name, 1, i-1), substr(c_name, i+1))
+                          for i in range(1, len(c_name)+1)]) mk
+           FROM customer),
+         cand AS (
+           SELECT DISTINCT a.k AS id_a, b.k AS id_b
+           FROM m a JOIN m b ON a.mk = b.mk AND a.k < b.k)
+         SELECT id_a, id_b, CAST(levenshtein(x.c_name, y.c_name) AS INT) AS dist
+         FROM cand JOIN customer x ON id_a = x.c_custkey
+                   JOIN customer y ON id_b = y.c_custkey
+         WHERE levenshtein(x.c_name, y.c_name) <= 1
+         ORDER BY id_a, id_b""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1
@@ -1564,6 +1600,15 @@ object SparkEntry {
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q105_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                CAST(dense_rank() OVER w AS INT) AS drank,
+                floor(percent_rank() OVER w * 10000 + 0.5)/10000 AS pr,
+                floor(cume_dist() OVER w * 10000 + 0.5)/10000 AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q37_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          INTERSECT

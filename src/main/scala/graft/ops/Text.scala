@@ -192,6 +192,48 @@ object Text {
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
   }
 
+  /** Entity-resolution near-match: all SAME-LENGTH string pairs within one
+    * substitution (Hamming ≤ 1 — for equal lengths, identical to
+    * Levenshtein ≤ 1), found by masked-position blocking: each string emits
+    * `length` index rows, each with one character replaced by a reserved
+    * placeholder; two strings collide on a masked key iff they agree
+    * everywhere else. Masking deletes the character (the FastSS deletion-
+    * variant trick): a qualifying pair always collides (delete the
+    * differing position from both), a few non-qualifying collisions slip
+    * in (e.g. "ab"/"ba" both yield "b"), and the exact-Levenshtein verify
+    * removes them.
+    *
+    * Why this beats half-splitting: prefix/suffix blocks degenerate when a
+    * half is shared boilerplate (every `Customer#…` id shares its first
+    * half — the hot-shingle bomb again). A masked bucket instead holds
+    * strings reachable from one variant by a single insertion, so its size
+    * is bounded by length × alphabet — no data distribution can make it
+    * quadratic. Cost is an index L× the (short) key column, shuffled on
+    * the masked key; bodies never move. Generalizes to edit distance ≤ k
+    * by deleting k positions (index ~L^k/k! rows — practical for k ≤ 2).
+    */
+  def singleEditNearPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
+    // sequence(1, 0) counts DOWN — empty strings need the guard
+    val masked = base.selectExpr("id",
+      """explode(CASE WHEN length(s) >= 1
+           THEN transform(sequence(1, length(s)),
+                  i -> concat(substr(s, 1, i-1), '', substr(s, i+1, length(s))))
+           ELSE array() END) AS mk""")
+      .repartition(col("mk")) // both self-join sides reuse this exchange
+    val cand = masked.as("a")
+      .join(masked.as("b"), col("a.mk") === col("b.mk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val d = levenshtein(col("x.s"), col("y.s"))
+    cand
+      .join(base.as("x"), col("id_a") === col("x.id"))
+      .join(base.as("y"), col("id_b") === col("y.id"))
+      .filter(d <= 1) // equal variant lengths already force equal originals
+      .select(col("id_a"), col("id_b"), d.as("dist"))
+  }
+
   /** D3 incremental fuzzy variant — drop batch documents that have a
     * MinHash near-duplicate ALREADY IN the corpus: the fuzzy counterpart of
     * [[graft.ops.Dedup.dedupAgainstCorpus]] (exact digests, q75), and the

@@ -34,6 +34,20 @@ class TextSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("singleEditNearPairs: substitutions caught, transpositions and resizes rejected") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpho"),  // one substitution → pair
+      (3L, "aplha"),                 // transposition of 1 (dist 2): deletion
+                                     // variants collide, verify must reject
+      (4L, "alphax"),                // extra char (cross-length): no pair
+      (5L, "zzzzz"),                 // unrelated
+      (6L, "alpha")                  // exact dup of 1 → dist-0 pair
+    ).toDF("id", "name")
+    val out = Text.singleEditNearPairs(df, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1), (1L, 6L, 0), (2L, 6L, 1)))
+  }
+
   test("minhashDedupAgainstCorpus drops corpus near-dups, keeps batch-internal ones") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
