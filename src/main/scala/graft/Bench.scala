@@ -37,12 +37,16 @@ object Bench {
       name -> attempt
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def ms3(t: Double)  = f"$t%.3f"
     val ok   = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(e)) => n -> e }
-    val qs    = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs    = ok.map { case (k, v) => s"${jstr(k)}:${ms3(v)}" }.mkString("{", ",", "}")
     val es    = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    // Timings rounded to ms and the headline metric placed LAST: the driver
+    // stores only the final ~2 KB of output, so the summary must sit at the
+    // end of the line to survive truncation of the per-query map.
+    println(s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","metric":"total","value":${ms3(total)},"unit":"sec"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -1071,9 +1071,8 @@ object SparkEntry {
     // layout job reports (StorageSpec proves the span-bounding on disk)
     "q103_zorder_cells" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val binned = Summaries.quantileBin(
-        Summaries.quantileBin(li, "l_extendedprice", 16, "bx"),
-        "l_quantity", 16, "by")
+      val binned = Summaries.quantileBins(li,
+        Seq(("l_extendedprice", 16, "bx"), ("l_quantity", 16, "by")))
       binned
         .withColumn("z", Storage.zValue(Seq(col("bx"), col("by")), 4))
         .groupBy(col("z"))

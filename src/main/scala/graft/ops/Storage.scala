@@ -102,9 +102,8 @@ object Storage {
   def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int, outDir: String,
       nFiles: Int): Unit = {
     require(cols.size >= 2, "z-order needs at least two columns (sort for one)")
-    val binned = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      Summaries.quantileBin(acc, c, 1 << bits, s"__zb_$i")
-    }
+    val binned = Summaries.quantileBins(df,
+      cols.zipWithIndex.map { case (c, i) => (c, 1 << bits, s"__zb_$i") })
     binned
       .withColumn("__z", zValue(cols.indices.map(i => col(s"__zb_$i")), bits))
       .repartitionByRange(nFiles, col("__z"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY §2.7–2.8). All stock Spark hash aggregates —
@@ -72,18 +73,99 @@ object Summaries {
     * required; the plan is unchanged.
     */
   def quantileBin(df: DataFrame, valCol: String, nBins: Int,
-      binName: String = "bin"): DataFrame = {
-    require(nBins >= 2, "need at least 2 bins")
-    val ps   = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = df.agg(
-      expr(s"percentile($valCol, array(${ps.mkString(",")}))").as("__cuts"))
-    df.crossJoin(broadcast(cuts))
-      .withColumn(binName,
+      binName: String = "bin"): DataFrame =
+    quantileBins(df, Seq((valCol, nBins, binName)))
+
+  /** Multi-column quantile binning with ONE distributed cut-point pass:
+    * every column's cut array comes out of a single [[exactQuantileArrays]]
+    * job, broadcast once. Chaining the single-column form instead re-derives
+    * each later column's cuts over the already-cross-joined plan — an extra
+    * cut-point scan of the corpus per column.
+    */
+  def quantileBins(df: DataFrame, specs: Seq[(String, Int, String)]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2 >= 2), "need specs with >= 2 bins")
+    val cuts = exactQuantileArrays(df, specs.map { case (valCol, nBins, binName) =>
+      (valCol, (1 until nBins).map(_.toDouble / nBins), s"__cuts_$binName")
+    })
+    specs.foldLeft(df.crossJoin(broadcast(cuts))) { case (acc, (valCol, _, binName)) =>
+      acc.withColumn(binName,
         // NULL value → NULL bin (the HOF filter would silently yield bin 0)
         when(col(valCol).isNull, lit(null))
-          .otherwise(size(filter(col("__cuts"), c => c <= col(valCol))))
+          .otherwise(size(filter(col(s"__cuts_$binName"), c => c <= col(valCol))))
           .cast("int"))
-      .drop("__cuts")
+    }.drop(specs.map(s => s"__cuts_${s._3}"): _*)
+  }
+
+  /** Exact interpolated quantiles (`percentile`/`quantile_cont` semantics:
+    * value at 0-based position `p·(n−1)`, linear interpolation between the
+    * straddling order statistics) for MANY columns at once, as a ONE-ROW
+    * DataFrame with one cut-array column per spec — computed distributed.
+    *
+    * Spark's built-in exact `percentile` buffers a value→count map that is
+    * merged and sorted in a single final task; on a near-unique double
+    * column that one task dominates the whole query (5.4 s on sf0.1
+    * `l_extendedprice` vs 0.26 s on 50-distinct `l_quantity`). Here one
+    * scan explodes (columnId, value) pairs, a parallel `groupBy` reduces to
+    * the DISTINCT domain with counts, and a window PARTITIONED BY columnId
+    * (no single-partition global sort) accumulates ranks; the needed order
+    * statistics are picked out by a broadcast join against the literal
+    * quantile targets, with rank arithmetic inline in the predicate.
+    * Bounded by distinct count, not row count — and when even the distinct
+    * domain is too large (billions of unique doubles at 100 TB), swap
+    * `approx_percentile` in; every caller keeps the broadcast-cuts shape.
+    *
+    * The interpolation reproduces Spark's own formula term-for-term
+    * (`(higher−pos)·vlo + (pos−lower)·vhi`), so results are bit-identical
+    * to the built-in.
+    * A column with zero non-null values yields a NULL cut array, matching
+    * `percentile`'s null on empty input.
+    */
+  def exactQuantileArrays(df: DataFrame,
+      specs: Seq[(String, Seq[Double], String)]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need non-empty quantile lists")
+    require(specs.flatMap(_._2).forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
+    val byCol = Window.partitionBy(col("__ci"))
+    val cum = df
+      .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
+        .as(Seq("__ci", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__ci"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", sum(col("__c")).over(byCol.orderBy(col("__v"))))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__n", max(col("__hi")).over(byCol))
+    val targets = df.sparkSession.range(1)
+      .select(explode(array((for {
+        ((_, ps, _), i) <- specs.zipWithIndex
+        (p, pi)         <- ps.zipWithIndex
+      } yield struct(lit(i).as("__tci"), lit(pi).as("__pi"), lit(p).as("__p"))): _*)).as("__t"))
+      .select(col("__t.*"))
+    // rank arithmetic inline: position is 0-based, order-statistic ranks 1-based
+    val pos      = col("__p") * (col("__n") - 1)
+    val rlo      = (floor(pos) + 1).cast("long")
+    val rhi      = (ceil(pos) + 1).cast("long")
+    val coversLo = rlo > col("__lo") && rlo <= col("__hi")
+    val coversHi = rhi > col("__lo") && rhi <= col("__hi")
+    val q = col("__q")
+    val perCol = cum
+      .join(broadcast(targets), col("__tci") === col("__ci") && (coversLo || coversHi))
+      .groupBy(col("__ci"), col("__pi"))
+      .agg(first(pos).as("__q"),
+           max(when(coversLo, col("__v"))).as("__vlo"),
+           max(when(coversHi, col("__v"))).as("__vhi"))
+      .select(col("__ci"), col("__pi"),
+        // Spark's PercentileBase.getPercentile term order, reproduced
+        // bit-for-bit: lowerKey when the position is integral, else
+        // (higher − pos)·lowerKey + (pos − lower)·higherKey
+        when(ceil(q) === floor(q), col("__vlo"))
+          .otherwise((ceil(q) - q) * col("__vlo") + (q - floor(q)) * col("__vhi"))
+          .as("__cut"))
+      .groupBy(col("__ci"))
+      .agg(transform(array_sort(collect_list(struct(col("__pi"), col("__cut")))),
+        x => x.getField("__cut")).as("__arr"))
+    val outs = specs.zipWithIndex.map { case ((_, _, name), i) =>
+      max(when(col("__ci") === i, col("__arr"))).as(name)
+    }
+    perCol.groupBy().agg(outs.head, outs.tail: _*)
   }
 
   /** One-pass column profiler: total rows, non-null count, exact distinct
