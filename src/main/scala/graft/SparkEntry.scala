@@ -315,6 +315,33 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Weighted Bernoulli sampling: inclusion odds ∝ n_chars (expected 20%
+    // of rows), membership decided by content hash, corpus totals in-plan;
+    // the per-lang census shows long docs over-represented vs hashSample
+    "q107_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSample(t(s, d, "documents"), Seq("doc_id"), "n_chars", 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Collocation mining: top PMI-scored adjacent token pairs (count ≥ 5) —
+    // integer count products inside the single ln, vocabulary shuffle-joined
+    "q108_collocations" -> ((s, d) => {
+      Text.collocations(Tables.spread(t(s, d, "documents")), "text", 5L)
+        .orderBy(col("nxy").desc, col("bigram"))
+        .limit(15)
+        .select(col("bigram"), col("nxy").as("n"), col("pmi"))
+    }),
+
+    // BM25 ranked retrieval: top-5 docs per query term; the postings filter
+    // sits before the tf aggregate so cost tracks matches, not vocabulary
+    "q109_bm25" -> ((s, d) => {
+      Text.bm25TopK(Tables.spread(t(s, d, "documents")), "doc_id", "text",
+          Seq("the", "data", "der", "la", "model"), 5)
+        .orderBy(col("term"), col("score").desc, col("doc_id"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1372,6 +1399,51 @@ object SparkEntry {
                    JOIN customer y ON id_b = y.c_custkey
          WHERE levenshtein(x.c_name, y.c_name) <= 1
          ORDER BY id_a, id_b""",
+    "q107_weighted_sample" ->
+      """WITH s AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS sw, CAST(count(*) AS DOUBLE) AS n
+                    FROM documents)
+         SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents CROSS JOIN s
+         WHERE n_chars IS NOT NULL AND n_chars > 0
+           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+               < floor(10000 * least(1.0, 0.2 * n * CAST(n_chars AS DOUBLE) / sw))
+         GROUP BY lang ORDER BY lang""",
+    "q108_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         uni AS (SELECT w, count(*) AS nw FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+         bi AS (SELECT bg, count(*) AS nxy
+                FROM (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+                                     for i in range(1, len(tk))]) AS bg FROM tk)
+                GROUP BY bg HAVING count(*) >= 5),
+         tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS t,
+                        CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END) AS BIGINT) AS b
+                 FROM tk)
+         SELECT bg AS bigram, nxy AS n,
+                floor(ln(CAST(nxy * t * t AS DOUBLE) / CAST(b * u1.nw * u2.nw AS DOUBLE))
+                      * 10000 + 0.5)/10000 AS pmi
+         FROM bi
+         CROSS JOIN tot
+         JOIN uni u1 ON split_part(bg, ' ', 1) = u1.w
+         JOIN uni u2 ON split_part(bg, ' ', 2) = u2.w
+         ORDER BY n DESC, bigram LIMIT 15""",
+    "q109_bm25" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(tk)) AS DOUBLE) AS tt FROM tk),
+         tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk)
+                WHERE term IN ('the', 'data', 'der', 'la', 'model')
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT term, doc_id,
+                floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                      (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (tt / n))))
+                      * 10000 + 0.5)/10000 AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN st)
+         SELECT term, doc_id, score
+         FROM (SELECT sc.*, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+               FROM sc)
+         WHERE rn <= 5
+         ORDER BY term, score DESC, doc_id""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1

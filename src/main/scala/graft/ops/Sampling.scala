@@ -31,6 +31,36 @@ object Sampling {
     df.filter(hashBucket(keys.map(col)) < math.round(fraction * 10000).toInt)
   }
 
+  /** Weighted Bernoulli (Poisson) sampling: row `i` is kept independently
+    * with probability `min(1, fraction · N · wᵢ / Σw)`, so expected sample
+    * size is `fraction · N` while inclusion odds are proportional to the
+    * weight (quality score, token count, …) — the standard
+    * upsample-the-good-stuff step of corpus curation.
+    *
+    * Same determinism contract as [[hashSample]]: membership is decided by
+    * the content-addressed [[hashBucket]] of `keys`, never by `rand()`, so
+    * the sample is stable across reruns, repartitions, AND corpus growth
+    * (a row's bucket never changes; only its cutoff moves as Σw/N drift).
+    * The corpus totals are ONE aggregate row computed in-plan and broadcast
+    * — no driver action, one wide scan + one narrow filter pass at any
+    * scale. Rows with NULL or non-positive weight are dropped (probability
+    * zero). Integer bucket-vs-cutoff comparison keeps the oracle exact:
+    * every arithmetic step is IEEE basic ops replayed verbatim by SQL.
+    */
+  def weightedSample(df: DataFrame, keys: Seq[String], weightCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val tot = df.agg(
+      sum(col(weightCol).cast("double")).as("__sw"),
+      count(lit(1)).cast("double").as("__nn"))
+    df.crossJoin(broadcast(tot))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        hashBucket(keys.map(col)) <
+          floor(lit(10000) * least(lit(1.0),
+            lit(fraction) * col("__nn") * col(weightCol).cast("double") / col("__sw"))))
+      .drop("__sw", "__nn")
+  }
+
   /** Token-budget corpus mixing: sample each source down so its expected
     * token mass is ≈ `weight(source) · budget`, keeping everything from
     * sources already under their target. The standard "data mixture" step

@@ -409,6 +409,75 @@ object Text {
       .filter(col("rank") <= k)
   }
 
+  /** Collocation mining: pointwise mutual information over adjacent token
+    * pairs — `pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )`, high for pairs that
+    * co-occur far more than chance ("new york", "machine learning"). The
+    * vocabulary-building step that finds multi-word units worth keeping as
+    * single tokens.
+    *
+    * Shape at scale: two token-explode passes (unigrams, bigrams) each
+    * reduced by a parallel hash aggregate, then the bigram table joins the
+    * unigram counts twice on the term key — all shuffles carry (term,
+    * count) pairs, never document text. The unigram side is shuffle-joined,
+    * not broadcast: a real vocabulary is tens of millions of terms. The PMI
+    * ratio is formed from INTEGER count products (exact in both engines,
+    * headroom ~300× at sf0.1; switch to a sum of logs beyond ~1e18) and
+    * rounded to 4 decimals after the single `ln`.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("tk"))
+    val uni  = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val bi = toks.select(explode(ngrams(col("tk"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= minCount)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+    val totals = toks.agg(
+      sum(size(col("tk"))).as("__t"),
+      sum(when(size(col("tk")) >= 2, size(col("tk")) - 1).otherwise(0)).as("__b"))
+    bi
+      .join(uni.select(col("w").as("__w1"), col("nw").as("__n1")), "__w1")
+      .join(uni.select(col("w").as("__w2"), col("nw").as("__n2")), "__w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("nxy"),
+        Summaries.r4(log((col("nxy") * col("__t") * col("__t")).cast("double") /
+          (col("__b") * col("__n1") * col("__n2")).cast("double"))).as("pmi"))
+  }
+
+  /** BM25 ranked retrieval: score every document against each query term
+    * with the Lucene-form BM25 (`idf = ln((N − df + ½)/(df + ½) + 1)`,
+    * saturating tf with length normalization) and keep the top `k` docs per
+    * term — batch retrieval over a corpus without an external search index.
+    *
+    * Scale shape: the `term IN (queries)` filter sits BEFORE the tf
+    * aggregate, so only postings for queried terms ever shuffle — the plan
+    * cost scales with matching postings, not vocabulary. Corpus stats
+    * (N, total tokens) are one broadcast aggregate row; df comes off the
+    * already-filtered tf table. Ranking uses the rounded score with doc-id
+    * tie-break so the top-k frontier is engine-deterministic.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      sum(size(col("tk"))).cast("double").as("__tt"))
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("__dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"), min(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf   = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val score = idf * (col("__tf") * (k1 + 1) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / (col("__tt") / col("__n")))))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), Summaries.r4(score).as("score"))
+    graft.ops.Dedup.topKPerGroup(scored, Seq("term"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+  }
+
   /** Marker-word tables for the language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und"),

@@ -77,6 +77,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap == again)
   }
 
+  test("weightedSample favors heavy rows, is deterministic, drops null/zero weights") {
+    val df = (1 to 4000).map { i =>
+      val w: java.lang.Long =
+        if (i % 100 == 0) null else if (i % 7 == 0) 0L else if (i <= 2000) 1L else 9L
+      (i.toLong, w)
+    }.toDF("id", "w")
+    val kept = Sampling.weightedSample(df, Seq("id"), "w", 0.2)
+      .select("id").as[Long].collect().toSet
+    // expected size ≈ 0.2·N; heavy rows (w=9) should dominate the sample
+    assert(kept.size > 500 && kept.size < 1100)
+    val heavy = kept.count(_ > 2000)
+    assert(heavy > kept.size / 2)
+    assert(kept.forall(i => i % 100 != 0 && i % 7 != 0)) // null/zero weight excluded
+    // layout-independent: repartition does not change membership
+    val again = Sampling.weightedSample(df.repartition(13), Seq("id"), "w", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("stratifiedSample applies per-stratum fractions and the default") {
     val df = (1 to 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))

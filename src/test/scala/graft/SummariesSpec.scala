@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Summaries
+
+class SummariesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ties, an exact-rank hit, and nulls — the cases where interpolated
+  // quantile implementations diverge
+  private lazy val mixed = Seq[(java.lang.Double, java.lang.Double)](
+    (1.0, 10.0), (1.0, 10.0), (2.5, 10.0), (2.5, 20.0), (3.0, 20.0),
+    (7.25, 30.0), (7.25, null), (9.0, null), (11.5, 40.0), (100.0, 40.0)
+  ).toDF("x", "y")
+
+  test("exactQuantileArrays is bit-identical to built-in percentile (ties, nulls, multi-col)") {
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val mine = Summaries.exactQuantileArrays(mixed,
+      Seq(("x", ps, "cx"), ("y", ps, "cy"))).collect()(0)
+    val ref = mixed.agg(
+      expr(s"percentile(x, array(${ps.mkString(",")}))"),
+      expr(s"percentile(y, array(${ps.mkString(",")}))")).collect()(0)
+    assert(mine.getSeq[Double](0) == ref.getSeq[Double](0))
+    assert(mine.getSeq[Double](1) == ref.getSeq[Double](1))
+  }
+
+  test("exactQuantileArrays yields NULL cuts for an all-null column, like percentile") {
+    val allNull = Seq[(java.lang.Double, java.lang.Double)]((null, 1.0), (null, 2.0))
+      .toDF("x", "y")
+    val row = Summaries.exactQuantileArrays(allNull,
+      Seq(("x", Seq(0.5), "cx"), ("y", Seq(0.5), "cy"))).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.getSeq[Double](1) == Seq(1.5))
+  }
+
+  test("quantileBins matches chained single-column quantileBin and keeps NULL bins") {
+    val multi = Summaries.quantileBins(mixed, Seq(("x", 4, "bx"), ("y", 4, "by")))
+      .select("x", "y", "bx", "by").collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+    val chained = Summaries.quantileBin(
+      Summaries.quantileBin(mixed, "x", 4, "bx"), "y", 4, "by")
+      .select("x", "y", "bx", "by").collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+    assert(multi.sortBy(_.toString) sameElements chained.sortBy(_.toString))
+    assert(multi.filter(_._2 == null).forall(_._4 == null)) // null value → null bin
+  }
+}

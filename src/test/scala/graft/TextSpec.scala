@@ -163,4 +163,29 @@ class TextSpec extends AnyFunSuite {
     // ab, 12, cd, ',', ef, '!'
     assert(out == 6)
   }
+
+  test("collocations ranks glued pairs above independent ones") {
+    // "new york" always adjacent; "aa"/"bb" frequent but never adjacent to each other
+    val docs = (1 to 40).map(i => s"new york aa cc bb dd aa ee bb ff").toDF("text")
+    val out = Text.collocations(docs, "text", 5L)
+      .select("bigram", "pmi").as[(String, Double)].collect().toMap
+    assert(out.contains("new york"))
+    assert(out("new york") > out.getOrElse("aa cc", 0.0))
+    assert(!out.contains("aa bb")) // never adjacent → no candidate row
+  }
+
+  test("bm25TopK prefers rare terms and saturates tf; k bounds per-term rows") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common common common common common"),
+      (3L, "common rare rare"),
+      (4L, "filler words only here")).toDF("id", "text")
+    val out = Text.bm25TopK(docs, "id", "text", Seq("rare", "common"), 2)
+      .select("term", "doc_id", "score").as[(String, Long, Double)].collect()
+    assert(out.count(_._1 == "rare") <= 2 && out.count(_._1 == "common") <= 2)
+    val rareTop = out.filter(_._1 == "rare").maxBy(_._3)
+    assert(rareTop._2 == 3L) // two 'rare' hits in a short doc wins the term
+    // idf: 'rare' (df=2) outscores 'common' (df=3) at its best
+    assert(rareTop._3 > out.filter(_._1 == "common").map(_._3).max)
+  }
 }
