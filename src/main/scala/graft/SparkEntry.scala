@@ -342,6 +342,26 @@ object SparkEntry {
         .orderBy(col("term"), col("score").desc, col("doc_id"))
     }),
 
+    // Incremental view maintenance: aggregate state from an old snapshot
+    // merged with a delta batch's state — the oracle is the full
+    // re-aggregation, pinning mergeAggStates ≡ aggState(old ∪ delta);
+    // merge cost scales with |state| + |delta|, not history size
+    "q110_incremental_agg" -> ((s, d) => {
+      val o    = t(s, d, "orders")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val st = Summaries.aggState(
+        o.filter(col("o_orderdate") < lit("1996-01-01")), keys, Seq("o_totalprice"))
+      val dl = Summaries.aggState(
+        o.filter(col("o_orderdate") >= lit("1996-01-01")), keys, Seq("o_totalprice"))
+      Summaries.mergeAggStates(st, dl, keys, Seq("o_totalprice"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+          Summaries.r4(col("sum_o_totalprice")).as("sum_price"),
+          Summaries.r4(col("min_o_totalprice")).as("min_price"),
+          Summaries.r4(col("max_o_totalprice")).as("max_price"),
+          Summaries.r4(col("sum_o_totalprice") / col("cnt")).as("avg_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1444,6 +1464,15 @@ object SparkEntry {
                FROM sc)
          WHERE rn <= 5
          ORDER BY term, score DESC, doc_id""",
+    "q110_incremental_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                floor(sum(o_totalprice) * 10000 + 0.5)/10000 AS sum_price,
+                floor(min(o_totalprice) * 10000 + 0.5)/10000 AS min_price,
+                floor(max(o_totalprice) * 10000 + 0.5)/10000 AS max_price,
+                floor(sum(o_totalprice) / count(*) * 10000 + 0.5)/10000 AS avg_price
+         FROM orders
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1

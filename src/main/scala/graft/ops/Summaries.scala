@@ -192,4 +192,44 @@ object Summaries {
     }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** Algebraic aggregate STATE over `keys`: per-group count, sums, and
+    * min/max — the decomposable core every incremental/streaming pipeline
+    * maintains. Derived measures (avg = sum/cnt) are computed at READ time
+    * from the state, never stored, so states stay mergeable.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && measures.nonEmpty, "need keys and measures")
+    val aggs = Seq(count(lit(1)).as("cnt")) ++ measures.flatMap { m =>
+      Seq(sum(col(m)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental view maintenance: merge a stored aggregate state with the
+    * state of a new delta batch, WITHOUT touching the rows that produced
+    * either — counts and sums add, min/max re-minimize. `mergeAggStates(
+    * aggState(old), aggState(delta)) ≡ aggState(old ∪ delta)` for the whole
+    * algebraic family (the q110 oracle checks exactly this equivalence).
+    *
+    * This is THE pattern that makes daily 100 TB pipelines affordable: the
+    * full-history re-aggregation is replaced by a merge whose cost scales
+    * with |state| + |delta|, independent of history size. With the state
+    * table bucketed by `keys` ([[Storage.writeBucketed]]) the merge is
+    * exchange-free on the state side — only the delta shuffles. Holistic
+    * aggregates (exact distinct, exact percentile) are NOT in the state by
+    * design: they don't decompose; use sketches (HLL, KLL) for those.
+    */
+  def mergeAggStates(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val aggs = Seq(sum(col("cnt")).as("cnt")) ++ measures.flatMap { m =>
+      Seq(sum(col(s"sum_$m")).as(s"sum_$m"),
+          min(col(s"min_$m")).as(s"min_$m"),
+          max(col(s"max_$m")).as(s"max_$m"))
+    }
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -398,8 +398,10 @@ object Text {
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val n    = docs.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
     val tf   = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfq  = toks.select(col("id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df falls out of tf: one row per (doc, term) already — a second
+    // explode + distinct scan of the corpus would recompute exactly this,
+    // and sharing the subtree lets AQE reuse the tf exchange
+    val dfq  = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = Summaries.r4(col("tf") * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
     tf.join(dfq, "term")

@@ -36,6 +36,18 @@ class SummariesSpec extends AnyFunSuite {
     assert(row.getSeq[Double](1) == Seq(1.5))
   }
 
+  test("mergeAggStates(state(a), state(b)) equals aggState(a union b)") {
+    val a = Seq(("x", 1.0), ("x", 3.0), ("y", 10.0)).toDF("k", "v")
+    val b = Seq(("x", 2.0), ("z", -5.0), ("y", 0.5)).toDF("k", "v")
+    val merged = Summaries.mergeAggStates(
+      Summaries.aggState(a, Seq("k"), Seq("v")),
+      Summaries.aggState(b, Seq("k"), Seq("v")), Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(_.toSeq)
+    val full = Summaries.aggState(a.unionByName(b), Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq)
+  }
+
   test("quantileBins matches chained single-column quantileBin and keeps NULL bins") {
     val multi = Summaries.quantileBins(mixed, Seq(("x", 4, "bx"), ("y", 4, "by")))
       .select("x", "y", "bx", "by").collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
