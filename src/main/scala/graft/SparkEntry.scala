@@ -362,6 +362,16 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // Semantic dedup capstone: IVF-bucketed within-cell cosine pairs →
+    // connected components → keep-one. The embedding-level analogue of the
+    // q68 text pipeline; all-pairs cosine never happens
+    "q111_semantic_dedup" -> ((s, d) => {
+      val pairs = Similarity.semanticDedupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, threshold = 0.4)
+      Dedup.nearDupSurvivors(pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1652,6 +1662,33 @@ object SparkEntry {
          SELECT probe_id, neighbor_id, sim, rank FROM (
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",
+    "q111_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, seeds.s_id AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * seeds.sv[i] for i in range(1, len(e.v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e.v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in seeds.sv]), (a, b) -> a + b))) DESC,
+                      seeds.s_id ASC) rn
+             FROM e, seeds)
+           WHERE rn = 1),
+         pr AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in a.v]), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y)))
+                       * 10000 + 0.5)/10000 >= 0.4),
+         edges AS (SELECT id_a AS u, id_b AS v2 FROM pr UNION SELECT id_b, id_a FROM pr),
+         walk(id, root) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e2.v2, w.root FROM walk w JOIN edges e2 ON e2.u = w.id)
+         SELECT id AS doc_id, min(root) AS comp, (id = min(root)) AS keep
+         FROM walk GROUP BY id ORDER BY doc_id""",
     "q27_vector_mean" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos, floor(avg(x) * 10000 + 0.5)/10000 AS mv
          FROM (SELECT label, unnest(embedding::DOUBLE[]) x, generate_subscripts(embedding, 1) i FROM embeddings)

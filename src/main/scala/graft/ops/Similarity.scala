@@ -223,6 +223,31 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
   }
 
+  /** SemDeDup-style semantic near-duplicate candidates: vectors are
+    * bucketed into their IVF home cell (one compiled argmax pass, no
+    * shuffle amplification) and only WITHIN-CELL pairs are scored — the
+    * O(n²/nCells) trick that makes embedding-level dedup feasible on a
+    * corpus where all-pairs cosine is impossible. Emits `(id_a, id_b,
+    * sim)` with `id_a < id_b` and rounded `sim ≥ threshold`; feed to
+    * [[graft.ops.Dedup.nearDupSurvivors]] for keep-one resolution.
+    *
+    * Recall contract: a cross-cell near-duplicate pair is NOT emitted —
+    * the standard SemDeDup trade, tightened by raising nCells' probe
+    * count upstream or re-running on cluster borders. The threshold
+    * compares the 4-decimal-rounded similarity so the cut is
+    * engine-deterministic.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe = 1)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell").as("__c2"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("cell") === col("__c2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Summaries.r4(cosine(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Scalar (max-abs) int8 quantization of an embedding column: per-vector
     * `scale = max|v_i| / 127`, `q_i = floor(v_i/scale + 0.5)` — the storage
     * form ANN candidate stores ship at scale (4× smaller than float32, and
