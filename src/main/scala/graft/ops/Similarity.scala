@@ -231,21 +231,27 @@ object Similarity {
     * sim)` with `id_a < id_b` and rounded `sim ≥ threshold`; feed to
     * [[graft.ops.Dedup.nearDupSurvivors]] for keep-one resolution.
     *
-    * Recall contract: a cross-cell near-duplicate pair is NOT emitted —
-    * the standard SemDeDup trade, tightened by raising nCells' probe
-    * count upstream or re-running on cluster borders. The threshold
-    * compares the 4-decimal-rounded similarity so the cut is
-    * engine-deterministic.
+    * Recall contract: a pair is emitted iff either side PROBES the other's
+    * home cell — `nProbe = 1` is the pure SemDeDup trade (same-home-cell
+    * only); raising `nProbe` recovers cell-border pairs at proportional
+    * extra candidate cost (SimilaritySpec measures the recall curve on
+    * near-isotropic vectors, the worst case for any cell partition — real
+    * clustered embeddings do much better). The threshold compares the
+    * 4-decimal-rounded similarity so the cut is engine-deterministic, and
+    * pairs are canonicalized `(min, max)` so each surfaces once.
     */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double): DataFrame = {
-    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe = 1)
+      nCells: Int, threshold: Double, nProbe: Int = 1): DataFrame = {
+    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell").as("__c2"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("cell") === col("__c2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val b = assigned.filter(col("rn") === 1)
+      .select(col("cell").as("__c2"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("cell") === col("__c2") && col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         Summaries.r4(cosine(col("va"), col("vb"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 
   /** Scalar (max-abs) int8 quantization of an embedding column: per-vector

@@ -142,6 +142,38 @@ object Streaming {
       }
       .start()
 
+  /** Streaming aggregate-state maintenance — the streaming form of q110's
+    * incremental view: each micro-batch is reduced to its algebraic state
+    * ([[Summaries.aggState]]) and merged into the stored state table
+    * ([[Summaries.mergeAggStates]]), so the maintained view never re-reads
+    * history — per batch, one narrow state-table scan plus the batch's own
+    * partial aggregate, with the same write-new-then-swap discipline as
+    * [[upsertSink]]. Unlike Spark's built-in streaming aggregation this
+    * state lives in an open parquet table readable by ANY engine between
+    * batches, not inside a checkpoint's state store.
+    */
+  def aggStateSink(stream: DataFrame, stateDir: String, keys: Seq[String],
+      measures: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val delta = Summaries.aggState(batch, keys, measures)
+        val merged =
+          if (fs.exists(dir))
+            Summaries.mergeAggStates(spark.read.parquet(stateDir), delta, keys, measures)
+          else delta
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"swap failed: $tmp -> $dir")
+      }
+      .start()
+
   /** Streaming malformed-record quarantine — the streaming form of
     * [[Ingest.readJsonQuarantine]]: a text file stream parsed with the
     * in-expression corrupt-record field, routed into a good parquet sink

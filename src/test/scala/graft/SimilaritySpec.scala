@@ -135,6 +135,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupPairs: precision 1; recall ≥ 0.2 home-cell, ≥ 0.6 at nProbe=4 (sf0.001)") {
+    // Within-cell pairs must be a SUBSET of the brute-force cosine pairs at
+    // the same threshold (exact same similarity expression — precision 1 by
+    // construction, asserted as a regression tripwire), and the cell
+    // partition must still surface a usable fraction of them.
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a).cast("long"), col(b).cast("long")).as[(Long, Long)].collect().toSet
+    val brute = pairSet(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4), "vec_a", "vec_b")
+    assert(brute.nonEmpty)
+    val home = pairSet(
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding", 8, 0.4), "id_a", "id_b")
+    val probed = pairSet(
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding", 8, 0.4, nProbe = 4),
+      "id_a", "id_b")
+    assert(home.subsetOf(brute), s"false positives: ${home -- brute}")
+    assert(probed.subsetOf(brute), s"false positives: ${probed -- brute}")
+    assert(home.subsetOf(probed)) // probing only ADDS candidates
+    val rHome   = home.size.toDouble / brute.size
+    val rProbed = probed.size.toDouble / brute.size
+    assert(rHome >= 0.2, s"home-cell recall = $rHome over ${brute.size} true pairs")
+    assert(rProbed >= 0.6, s"nProbe=4 recall = $rProbed over ${brute.size} true pairs")
+  }
+
   test("signLshBucket is deterministic and bounded") {
     val vecs = Seq((0L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
     val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()

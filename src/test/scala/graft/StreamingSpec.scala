@@ -202,6 +202,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggStateSink maintains the state table: merged state equals full re-aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/aggstate_${System.nanoTime()}"
+    val input = MemoryStream[(String, Double)]
+    val q = Streaming.aggStateSink(
+      input.toDF().toDF("k", "v"), s"$base/state", Seq("k"), Seq("v"), s"$base/ckpt")
+    try {
+      input.addData(("x", 1.0), ("x", 3.0), ("y", 10.0))
+      q.processAllAvailable()
+      input.addData(("x", 2.0), ("z", -5.0)) // existing keys update, new key inserts
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$base/state")
+        .select("k", "cnt", "sum_v", "min_v", "max_v")
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(state == Seq(
+        ("x", 3L, 6.0, 1.0, 3.0), ("y", 1L, 10.0, 10.0, 10.0), ("z", 1L, -5.0, -5.0, -5.0)))
+    } finally q.stop()
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._
