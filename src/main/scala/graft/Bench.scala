@@ -37,7 +37,9 @@ object Bench {
       name -> attempt
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def ms3(t: Double)  = f"$t%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would print 1,234 — invalid JSON for the driver
+    def ms3(t: Double)  = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val ok   = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(e)) => n -> e }
     val qs    = ok.map { case (k, v) => s"${jstr(k)}:${ms3(v)}" }.mkString("{", ",", "}")

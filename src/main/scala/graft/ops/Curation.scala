@@ -43,9 +43,14 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Hash a COMMON string representation on both sides: xxhash64 is
+    // input-type-sensitive (int 42 and bigint 42 hash differently), so a
+    // corpus/exclude type mismatch would make every bloom probe miss and
+    // silently KEEP rows the exact anti-join would have removed (the
+    // anti-join itself only ever sees bloom-positives).
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(excludeKey)),
+        ColumnBridge.expression(xxhash64(excludeKey.cast("string"))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
     val bf = exclude.agg(bloomAgg.as("bf")).scalar()
     // NULL keys: might_contain yields NULL; a plain anti-join KEEPS null-key
@@ -53,7 +58,7 @@ object Curation {
     val maybe = coalesce(
       ColumnBridge.column(BloomFilterMightContain(
         ColumnBridge.expression(bf),
-        ColumnBridge.expression(xxhash64(keyCol)))),
+        ColumnBridge.expression(xxhash64(keyCol.cast("string"))))),
       lit(false))
     val clean = corpus.filter(!maybe)
     val suspects = corpus.filter(maybe)

@@ -166,13 +166,17 @@ object Dedup {
     * to reduce a multi-version increment with [[keepLatest]] first
     * (checking the contract here would launch an eager job at plan-build
     * time, which this engine bans — see the TF-IDF in-plan-count
-    * precedent).
+    * precedent). Rows that tie on (key, version) resolve by whole-row
+    * hash — content-addressed, so the pick survives reruns and
+    * repartitions (the keys themselves are constant inside the partition
+    * and would leave the choice to physical row order).
     */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
       resolveBy: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val up = resolveBy.fold(updates)(o =>
-      keepLatest(updates, keys, Seq(o), keys.map(col)))
+      keepLatest(updates, keys, Seq(o),
+        Seq(xxhash64(updates.columns.map(col): _*))))
     up.unionByName(
       current.join(up.select(keys.map(col): _*).distinct(), keys, "left_anti"))
   }

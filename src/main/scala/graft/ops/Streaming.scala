@@ -110,35 +110,78 @@ object Streaming {
       }
       .start()
 
+  /** Crash-safe, replay-idempotent table swap shared by the rebuild-style
+    * sinks ([[upsertSink]], [[aggStateSink]]). Parquet has no transactional
+    * row update, so each batch rebuilds the table into `dir__next` and
+    * renames it in — with two properties a naive write/delete/rename lacks:
+    *
+    *  - **Crash safety**: the old table is renamed ASIDE (`dir__old`), not
+    *    deleted, before the new one renames in. A crash between the two
+    *    renames leaves `dir` missing and `dir__old` intact; the next run
+    *    restores it and re-applies the replayed batch. The naive form's
+    *    delete-then-rename window silently reinitializes the table from
+    *    one micro-batch.
+    *  - **Replay idempotence**: `foreachBatch` is at-least-once. The
+    *    last-applied batch id rides inside the table dir (underscore file,
+    *    invisible to parquet reads); a replayed batch whose merge already
+    *    swapped in is skipped, which matters for non-idempotent merges
+    *    (an algebraic state merge would double-count; see q110).
+    *
+    * A table format (Delta/Iceberg) would make this one atomic commit —
+    * that is storage's job; this helper is the plain-parquet contract.
+    */
+  private[graft] def swapInTable(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      batchId: Long)(build: Boolean => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur  = new Path(tableDir)
+    val next = new Path(tableDir + "__next")
+    val old  = new Path(tableDir + "__old")
+    val fs   = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new java.io.IOException(s"crash recovery failed: $old -> $cur")
+    if (fs.exists(old)) fs.delete(old, true) // completed swap's leftover
+    val marker = new Path(cur, "_graft_batch")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val applied =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      if (applied >= batchId) return
+    }
+    build(fs.exists(cur)).write.mode("overwrite").parquet(next.toString)
+    val out = fs.create(new Path(next, "_graft_batch"), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"swap failed: $cur -> $old")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"swap failed: $next -> $cur")
+    fs.delete(old, true)
+  }
+
   /** Streaming keyed upsert sink — the streaming MERGE: each micro-batch
     * SCD-1-upserts into a parquet table via [[Dedup.upsert]], with
     * [[Dedup.keepLatest]] resolving multi-version keys INSIDE a batch by
-    * `versionCol`. The table is rewritten to a fresh directory then swapped
-    * (write-new, delete-old, rename — parquet has no transactional row
-    * update; a table format would make the swap atomic, which is storage's
-    * job, not the plan's). Per batch this reads the table once and writes
-    * it once — the economics of merge-on-read compaction, acceptable when
-    * batches are minutes apart; the anti-join inside upsert broadcasts the
-    * increment, so the rewrite is one narrow scan+union pass.
+    * `versionCol` (whole-row-hash tie-break — deterministic under replay).
+    * The table is rebuilt and swapped via [[swapInTable]]. Per batch this
+    * reads the table once and writes it once — the economics of
+    * merge-on-read compaction, acceptable when batches are minutes apart;
+    * the anti-join inside upsert broadcasts the increment, so the rewrite
+    * is one narrow scan+union pass.
     */
   def upsertSink(stream: DataFrame, tableDir: String, keys: Seq[String],
       versionCol: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol), keys.map(col))
-        val merged =
-          if (fs.exists(dir)) Dedup.upsert(spark.read.parquet(tableDir), resolved, keys)
+        swapInTable(spark, tableDir, batchId) { tableExists =>
+          val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol),
+            Seq(xxhash64(batch.columns.map(col): _*)))
+          if (tableExists) Dedup.upsert(spark.read.parquet(tableDir), resolved, keys)
           else resolved
-        val tmp = new org.apache.hadoop.fs.Path(tableDir + "__next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"swap failed: $tmp -> $dir")
+        }
       }
       .start()
 
@@ -147,30 +190,26 @@ object Streaming {
     * ([[Summaries.aggState]]) and merged into the stored state table
     * ([[Summaries.mergeAggStates]]), so the maintained view never re-reads
     * history — per batch, one narrow state-table scan plus the batch's own
-    * partial aggregate, with the same write-new-then-swap discipline as
-    * [[upsertSink]]. Unlike Spark's built-in streaming aggregation this
-    * state lives in an open parquet table readable by ANY engine between
-    * batches, not inside a checkpoint's state store.
+    * partial aggregate, swapped in via [[swapInTable]] (whose replay guard
+    * is load-bearing HERE: the algebraic merge is not idempotent, so an
+    * unguarded at-least-once replay would double-count the batch). Unlike
+    * Spark's built-in streaming aggregation this state lives in an open
+    * parquet table readable by ANY engine between batches, not inside a
+    * checkpoint's state store.
     */
   def aggStateSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       measures: Seq[String],
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val delta = Summaries.aggState(batch, keys, measures)
-        val merged =
-          if (fs.exists(dir))
+        swapInTable(spark, stateDir, batchId) { tableExists =>
+          val delta = Summaries.aggState(batch, keys, measures)
+          if (tableExists)
             Summaries.mergeAggStates(spark.read.parquet(stateDir), delta, keys, measures)
           else delta
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"swap failed: $tmp -> $dir")
+        }
       }
       .start()
 

@@ -195,22 +195,22 @@ object Text {
   /** Entity-resolution near-match: all SAME-LENGTH string pairs within one
     * substitution (Hamming ≤ 1 — for equal lengths, identical to
     * Levenshtein ≤ 1), found by masked-position blocking: each string emits
-    * `length` index rows, each with one character replaced by a reserved
-    * placeholder; two strings collide on a masked key iff they agree
-    * everywhere else. Masking deletes the character (the FastSS deletion-
-    * variant trick): a qualifying pair always collides (delete the
-    * differing position from both), a few non-qualifying collisions slip
-    * in (e.g. "ab"/"ba" both yield "b"), and the exact-Levenshtein verify
-    * removes them.
+    * `length` index rows, each with one character replaced by the reserved
+    * `\u0001` placeholder (the same candidate set as FastSS deletion
+    * variants restricted to equal lengths); two strings collide on a
+    * masked key iff they agree everywhere else, so a qualifying pair
+    * always collides (mask the differing position in both). A string that
+    * itself contains `\u0001` can collide spuriously — the
+    * exact-Levenshtein verify removes any such false candidate.
     *
     * Why this beats half-splitting: prefix/suffix blocks degenerate when a
     * half is shared boilerplate (every `Customer#…` id shares its first
     * half — the hot-shingle bomb again). A masked bucket instead holds
-    * strings reachable from one variant by a single insertion, so its size
-    * is bounded by length × alphabet — no data distribution can make it
-    * quadratic. Cost is an index L× the (short) key column, shuffled on
+    * strings reachable from one variant by a single substitution, so its
+    * size is bounded by length × alphabet — no data distribution can make
+    * it quadratic. Cost is an index L× the (short) key column, shuffled on
     * the masked key; bodies never move. Generalizes to edit distance ≤ k
-    * by deleting k positions (index ~L^k/k! rows — practical for k ≤ 2).
+    * by masking k positions (index ~L^k/k! rows — practical for k ≤ 2).
     */
   def singleEditNearPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))

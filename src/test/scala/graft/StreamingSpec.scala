@@ -222,6 +222,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("swapInTable skips a replayed batch id and recovers a mid-swap crash") {
+    import spark.implicits._
+    val base = s"/root/repo/target/tmp/swap_${System.nanoTime()}"
+    val dir  = s"$base/t"
+    def readSum() = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Long].head()
+    Streaming.swapInTable(spark, dir, 0L)(_ => Seq(1L, 2L).toDF("v"))
+    assert(readSum() == 3L)
+    // at-least-once replay of batch 0: the build closure would double the
+    // table if the batch-id guard failed
+    Streaming.swapInTable(spark, dir, 0L)(exists =>
+      if (exists) spark.read.parquet(dir).union(Seq(1L, 2L).toDF("v"))
+      else Seq(1L, 2L).toDF("v"))
+    assert(readSum() == 3L)
+    // genuine next batch merges
+    Streaming.swapInTable(spark, dir, 1L)(_ =>
+      spark.read.parquet(dir).union(Seq(10L).toDF("v")))
+    assert(readSum() == 13L)
+    // crash window: current renamed aside, new table never renamed in —
+    // the next invocation must restore the pre-batch state, then apply
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    Streaming.swapInTable(spark, dir, 2L)(_ =>
+      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
+    assert(readSum() == 113L)
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._
