@@ -148,4 +148,39 @@ class PlanSpec extends AnyFunSuite {
         "corpus size N must be computed inside the plan")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("q109 bm25: the postings filter runs beneath the tf aggregate's exchange") {
+    val p = plan("q109_bm25")
+    val lines = p.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("term"))
+    val firstExch = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0 && firstExch >= 0)
+    // plans print top-down: a LATER line is DEEPER — the IN(queries) filter
+    // must sit below every exchange so only matching postings ever shuffle
+    assert(filterIdx > firstExch,
+      s"postings filter should gate the explode before the tf shuffle:\n$p")
+  }
+
+  test("semanticDedupPairs: the cell join is a hash join, never a cross product") {
+    // the q111 query's own plan ends at the connected-components checkpoint,
+    // so pin the candidate-pair subplan the capstone is built from
+    val p = graft.ops.Similarity.semanticDedupPairs(
+        Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", 8, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs cosine leaked into the plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on the cell id:\n$p")
+  }
+
+  test("exactQuantileArrays: the rank window is partitioned, not a global sort") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val p = graft.ops.Summaries.exactQuantileArrays(li,
+        Seq(("l_extendedprice", Seq(0.25, 0.5, 0.75), "c")))
+      .queryExecution.executedPlan.toString
+    // a Window with an empty partition spec would print `windowspecdefinition(`
+    // with the order expression FIRST; the per-column spec leads with __ci
+    val winLine = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(__ci"),
+      s"cumulative-rank window must partition by column id:\n$winLine")
+  }
 }
