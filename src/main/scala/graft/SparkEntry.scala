@@ -372,6 +372,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SCD-2 history: each customer's order sequence becomes half-open
+    // validity intervals with an is_current flag — "what was true as of T"
+    "q112_scd2" -> ((s, d) => {
+      Relational.scd2(t(s, d, "orders"), Seq("o_custkey"), "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1483,6 +1493,13 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
+    "q112_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+                lead(o_orderdate) OVER w AS valid_to,
+                lead(o_orderdate) OVER w IS NULL AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, valid_from, o_orderkey""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1

@@ -138,4 +138,26 @@ object Relational {
           leftPayload.map(c => col(s"__l_$c").as(c)) ++
           rightCols.map(c => col(s"__rc.$c").as(s"asof_$c")): _*)
   }
+
+  /** SCD-type-2 history derivation: each key's version rows become validity
+    * intervals — `valid_from` = the version's own timestamp, `valid_to` =
+    * the NEXT version's (half-open `[from, to)`), NULL-open with
+    * `is_current` on the latest. The standard warehouse shape for
+    * "what was true as of T" queries (join on `t >= valid_from AND
+    * (valid_to IS NULL OR t < valid_to)`).
+    *
+    * One window per key ordered by (version, tieBreak): parallel across
+    * keys, no global sort. `tieBreak` must make the order total (pass the
+    * row's unique id); without it, equal-version rows would chain
+    * nondeterministically.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], versionCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && tieBreak.nonEmpty, "need keys and a totalizing tieBreak")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((versionCol +: tieBreak).map(col(_).asc): _*)
+    df.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }
