@@ -105,14 +105,18 @@ object Summaries {
     * merged and sorted in a single final task; on a near-unique double
     * column that one task dominates the whole query (5.4 s on sf0.1
     * `l_extendedprice` vs 0.26 s on 50-distinct `l_quantity`). Here one
-    * scan explodes (columnId, value) pairs, a parallel `groupBy` reduces to
-    * the DISTINCT domain with counts, and a window PARTITIONED BY columnId
-    * (no single-partition global sort) accumulates ranks; the needed order
-    * statistics are picked out by a broadcast join against the literal
-    * quantile targets, with rank arithmetic inline in the predicate.
-    * Bounded by distinct count, not row count — and when even the distinct
-    * domain is too large (billions of unique doubles at 100 TB), swap
-    * `approx_percentile` in; every caller keeps the broadcast-cuts shape.
+    * scan explodes (columnId, value) pairs and a parallel `groupBy`
+    * reduces to the DISTINCT domain with counts; cumulative ranks come
+    * from the two-phase pattern — range-partition the domain, run the
+    * cumulative sum WITHIN each contiguous range in parallel, then add
+    * broadcast per-partition offsets — so no task ever sorts more than its
+    * slice (a window partitioned only by columnId would put one whole
+    * column's domain in one task). The needed order statistics are picked
+    * out by a broadcast join against the literal quantile targets, with
+    * rank arithmetic inline in the predicate. Bounded by distinct count,
+    * not row count — and when even the distinct domain is too large,
+    * swap `approx_percentile` in; every caller keeps the broadcast-cuts
+    * shape.
     *
     * The interpolation reproduces Spark's own formula term-for-term
     * (`(higher−pos)·vlo + (pos−lower)·vhi`), so results are bit-identical
@@ -124,15 +128,33 @@ object Summaries {
       specs: Seq[(String, Seq[Double], String)]): DataFrame = {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need non-empty quantile lists")
     require(specs.flatMap(_._2).forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
-    val byCol = Window.partitionBy(col("__ci"))
-    val cum = df
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    // the EXPLICIT partition count marks the exchange user-specified, so AQE
+    // cannot re-coalesce the two consumer stages differently — both branches
+    // below must observe the same spark_partition_id per row
+    val ranged = df
       .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy(col("__ci"), col("__v")).agg(count(lit(1)).as("__c"))
-      .withColumn("__hi", sum(col("__c")).over(byCol.orderBy(col("__v"))))
+      .repartitionByRange(nPart, col("__ci"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lhi", sum(col("__c"))
+      .over(Window.partitionBy(col("__ci"), col("__pid")).orderBy(col("__v"))))
+    val byCol   = Window.partitionBy(col("__ci"))
+    val offsets = ranged.groupBy(col("__ci"), col("__pid"))
+      .agg(sum(col("__c")).as("__ps"))
+      .withColumn("__off", coalesce(sum(col("__ps"))
+        .over(byCol.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__ps")).over(byCol))
+      .select(col("__ci").as("__oci"), col("__pid").as("__opid"),
+        col("__off"), col("__n"))
+    val cum = local
+      .join(broadcast(offsets),
+        col("__ci") === col("__oci") && col("__pid") === col("__opid"))
+      .withColumn("__hi", col("__lhi") + col("__off"))
       .withColumn("__lo", col("__hi") - col("__c"))
-      .withColumn("__n", max(col("__hi")).over(byCol))
     val targets = df.sparkSession.range(1)
       .select(explode(array((for {
         ((_, ps, _), i) <- specs.zipWithIndex
