@@ -230,6 +230,30 @@ object Summaries {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Mergeable DISTINCT-COUNT state — the sketch stand-in [[mergeAggStates]]
+    * prescribes for the one common measure that does NOT decompose: exact
+    * `countDistinct` needs the full value set, but a per-group HLL sketch
+    * (Datasketches binary, fixed KB per group) merges register-wise, and
+    * `sketch(A ∪ B) = union(sketch(A), sketch(B))` EXACTLY — so incremental
+    * maintenance loses nothing over a full rebuild ([[SummariesSpec]] pins
+    * the equality). Read the estimate off the state with
+    * [[distinctEstimate]]; never store the estimate itself (estimates
+    * don't merge).
+    */
+  def distinctState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("hll"))
+
+  /** Merge two [[distinctState]] tables (state ∪ delta → state). */
+  def mergeDistinctStates(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(delta).groupBy(keys.map(col): _*)
+      .agg(expr("hll_union_agg(hll)").as("hll"))
+
+  /** Distinct-count estimate per group from a [[distinctState]] table. */
+  def distinctEstimate(state: DataFrame): DataFrame =
+    state.withColumn("n_distinct_est", expr("hll_sketch_estimate(hll)"))
+
   /** Incremental view maintenance: merge a stored aggregate state with the
     * state of a new delta batch, WITHOUT touching the rows that produced
     * either — counts and sums add, min/max re-minimize. `mergeAggStates(

@@ -48,6 +48,24 @@ class SummariesSpec extends AnyFunSuite {
     assert(merged.toSeq == full.toSeq)
   }
 
+  test("distinctState merge is lossless: merged sketches estimate like the full build") {
+    val a = (1 to 800).map(i => ("g" + i % 3, i % 97)).toDF("k", "v")
+    val b = (500 to 1500).map(i => ("g" + i % 3, i % 131)).toDF("k", "v")
+    val merged = Summaries.distinctEstimate(Summaries.mergeDistinctStates(
+      Summaries.distinctState(a, Seq("k"), "v"),
+      Summaries.distinctState(b, Seq("k"), "v"), Seq("k")))
+      .select("k", "n_distinct_est").as[(String, Long)].collect().toMap
+    val full = Summaries.distinctEstimate(
+      Summaries.distinctState(a.unionByName(b), Seq("k"), "v"))
+      .select("k", "n_distinct_est").as[(String, Long)].collect().toMap
+    assert(merged == full) // register-wise union == sketch of the union
+    val exact = a.unionByName(b).groupBy("k").agg(countDistinct($"v").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => // estimate quality on a small domain
+      assert(math.abs(merged(k) - n) <= math.max(2L, (n * 0.05).toLong), s"$k: ${merged(k)} vs $n")
+    }
+  }
+
   test("quantileBins matches chained single-column quantileBin and keeps NULL bins") {
     val multi = Summaries.quantileBins(mixed, Seq(("x", 4, "bx"), ("y", 4, "by")))
       .select("x", "y", "bx", "by").collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
