@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Summaries
@@ -8,6 +9,12 @@ import graft.ops.Summaries
 class SummariesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
 
   // ties, an exact-rank hit, and nulls — the cases where interpolated
   // quantile implementations diverge
@@ -46,6 +53,38 @@ class SummariesSpec extends AnyFunSuite {
     val full = Summaries.aggState(a.unionByName(b), Seq("k"), Seq("v"))
       .orderBy("k").collect().map(_.toSeq)
     assert(merged.toSeq == full.toSeq)
+  }
+
+  test("property: exactQuantileArrays matches built-in percentile on random data") {
+    // duplicates and a bounded value domain force tie/straddle cases
+    val vals = Gen.nonEmptyListOf(Gen.choose(0, 30).map(_ * 0.5))
+    val ps   = Gen.nonEmptyListOf(Gen.choose(0, 100).map(_ / 100.0)).map(_.distinct)
+    check(Prop.forAll(vals, ps) { (vs, qs) =>
+      val df   = vs.map(Tuple1(_)).toDF("v")
+      val mine = Summaries.exactQuantileArrays(df, Seq(("v", qs, "c")))
+        .collect()(0).getSeq[Double](0)
+      val ref = df.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+        .collect()(0).getSeq[Double](0)
+      mine == ref
+    }, n = 15)
+  }
+
+  test("property: mergeAggStates is split-invariant (any 2-way split = full build)") {
+    val rows = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 4); v <- Gen.choose(-50, 50)
+    } yield (s"k$k", v.toDouble))
+    val cut = Gen.choose(0, 100)
+    check(Prop.forAll(rows, cut) { (rs, c) =>
+      val (a, b) = rs.splitAt(rs.size * c / 100)
+      def state(xs: List[(String, Double)]) =
+        Summaries.aggState(xs.toDF("k", "v"), Seq("k"), Seq("v"))
+      val merged =
+        if (a.isEmpty) state(b) else if (b.isEmpty) state(a)
+        else Summaries.mergeAggStates(state(a), state(b), Seq("k"), Seq("v"))
+      val full = state(rs)
+      merged.orderBy("k").collect().map(_.toSeq).toSeq ==
+        full.orderBy("k").collect().map(_.toSeq).toSeq
+    }, n = 15)
   }
 
   test("distinctState merge is lossless: merged sketches estimate like the full build") {
