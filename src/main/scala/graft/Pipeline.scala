@@ -90,7 +90,11 @@ object Pipeline {
     if (failCols.nonEmpty)
       catalog += "falhas_upgrade" ->
         baseLimpa.filter(Clean.keywordAny(failCols.map(col), Clean.FailurePattern))
-    catalog.toMap
+    // ListMap, not .toMap: the catalog's iteration order is part of the
+    // contract (base_limpa must stay the first sheet the xlsx export writes;
+    // a plain Map over 4 entries only PRESERVES insertion order by accident
+    // and silently stops at the 5th entry)
+    scala.collection.immutable.ListMap(catalog.toSeq: _*)
   }
 
   /** S6 — multi-table export of a named catalog (the engine-side contract of

@@ -40,10 +40,32 @@ object Excel {
     val shared = parts.keys.find(_ == "xl/sharedStrings.xml")
       .map(k => parseSharedStrings(parts(k))).getOrElse(Vector.empty)
     val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles).getOrElse(Set.empty)
-    val sheetName = parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq.sorted.headOption
+    val sheetName = firstSheetPart(parts)
+      // fallback for workbooks missing the indirection: NUMERIC part order —
+      // lexicographic puts sheet10.xml before sheet2.xml
+      .orElse(parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq
+        .sortBy(_.replaceAll("\\D", "").toLong).headOption)
       .getOrElse(throw new IllegalArgumentException(s"$path: no worksheet found"))
     parseSheet(parts(sheetName), shared, dateStyles)
   }
+
+  /** The FIRST sheet in WORKBOOK order (pd.read_excel's default sheet),
+    * resolved via workbook.xml → its rels: part filenames need not follow
+    * tab order — reordering tabs in Excel rewires the rels, not the part
+    * names, so picking the lowest-numbered part reads the wrong sheet.
+    */
+  private def firstSheetPart(parts: Map[String, Array[Byte]]): Option[String] =
+    for {
+      wb    <- parts.get("xl/workbook.xml")
+      rels  <- parts.get("xl/_rels/workbook.xml.rels")
+      sheet <- elems(parseXml(wb), "sheet").headOption
+      rid    = sheet.getAttribute("r:id")
+      rel   <- elems(parseXml(rels), "Relationship").find(_.getAttribute("Id") == rid)
+      tgt    = rel.getAttribute("Target")
+      part   = if (tgt.startsWith("/")) tgt.stripPrefix("/")
+               else "xl/" + tgt.stripPrefix("./")
+      if parts.contains(part)
+    } yield part
 
   private def readZip(path: String): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new FileInputStream(path))
@@ -130,8 +152,10 @@ object Excel {
       .collect {
         case (xf, i)
             if xf.getAttribute("applyNumberFormat") != "0" &&
+              // toIntOption: untrusted styles.xml — same hardening as the
+              // custom-format branch above; garbage must not crash ingest
               Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
-                .exists(id => dateIds.contains(id.toInt)) =>
+                .exists(_.toIntOption.exists(dateIds.contains)) =>
           i
       }
       .toSet
@@ -155,7 +179,9 @@ object Excel {
     def v  = elems(c, "v").headOption.map(_.getTextContent)
     def is = elems(c, "is").headOption.map(e => elems(e, "t").map(_.getTextContent).mkString)
     c.getAttribute("t") match {
-      case "s"         => v.map(s => shared(s.toInt)).orNull
+      case "s" => // untrusted: non-numeric/out-of-range shared index → null
+        v.flatMap(_.toIntOption).filter(i => i >= 0 && i < shared.length)
+          .map(shared).orNull
       case "inlineStr" => is.orNull
       case "" | "n" => // numeric (possibly date-styled) / blank
         val isDate = Option(c.getAttribute("s")).filter(_.nonEmpty)
@@ -178,7 +204,18 @@ object Excel {
     */
   def writeRaw(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
     require(sheets.nonEmpty, "at least one sheet")
-    val names = sheets.map { case (n, _) => sheetName(n) }
+    // Sanitization + the 31-char cap can collapse distinct catalog names
+    // ("a/b" and "a*b" → "a_b"); duplicate sheet names violate ECMA-376 and
+    // Excel refuses the file — suffix within the cap until unique.
+    val used = scala.collection.mutable.Set.empty[String]
+    val names = sheets.map { case (n, _) =>
+      val base = sheetName(n)
+      var cand = base
+      var k    = 1
+      while (used(cand)) { k += 1; cand = base.take(31 - s"_$k".length) + s"_$k" }
+      used += cand
+      cand
+    }
     val zout  = new ZipOutputStream(new FileOutputStream(path))
     def put(name: String, content: String): Unit = {
       zout.putNextEntry(new ZipEntry(name))

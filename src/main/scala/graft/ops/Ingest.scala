@@ -47,7 +47,20 @@ object Ingest {
     * names, rows `i+1..` the data. Names are normalized (P1) on the way.
     */
   def reHeader(rows: Seq[Seq[Any]], headerIdx: Int): (Seq[String], Seq[Seq[Any]]) = {
-    val names = rows(headerIdx).map(v => Clean.normCol(Option(v).fold("")(_.toString)))
+    val raw = rows(headerIdx).map(v => Clean.normCol(Option(v).fold("")(_.toString)))
+    // Real sheets have blank header cells and headers that normalize to the
+    // same name ("IP Address" / "ip-address") — both produce a schema whose
+    // first downstream col(name) throws AMBIGUOUS_REFERENCE. Blank → col_N
+    // (position-based), repeats → suffix _2, _3, … like pandas' mangling.
+    val used  = scala.collection.mutable.Set.empty[String]
+    val names = raw.zipWithIndex.map { case (n0, i) =>
+      val base = if (n0.isEmpty) s"col_${i + 1}" else n0
+      var cand = base
+      var k    = 1
+      while (used(cand)) { k += 1; cand = s"${base}_$k" } // _2 may itself clash
+      used += cand
+      cand
+    }
     (names, rows.drop(headerIdx + 1))
   }
 

@@ -32,7 +32,13 @@ object Storage {
     // CREATE path then refuses the non-empty directory.
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      // Resolve the managed location under the CURRENT database — bare
+      // warehouse/<table> is only right for `default`, and would point at
+      // (and delete!) default's table while the session sits in another db.
+      val db  = spark.catalog.currentDatabase
+      val rel = if (db == "default") table.toLowerCase
+                else s"${db.toLowerCase}.db/${table.toLowerCase}"
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
       val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) {
         // Only reclaim a directory that is recognizably a previous Spark
@@ -129,9 +135,14 @@ object Storage {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the lazy read + overwrite write would DELETE the inputs before reading
-    // them — exactly the in-place corruption the doc warns about
-    require(fs.makeQualified(new Path(dir)) != fs.makeQualified(new Path(outDir)),
-      s"compactTo must write to a NEW directory, got outDir == dir ($dir)")
+    // them — exactly the in-place corruption the doc warns about. Equality
+    // is not enough: an outDir ABOVE dir gets wiped by the overwrite with
+    // dir inside it, and one BELOW dir pollutes the input tree — reject any
+    // containment either way.
+    val qIn  = fs.makeQualified(new Path(dir)).toUri.getPath.stripSuffix("/")
+    val qOut = fs.makeQualified(new Path(outDir)).toUri.getPath.stripSuffix("/")
+    require(qIn != qOut && !qIn.startsWith(qOut + "/") && !qOut.startsWith(qIn + "/"),
+      s"compactTo must write to a directory disjoint from the input, got $dir -> $outDir")
     // recursive listing: the read path below recurses into partition
     // subdirectories (dir/date=…/part-*.parquet), so the size math must too
     def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {

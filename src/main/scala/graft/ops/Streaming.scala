@@ -97,11 +97,18 @@ object Streaming {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(corpusDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val spark  = batch.sparkSession
+        val corpus = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs     = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // existence is not readability: a crashed first write leaves only
+        // _temporary behind, and read.parquet on it throws on EVERY retry —
+        // a permanent crash loop. Only committed data files count.
+        val hasData = fs.exists(corpus) && fs.listStatus(corpus).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
         val fresh =
-          if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir)))
+          if (hasData)
             Dedup.dedupAgainstCorpus(batch, spark.read.parquet(corpusDir), contentCol)
           else batch
         // dedup WITHIN the batch too: two copies in one micro-batch must land once
@@ -230,21 +237,34 @@ object Streaming {
     spark.readStream.text(inDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val parsed = batch.select(col("value"),
-          from_json(col("value"), withCorrupt,
-            Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
-        // blank lines parse to a NULL struct, not a corrupt record — they
-        // quarantine too (see Ingest.readJsonQuarantine)
-        val isGood = col("j").isNotNull && col("j.__corrupt").isNull
-        try {
-          parsed.filter(isGood)
-            .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
-            .write.mode("append").parquet(goodDir)
-          parsed.filter(!isGood)
-            .select(col("value").as("raw"))
-            .write.mode("append").text(badDir)
-        } finally parsed.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Replay guard for the append sinks: foreachBatch is at-least-once,
+        // and re-appending a replayed batch silently duplicates good rows.
+        // A per-batch marker (underscore dir — invisible to parquet reads)
+        // makes replays of fully-committed batches no-ops. Residual window:
+        // a crash BETWEEN the two appends and the marker still duplicates
+        // on replay — closing it needs a transactional table format.
+        val markers = new org.apache.hadoop.fs.Path(goodDir, "_graft_batches")
+        val fs = markers.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val mk = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(mk)) {
+          val parsed = batch.select(col("value"),
+            from_json(col("value"), withCorrupt,
+              Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
+          // blank lines parse to a NULL struct, not a corrupt record — they
+          // quarantine too (see Ingest.readJsonQuarantine)
+          val isGood = col("j").isNotNull && col("j.__corrupt").isNull
+          try {
+            parsed.filter(isGood)
+              .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
+              .write.mode("append").parquet(goodDir)
+            parsed.filter(!isGood)
+              .select(col("value").as("raw"))
+              .write.mode("append").text(badDir)
+            fs.mkdirs(markers)
+            fs.create(mk, true).close()
+          } finally parsed.unpersist()
+        }
       }
       .start()
   }
@@ -257,37 +277,53 @@ object Streaming {
       n_events: Int, closed: Boolean)
 
   /** ST6 — custom sessionization with [[Dataset.flatMapGroupsWithState]]:
-    * events within `gapMs` of the running session extend it; a larger gap (or
-    * an event-time timeout) closes it and emits the summary. State is one
-    * (start, end, n) per live key — the minimal footprint for this semantics.
+    * events within `gapMs` of the running session extend it; a larger gap
+    * closes it and emits the summary, and an EVENT-TIME TIMEOUT closes the
+    * last session of a key that simply goes quiet (without it, the final
+    * session is never emitted and idle-key state accumulates forever — one
+    * entry per ever-seen key). State is one (start, end, n) per live key.
+    * The watermark (`watermarkDelay` lateness bound) is what drives the
+    * timeout clock; it fires once the watermark passes `end + gapMs`.
     */
-  def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+  def sessionize(ds: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var cur    = state.getOption
-          val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-              case Some(s) =>
-                out += SessionOut(uid, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.n, closed = true)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, closed = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur    = state.getOption
+            val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly ahead of the current watermark or Spark
+              // rejects it — a late straggler can land an already-expired end
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => ()
-          }
-          out.iterator
       }
   }
 }

@@ -98,6 +98,13 @@ class ExcelSpec extends AnyFunSuite {
     assert(Excel.readRaw(p) == Seq(Seq("a")))
   }
 
+  test("writeRaw disambiguates sheet names that sanitize identically") {
+    val p = tmp("dupsheets")
+    // both sanitize to a_b; duplicate sheet names corrupt the workbook
+    Excel.writeRaw(p, Seq("a/b" -> Seq(Seq("x")), "a*b" -> Seq(Seq("y"))))
+    assert(Excel.readRaw(p) == Seq(Seq("x"))) // readable, first sheet intact
+  }
+
   test("end-to-end: xlsx upload → pipeline → xlsx export (the reference flow)") {
     val upload: Seq[Seq[Any]] = Seq(
       Seq("Relatório Cortex", null, null, null),

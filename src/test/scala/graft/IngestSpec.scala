@@ -38,6 +38,16 @@ class IngestSpec extends AnyFunSuite {
     assert(data == Seq(Seq("h1", "t1", "os1", "v1")))
   }
 
+  test("reHeader disambiguates colliding and blank header cells") {
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("IP Address", "ip-address", null, "x", "x", "x_2"),
+      Seq("a", "b", "c", "d", "e", "f"))
+    val (names, _) = Ingest.reHeader(rows, 0)
+    // the second "x" takes x_2, so the LITERAL x_2 header must skip to x_2_2
+    assert(names == Seq("ip_address", "ip_address_2", "col_3", "x", "x_2", "x_2_2"))
+    assert(names.distinct == names) // a duplicate would AMBIGUOUS_REFERENCE downstream
+  }
+
   test("dropAllNullRows keeps rows with any value (app.py:178)") {
     val df = Seq((Some(1), Some("a")), (None, None), (Some(2), None))
       .toDF("x", "y")

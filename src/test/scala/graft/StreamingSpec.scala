@@ -101,6 +101,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.length == 1)
       assert(rows(0).n_events == 2 && rows(0).closed)
       assert(rows(0).start == ts("2024-01-01 10:00:00") && rows(0).end == ts("2024-01-01 10:10:00"))
+      // third batch: a DIFFERENT key's event advances the watermark past
+      // 13:00 + gap + delay, so user 1's quiet session closes by TIMEOUT —
+      // without the event-time timeout it would sit in state forever
+      input.addData(Ev(2, ts("2024-01-01 18:00:00"), "a"))
+      q.processAllAvailable()
+      val after = spark.table(name).as[Streaming.SessionOut].collect()
+      assert(after.length == 2)
+      val timedOut = after.filter(r => r.user_id == 1 && r.start == ts("2024-01-01 13:00:00"))
+      assert(timedOut.length == 1 && timedOut(0).closed && timedOut(0).n_events == 1)
     } finally q.stop()
   }
 
