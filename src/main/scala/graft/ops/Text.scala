@@ -215,21 +215,22 @@ object Text {
   def singleEditNearPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
-    // sequence(1, 0) counts DOWN — empty strings need the guard
-    val masked = base.selectExpr("id",
+    // sequence(1, 0) counts DOWN — empty strings need the guard. The index
+    // rows CARRY the source string: the key column is short by contract, so
+    // shipping it with each variant costs less than the two extra joins a
+    // verify-time name re-fetch would need.
+    val masked = base.selectExpr("id", "s",
       """explode(CASE WHEN length(s) >= 1
            THEN transform(sequence(1, length(s)),
                   i -> concat(substr(s, 1, i-1), '', substr(s, i+1, length(s))))
            ELSE array() END) AS mk""")
       .repartition(col("mk")) // both self-join sides reuse this exchange
-    val cand = masked.as("a")
+    val d = levenshtein(col("sa"), col("sb"))
+    masked.as("a")
       .join(masked.as("b"), col("a.mk") === col("b.mk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val d = levenshtein(col("x.s"), col("y.s"))
-    cand
-      .join(base.as("x"), col("id_a") === col("x.id"))
-      .join(base.as("y"), col("id_b") === col("y.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct() // one verify per pair, not one per shared variant
       .filter(d <= 1) // equal variant lengths already force equal originals
       .select(col("id_a"), col("id_b"), d.as("dist"))
   }
