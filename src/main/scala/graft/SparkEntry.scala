@@ -382,6 +382,50 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
 
+    // OHLC downsampling: open/high/low/close of `value` per (type, day) —
+    // open/close picked by the (ts, event_id) total order, so both engines
+    // agree on first/last without any arithmetic in the output
+    "q113_ohlc" -> ((s, d) => {
+      val e = t(s, d, "events").withColumn("day", date_trunc("day", col("ts")))
+      val part = Seq(col("event_type"), col("day"))
+      val wA = Window.partitionBy(part: _*).orderBy(col("ts").asc, col("event_id").asc)
+      val wD = Window.partitionBy(part: _*).orderBy(col("ts").desc, col("event_id").desc)
+      e.select(col("event_type"), col("day"), col("value"),
+          row_number().over(wA).as("ra"), row_number().over(wD).as("rd"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Conversion funnel: per first-click cohort day, the fraction of users
+    // who purchase within an hour of their first click — the first-touch
+    // attribution query; the step join is an equi-join on user with a
+    // residual time band, never a cross product
+    "q114_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+        .withColumn("cohort", date_trunc("day", col("fc")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pt"))
+      val converted = firstClick
+        .join(purchases, col("user_id") === col("pu") &&
+          col("pt") >= col("fc") && col("pt") <= col("fc") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        .select(col("user_id"), lit(1L).as("cv"))
+      firstClick.join(converted, Seq("user_id"), "left_outer")
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("cv"), lit(0L))).as("n_converted"),
+          Summaries.r4(sum(coalesce(col("cv"), lit(0L))).cast("double") / count(lit(1)))
+            .as("conv_rate"))
+        .orderBy(col("cohort"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1500,6 +1544,35 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q113_ohlc" ->
+      """WITH r AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+                  row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT event_type, day,
+                max(CASE WHEN ra = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rd = 1 THEN value END) AS close,
+                count(*) AS n
+         FROM r GROUP BY event_type, day ORDER BY event_type, day""",
+    "q114_funnel" ->
+      """WITH fc AS (
+           SELECT user_id, min(ts) AS fc FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+         conv AS (
+           SELECT fc.user_id FROM fc WHERE EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.user_id = fc.user_id AND p.event_type = 'purchase'
+               AND p.ts >= fc.fc AND p.ts <= fc.fc + INTERVAL 1 HOUR))
+         SELECT CAST(date_trunc('day', fc) AS TIMESTAMP) AS cohort,
+                count(*) AS n_users,
+                CAST(count(*) FILTER (user_id IN (SELECT user_id FROM conv)) AS BIGINT) AS n_converted,
+                floor(CAST(count(*) FILTER (user_id IN (SELECT user_id FROM conv)) AS DOUBLE)
+                      / count(*) * 10000 + 0.5)/10000 AS conv_rate
+         FROM fc GROUP BY cohort ORDER BY cohort""",
     "q102_upsert" ->
       """SELECT o_orderkey, o_orderstatus,
                 floor((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1
