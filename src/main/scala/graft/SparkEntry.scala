@@ -426,6 +426,26 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    // Cohort retention matrix: users bucketed by first-seen week, activity
+    // counted per week offset — the funnel's long-horizon companion. Week
+    // arithmetic is epoch-exact in both engines (Monday-truncated weeks)
+    "q115_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
+      val active = ev
+        .select(col("user_id").as("au"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      firstWeek.join(active, col("user_id") === col("au"))
+        .select(col("cohort_week"), col("user_id"),
+          ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) / 604800L)
+            .cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Token counting: whitespace vs BPE-ish pre-tokenizer regex, per lang
     "q23_token_count" -> ((s, d) => {
       Tables.spread(t(s, d, "documents"))
@@ -1544,6 +1564,17 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q115_retention" ->
+      """WITH fw AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+                     FROM events GROUP BY user_id),
+         aw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                FROM events)
+         SELECT cohort_week,
+                CAST((epoch(week) - epoch(cohort_week)) / 604800 AS INT) AS week_offset,
+                count(DISTINCT user_id) AS n_active
+         FROM fw JOIN aw USING (user_id)
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
     "q113_ohlc" ->
       """WITH r AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
