@@ -64,7 +64,10 @@ object Excel {
       tgt    = rel.getAttribute("Target")
       part   = if (tgt.startsWith("/")) tgt.stripPrefix("/")
                else "xl/" + tgt.stripPrefix("./")
-      if parts.contains(part)
+      // a first TAB can be a chartsheet (xl/chartsheets/…) — parseSheet
+      // would silently yield zero rows; fall through to the fallback, which
+      // picks the first real worksheet like pd.read_excel does
+      if part.contains("worksheets/") && parts.contains(part)
     } yield part
 
   private def readZip(path: String): Map[String, Array[Byte]] = {
@@ -206,14 +209,16 @@ object Excel {
     require(sheets.nonEmpty, "at least one sheet")
     // Sanitization + the 31-char cap can collapse distinct catalog names
     // ("a/b" and "a*b" → "a_b"); duplicate sheet names violate ECMA-376 and
-    // Excel refuses the file — suffix within the cap until unique.
+    // Excel refuses the file — suffix within the cap until unique. Keyed on
+    // lowercase: Excel's uniqueness rule is CASE-INSENSITIVE ("Status" vs
+    // "status" is still a duplicate).
     val used = scala.collection.mutable.Set.empty[String]
     val names = sheets.map { case (n, _) =>
       val base = sheetName(n)
       var cand = base
       var k    = 1
-      while (used(cand)) { k += 1; cand = base.take(31 - s"_$k".length) + s"_$k" }
-      used += cand
+      while (used(cand.toLowerCase)) { k += 1; cand = base.take(31 - s"_$k".length) + s"_$k" }
+      used += cand.toLowerCase
       cand
     }
     val zout  = new ZipOutputStream(new FileOutputStream(path))

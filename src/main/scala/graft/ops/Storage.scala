@@ -32,13 +32,13 @@ object Storage {
     // CREATE path then refuses the non-empty directory.
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      // Resolve the managed location under the CURRENT database — bare
-      // warehouse/<table> is only right for `default`, and would point at
-      // (and delete!) default's table while the session sits in another db.
-      val db  = spark.catalog.currentDatabase
-      val rel = if (db == "default") table.toLowerCase
-                else s"${db.toLowerCase}.db/${table.toLowerCase}"
-      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
+      // Resolve the managed location via the CATALOG, not by re-deriving
+      // the warehouse/<db>.db/<table> convention — bare warehouse/<table>
+      // is only right for `default` (and would point at, and delete,
+      // default's table from another db), and the convention itself breaks
+      // for databases created with a custom LOCATION.
+      val loc = new Path(
+        org.apache.spark.sql.graftbridge.CatalogBridge.defaultTablePath(spark, table))
       val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) {
         // Only reclaim a directory that is recognizably a previous Spark
@@ -138,9 +138,10 @@ object Storage {
     // them — exactly the in-place corruption the doc warns about. Equality
     // is not enough: an outDir ABOVE dir gets wiped by the overwrite with
     // dir inside it, and one BELOW dir pollutes the input tree — reject any
-    // containment either way.
-    val qIn  = fs.makeQualified(new Path(dir)).toUri.getPath.stripSuffix("/")
-    val qOut = fs.makeQualified(new Path(outDir)).toUri.getPath.stripSuffix("/")
+    // containment either way. Compare FULL qualified URIs so trees on
+    // different filesystems (file: vs hdfs:) are never spuriously rejected.
+    val qIn  = fs.makeQualified(new Path(dir)).toUri.toString.stripSuffix("/")
+    val qOut = fs.makeQualified(new Path(outDir)).toUri.toString.stripSuffix("/")
     require(qIn != qOut && !qIn.startsWith(qOut + "/") && !qOut.startsWith(qIn + "/"),
       s"compactTo must write to a directory disjoint from the input, got $dir -> $outDir")
     // recursive listing: the read path below recurses into partition

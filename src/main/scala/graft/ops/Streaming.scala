@@ -240,14 +240,23 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Replay guard for the append sinks: foreachBatch is at-least-once,
         // and re-appending a replayed batch silently duplicates good rows.
-        // A per-batch marker (underscore dir — invisible to parquet reads)
-        // makes replays of fully-committed batches no-ops. Residual window:
-        // a crash BETWEEN the two appends and the marker still duplicates
-        // on replay — closing it needs a transactional table format.
-        val markers = new org.apache.hadoop.fs.Path(goodDir, "_graft_batches")
-        val fs = markers.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        val mk = new org.apache.hadoop.fs.Path(markers, batchId.toString)
-        if (!fs.exists(mk)) {
+        // ONE max-applied-id marker (underscore file — invisible to parquet
+        // reads; replays are monotone so only the max matters — a per-batch
+        // marker dir would grow by a file per trigger forever) makes
+        // replays of fully-committed batches no-ops. Residual window: a
+        // crash BETWEEN the two appends and the marker still duplicates on
+        // replay — closing it needs a transactional table format.
+        val mk = new org.apache.hadoop.fs.Path(goodDir, "_graft_batch")
+        val fs = mk.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val applied =
+          if (!fs.exists(mk)) -1L
+          else {
+            val in = fs.open(mk)
+            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              .trim.toLong
+            finally in.close()
+          }
+        if (applied < batchId) {
           val parsed = batch.select(col("value"),
             from_json(col("value"), withCorrupt,
               Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
@@ -261,8 +270,9 @@ object Streaming {
             parsed.filter(!isGood)
               .select(col("value").as("raw"))
               .write.mode("append").text(badDir)
-            fs.mkdirs(markers)
-            fs.create(mk, true).close()
+            val out = fs.create(mk, true)
+            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           } finally parsed.unpersist()
         }
       }
@@ -305,8 +315,16 @@ object Streaming {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // a cross-batch late event that precedes the live session by
+                // more than the gap is its OWN (earlier) session — merging it
+                // forward would append it to a session that starts after it
+                case Some(s) if t < s.start - gapMs =>
+                  out += SessionOut(uid, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, closed = true)
+                // within the gap of either edge: merge, extending backwards
+                // for a late event inside [start − gap, start)
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   out += SessionOut(uid, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, closed = true)

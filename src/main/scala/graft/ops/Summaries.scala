@@ -129,9 +129,15 @@ object Summaries {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need non-empty quantile lists")
     require(specs.flatMap(_._2).forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
     val nPart = df.sparkSession.sparkContext.defaultParallelism
-    // the EXPLICIT partition count marks the exchange user-specified, so AQE
-    // cannot re-coalesce the two consumer stages differently — both branches
-    // below must observe the same spark_partition_id per row
+    // Both consumers below must observe the SAME spark_partition_id per row.
+    // The explicit partition count stops AQE from re-coalescing the two
+    // consumer stages differently, and the lazy localCheckpoint pins one
+    // materialization of the range shuffle: without it, correctness would
+    // hang on exchange REUSE — if the two branches ever executed the
+    // repartitionByRange twice (reuse disabled, plans de-canonicalized),
+    // each execution re-samples its range boundaries and the pids silently
+    // desynchronize. Cache footprint = the distinct domain with counts,
+    // exactly what this operator is bounded by.
     val ranged = df
       .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
         .as(Seq("__ci", "__v")))
@@ -139,6 +145,7 @@ object Summaries {
       .groupBy(col("__ci"), col("__v")).agg(count(lit(1)).as("__c"))
       .repartitionByRange(nPart, col("__ci"), col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val local = ranged.withColumn("__lhi", sum(col("__c"))
       .over(Window.partitionBy(col("__ci"), col("__pid")).orderBy(col("__v"))))
     val byCol   = Window.partitionBy(col("__ci"))

@@ -24,3 +24,17 @@ object ColumnBridge {
 object ListenerBridge {
   def flush(sc: org.apache.spark.SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
+
+/** Catalog shim: the MANAGED location a table would get, resolved by the
+  * session catalog itself (honoring per-database LOCATION overrides) —
+  * re-deriving the `<warehouse>/<db>.db/<table>` convention breaks for any
+  * database created with a custom location. `sessionState` is private[sql].
+  */
+object CatalogBridge {
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession, table: String): java.net.URI = {
+    val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    cat.defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(
+      table, Some(cat.getCurrentDatabase)))
+  }
+}
