@@ -43,11 +43,16 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // Hash a COMMON string representation on both sides: xxhash64 is
-    // input-type-sensitive (int 42 and bigint 42 hash differently), so a
-    // corpus/exclude type mismatch would make every bloom probe miss and
-    // silently KEEP rows the exact anti-join would have removed (the
-    // anti-join itself only ever sees bloom-positives).
+    // The two key expressions must agree EXACTLY in type: the bloom is
+    // built and probed on hashes, and hashes of different renderings of
+    // the "same" value (int 42 vs double 42.0) never collide — every such
+    // exclusion would silently exit through the clean branch (the exact
+    // anti-join only ever sees bloom-positives). The string cast below
+    // additionally shields against engine-internal type widening.
+    val kt = corpus.select(keyCol).schema.head.dataType
+    val et = exclude.select(excludeKey).schema.head.dataType
+    require(kt == et,
+      s"bloomAntiJoin keys must share one exact type, got $kt vs $et — cast one side")
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(excludeKey.cast("string"))),
@@ -188,13 +193,16 @@ object Curation {
   def slidingTokenWindows(docs: DataFrame, idCol: String, textCol: String,
       width: Int, stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1, "width and stride must be positive")
-    val tk       = Text.tokens(col(textCol))
-    val maxStart = greatest(size(tk) - width + 1, lit(1))
+    // tokenize ONCE per document and slice the array per window — running
+    // the regex tokenizer again on every emitted row would cost
+    // O(windows × doc length) in the scan stage
+    val withTk   = docs.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    val maxStart = greatest(size(col("__tk")) - width + 1, lit(1))
     val starts   = array_distinct(concat(
       sequence(lit(1), maxStart, lit(stride)), array(maxStart)))
-    docs.select(col(idCol), col(textCol), explode(starts).as("pos"))
+    withTk.select(col(idCol), col("__tk"), explode(starts).as("pos"))
       .select(col(idCol), col("pos"),
-        array_join(slice(Text.tokens(col(textCol)), col("pos"), lit(width)), " ").as("chunk"))
+        array_join(slice(col("__tk"), col("pos"), lit(width)), " ").as("chunk"))
   }
 
   /** Distribution-based outlier DETECTION: returns the rows whose `valCol`

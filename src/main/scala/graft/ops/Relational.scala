@@ -11,36 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** J6 — as-of join: for each left row, attach the columns of the latest
-    * right row with the same key and `rightTs <= leftTs`.
-    *
-    * Implementation is the union-and-carry-forward form, NOT a range join:
-    * tag both sides, union them, and within each key carry the most recent
-    * right-side values forward with `last(_, ignoreNulls = true)` over an
-    * ordered window. Cost is ONE hash exchange on the key + an in-partition
-    * sort — no candidate-pair blowup, no broadcast of either side — so it
-    * holds at 100 TB where a `t1.key = t2.key AND t2.ts <= t1.ts` join would
-    * degenerate (per-key cross product before the max).
-    *
-    * Ties (`rightTs == leftTs`): the right row sorts first, so it IS matched
-    * (<= semantics). Multiple right rows at one timestamp: the one latest in
-    * `tieBreak` order wins — deterministic.
-    *
-    * The right columns are carried as ONE struct through a single
-    * `last(_, ignoreNulls = true)` — carrying each column independently would
-    * stitch values from different right rows whenever a right row holds NULLs
-    * in some of `rightCols`, producing a row that never existed; whole-row
-    * attachment matches pandas `merge_asof` / DuckDB `ASOF JOIN`.
-    */
   /** Skew-safe equi-join: salt the skewed (left) side's key into `salts`
     * sub-keys and replicate the right side once per salt, so one hot key
     * spreads over `salts` reducers instead of melting a single task.
     *
-    * The salt is `pmod(hash(whole left row), salts)` — deterministic, no
-    * rand(), so plans stay replayable. AQE's skew-join handles moderate skew
-    * on its own; explicit salting is the tool for the pathological case
-    * (one key = 30% of 100 TB) where even a split partition overwhelms
-    * memory. Result is identical to the plain join (property-tested).
+    * The salt is `monotonically_increasing_id mod salts`: the JOIN RESULT
+    * never depends on WHICH salt a left row gets (the right side carries
+    * every salt), so uniform spread is the only requirement — and a
+    * content hash would send byte-identical rows (repeated log lines, THE
+    * common skew shape) to one salt, re-melting the reducer the salt
+    * exists to protect. AQE's skew-join handles moderate skew on its own;
+    * explicit salting is the tool for the pathological case (one key = 30%
+    * of 100 TB) where even a split partition overwhelms memory. Result is
+    * identical to the plain join (property-tested).
     *
     * Only left-preserving join types are supported: the right side is
     * replicated once per salt, so a `right_outer`/`full_outer` would emit
@@ -61,7 +44,7 @@ object Relational {
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     // qualified refs: leftKey and rightKey may share a name
     l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey), joinType)
@@ -88,18 +71,42 @@ object Relational {
       rightTs: String,
       toleranceSec: Long): DataFrame = {
     require(toleranceSec > 0, "tolerance must be positive")
-    val l = left.withColumn("__band", floor(unix_timestamp(col(leftTs)) / toleranceSec))
+    // microsecond precision end to end: second-truncated epochs would admit
+    // sub-second pairs up to ~1 s beyond the tolerance
+    val tolUs = toleranceSec * 1000000L
+    val l = left.withColumn("__band", floor(unix_micros(col(leftTs)) / tolUs))
     val r = right
-      .withColumn("__b0", floor(unix_timestamp(col(rightTs)) / toleranceSec))
+      .withColumn("__b0", floor(unix_micros(col(rightTs)) / tolUs))
       .withColumn("__band", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       l("__band") === r("__band") &&
-      abs(unix_timestamp(l(leftTs)) - unix_timestamp(r(rightTs))) <= toleranceSec
+      abs(unix_micros(l(leftTs)) - unix_micros(r(rightTs))) <= tolUs
     val joined = l.join(r, cond).drop(l("__band")).drop(r("__band"))
     keys.foldLeft(joined)((df, k) => df.drop(r(k))) // keep the left copy of each key
   }
 
+  /** J6 — as-of join: for each left row, attach the columns of the latest
+    * right row with the same key and `rightTs <= leftTs`.
+    *
+    * Implementation is the union-and-carry-forward form, NOT a range join:
+    * tag both sides, union them, and within each key carry the most recent
+    * right-side values forward with `last(_, ignoreNulls = true)` over an
+    * ordered window. Cost is ONE hash exchange on the key + an in-partition
+    * sort — no candidate-pair blowup, no broadcast of either side — so it
+    * holds at 100 TB where a `t1.key = t2.key AND t2.ts <= t1.ts` join would
+    * degenerate (per-key cross product before the max).
+    *
+    * Ties (`rightTs == leftTs`): the right row sorts first, so it IS matched
+    * (<= semantics). Multiple right rows at one timestamp: the one latest in
+    * `tieBreak` order wins — deterministic.
+    *
+    * The right columns are carried as ONE struct through a single
+    * `last(_, ignoreNulls = true)` — carrying each column independently would
+    * stitch values from different right rows whenever a right row holds NULLs
+    * in some of `rightCols`, producing a row that never existed; whole-row
+    * attachment matches pandas `merge_asof` / DuckDB `ASOF JOIN`.
+    */
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,

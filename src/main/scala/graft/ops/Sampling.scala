@@ -17,9 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket in [0, buckets) from the concatenated key columns. */
-  def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column =
-    pmod(Text.hash60(concat_ws("", keys: _*)), lit(buckets))
+  /** Bucket in [0, buckets) from the key columns, unit-separated. NULL
+    * parts in the MULTI-key form are marked with a sentinel: concat_ws
+    * silently skips NULLs, which would collide ("a", NULL) with (NULL,
+    * "a") and with ("a") — perfectly correlating those keys' sampling and
+    * split fates. The single-key form stays the plain string cast the SQL
+    * oracles replicate (`md5(CAST(k AS VARCHAR))`).
+    */
+  def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column = {
+    require(keys.nonEmpty, "hashBucket needs at least one key column")
+    val parts =
+      if (keys.size == 1) keys
+      else keys.map(k => coalesce(k.cast("string"), lit("\u0000")))
+    pmod(Text.hash60(concat_ws("", parts: _*)), lit(buckets))
+  }
 
   /** Keep ~`fraction` of rows, deterministically by key. The cutoff uses
     * `math.round`, matching [[splitColumn]]'s cut computation — plain
@@ -83,10 +94,13 @@ object Sampling {
     }
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(tokenCol).cast("double").as("__tot"))
-    df.join(broadcast(totals), sourceCol)
+      .withColumnRenamed(sourceCol, "__src")
+    // null-safe join: a plain using-column join never matches NULL = NULL,
+    // silently dropping every null-source row regardless of `default`
+    df.join(broadcast(totals), col(sourceCol) <=> col("__src"))
       .filter(hashBucket(keys.map(col)) <
         floor(least(lit(1.0), w * lit(budget) / col("__tot")) * 10000).cast("long"))
-      .drop("__tot")
+      .drop("__tot", "__src")
   }
 
   /** Sequence packing (the concat-and-chop step of LLM batch prep): lay
@@ -111,6 +125,9 @@ object Sampling {
   def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
       maxTokens: Long, buckets: Int): DataFrame = {
     require(maxTokens >= 1 && buckets >= 1, "maxTokens and buckets must be positive")
+    // seq = bucket·2^40 + slot must fit a signed long
+    require(buckets <= (1 << 22),
+      s"buckets must be <= ${1 << 22} so bucket*2^40 sequence ids cannot overflow Long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
       .orderBy(Text.hash60(col(idCol).cast("string")), col(idCol))

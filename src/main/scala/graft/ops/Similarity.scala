@@ -144,9 +144,10 @@ object Similarity {
     // A pair sharing buckets in SEVERAL tables surfaces once per table; no
     // pairwise distinct() is needed because TopKPairs dedups ids in-buffer
     // (same pair → same sim, so duplicates can't skew the ranking). That
-    // distinct was the one candidate-stream exchange in this plan — the
-    // verify join broadcasts `base`, so with it gone candidates never
-    // shuffle at all, at any corpus size.
+    // distinct was a whole extra exchange+dedup of the candidate stream.
+    // The vector-fetch joins below hash on id: Catalyst broadcasts `base`
+    // while it fits and otherwise shuffles candidates by id — bounded by
+    // candidate volume (bucket occupancy), never all-pairs.
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") =!= col("b.id"))
@@ -184,9 +185,12 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int): DataFrame = {
     val seedRows = df
       .select(col(idCol).cast("long").as("s_id"), col(vecCol).as("sv"))
-      .filter(col("s_id") < nCells)
+      // a NULL seed embedding would NPE inside NearestCells on every task
+      .filter(col("s_id") < nCells && col("sv").isNotNull)
       .orderBy(col("s_id"))
       .collect()
+    require(seedRows.nonEmpty,
+      s"ivfAssign: no non-null embeddings with $idCol < $nCells to seed the cells")
     val cells = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expr.NearestCells(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
