@@ -55,6 +55,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(banded == Set((10L, 20L), (11L, 22L), (12L, 23L)))
   }
 
+  test("intervalJoin is microsecond-exact: a sub-second over-tolerance gap is excluded") {
+    val left = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10.900")))
+      .toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 20L, java.sql.Timestamp.valueOf("2024-01-01 10:00:11.950")), // gap 1.05 s > 1 s
+      (1L, 21L, java.sql.Timestamp.valueOf("2024-01-01 10:00:11.850"))) // gap 0.95 s <= 1 s
+      .toDF("k", "rid", "rts")
+    val out = Relational.intervalJoin(left, right, Seq("k"), "lts", "rts", 1)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 21L))) // second-truncated epochs would admit both
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import org.apache.spark.sql.functions._
     val left = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, s"l$i")).toDF("k", "lv")

@@ -59,6 +59,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == 400)
   }
 
+  test("tokenBudgetMix keeps null-source rows under the default weight") {
+    val docs = Seq((1L, "web", 10L), (2L, null.asInstanceOf[String], 10L),
+      (3L, null.asInstanceOf[String], 10L)).toDF("id", "source", "n_tokens")
+    val out = graft.ops.Sampling.tokenBudgetMix(docs, Seq("id"), "source",
+      col("n_tokens"), budget = 1e9, Map("web" -> 0.5), default = 0.5)
+    assert(out.count() == 3) // the using-column join form silently dropped ids 2 and 3
+  }
+
+  test("hashBucket distinguishes NULL placement in multi-key hashes") {
+    val df = Seq(
+      (1L, Option("a"), Option.empty[String]),
+      (2L, Option.empty[String], Option("a")),
+      (3L, Option("a"), Option("a"))).toDF("id", "x", "y")
+    val buckets = df
+      .select(Sampling.hashBucket(Seq(col("x"), col("y")), 1000000).as("b"))
+      .as[Long].collect()
+    assert(buckets.distinct.length == 3) // concat_ws's NULL-skip collided all three
+  }
+
   test("packSequences: offsets are contiguous per bucket, seqs respect maxTokens starts") {
     val docs = (1L to 300L).map(i => (i, 7L)).toDF("id", "n_tokens")
     val out = graft.ops.Sampling.packSequences(docs, "id", col("n_tokens"), 50L, 3)
