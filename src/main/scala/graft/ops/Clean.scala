@@ -74,10 +74,15 @@ object Clean {
   val FailurePattern = "fail|timed out|faulty|lost|error"
 
   /** F4 — collapse non-alphanumeric runs in values (same regex the reference
-    * applies to names, offered on values for the cleaning surface).
+    * applies to names, offered on values for the cleaning surface). One
+    * pass suffices: the first replace already leaves no adjacent runs, and
+    * a second `rep+` pass both broke on regex-metacharacter reps ("+" →
+    * PatternSyntaxException) and would collapse PRE-EXISTING repeats of an
+    * alphanumeric rep in the data. `quoteReplacement` guards `$`/`\` in
+    * the replacement position.
     */
   def collapseNonAlnum(c: Column, rep: String = "_"): Column =
-    regexp_replace(regexp_replace(c, "[^0-9A-Za-z]+", rep), s"$rep+", rep)
+    regexp_replace(c, "[^0-9A-Za-z]+", java.util.regex.Matcher.quoteReplacement(rep))
 
   /** Whitespace-collapse + trim + lowercase — canonical text form used by the
     * text-analysis operators (T-ops).

@@ -108,8 +108,13 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Convergence signature over HASHES of the labels, not a numeric cast:
+    // string ids like "doc-17" would throw under ANSI mode or cast to NULL
+    // without it — and an all-NULL sum "converges" after one round, halting
+    // the propagation early with wrong components. Hash-sum equality on
+    // CHANGED labels is a ~2^-64 coincidence per round.
     def labelSum(df: DataFrame): String =
-      String.valueOf(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0))
+      String.valueOf(df.agg(sum(xxhash64(col("comp")).cast("decimal(38,0)"))).head().get(0))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)

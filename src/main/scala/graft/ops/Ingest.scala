@@ -47,6 +47,10 @@ object Ingest {
     * names, rows `i+1..` the data. Names are normalized (P1) on the way.
     */
   def reHeader(rows: Seq[Seq[Any]], headerIdx: Int): (Seq[String], Seq[Seq[Any]]) = {
+    // detectHeaderIndex's no-sentinel fallback is row 1; a 0/1-row sheet
+    // would IndexOutOfBounds here with no context — fail with the real story
+    require(headerIdx >= 0 && headerIdx < rows.size,
+      s"no header row: sheet has ${rows.size} row(s), detected header index $headerIdx")
     val raw = rows(headerIdx).map(v => Clean.normCol(Option(v).fold("")(_.toString)))
     // Real sheets have blank header cells and headers that normalize to the
     // same name ("IP Address" / "ip-address") — both produce a schema whose
@@ -121,7 +125,9 @@ object Ingest {
     // all-null row — they are not valid JSON, so they quarantine too
     val isGood = col("j").isNotNull && col("j.__corrupt").isNull
     val good = parsed.filter(isGood)
-      .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
+      // getField, not col("j.<name>"): a field literally named "a.b" would
+      // otherwise resolve as a nested path and fail
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toIndexedSeq: _*)
     val bad = parsed.filter(!isGood).select(col("value").as("raw"))
     (good, bad)
   }

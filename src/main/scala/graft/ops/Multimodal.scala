@@ -19,11 +19,17 @@ object Multimodal {
   /** Magic-byte container sniffing on the payload prefix. */
   def inferFormat(payload: Column): Column = {
     val hx = lower(hex(substring(payload, 1, 8)))
+    // the real mp4 test is the 'ftyp' box at byte offset 4 — a leading-zero
+    // prefix also matches ICO/TGA/zero-padded blobs
+    val ftyp = lower(hex(substring(payload, 5, 4))) === "66747970"
     when(hx.startsWith("ffd8ff"), lit("jpeg"))
       .when(hx.startsWith("89504e47"), lit("png"))
       .when(hx.startsWith("52494646"), lit("riff")) // wav/avi/webp family
-      .when(hx.startsWith("494433") || hx.startsWith("fffb"), lit("mp3"))
-      .when(hx.startsWith("000000"), lit("mp4"))
+      // ID3 tag, or any MPEG frame sync (0xFF + top 3 bits of byte 2:
+      // covers fff2/fff3/fffa/fffb and the ffe* MPEG-2 variants)
+      .when(hx.startsWith("494433") || hx.startsWith("fff") || hx.startsWith("ffe"),
+        lit("mp3"))
+      .when(ftyp, lit("mp4"))
       .otherwise(lit("unknown"))
   }
 
@@ -36,9 +42,13 @@ object Multimodal {
 
   /** Every-`step`-th byte offsets (frame-sampling shape for fixed-rate
     * payloads): 1-based positions, computed without touching the bytes.
+    * Empty payloads need the guard: `sequence(1, 0, step)` with an explicit
+    * positive step throws (same trap [[graft.ops.Text.ngrams]] documents).
     */
   def frameOffsets(payload: Column, step: Int): Column =
-    sequence(lit(1), octet_length(payload), lit(step))
+    when(octet_length(payload) >= 1,
+      sequence(lit(1), octet_length(payload), lit(step)))
+      .otherwise(array().cast("array<int>"))
 
   private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
@@ -80,6 +90,20 @@ object Multimodal {
     * payloads in one pass — no shuffle, no driver involvement, and the
     * partition is the batch unit a native decoder would amortize setup over.
     */
+  /** JVM-side mirror of [[inferFormat]] for the `mapPartitions` decode
+    * path — same rules, same labels, kept adjacent so they evolve together.
+    */
+  private def formatOf(b: Array[Byte]): String = {
+    def at(i: Int) = if (i < b.length) b(i) & 0xFF else -1
+    if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
+    else if (at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4E && at(3) == 0x47) "png"
+    else if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46) "riff"
+    else if ((at(0) == 0x49 && at(1) == 0x44 && at(2) == 0x33) ||
+             (at(0) == 0xFF && at(1) >= 0 && (at(1) & 0xE0) == 0xE0)) "mp3"
+    else if (at(4) == 0x66 && at(5) == 0x74 && at(6) == 0x79 && at(7) == 0x70) "mp4"
+    else "unknown"
+  }
+
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -88,9 +112,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          (id, b.length.toLong, fakeDecode(b, dim))
+          (id, formatOf(b), b.length.toLong, fakeDecode(b, dim))
         }
       }
-      .toDF(idCol, "byte_len", "features")
+      .toDF(idCol, "format", "byte_len", "features")
   }
 }

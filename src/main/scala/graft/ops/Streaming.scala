@@ -265,7 +265,8 @@ object Streaming {
           val isGood = col("j").isNotNull && col("j.__corrupt").isNull
           try {
             parsed.filter(isGood)
-              .select(schema.fieldNames.map(f => col(s"j.$f")).toIndexedSeq: _*)
+              // getField: a field literally named "a.b" must not resolve as a path
+              .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toIndexedSeq: _*)
               .write.mode("append").parquet(goodDir)
             parsed.filter(!isGood)
               .select(col("value").as("raw"))

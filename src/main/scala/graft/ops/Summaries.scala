@@ -249,7 +249,9 @@ object Summaries {
     */
   def distinctState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"hll_sketch_agg($valueCol)").as("hll"))
+      // call_function, not expr-splicing: a column named "user id" would
+      // otherwise be parsed as SQL and throw
+      .agg(call_function("hll_sketch_agg", col(valueCol)).as("hll"))
 
   /** Merge two [[distinctState]] tables (state ∪ delta → state). */
   def mergeDistinctStates(state: DataFrame, delta: DataFrame,

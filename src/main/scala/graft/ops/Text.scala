@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** T1 — whitespace tokenization, case-folded. */
+  /** T1 — whitespace tokenization, case-folded. Contract quirk shared with
+    * the DuckDB oracle (`string_split_regex`): EMPTY/whitespace-only text
+    * yields `[""]` — one empty-string token — in BOTH engines, so counts
+    * and ratios agree cross-engine; filter `length(text) > 0` upstream
+    * when empty docs must contribute zero tokens.
+    */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Distinct token set (order-insensitive ops: SimHash, language-ID). */

@@ -91,13 +91,14 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, "abcd".getBytes("UTF-8")),
       (3L, null: Array[Byte])).toDF("id", "payload")
     val out = Multimodal.decodeFeatures(df, "id", "payload", dim = 4)
-    assert(out.columns.toSeq == Seq("id", "byte_len", "features"))
-    val rows = out.orderBy("id").as[(Long, Long, Seq[Float])].collect()
-    assert(rows.forall(_._3.length == 4))
-    assert(rows(0)._2 == 3 && rows(2)._2 == 0)
+    assert(out.columns.toSeq == Seq("id", "format", "byte_len", "features"))
+    val rows = out.orderBy("id").as[(Long, String, Long, Seq[Float])].collect()
+    assert(rows.forall(_._4.length == 4))
+    assert(rows(0)._3 == 3 && rows(2)._3 == 0)
+    assert(rows.forall(_._2 == "unknown")) // text bytes sniff as no container
     // determinism: same payload → same features
     val again = Multimodal.decodeFeatures(df, "id", "payload", dim = 4)
-      .orderBy("id").as[(Long, Long, Seq[Float])].collect()
+      .orderBy("id").as[(Long, String, Long, Seq[Float])].collect()
     assert(rows.toSeq == again.toSeq)
   }
 
