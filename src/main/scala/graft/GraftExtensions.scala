@@ -40,10 +40,19 @@ object GraftExtensions {
     require(e.foldable, s"$fn: $arg must be a literal integer")
     e.eval() match {
       case i: Int  => i
-      case l: Long => l.toInt
+      // toIntExact, not toInt: a wrapped 2^32+1 would silently become k=1
+      case l: Long => java.lang.Math.toIntExact(l)
       case other   => throw new IllegalArgumentException(
         s"$fn: $arg must be an integer literal, got $other")
     }
+  }
+
+  /** Arity gate: a wrong-argument-count SQL call should say so, not throw
+    * IndexOutOfBoundsException from inside the planner.
+    */
+  private def args(children: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    require(children.size == n, s"$fn expects $n argument(s), got ${children.size}")
+    children
   }
 
   private def litString(e: Expression, fn: String, arg: String): String = {
@@ -58,44 +67,45 @@ object GraftExtensions {
   /** (name, usage, builder) for every SQL-addressable function. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays",
-      (children: Seq[Expression]) => graft.expr.CosineSimilarity(children(0), children(1))),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_cosine")
+        graft.expr.CosineSimilarity(c(0), c(1)) }),
     ("graft_jaccard", "graft_jaccard(a, b) - Jaccard similarity of two string-array sets",
-      (children: Seq[Expression]) => graft.expr.ArrayJaccard(children(0), children(1))),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_jaccard")
+        graft.expr.ArrayJaccard(c(0), c(1)) }),
     ("graft_ngrams", "graft_ngrams(text, n) - space-joined word n-grams (ordered, with dups)",
-      (children: Seq[Expression]) =>
-        graft.expr.WordNgrams(children(0), litInt(children(1), "graft_ngrams", "n"),
-          distinct = false)),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_ngrams")
+        graft.expr.WordNgrams(c(0), litInt(c(1), "graft_ngrams", "n"), distinct = false) }),
     ("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingle set",
-      (children: Seq[Expression]) =>
-        graft.expr.WordNgrams(children(0), litInt(children(1), "graft_shingles", "n"),
-          distinct = true)),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_shingles")
+        graft.expr.WordNgrams(c(0), litInt(c(1), "graft_shingles", "n"), distinct = true) }),
     ("graft_simhash", "graft_simhash(shingles, nBits) - SimHash of a string-array set",
-      (children: Seq[Expression]) =>
-        graft.expr.SimHashOfSet(children(0), litInt(children(1), "graft_simhash", "nBits"))),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_simhash")
+        graft.expr.SimHashOfSet(c(0), litInt(c(1), "graft_simhash", "nBits")) }),
     ("graft_minhash", "graft_minhash(shingles, k) - k-element MinHash signature",
-      (children: Seq[Expression]) =>
-        graft.expr.MinHashSignature(children(0), litInt(children(1), "graft_minhash", "k"))),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_minhash")
+        graft.expr.MinHashSignature(c(0), litInt(c(1), "graft_minhash", "k")) }),
     ("graft_lsh_buckets",
       "graft_lsh_buckets(vec, nTables, nPlanes) - sign-LSH bucket id per hash table",
-      (children: Seq[Expression]) =>
-        graft.expr.SignLshBuckets(children(0),
-          litInt(children(1), "graft_lsh_buckets", "nTables"),
-          litInt(children(2), "graft_lsh_buckets", "nPlanes"))),
+      (children: Seq[Expression]) => { val c = args(children, 3, "graft_lsh_buckets")
+        graft.expr.SignLshBuckets(c(0),
+          litInt(c(1), "graft_lsh_buckets", "nTables"),
+          litInt(c(2), "graft_lsh_buckets", "nPlanes")) }),
     ("graft_strip_accents", "graft_strip_accents(s) - accent folding (NFD, drop marks, NFC)",
-      (children: Seq[Expression]) => graft.expr.StripAccents(children(0))),
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_strip_accents")
+        graft.expr.StripAccents(c(0)) }),
     ("graft_normalize", "graft_normalize(s, form) - Unicode normal form (NFC/NFD/NFKC/NFKD)",
-      (children: Seq[Expression]) =>
-        graft.expr.UnicodeNormalize(children(0),
-          litString(children(1), "graft_normalize", "form"))),
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_normalize")
+        graft.expr.UnicodeNormalize(c(0), litString(c(1), "graft_normalize", "form")) }),
     ("graft_image_dims",
       "graft_image_dims(bin) - struct(width, height) from PNG/JPEG/GIF headers, else NULL",
-      (children: Seq[Expression]) => graft.expr.ImageDims(children(0))),
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_image_dims")
+        graft.expr.ImageDims(c(0)) }),
     ("graft_wav_info",
       "graft_wav_info(bin) - struct(sample_rate, channels, bits_per_sample) from RIFF/WAVE, else NULL",
-      (children: Seq[Expression]) => graft.expr.WavInfo(children(0))),
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_wav_info")
+        graft.expr.WavInfo(c(0)) }),
     ("graft_top_k",
       "graft_top_k(sim, id, k) - aggregate: best k (sim desc, id asc) pairs, partial map-side",
-      (children: Seq[Expression]) =>
-        graft.expr.TopKPairs(children(0), children(1),
-          litInt(children(2), "graft_top_k", "k"))))
+      (children: Seq[Expression]) => { val c = args(children, 3, "graft_top_k")
+        graft.expr.TopKPairs(c(0), c(1), litInt(c(2), "graft_top_k", "k")) }))
 }

@@ -25,7 +25,10 @@ object Tables {
     else df
   }
 
-  private val registered = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  // WeakHashMap: a stopped SparkSession must be collectable — a strong-keyed
+  // memo would retain every session (and its sessionState) for the JVM's
+  // life in a long-lived driver. All access is under registerAll's lock.
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register every table as a temp view so SQL-surface queries work.
     *
@@ -38,9 +41,9 @@ object Tables {
     * repeated analysis in the bench sweep.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!registered.get(spark).contains(dir)) {
+    if (registered.get(spark) != dir) {
       names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
-      registered.update(spark, dir)
+      registered.put(spark, dir)
     }
   }
 

@@ -20,9 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accumulation is sequential in index order, identical to the previous HOF
   * form and to the DuckDB oracle's `list_reduce` fold, so results are
   * bit-identical across all three.
+  *
+  * Degenerate inputs: a zero-norm (or empty) vector yields NULL — the
+  * 0/0 convention shared with [[graft.expr.ArrayJaccard]] and with the
+  * oracle (DuckDB division by zero is NULL); a NaN would instead vanish
+  * from threshold filters and block the bounded top-k buffer silently.
+  * Mismatched dimensions THROW: a truncated dot product is a plausible
+  * wrong answer, and mixed-dimension embeddings are a data bug that must
+  * surface (same contract as [[graft.expr.NearestCells]]).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true // zero-norm inputs yield NULL
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -39,7 +49,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -47,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) null else dot / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,15 +71,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na  = ctx.freshName("na")
       val nb  = ctx.freshName("nb")
+      val den = ctx.freshName("den")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double xi = (double) $a.getFloat($i);
          |  double yi = (double) $b.getFloat($i);
          |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
        """.stripMargin
     })
 

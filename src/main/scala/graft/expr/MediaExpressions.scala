@@ -41,7 +41,13 @@ case class ImageDims(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
     val dims: (Int, Int) =
-      if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          // full signature (\r\n\x1a\n) AND the IHDR tag at offset 12 — a
+          // corrupt blob that merely starts \x89PNG would otherwise yield
+          // garbage (possibly negative) dimensions instead of NULL
+          b(4) == 0x0d.toByte && b(5) == 0x0a.toByte &&
+          b(6) == 0x1a.toByte && b(7) == 0x0a.toByte &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
         // PNG: 8-byte signature, IHDR length+type (8), then width/height BE32
         (be32(b, 16), be32(b, 20))
       } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {

@@ -82,6 +82,9 @@ case class ArrayJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // two empty sets yield NULL even when both children are non-nullable;
+  // without this override the non-nullable codegen path would NPE on it
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -31,6 +31,14 @@ final class TopKBuffer(val k: Int) {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def offer(s: Double, i: Long): Unit = {
+    // NaN is unorderable under better() and would wedge the buffer once it
+    // reached the last slot; the similarity paths produce NULL (skipped in
+    // update), never NaN, for degenerate vectors — drop it defensively
+    if (s != s) return
+    // common-case O(1) reject BEFORE the O(k) dedup scan: if the candidate
+    // is not better than the current k-th, "no change" is correct even when
+    // its id is already present (that entry is >= the k-th >= the candidate)
+    if (n == k && !better(s, i, sims(n - 1), ids(n - 1))) return
     // in-buffer dedup: drop the worse entry for a repeated id
     var d = 0
     while (d < n) {
@@ -43,7 +51,6 @@ final class TopKBuffer(val k: Int) {
         d = n // exit scan
       } else d += 1
     }
-    if (n == k && !better(s, i, sims(n - 1), ids(n - 1))) return
     var pos = math.min(n, k - 1)
     while (pos > 0 && better(s, i, sims(pos - 1), ids(pos - 1))) {
       sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1

@@ -56,30 +56,43 @@ case class NearestCells(
     // that must surface, not re-rank
     require(arr.numElements() == vecs(0).length,
       s"nearest_cells: vector dim ${arr.numElements()} != codebook dim ${vecs(0).length}")
-    val cos  = new Array[Double](m)
+    val dim = vecs(0).length
+    // the query vector's norm is cell-independent — compute it once
+    var na = 0.0
+    var d  = 0
+    while (d < dim) { val xi = arr.getFloat(d).toDouble; na += xi * xi; d += 1 }
+    val qn = math.sqrt(na)
+    // primitive top-nProbe insertion (ordering: cos desc, id asc; NaN ranks
+    // first, matching both engines' DESC sort) — the boxed full sort this
+    // replaces allocated m Integers and O(m log m) comparisons per corpus
+    // row to pick 1–4 cells
+    val k       = math.min(nProbe, m)
+    val topCos  = new Array[Double](k)
+    val topIds  = new Array[Long](k)
+    var filled  = 0
+    @inline def ranksAbove(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(c1, c2) // DESC order, NaN greatest
+      cmp > 0 || (cmp == 0 && i1 < i2)
+    }
     var s = 0
     while (s < m) {
       val sv = vecs(s)
-      val n  = math.min(arr.numElements(), sv.length)
-      var dot = 0.0; var na = 0.0; var i = 0
-      while (i < n) {
-        val xi = arr.getFloat(i).toDouble
-        dot += xi * sv(i).toDouble; na += xi * xi
-        i += 1
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += arr.getFloat(i).toDouble * sv(i).toDouble; i += 1 }
+      val c = dot / (qn * seedNorms(s))
+      if (filled < k || ranksAbove(c, ids(s), topCos(filled - 1), topIds(filled - 1))) {
+        var pos = math.min(filled, k - 1)
+        while (pos > 0 && ranksAbove(c, ids(s), topCos(pos - 1), topIds(pos - 1))) {
+          topCos(pos) = topCos(pos - 1); topIds(pos) = topIds(pos - 1); pos -= 1
+        }
+        topCos(pos) = c; topIds(pos) = ids(s)
+        if (filled < k) filled += 1
       }
-      cos(s) = dot / (math.sqrt(na) * seedNorms(s))
       s += 1
     }
-    val order = Array.tabulate(m)(identity)
-    val boxed = order.map(Integer.valueOf)
-    java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
-      val c = java.lang.Double.compare(cos(b), cos(a)) // desc; NaN sorts first, as in both engines
-      if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
-    })
-    val k   = math.min(nProbe, m)
-    val out = new Array[Any](k)
+    val out = new Array[Any](filled)
     var j = 0
-    while (j < k) { out(j) = ids(boxed(j)); j += 1 }
+    while (j < filled) { out(j) = topIds(j); j += 1 }
     new GenericArrayData(out)
   }
 

@@ -109,6 +109,8 @@ object Similarity {
     * literal arrays (recomputing md5 per row was the r2 hotspot), and each
     * projection sign runs through the codegen'd [[cosine]] — valid because
     * norms are positive, so sign(cosine) == sign(dot), bit-exactly.
+    * `dim` MUST equal the embedding dimension: [[cosine]] rejects
+    * mismatched lengths rather than silently truncating.
     */
   def signLshBucket(vec: Column, nPlanes: Int, dim: Int = 64, table: Int = 0): Column = {
     require(nPlanes >= 1 && nPlanes < 64, "nPlanes in [1, 64): bucket bits live in one Long")

@@ -163,8 +163,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("signLshBucket is deterministic and bounded") {
     val vecs = Seq((0L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
-    val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()
-    val b2 = vecs.select(Similarity.signLshBucket($"embedding", 4)).as[Long].head()
+    val b1 = vecs.select(Similarity.signLshBucket($"embedding", 4, dim = 3)).as[Long].head()
+    val b2 = vecs.select(Similarity.signLshBucket($"embedding", 4, dim = 3)).as[Long].head()
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 }
