@@ -1505,7 +1505,7 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "q107_weighted_sample" ->
       """WITH s AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS sw, CAST(count(*) AS DOUBLE) AS n
-                    FROM documents)
+                    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents CROSS JOIN s
          WHERE n_chars IS NOT NULL AND n_chars > 0

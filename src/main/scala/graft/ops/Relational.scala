@@ -11,19 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** True when `dt` contains a MapType anywhere — such columns cannot feed
+    * `xxhash64` (Spark rejects hashing maps: element order is undefined).
+    */
+  private[graft] def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType      => true
+    case a: ArrayType    => containsMap(a.elementType)
+    case s: StructType   => s.fields.exists(f => containsMap(f.dataType))
+    case _               => false
+  }
+
   /** Skew-safe equi-join: salt the skewed (left) side's key into `salts`
     * sub-keys and replicate the right side once per salt, so one hot key
     * spreads over `salts` reducers instead of melting a single task.
     *
-    * The salt is `monotonically_increasing_id mod salts`: the JOIN RESULT
+    * The salt is a FULL-ROW content hash mod `salts`: the JOIN RESULT
     * never depends on WHICH salt a left row gets (the right side carries
-    * every salt), so uniform spread is the only requirement — and a
-    * content hash would send byte-identical rows (repeated log lines, THE
-    * common skew shape) to one salt, re-melting the reducer the salt
-    * exists to protect. AQE's skew-join handles moderate skew on its own;
-    * explicit salting is the tool for the pathological case (one key = 30%
-    * of 100 TB) where even a split partition overwhelms memory. Result is
-    * identical to the plain join (property-tested).
+    * every salt), so the salt only has to spread rows — and it must be
+    * DETERMINISTIC under recomputation. A positional id
+    * (`monotonically_increasing_id`) is not: on a stage retry / fetch
+    * failure, recomputed map tasks can assign different salts than the
+    * original attempt, so some reducers see a row twice and others never
+    * (the SPARK-23207 class of correctness bug). Hashing every column of
+    * the row re-derives the same salt on any attempt. Trade-off: rows that
+    * are byte-identical ACROSS ALL COLUMNS share a salt, so a hot key whose
+    * duplicates are exact copies still lands on one reducer — if that is
+    * the skew shape, pre-aggregate the duplicates to (row, count) first;
+    * for the common shape (hot key, varying payload) the spread is uniform.
+    * AQE's skew-join handles moderate skew on its own; explicit salting is
+    * the tool for the pathological case (one key = 30% of 100 TB) where
+    * even a split partition overwhelms memory. Result is identical to the
+    * plain join (property-tested).
     *
     * Only left-preserving join types are supported: the right side is
     * replicated once per salt, so a `right_outer`/`full_outer` would emit
@@ -43,8 +63,13 @@ object Relational {
       Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti", "cross")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
+    // hash every column whose type supports hashing (xxhash64 rejects maps);
+    // the join key itself is always hashable (maps cannot be equi-join keys),
+    // so the set is never empty
+    val hashable = left.schema.fields
+      .filterNot(f => graft.ops.Relational.containsMap(f.dataType)).map(f => col(f.name))
     val l = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salts.toLong)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     // qualified refs: leftKey and rightKey may share a name
     l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey), joinType)

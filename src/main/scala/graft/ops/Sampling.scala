@@ -17,19 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket in [0, buckets) from the key columns, unit-separated. NULL
-    * parts in the MULTI-key form are marked with a sentinel: concat_ws
-    * silently skips NULLs, which would collide ("a", NULL) with (NULL,
-    * "a") and with ("a") — perfectly correlating those keys' sampling and
-    * split fates. The single-key form stays the plain string cast the SQL
-    * oracles replicate (`md5(CAST(k AS VARCHAR))`).
+  /** Bucket in [0, buckets) from the key columns. The MULTI-key form is
+    * separated by the u+0001 control char — a bare concat would collide ("ab","c") with
+    * ("a","bc") — and NULL parts are marked with a u+0000 sentinel:
+    * concat_ws silently skips NULLs, which would collide ("a", NULL) with
+    * (NULL, "a") and with ("a") — perfectly correlating those keys'
+    * sampling and split fates. (Both control chars are written as escapes,
+    * not raw bytes: a raw 0x01 renders invisibly in diffs/reviews.)
+    * The single-key form stays the plain string cast the SQL oracles
+    * replicate (`md5(CAST(k AS VARCHAR))`).
     */
   def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column = {
     require(keys.nonEmpty, "hashBucket needs at least one key column")
     val parts =
       if (keys.size == 1) keys
       else keys.map(k => coalesce(k.cast("string"), lit("\u0000")))
-    pmod(Text.hash60(concat_ws("", parts: _*)), lit(buckets))
+    pmod(Text.hash60(concat_ws("\u0001", parts: _*)), lit(buckets))
   }
 
   /** Keep ~`fraction` of rows, deterministically by key. The cutoff uses
@@ -55,20 +58,24 @@ object Sampling {
     * The corpus totals are ONE aggregate row computed in-plan and broadcast
     * — no driver action, one wide scan + one narrow filter pass at any
     * scale. Rows with NULL or non-positive weight are dropped (probability
-    * zero). Integer bucket-vs-cutoff comparison keeps the oracle exact:
-    * every arithmetic step is IEEE basic ops replayed verbatim by SQL.
+    * zero) — and they are excluded from the Σw/N totals too, so the kept
+    * rows' inclusion probability is exactly min(1, fraction·N·w/Σw) over
+    * the SAMPLED population: a negative weight can never shrink Σw and a
+    * null-weight row can never inflate N. Integer bucket-vs-cutoff
+    * comparison keeps the oracle exact: every arithmetic step is IEEE
+    * basic ops replayed verbatim by SQL.
     */
   def weightedSample(df: DataFrame, keys: Seq[String], weightCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val tot = df.agg(
+    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val tot = eligible.agg(
       sum(col(weightCol).cast("double")).as("__sw"),
       count(lit(1)).cast("double").as("__nn"))
-    df.crossJoin(broadcast(tot))
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
-        hashBucket(keys.map(col)) <
-          floor(lit(10000) * least(lit(1.0),
-            lit(fraction) * col("__nn") * col(weightCol).cast("double") / col("__sw"))))
+    eligible.crossJoin(broadcast(tot))
+      .filter(hashBucket(keys.map(col)) <
+        floor(lit(10000) * least(lit(1.0),
+          lit(fraction) * col("__nn") * col(weightCol).cast("double") / col("__sw"))))
       .drop("__sw", "__nn")
   }
 

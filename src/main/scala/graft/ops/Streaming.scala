@@ -133,12 +133,20 @@ object Streaming {
     *    invisible to parquet reads); a replayed batch whose merge already
     *    swapped in is skipped, which matters for non-idempotent merges
     *    (an algebraic state merge would double-count; see q110).
+    *  - **Checkpoint-scoped guard**: batch ids are scoped to a CHECKPOINT
+    *    — delete/recreate the checkpoint against an existing table dir and
+    *    ids restart at 0, so a bare id guard would silently skip every new
+    *    batch until the id passed the stale marker. The marker therefore
+    *    also records `guard` (the streaming query id persisted in the
+    *    checkpoint, [[checkpointQueryId]] — stable across restarts of the
+    *    same checkpoint, fresh when it is recreated); a guard mismatch
+    *    resets the skip logic instead of honoring a stale id.
     *
     * A table format (Delta/Iceberg) would make this one atomic commit —
     * that is storage's job; this helper is the plain-parquet contract.
     */
   private[graft] def swapInTable(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      batchId: Long)(build: Boolean => DataFrame): Unit = {
+      batchId: Long, guard: String = "")(build: Boolean => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val cur  = new Path(tableDir)
     val next = new Path(tableDir + "__next")
@@ -150,20 +158,52 @@ object Streaming {
     val marker = new Path(cur, "_graft_batch")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      val applied =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      if (applied >= batchId) return
+      val (storedGuard, applied) = parseBatchMarker(txt)
+      if (storedGuard == guard && applied >= batchId) return
     }
     build(fs.exists(cur)).write.mode("overwrite").parquet(next.toString)
     val out = fs.create(new Path(next, "_graft_batch"), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$guard\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(cur) && !fs.rename(cur, old))
       throw new java.io.IOException(s"swap failed: $cur -> $old")
     if (!fs.rename(next, cur))
       throw new java.io.IOException(s"swap failed: $next -> $cur")
     fs.delete(old, true)
+  }
+
+  /** Parse a `_graft_batch` marker: `guard \n batchId`, tolerating the
+    * legacy single-line id-only form (empty guard).
+    */
+  private def parseBatchMarker(txt: String): (String, Long) = {
+    val lines = txt.trim.split("\n", 2)
+    if (lines.length == 2) (lines(0).trim, lines(1).trim.toLong)
+    else ("", lines(0).trim.toLong)
+  }
+
+  /** The streaming query id persisted in `checkpoint/metadata` — stable
+    * across restarts of the SAME checkpoint (unlike runId, which changes
+    * per start and would make every restart replay its first batch), fresh
+    * when the checkpoint is deleted/recreated. Empty when the file is
+    * absent (e.g. direct batch invocation in tests). Read per batch: the
+    * file is a few bytes and foreachBatch runs once per trigger.
+    */
+  private[graft] def checkpointQueryId(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    }
   }
 
   /** Streaming keyed upsert sink — the streaming MERGE: each micro-batch
@@ -183,7 +223,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        swapInTable(spark, tableDir, batchId) { tableExists =>
+        swapInTable(spark, tableDir, batchId, checkpointQueryId(spark, checkpoint)) { tableExists =>
           val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol),
             Seq(xxhash64(batch.columns.map(col): _*)))
           if (tableExists) Dedup.upsert(spark.read.parquet(tableDir), resolved, keys)
@@ -211,7 +251,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        swapInTable(spark, stateDir, batchId) { tableExists =>
+        swapInTable(spark, stateDir, batchId, checkpointQueryId(spark, checkpoint)) { tableExists =>
           val delta = Summaries.aggState(batch, keys, measures)
           if (tableExists)
             Summaries.mergeAggStates(spark.read.parquet(stateDir), delta, keys, measures)
@@ -243,18 +283,25 @@ object Streaming {
         // ONE max-applied-id marker (underscore file — invisible to parquet
         // reads; replays are monotone so only the max matters — a per-batch
         // marker dir would grow by a file per trigger forever) makes
-        // replays of fully-committed batches no-ops. Residual window: a
-        // crash BETWEEN the two appends and the marker still duplicates on
-        // replay — closing it needs a transactional table format.
+        // replays of fully-committed batches no-ops. The marker is scoped
+        // to the checkpoint's query id like swapInTable's: a recreated
+        // checkpoint restarts batch ids at 0, and an id-only guard would
+        // skip every new batch until the id passed the stale marker.
+        // Residual window: a crash BETWEEN the two appends and the marker
+        // still duplicates on replay — closing it needs a transactional
+        // table format.
+        val guard = checkpointQueryId(batch.sparkSession, checkpoint)
         val mk = new org.apache.hadoop.fs.Path(goodDir, "_graft_batch")
         val fs = mk.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
         val applied =
           if (!fs.exists(mk)) -1L
           else {
             val in = fs.open(mk)
-            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-              .trim.toLong
-            finally in.close()
+            val txt =
+              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            val (storedGuard, id) = parseBatchMarker(txt)
+            if (storedGuard == guard) id else -1L
           }
         if (applied < batchId) {
           val parsed = batch.select(col("value"),
@@ -272,7 +319,7 @@ object Streaming {
               .select(col("value").as("raw"))
               .write.mode("append").text(badDir)
             val out = fs.create(mk, true)
-            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            try out.write(s"$guard\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
           } finally parsed.unpersist()
         }
@@ -310,28 +357,30 @@ object Streaming {
             Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, closed = true))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var cur    = state.getOption
-            val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            // ONE gap-merge over the whole timeline: the live session (if
+            // any) and each batch event are intervals sorted by start;
+            // adjacent intervals within gapMs merge. Cross-batch LATE
+            // events (before the live session's start) fold through the
+            // SAME logic as everything else, so two late events within
+            // gapMs of each other form one earlier session — not
+            // per-event singletons — and a late chain reaching within
+            // gapMs of the live session merges into it, exactly as it
+            // would have had the events arrived in order.
+            val intervals = (state.getOption.toSeq ++
+              evs.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.start, s.end))
+            var cur: Option[SessionState] = None
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            intervals.foreach { iv =>
               cur match {
-                // a cross-batch late event that precedes the live session by
-                // more than the gap is its OWN (earlier) session — merging it
-                // forward would append it to a session that starts after it
-                case Some(s) if t < s.start - gapMs =>
-                  out += SessionOut(uid, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, closed = true)
-                // within the gap of either edge: merge, extending backwards
-                // for a late event inside [start − gap, start)
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case Some(s) if iv.start - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, iv.end), s.n + iv.n))
                 case Some(s) =>
                   out += SessionOut(uid, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, closed = true)
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>

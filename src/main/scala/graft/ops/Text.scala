@@ -227,7 +227,7 @@ object Text {
     val masked = base.selectExpr("id", "s",
       """explode(CASE WHEN length(s) >= 1
            THEN transform(sequence(1, length(s)),
-                  i -> concat(substr(s, 1, i-1), '', substr(s, i+1, length(s))))
+                  i -> concat(substr(s, 1, i-1), chr(1), substr(s, i+1, length(s))))
            ELSE array() END) AS mk""")
       .repartition(col("mk")) // both self-join sides reuse this exchange
     val d = levenshtein(col("sa"), col("sb"))

@@ -77,6 +77,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin works with map columns (salt hash skips unhashable types)") {
+    import org.apache.spark.sql.functions._
+    val left = (1 to 100).map(i => (1L, s"l$i")).toDF("k", "lv")
+      .withColumn("m", map(col("lv"), col("k")))
+    val right = Seq((1L, "hot")).toDF("rk", "rv")
+    val out = Relational.saltedJoin(left, right, "k", "rk", salts = 4)
+    assert(out.count() == 100) // xxhash64 over the map column would throw
+    // the salt is a content hash: the SAME row set must land identically
+    // on a recomputation — pin by running the salted projection twice
+    val salts1 = out.select("lv").as[String].collect().sorted.toSeq
+    val salts2 = Relational.saltedJoin(left, right, "k", "rk", salts = 4)
+      .select("lv").as[String].collect().sorted.toSeq
+    assert(salts1 == salts2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val spark = TestSpark.spark
     import spark.implicits._

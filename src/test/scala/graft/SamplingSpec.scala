@@ -115,6 +115,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("weightedSample totals exclude dropped rows: negative/null weights can't skew odds") {
+    val base = (1 to 2000).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("id", "w")
+    // pollute with rows that are dropped from the sample: if the Σw/N totals
+    // included them, every kept row's cutoff would shift (negative w shrinks
+    // Σw, null rows inflate N) and membership would differ
+    val polluted = base.union(Seq((90001L, -1000000L), (90002L, -5L)).toDF("id", "w"))
+      .union(Seq((90003L, null.asInstanceOf[java.lang.Long])).toDF("id", "w"))
+    val cleanKept = Sampling.weightedSample(base, Seq("id"), "w", 0.3)
+      .select("id").as[Long].collect().toSet
+    val pollutedKept = Sampling.weightedSample(polluted, Seq("id"), "w", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(pollutedKept == cleanKept)
+  }
+
   test("stratifiedSample applies per-stratum fractions and the default") {
     val df = (1 to 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))

@@ -260,6 +260,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(readSum() == 113L)
   }
 
+  test("swapInTable guard reset: a recreated checkpoint's restarted batch ids still apply") {
+    import spark.implicits._
+    val base = s"/root/repo/target/tmp/swapguard_${System.nanoTime()}"
+    val dir  = s"$base/t"
+    def readSum() = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Long].head()
+    // first checkpoint lifetime: batches 0..1 applied under guard "q-A"
+    Streaming.swapInTable(spark, dir, 0L, "q-A")(_ => Seq(1L).toDF("v"))
+    Streaming.swapInTable(spark, dir, 1L, "q-A")(_ =>
+      spark.read.parquet(dir).union(Seq(2L).toDF("v")))
+    assert(readSum() == 3L)
+    // same guard, replayed id: skipped
+    Streaming.swapInTable(spark, dir, 1L, "q-A")(_ =>
+      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
+    assert(readSum() == 3L)
+    // checkpoint recreated: new query id, batch ids restart at 0 — the old
+    // id-only guard would skip every batch until the id passed the marker
+    Streaming.swapInTable(spark, dir, 0L, "q-B")(_ =>
+      spark.read.parquet(dir).union(Seq(10L).toDF("v")))
+    assert(readSum() == 13L)
+    // and the new guard's own replay protection works from there
+    Streaming.swapInTable(spark, dir, 0L, "q-B")(_ =>
+      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
+    assert(readSum() == 13L)
+  }
+
+  test("sessionize merges cross-batch late events into their own session, not singletons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Streaming.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 12:00:00"), "a"))
+      q.processAllAvailable()
+      // two late events (above the 11:00 watermark), within the gap of EACH
+      // OTHER but both more than a gap before the live session: one closed
+      // 2-event session, not two single-event ones
+      input.addData(
+        Ev(1, ts("2024-01-01 11:10:00"), "a"),
+        Ev(1, ts("2024-01-01 11:20:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Streaming.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).n_events == 2 && rows(0).closed)
+      assert(rows(0).start == ts("2024-01-01 11:10:00") && rows(0).end == ts("2024-01-01 11:20:00"))
+      // a late event that REACHES the live session merges into it: 11:40 is
+      // late but within the gap of 12:00 — no new closed session, and the
+      // live session now spans back to 11:40 (verified on close)
+      input.addData(Ev(1, ts("2024-01-01 11:40:00"), "a"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+      input.addData(Ev(2, ts("2024-01-01 19:00:00"), "a")) // watermark → timeout closes user 1
+      q.processAllAvailable()
+      val closed = spark.table(name).as[Streaming.SessionOut].collect()
+        .filter(r => r.user_id == 1 && r.n_events == 2 && r.start == ts("2024-01-01 11:40:00"))
+      assert(closed.length == 1 && closed(0).end == ts("2024-01-01 12:00:00"))
+    } finally q.stop()
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._
