@@ -457,6 +457,14 @@ object SparkEntry {
           Summaries.r4(sum(col("bpe")).cast("double") / sum(col("ws"))).as("bpe_per_ws"))
         .orderBy(col("lang"))
     }),
+
+    // Substring-level duplication census: per doc, how many token positions
+    // sit inside a 4-gram window that occurs >= 2 times corpus-wide — the
+    // clip fraction a suffix-style exact substring dedup would remove
+    "q116_ngram_dup_spans" -> ((s, d) => {
+      Text.duplicatedNgramCoverage(Tables.spread(t(s, d, "documents")), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9, §2.3 F17 — embedding-vector
@@ -522,6 +530,36 @@ object SparkEntry {
           Summaries.r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
           Summaries.r4(Similarity.norm(col("embedding"))).as("l2norm"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Lloyd's k-means, 2 iterations from the 8 smallest-id seeds: per vector
+    // its final cluster, plus the cluster's size, first centroid element and
+    // centroid norm — assignment is a broadcast argmin expression, the update
+    // a k-row partial aggregate; rows never shuffle
+    "q117_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val (assigned, stats) =
+        Clustering.kmeans(t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      val cent = stats.toDF("cluster", "n", "centroid")
+        .select(col("cluster"), col("n"),
+          element_at(col("centroid"), 1).as("c0"),
+          Summaries.r4(Similarity.norm(col("centroid"))).as("cnorm"))
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(broadcast(cent), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("n"), col("c0"), col("cnorm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // One-pass covariance matrix (upper triangle) over the embeddings: tasks
+    // accumulate d + d(d+1)/2 doubles; one merged buffer yields all 2080
+    // cells — the d²× explode-and-shuffle never happens
+    "q118_covariance" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .agg(Clustering.covarianceMatrix(col("embedding")).as("cov"))
+        .select(explode(col("cov")).as("e"))
+        .select(col("e._1").as("i"), col("e._2").as("j"),
+          (floor(col("e._3") * 1000000 + 0.5) / 1000000).as("cov"))
+        .orderBy(col("i"), col("j"))
     }),
   )
 
@@ -1696,9 +1734,71 @@ object SparkEntry {
                 floor(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')))::DOUBLE
                       / sum(len(string_split_regex(lower(trim(text)), '\s+'))) * 10000 + 0.5)/10000 AS bpe_per_ws
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q116_ngram_dup_spans" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+                       FROM documents),
+         wins AS (SELECT doc_id,
+                         unnest(range(0, greatest(len(tk) - 3, 0))) AS pos,
+                         unnest([md5(array_to_string(list_slice(tk, i, i + 3), ' '))
+                                 for i in range(1, greatest(len(tk) - 3, 0) + 1)]) AS h
+                  FROM base),
+         dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, tpos FROM (
+                   SELECT w.doc_id, unnest([w.pos, w.pos + 1, w.pos + 2, w.pos + 3]) AS tpos
+                   FROM wins w JOIN dup USING (h))),
+         cnt AS (SELECT doc_id, count(*) c FROM cov GROUP BY doc_id)
+         SELECT b.doc_id, len(b.tk) AS n_tokens,
+                coalesce(cnt.c, 0) AS covered,
+                CASE WHEN len(b.tk) > 0
+                     THEN floor(coalesce(cnt.c, 0)::DOUBLE / len(b.tk) * 10000 + 0.5)/10000
+                     ELSE 0.0 END AS coverage
+         FROM base b LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""",
   )
 
   private def similarityOracles: Map[String, String] = Map(
+    "q117_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid, v c
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (SELECT vec_id, v, cid FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           floor(list_reduce(list_prepend(0.0::DOUBLE,
+                             [(e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in range(1, len(e.v) + 1)]),
+                             (a, b) -> a + b) * 1000000 + 0.5)/1000000, c.cid) rn
+                  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+         c1 AS (SELECT cid, list(m ORDER BY i) c FROM (
+                  SELECT cid, i, floor(avg(x) * 10000 + 0.5)/10000 m
+                  FROM (SELECT cid, unnest(v) x, generate_subscripts(v, 1) i FROM a1)
+                  GROUP BY cid, i) GROUP BY cid),
+         a2 AS (SELECT vec_id, v, cid FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           floor(list_reduce(list_prepend(0.0::DOUBLE,
+                             [(e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in range(1, len(e.v) + 1)]),
+                             (a, b) -> a + b) * 1000000 + 0.5)/1000000, c.cid) rn
+                  FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         c2 AS (SELECT cid, list(m ORDER BY i) c FROM (
+                  SELECT cid, i, floor(avg(x) * 10000 + 0.5)/10000 m
+                  FROM (SELECT cid, unnest(v) x, generate_subscripts(v, 1) i FROM a2)
+                  GROUP BY cid, i) GROUP BY cid),
+         n2 AS (SELECT cid, count(*) n FROM a2 GROUP BY cid)
+         SELECT a2.vec_id, a2.cid AS cluster, n2.n AS n,
+                c2.c[1] AS c0,
+                floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in c2.c]),
+                  (a, b) -> a + b)) * 10000 + 0.5)/10000 AS cnorm
+         FROM a2 JOIN n2 USING (cid) JOIN c2 USING (cid)
+         ORDER BY vec_id""",
+    "q118_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) val, generate_subscripts(v, 1) i FROM e),
+         p AS (SELECT a.i ai, b.i bj, sum(a.val * b.val) sxy,
+                      sum(a.val) sx, sum(b.val) sy, count(*) n
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY a.i, b.i)
+         SELECT CAST(ai - 1 AS INT) i, CAST(bj - 1 AS INT) j,
+                floor((sxy - sx * sy / n) / n * 1000000 + 0.5)/1000000 AS cov
+         FROM p ORDER BY i, j""",
     "q101_int8_quant" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE embedding IS NOT NULL),
          s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),

@@ -43,6 +43,51 @@ object Text {
   /** T3/T6 — de-duplicated shingle set (the MinHash/Jaccard input). */
   def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
 
+  /** Substring-level duplication census: for each document, how much of it
+    * is covered by token n-gram windows that occur MORE THAN ONCE in the
+    * corpus (any document, including elsewhere in the same one) — the
+    * exact-substring counterpart of the MinHash whole-document families,
+    * and the measurement step of suffix-style training-data dedup: repeated
+    * spans (boilerplate, licenses, templated text) are what substring
+    * dedup clips, and `coverage` is the per-document clip fraction.
+    *
+    * Scale shape: one window row per token position, but what SHUFFLES is
+    * `(doc_id, pos, md5(gram))` — a fixed ~50 B regardless of n, never the
+    * gram text. Occurrence counting is a count-over-window on the hash
+    * (one exchange, no join-back), the covered-position union is an
+    * explode+distinct ON THE DUPLICATED SUBSET ONLY (n× rows on typically
+    * a few % of positions), and the final per-doc count is a partial
+    * aggregate. The md5 key is the oracle-replayable choice ([[hash60]]
+    * note); its 128 bits make cross-gram collisions negligible at any
+    * corpus size.
+    *
+    * @return (doc_id, n_tokens, covered, coverage) — `covered` counts
+    *         distinct token positions inside at least one duplicated
+    *         window; `coverage` = covered / n_tokens rounded to 1e-4.
+    */
+  def duplicatedNgramCoverage(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val covered = wins
+      .withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(col("n_tokens") > 0,
+          Summaries.r4(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens")))
+          .otherwise(lit(0.0)).as("coverage"))
+  }
+
   // -- native-expression fast paths (bit-identical to the HOF forms above;
   //    see graft.expr.TextExpressions for why) ------------------------------
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated blobs on the first axis; ids 0 and 1 are the seeds
+  // and land one in each blob, so k=2 must recover the blobs exactly
+  private def blobs = (0 until 40).map { i =>
+    val center = if (i % 2 == 0) 10.0f else -10.0f
+    (i.toLong, Seq(center + (i % 5) * 0.1f, (i % 3) * 0.1f, 0.0f, 0.0f))
+  }.toDF("vec_id", "embedding")
+    .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  test("kmeans recovers separated blobs and is layout-independent") {
+    val (assigned, stats) = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 2)
+    val byCluster = assigned.select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    // even ids (the +10 blob, seed 0) all together; odd ids likewise
+    assert((0 until 40).forall(i => byCluster(i.toLong) == byCluster((i % 2).toLong)))
+    assert(byCluster(0L) != byCluster(1L))
+    assert(stats.map(_._2).sum == 40L)
+    // same result regardless of partition layout (content-addressed seeds,
+    // broadcast assignment, algebraic update)
+    val (again, stats2) = Clustering.kmeans(blobs.repartition(7), "vec_id", "embedding", 2, 2)
+    assert(again.select("vec_id", "cluster").as[(Long, Int)].collect().toMap == byCluster)
+    assert(stats2 == stats)
+  }
+
+  test("kmeans centroids are the member means (rounded 1e-4)") {
+    val (assigned, stats) = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 1)
+    val members = assigned.select(col("cluster"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().groupBy(_._1)
+    stats.foreach { case (cid, n, c) =>
+      val vs = members(cid).map(_._2)
+      assert(n == vs.length)
+      c.indices.foreach { i =>
+        val mean = vs.map(_(i).toDouble).sum / vs.length
+        assert(math.abs(c(i) - (math.floor(mean * 10000 + 0.5) / 10000)) < 1e-12)
+      }
+    }
+  }
+
+  test("covarianceMatrix equals the hand-computed population covariance, any layout") {
+    val rows = Seq(
+      Seq(1.0f, 2.0f, 0.5f), Seq(2.0f, 1.0f, 0.5f),
+      Seq(3.0f, 5.0f, 0.5f), Seq(0.0f, -2.0f, 0.5f), Seq(-1.0f, 0.0f, 0.5f))
+    val df = rows.map(Tuple1(_)).toDF("v")
+    def cov(of: org.apache.spark.sql.DataFrame) = of
+      .agg(Clustering.covarianceMatrix(col("v")).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e._1"), col("e._2"), col("e._3"))
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val got = cov(df)
+    assert(got.size == 6) // upper triangle of 3x3
+    val n = rows.length.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val xi = rows.map(_(i).toDouble)
+      val xj = rows.map(_(j).toDouble)
+      val expected = (xi.zip(xj).map { case (a, b) => a * b }.sum -
+        xi.sum * xj.sum / n) / n
+      assert(math.abs(got((i, j)) - expected) < 1e-12, s"cov($i,$j)")
+    }
+    // constant dimension: zero variance, zero cross-covariance
+    assert(math.abs(got((2, 2))) < 1e-12 && math.abs(got((0, 2))) < 1e-12)
+    // partial-aggregate merge path: one row per partition forces real merges
+    val spread = cov(df.repartition(5))
+    assert(got.forall { case (k, v) => math.abs(spread(k) - v) < 1e-9 })
+  }
+
+  test("covarianceMatrix skips null vectors and handles the empty frame") {
+    val df = Seq(Some(Seq(1.0f, 2.0f)), None, Some(Seq(3.0f, 4.0f)))
+      .toDF("v")
+    val got = df.agg(Clustering.covarianceMatrix(col("v")).as("c"))
+      .select(size(col("c"))).as[Int].head()
+    assert(got == 3) // 2x2 upper triangle, null row ignored
+    val empty = Seq.empty[Tuple1[Seq[Float]]].toDF("v")
+      .agg(Clustering.covarianceMatrix(col("v")).as("c"))
+      .select(size(col("c"))).as[Int].head()
+    assert(empty == 0)
+  }
+
+  test("powerIteration finds the dominant axis; project reduces dimension") {
+    // diagonal covariance with a dominant first axis
+    val cov = Seq((0, 0, 9.0), (1, 1, 1.0), (2, 2, 0.1), (0, 1, 0.0), (0, 2, 0.0), (1, 2, 0.0))
+    val pc = Clustering.powerIteration(cov, 3)
+    assert(math.abs(pc(0)) > 0.999 && math.abs(pc(1)) < 0.03 && math.abs(pc(2)) < 0.03)
+    assert(pc(0) > 0) // sign convention: first nonzero component positive
+    val df = Seq((1L, Seq(2.0f, 3.0f, 4.0f))).toDF("id", "v")
+    val p = df.select(Clustering.project(col("v"),
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))).as("p"))
+      .as[Seq[Double]].head()
+    assert(p == Seq(2.0, 4.0))
+  }
+}

@@ -188,4 +188,22 @@ class TextSpec extends AnyFunSuite {
     // idf: 'rare' (df=2) outscores 'common' (df=3) at its best
     assert(rareTop._3 > out.filter(_._1 == "common").map(_._3).max)
   }
+
+  test("duplicatedNgramCoverage: cross-doc and within-doc repeats, short docs zero") {
+    val docs = Seq(
+      (1L, "a b c d e"),             // shares "a b c d" with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r s"),               // unique window
+      (4L, "u v"),                   // shorter than n: no windows
+      (5L, "m n o p m n o p m n o p")) // fully self-repeating
+      .toDF("doc_id", "text")
+    val out = Text.duplicatedNgramCoverage(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_tokens", "covered", "coverage")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5, 4L, 0.8)))    // positions 0..3
+    assert(out(2L) == ((2L, 6, 4L, 0.6667))) // positions 1..4
+    assert(out(3L) == ((3L, 4, 0L, 0.0)))
+    assert(out(4L) == ((4L, 2, 0L, 0.0)))
+    assert(out(5L) == ((5L, 12, 12L, 1.0)))  // every window repeats
+  }
 }
