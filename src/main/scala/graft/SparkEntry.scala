@@ -465,6 +465,33 @@ object SparkEntry {
       Text.duplicatedNgramCoverage(Tables.spread(t(s, d, "documents")), "doc_id", "text", 4)
         .orderBy(col("doc_id"))
     }),
+
+    // BPE tokenizer training, round one: top adjacent char pairs weighted
+    // by word frequency — the corpus reduces to the vocab before pairs fly
+    "q119_bpe_pairs" -> ((s, d) => {
+      Text.bpePairCounts(Tables.spread(t(s, d, "documents")), "text", 20)
+        .orderBy(col("cnt").desc, col("pair"))
+    }),
+
+    // Mixture-drift census: language shares of two interleaved snapshots
+    // (even vs odd doc ids) with per-category PSI terms
+    "q120_category_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Summaries.categoryDrift(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1), "lang")
+        .select(col("lang"),
+          Summaries.r4(col("p_ref")).as("p_ref"),
+          Summaries.r4(col("p_cur")).as("p_cur"),
+          (floor(col("psi_term") * 1000000 + 0.5) / 1000000).as("psi_term"))
+        .orderBy(col("lang"))
+    }),
+
+    // Substring dedup transform: q116's clip applied — non-first occurrences
+    // of duplicated 4-gram windows removed, documents re-joined
+    "q121_clip_dup_spans" -> ((s, d) => {
+      Text.clipDuplicatedSpans(Tables.spread(t(s, d, "documents")), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9, §2.3 F17 — embedding-vector
@@ -1753,6 +1780,51 @@ object SparkEntry {
                      THEN floor(coalesce(cnt.c, 0)::DOUBLE / len(b.tk) * 10000 + 0.5)/10000
                      ELSE 0.0 END AS coverage
          FROM base b LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""",
+    "q119_bpe_pairs" ->
+      """WITH v AS (SELECT w, count(*) nw FROM (
+                      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) w
+                      FROM documents) GROUP BY w),
+         p AS (SELECT nw, unnest([substr(w, i, 2) for i in range(1, len(w))]) pair
+               FROM v WHERE len(w) >= 2)
+         SELECT pair, CAST(sum(nw) AS BIGINT) AS cnt
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    "q120_category_drift" ->
+      """WITH r AS (SELECT lang, count(*) c FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+         rn AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents WHERE doc_id % 2 = 0),
+         c AS (SELECT lang, count(*) c FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+         cn AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents WHERE doc_id % 2 = 1),
+         rs AS (SELECT lang, c / n p_ref FROM r CROSS JOIN rn),
+         cs AS (SELECT lang, c / n p_cur FROM c CROSS JOIN cn)
+         SELECT lang, floor(p_ref * 10000 + 0.5)/10000 AS p_ref,
+                floor(p_cur * 10000 + 0.5)/10000 AS p_cur,
+                floor((p_cur - p_ref) * ln(p_cur / p_ref) * 1000000 + 0.5)/1000000 AS psi_term
+         FROM rs JOIN cs USING (lang) ORDER BY lang""",
+    "q121_clip_dup_spans" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+                       FROM documents),
+         wins AS (SELECT doc_id,
+                         unnest(range(0, greatest(len(tk) - 3, 0))) AS pos,
+                         unnest([md5(array_to_string(list_slice(tk, i, i + 3), ' '))
+                                 for i in range(1, greatest(len(tk) - 3, 0) + 1)]) AS h
+                  FROM base),
+         marked AS (SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY h) occ,
+                           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+                    FROM wins),
+         clip AS (SELECT DISTINCT doc_id, tpos FROM (
+                    SELECT doc_id, unnest([pos, pos + 1, pos + 2, pos + 3]) AS tpos
+                    FROM marked WHERE occ >= 2 AND rn > 1)),
+         tokpos AS (SELECT doc_id, unnest(range(0, len(tk))) tpos, unnest(tk) tok FROM base),
+         kept AS (SELECT doc_id, count(*) n_kept,
+                         string_agg(tok, ' ' ORDER BY tpos) clean_text
+                  FROM tokpos t
+                  WHERE NOT EXISTS (SELECT 1 FROM clip c
+                                    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos)
+                  GROUP BY doc_id)
+         SELECT b.doc_id, len(b.tk) AS n_tokens,
+                coalesce(k.n_kept, 0) AS n_kept,
+                coalesce(k.clean_text, '') AS clean_text
+         FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
   )
 
   private def similarityOracles: Map[String, String] = Map(

@@ -222,6 +222,32 @@ object Summaries {
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Distribution drift between two corpus snapshots on a categorical
+    * column — the population-stability-index (PSI) census that guards a
+    * training pipeline against silent mixture shift (a crawler change
+    * doubling one language, a source going dark). Per category shared by
+    * both snapshots: its share in each, and the PSI term
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)`; Σ psi_term > ~0.2 is the
+    * conventional "investigate" line. Categories on one side only carry
+    * infinite PSI by definition — they are EXCLUDED here (inner join) and
+    * belong to a presence/absence check, not a drift score.
+    *
+    * Scale: each snapshot reduces to (category, count) by partial hash
+    * aggregate + a broadcast one-row total; the category tables join on
+    * the (small) category key. Two corpus scans, nothing else moves.
+    */
+  def categoryDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def shares(df: DataFrame, side: String) = {
+      val tot = df.agg(count(lit(1)).cast("double").as(s"__n_$side"))
+      df.groupBy(col(catCol)).agg(count(lit(1)).as(s"__c_$side"))
+        .crossJoin(broadcast(tot))
+        .select(col(catCol), (col(s"__c_$side") / col(s"__n_$side")).as(s"p_$side"))
+    }
+    shares(ref, "ref").join(shares(cur, "cur"), Seq(catCol))
+      .select(col(catCol), col("p_ref"), col("p_cur"),
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))).as("psi_term"))
+  }
+
   /** Algebraic aggregate STATE over `keys`: per-group count, sums, and
     * min/max — the decomposable core every incremental/streaming pipeline
     * maintains. Derived measures (avg = sum/cnt) are computed at READ time

@@ -43,6 +43,33 @@ object Text {
   /** T3/T6 — de-duplicated shingle set (the MinHash/Jaccard input). */
   def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
 
+  /** First counting round of byte-pair-encoding tokenizer training: the
+    * frequency of each adjacent CHARACTER pair, weighted by word frequency
+    * — the argmax is BPE's first merge. Iterating (merge, recount) yields
+    * the full merge table; one round is the expensive, corpus-shaped step
+    * (the rest operate on the compressed vocab).
+    *
+    * Scale shape: the corpus reduces to the word-frequency VOCABULARY
+    * first (one (word, count) hash aggregate — the classic BPE-training
+    * move: pair counting then runs over millions of vocab entries, not
+    * trillions of corpus tokens), pairs explode off the short vocab words,
+    * and a second (pair, count) aggregate finishes. Shuffles carry counts
+    * only.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    vocab.filter(length(col("w")) >= 2)
+      // sequence(1, 0) counts DOWN (see ngrams) — the length filter guards it
+      .select(col("nw"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("nw")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Substring-level duplication census: for each document, how much of it
     * is covered by token n-gram windows that occur MORE THAN ONCE in the
     * corpus (any document, including elsewhere in the same one) — the
@@ -86,6 +113,54 @@ object Text {
         when(col("n_tokens") > 0,
           Summaries.r4(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens")))
           .otherwise(lit(0.0)).as("coverage"))
+  }
+
+  /** Substring-level dedup TRANSFORM — the clip [[duplicatedNgramCoverage]]
+    * measures: every occurrence of a corpus-duplicated token n-gram window
+    * EXCEPT the global first (ordered by (doc_id, pos)) has its token
+    * positions removed, and each document's surviving tokens are re-joined
+    * in order. The canonical copy of repeated boilerplate survives once,
+    * everywhere else it is cut mid-document — the Lee-et-al-style exact
+    * substring dedup, at window granularity.
+    *
+    * Scale: same `(doc_id, pos, md5)` shuffle as the census, with the
+    * first-occurrence pick a `row_number` on the SAME (hash-partitioned)
+    * exchange the occurrence count uses; position marking then explodes
+    * only non-first duplicate windows. Reconstruction re-aggregates kept
+    * (pos, token) pairs per document — the one stage that shuffles tokens,
+    * bounded by surviving text size. Output text is the tokenized form
+    * (case-folded, single-spaced), the working representation of every
+    * operator in this family.
+    *
+    * @return (doc_id, n_tokens, n_kept, clean_text)
+    */
+  def clipDuplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val byH  = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val byHO = byH.orderBy(col("doc_id"), col("pos"))
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val clipped = wins
+      .withColumn("occ", count(lit(1)).over(byH))
+      .withColumn("rn", row_number().over(byHO))
+      .filter(col("occ") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+      .join(clipped, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          e => e.getField("tok"))).as("clean_text"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   // -- native-expression fast paths (bit-identical to the HOF forms above;

@@ -114,4 +114,23 @@ class SummariesSpec extends AnyFunSuite {
     assert(multi.sortBy(_.toString) sameElements chained.sortBy(_.toString))
     assert(multi.filter(_._2 == null).forall(_._4 == null)) // null value → null bin
   }
+
+  test("categoryDrift: PSI terms on shared categories only, zero when unchanged") {
+    import spark.implicits._
+    val ref = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).map(Tuple1(_)).toDF("lang")
+    val cur = (Seq.fill(12)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c"))
+      .map(Tuple1(_)).toDF("lang")
+    val out = graft.ops.Summaries.categoryDrift(ref, cur, "lang")
+      .select("lang", "p_ref", "p_cur", "psi_term")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains("c")) // one-sided category: excluded by contract
+    assert(out("a")._2 == 0.5 && out("a")._3 == 0.6)
+    assert(math.abs(out("a")._4 - 0.1 * math.log(0.6 / 0.5)) < 1e-12)
+    assert(math.abs(out("b")._4 - (-0.3) * math.log(0.2 / 0.5)) < 1e-12)
+    assert(out("b")._4 > 0) // drift in either direction scores positive
+    // identical snapshots: every term is exactly zero
+    val zero = graft.ops.Summaries.categoryDrift(ref, ref, "lang")
+      .select("psi_term").as[Double].collect()
+    assert(zero.forall(_ == 0.0))
+  }
 }

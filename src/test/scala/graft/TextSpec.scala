@@ -206,4 +206,36 @@ class TextSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 2, 0L, 0.0)))
     assert(out(5L) == ((5L, 12, 12L, 1.0)))  // every window repeats
   }
+
+  test("clipDuplicatedSpans keeps the global-first occurrence, cuts the rest") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // owns the first "a b c d"
+      (2L, "x a b c d y"),      // its copy at pos 1..4 is clipped
+      (3L, "m n o p m n o p"))  // self-repeat: second half clipped
+      .toDF("doc_id", "text")
+    val out = Text.clipDuplicatedSpans(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5, 5L, "a b c d e"))) // canonical copy intact
+    assert(out(2L) == ((2L, 6, 2L, "x y")))
+    assert(out(3L) == ((3L, 8, 4L, "m n o p")))
+    // idempotent on its own output: clipping again changes nothing
+    val again = Text.clipDuplicatedSpans(
+      out.values.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(again == out.view.mapValues(_._4).toMap)
+  }
+
+  test("bpePairCounts weights char pairs by word frequency, skips 1-char words") {
+    val docs = Seq(
+      (1L, "ab ab abc x"),
+      (2L, "ab cd x x")).toDF("doc_id", "text")
+    val out = Text.bpePairCounts(docs, "text", 10)
+      .as[(String, Long)].collect().toList
+    // 'ab' appears in words ab(3) + abc(1) = 4; bc in abc(1); cd in cd(1);
+    // the 1-char word x (3 occurrences) contributes nothing
+    assert(out.head == (("ab", 4L)))
+    assert(out.toMap == Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
+    assert(out == out.sortBy(p => (-p._2, p._1))) // (cnt desc, pair) order
+  }
 }
