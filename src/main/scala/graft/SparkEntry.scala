@@ -1795,10 +1795,11 @@ object SparkEntry {
          cn AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents WHERE doc_id % 2 = 1),
          rs AS (SELECT lang, c / n p_ref FROM r CROSS JOIN rn),
          cs AS (SELECT lang, c / n p_cur FROM c CROSS JOIN cn)
-         SELECT lang, floor(p_ref * 10000 + 0.5)/10000 AS p_ref,
+         SELECT rs.lang, floor(p_ref * 10000 + 0.5)/10000 AS p_ref,
                 floor(p_cur * 10000 + 0.5)/10000 AS p_cur,
                 floor((p_cur - p_ref) * ln(p_cur / p_ref) * 1000000 + 0.5)/1000000 AS psi_term
-         FROM rs JOIN cs USING (lang) ORDER BY lang""",
+         FROM rs JOIN cs ON rs.lang IS NOT DISTINCT FROM cs.lang
+         ORDER BY rs.lang NULLS FIRST""",
     "q121_clip_dup_spans" ->
       """WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
                        FROM documents),

@@ -70,13 +70,20 @@ object Clustering {
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Long, Seq[Double])]) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
-    val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+    val seeds = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    require(seeds.nonEmpty, "kmeans needs at least one non-null vector")
+    val dim = seeds.head.length
+    // NULL or wrong-dimension vectors cannot be assigned (null distances
+    // would silently collapse into cluster 0; zip_with would truncate a
+    // short vector) — they are EXCLUDED from assignment and means alike
+    val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
     var centroids: Seq[(Int, Seq[Double])] = seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-    var assigned  = df
+    var assigned  = clean
     var stats     = Seq.empty[(Int, Long, Seq[Double])]
     for (_ <- 1 to iters) {
-      assigned = assignClusters(df, vecCol, centroids)
+      assigned = assignClusters(clean, vecCol, centroids)
       stats = assigned.groupBy(col("cluster"))
         .agg(Similarity.vectorMean(col(vecCol)).as("c"), count(lit(1)).as("n"))
         .select(col("cluster"),
@@ -111,7 +118,9 @@ object Clustering {
   class CovarianceMatrix extends Aggregator[Seq[Float], CovBuf, Seq[(Int, Int, Double)]] {
     override def zero: CovBuf = CovBuf(0L, Array.empty, Array.empty)
     override def reduce(b: CovBuf, v: Seq[Float]): CovBuf = {
-      if (v == null) return b
+      // empty arrays are the other common 'missing vector' encoding — both
+      // are skipped, never allowed to seed a zero-dimension buffer
+      if (v == null || v.isEmpty) return b
       val d = v.length
       val acc = if (b.n == 0L) CovBuf(0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2)) else b
       require(acc.sums.length == d, s"dimension mismatch: ${acc.sums.length} vs $d")

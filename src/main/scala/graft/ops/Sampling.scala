@@ -29,10 +29,15 @@ object Sampling {
     */
   def hashBucket(keys: Seq[Column], buckets: Int = 10000): Column = {
     require(keys.nonEmpty, "hashBucket needs at least one key column")
-    val parts =
-      if (keys.size == 1) keys
-      else keys.map(k => coalesce(k.cast("string"), lit("\u0000")))
-    pmod(Text.hash60(concat_ws("\u0001", parts: _*)), lit(buckets))
+    // single-key: NULL key -> NULL bucket, so a NULL-keyed row fails every
+    // `bucket < cutoff` test and is dropped -- exactly what the oracle form
+    // md5(CAST(k AS VARCHAR)) replays (a concat_ws here would silently
+    // collapse NULL to the empty string's bucket and diverge from SQL)
+    if (keys.size == 1) pmod(Text.hash60(keys.head.cast("string")), lit(buckets))
+    else {
+      val parts = keys.map(k => coalesce(k.cast("string"), lit("\u0000")))
+      pmod(Text.hash60(concat_ws("\u0001", parts: _*)), lit(buckets))
+    }
   }
 
   /** Keep ~`fraction` of rows, deterministically by key. The cutoff uses

@@ -162,7 +162,10 @@ object Streaming {
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       val (storedGuard, applied) = parseBatchMarker(txt)
-      if (storedGuard == guard && applied >= batchId) return
+      // legacy single-line markers (empty guard) predate guard scoping:
+      // treat them as matching ANY guard, or the first replayed batch
+      // after an upgrade would bypass the skip and double-apply
+      if ((storedGuard == guard || storedGuard.isEmpty) && applied >= batchId) return
     }
     build(fs.exists(cur)).write.mode("overwrite").parquet(next.toString)
     val out = fs.create(new Path(next, "_graft_batch"), true)
@@ -301,7 +304,8 @@ object Streaming {
               try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
               finally in.close()
             val (storedGuard, id) = parseBatchMarker(txt)
-            if (storedGuard == guard) id else -1L
+            // empty stored guard = legacy marker: honor it under any guard
+            if (storedGuard == guard || storedGuard.isEmpty) id else -1L
           }
         if (applied < batchId) {
           val parsed = batch.select(col("value"),

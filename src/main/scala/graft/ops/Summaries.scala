@@ -230,21 +230,24 @@ object Summaries {
     * `(p_cur − p_ref) · ln(p_cur / p_ref)`; Σ psi_term > ~0.2 is the
     * conventional "investigate" line. Categories on one side only carry
     * infinite PSI by definition — they are EXCLUDED here (inner join) and
-    * belong to a presence/absence check, not a drift score.
+    * belong to a presence/absence check, not a drift score. NULL is a
+    * category like any other (null-safe join): a crawler silently losing
+    * its language tags IS the drift this operator exists to catch.
     *
-    * Scale: each snapshot reduces to (category, count) by partial hash
-    * aggregate + a broadcast one-row total; the category tables join on
-    * the (small) category key. Two corpus scans, nothing else moves.
+    * Scale: each snapshot reduces to (category, count) by ONE partial hash
+    * aggregate; the total is the sum of that (small) category table, not a
+    * second corpus scan, and the category tables join on the category key.
+    * One scan per snapshot, nothing else moves.
     */
   def categoryDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
     def shares(df: DataFrame, side: String) = {
-      val tot = df.agg(count(lit(1)).cast("double").as(s"__n_$side"))
-      df.groupBy(col(catCol)).agg(count(lit(1)).as(s"__c_$side"))
-        .crossJoin(broadcast(tot))
-        .select(col(catCol), (col(s"__c_$side") / col(s"__n_$side")).as(s"p_$side"))
+      val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("__c"))
+      val tot    = counts.agg(sum(col("__c")).cast("double").as("__n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col(catCol).as(s"__cat_$side"), (col("__c") / col("__n")).as(s"p_$side"))
     }
-    shares(ref, "ref").join(shares(cur, "cur"), Seq(catCol))
-      .select(col(catCol), col("p_ref"), col("p_cur"),
+    shares(ref, "ref").join(shares(cur, "cur"), col("__cat_ref") <=> col("__cat_cur"))
+      .select(col("__cat_ref").as(catCol), col("p_ref"), col("p_cur"),
         ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))).as("psi_term"))
   }
 

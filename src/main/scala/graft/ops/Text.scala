@@ -92,14 +92,25 @@ object Text {
     *         distinct token positions inside at least one duplicated
     *         window; `coverage` = covered / n_tokens rounded to 1e-4.
     */
-  def duplicatedNgramCoverage(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Shared base of the substring-dup census and clip: per-doc token
+    * arrays, and the (doc_id, pos, md5(window)) stream both key on — one
+    * place to change the window hashing (e.g. a hash60 swap) so the two
+    * operators can never disagree about what counts as a duplicated span.
+    */
+  private def ngramWindows(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : (DataFrame, DataFrame) = {
     require(n >= 1, "n must be positive")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
     val wins = toks
       .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    (toks, wins)
+  }
+
+  def duplicatedNgramCoverage(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val (toks, wins) = ngramWindows(df, idCol, textCol, n)
     val covered = wins
       .withColumn("occ", count(lit(1)).over(w))
       .filter(col("occ") >= 2)
@@ -135,14 +146,9 @@ object Text {
     * @return (doc_id, n_tokens, n_kept, clean_text)
     */
   def clipDuplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 1, "n must be positive")
     val byH  = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val byHO = byH.orderBy(col("doc_id"), col("pos"))
-    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val (toks, wins) = ngramWindows(df, idCol, textCol, n)
     val clipped = wins
       .withColumn("occ", count(lit(1)).over(byH))
       .withColumn("rn", row_number().over(byHO))

@@ -73,16 +73,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.forall { case (k, v) => math.abs(spread(k) - v) < 1e-9 })
   }
 
-  test("covarianceMatrix skips null vectors and handles the empty frame") {
-    val df = Seq(Some(Seq(1.0f, 2.0f)), None, Some(Seq(3.0f, 4.0f)))
+  test("covarianceMatrix skips null AND empty vectors and handles the empty frame") {
+    val df = Seq(Some(Seq(1.0f, 2.0f)), None, Some(Seq.empty[Float]), Some(Seq(3.0f, 4.0f)))
       .toDF("v")
     val got = df.agg(Clustering.covarianceMatrix(col("v")).as("c"))
       .select(size(col("c"))).as[Int].head()
-    assert(got == 3) // 2x2 upper triangle, null row ignored
+    assert(got == 3) // 2x2 upper triangle; null and [] rows ignored
     val empty = Seq.empty[Tuple1[Seq[Float]]].toDF("v")
       .agg(Clustering.covarianceMatrix(col("v")).as("c"))
       .select(size(col("c"))).as[Int].head()
     assert(empty == 0)
+  }
+
+  test("kmeans excludes null and wrong-dimension vectors instead of misassigning them") {
+    val dirty = blobs
+      .union(Seq((100L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+      .union(Seq((101L, Seq(1.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+    val (assigned, stats) = Clustering.kmeans(dirty, "vec_id", "embedding", k = 2, iters = 2)
+    val ids = assigned.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L)) // dropped, not cluster-0 defaults
+    assert(stats.map(_._2).sum == 40L)                 // means unpolluted
   }
 
   test("powerIteration finds the dominant axis; project reduces dimension") {

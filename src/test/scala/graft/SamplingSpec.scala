@@ -115,6 +115,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("single-key hashBucket drops NULL keys, matching the md5(CAST(k AS VARCHAR)) oracle") {
+    val df = Seq(Option(1L), Option(2L), None, Option(3L)).toDF("id")
+    // NULL bucket fails every cutoff test — the row can never be sampled in,
+    // exactly as the SQL replay (md5 of NULL is NULL) decides
+    val kept = Sampling.hashSample(df, Seq("id"), 1.0).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("weightedSample totals exclude dropped rows: negative/null weights can't skew odds") {
     val base = (1 to 2000).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("id", "w")
     // pollute with rows that are dropped from the sample: if the Σw/N totals

@@ -284,7 +284,19 @@ class StreamingSpec extends AnyFunSuite {
     Streaming.swapInTable(spark, dir, 0L, "q-B")(_ =>
       spark.read.parquet(dir).union(Seq(100L).toDF("v")))
     assert(readSum() == 13L)
+    // legacy single-line marker (pre-guard release): must match ANY guard,
+    // or the first replay after an upgrade double-applies
+    val mk = new org.apache.hadoop.fs.Path(dir, "_graft_batch")
+    val out = fs2(mk).create(mk, true)
+    try out.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    Streaming.swapInTable(spark, dir, 0L, "q-C")(_ =>
+      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
+    assert(readSum() == 13L) // replayed batch skipped despite the guard change
   }
+
+  private def fs2(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   test("sessionize merges cross-batch late events into their own session, not singletons") {
     import spark.implicits._

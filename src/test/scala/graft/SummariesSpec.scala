@@ -133,4 +133,20 @@ class SummariesSpec extends AnyFunSuite {
       .select("psi_term").as[Double].collect()
     assert(zero.forall(_ == 0.0))
   }
+
+  test("categoryDrift treats NULL as a real category when present in both snapshots") {
+    import spark.implicits._
+    val ref = (Seq.fill(9)(Option("a")) ++ Seq.fill(1)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("lang")
+    val cur = (Seq.fill(4)(Option("a")) ++ Seq.fill(6)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("lang")
+    val out = graft.ops.Summaries.categoryDrift(ref, cur, "lang")
+      .select("lang", "p_ref", "p_cur", "psi_term")
+      .as[(Option[String], Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the tag-loss scenario: NULL share 10% → 60% must surface as drift
+    assert(out.contains(None))
+    assert(out(None)._2 == 0.1 && out(None)._3 == 0.6)
+    assert(math.abs(out(None)._4 - 0.5 * math.log(6.0)) < 1e-12)
+  }
 }
