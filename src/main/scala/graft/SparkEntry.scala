@@ -492,6 +492,13 @@ object SparkEntry {
       Text.clipDuplicatedSpans(Tables.spread(t(s, d, "documents")), "doc_id", "text", 4)
         .orderBy(col("doc_id"))
     }),
+
+    // Entity-resolution scoring: part-name vocabulary, first-token blocking,
+    // native byte-wise Jaro-Winkler >= 0.85 (DuckDB replays the same score)
+    "q122_name_similarity" -> ((s, d) => {
+      Text.nameSimilarityPairs(t(s, d, "part"), "p_name", 0.85)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
   )
 
   /** SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9, §2.3 F17 — embedding-vector
@@ -1826,6 +1833,15 @@ object SparkEntry {
                 coalesce(k.n_kept, 0) AS n_kept,
                 coalesce(k.clean_text, '') AS clean_text
          FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
+    "q122_name_similarity" ->
+      """WITH n AS (SELECT p_name nm, count(*) n FROM part GROUP BY p_name),
+         p AS (SELECT nm, n, split_part(lower(trim(nm)), ' ', 1) blk FROM n)
+         SELECT a.nm AS name_a, b.nm AS name_b,
+                floor(jaro_winkler_similarity(a.nm, b.nm) * 10000 + 0.5)/10000 AS jw,
+                a.n AS n_a, b.n AS n_b
+         FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
+         WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 10000 + 0.5)/10000 >= 0.85
+         ORDER BY name_a, name_b""",
   )
 
   private def similarityOracles: Map[String, String] = Map(

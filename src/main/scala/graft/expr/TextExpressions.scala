@@ -328,3 +328,85 @@ object MinHashSignature {
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 }
+
+/** Jaro-Winkler similarity of two strings — the entity-resolution scoring
+  * staple (typo-tolerant name matching, stronger at shared prefixes than
+  * raw edit distance). Standard parameters: prefix scale 0.1, prefix cap 4,
+  * boost only when the Jaro base exceeds 0.7.
+  *
+  * Operates on UTF-8 BYTES, not code points — deliberately: that is what
+  * DuckDB's `jaro_winkler_similarity` computes (verified empirically:
+  * 'aé' vs 'aà' scores as the 3-byte sequences), so the oracle replays
+  * every score exactly. Both-empty yields 0.0, the DuckDB convention.
+  * Per-pair cost is O(len²) worst case on the match window — intended for
+  * BLOCKED candidate pairs (see [[graft.ops.Text.nameSimilarityPairs]]),
+  * never an unblocked cross join.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].getBytes
+    val t = b.asInstanceOf[UTF8String].getBytes
+    JaroWinkler.similarity(s, t)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  /** Byte-wise Jaro-Winkler, matching DuckDB's semantics. */
+  def similarity(s: Array[Byte], t: Array[Byte]): Double = {
+    val la = s.length
+    val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    val window  = math.max(math.max(la, lb) / 2 - 1, 0)
+    val sMatch  = new Array[Boolean](la)
+    val tMatch  = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s(i) == t(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: mismatched positions between the two matched streams
+    var k = 0
+    var mism = 0
+    i = 0
+    while (i < la) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s(i) != t(k)) mism += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md   = m.toDouble
+    val jaro = (md / la + md / lb + (md - mism / 2.0) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val cap = math.min(4, math.min(la, lb))
+    while (l < cap && s(l) == t(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}

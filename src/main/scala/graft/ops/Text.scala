@@ -92,6 +92,32 @@ object Text {
     *         distinct token positions inside at least one duplicated
     *         window; `coverage` = covered / n_tokens rounded to 1e-4.
     */
+  /** Entity-resolution scoring over a NAME VOCABULARY: the corpus first
+    * collapses to (distinct name, row count) — scoring runs on vocabulary
+    * entries, not rows, the same corpus→vocab reduction BPE training uses —
+    * then candidate pairs come from first-token blocking and are scored
+    * with the native byte-wise [[graft.expr.JaroWinkler]] (prefix-weighted,
+    * typo-tolerant — the complement of [[singleEditNearPairs]]'s exact
+    * ≤ 1-edit contract). Pairs at or above `threshold` (on the 1e-4-rounded
+    * score, so the SQL oracle replays the frontier exactly) survive.
+    *
+    * Block sizes bound the quadratic term: candidates per name are limited
+    * by its block's vocabulary occupancy, never by corpus row counts. For
+    * vocabularies where one first token dominates, block on a stronger key
+    * (first token + length bucket) — same shape, smaller squares.
+    */
+  def nameSimilarityPairs(df: DataFrame, nameCol: String, threshold: Double): DataFrame = {
+    val names = df.groupBy(col(nameCol).as("nm")).agg(count(lit(1)).as("n"))
+      .withColumn("blk", split(lower(trim(col("nm"))), "\\s+").getItem(0))
+      .repartition(col("blk")) // both self-join sides reuse this exchange
+    val jw = Summaries.r4(call_function("graft_jaro_winkler", col("a.nm"), col("b.nm")))
+    names.as("a")
+      .join(names.as("b"), col("a.blk") === col("b.blk") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        jw.as("jw"), col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .filter(col("jw") >= threshold)
+  }
+
   /** Shared base of the substring-dup census and clip: per-doc token
     * arrays, and the (doc_id, pos, md5(window)) stream both key on — one
     * place to change the window hashing (e.g. a hash60 swap) so the two

@@ -226,6 +226,40 @@ class TextSpec extends AnyFunSuite {
     assert(again == out.view.mapValues(_._4).toMap)
   }
 
+  test("JaroWinkler matches the published reference values, byte-wise on UTF-8") {
+    import graft.expr.JaroWinkler
+    def jw(a: String, b: String) =
+      JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0) // DuckDB convention
+    assert(jw("ab", "ba") == 0.0)                   // window 0: no matches
+    assert(math.abs(jw("ab", "ax") - 2.0 / 3) < 1e-12) // jaro <= 0.7: no boost
+    // byte-wise on multibyte text: 'aé'/'aà' share 2 of 3 BYTES
+    assert(math.abs(jw("aé", "aà") - 0.8222222222222222) < 1e-9)
+    // prefix boost caps at 4
+    assert(math.abs(jw("prefix_common_tail1", "prefix_common_tail2") - 0.9789473684210526) < 1e-9)
+  }
+
+  test("nameSimilarityPairs blocks by first token and keeps the rounded-score frontier") {
+    val df = Seq(
+      (1L, "small ring"), (2L, "small ring"), (3L, "small rings"),
+      (4L, "small bolt"), (5L, "red ring")).toDF("id", "name")
+    val out = Text.nameSimilarityPairs(df, "name", 0.9)
+      .select("name_a", "name_b", "jw", "n_a", "n_b")
+      .as[(String, String, Double, Long, Long)].collect()
+    // vocabulary-level: the duplicate "small ring" rows collapse to n=2
+    assert(out.length == 1)
+    val p = out.head
+    assert(p._1 == "small ring" && p._2 == "small rings")
+    assert(p._4 == 2L && p._5 == 1L)
+    assert(p._3 >= 0.9 && p._3 <= 1.0)
+    // "red ring" is in another block: never even a candidate
+    assert(!out.exists(r => r._1.startsWith("red") || r._2.startsWith("red")))
+  }
+
   test("bpePairCounts weights char pairs by word frequency, skips 1-char words") {
     val docs = Seq(
       (1L, "ab ab abc x"),
