@@ -183,4 +183,48 @@ class PlanSpec extends AnyFunSuite {
     assert(winLine.contains("windowspecdefinition(__ci"),
       s"cumulative-rank window must partition by column id:\n$winLine")
   }
+
+  test("kmeans assignment plans zero joins and zero exchanges (broadcast argmin)") {
+    val docs = graft.Tables.t(spark, sf, "embeddings")
+    val p = graft.ops.Clustering.assignClusters(docs, "embedding",
+        Seq((0, Seq.fill(64)(0.0)), (1, Seq.fill(64)(1.0))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle the corpus:\n$p")
+  }
+
+  test("q118 covariance: one single-partition exchange, no pre-aggregate explode") {
+    val p = plan("q118_covariance")
+    // the d x d cells come out of ONE merged buffer: the only exchange is
+    // the one-row partial->final merge, and the explode sits ABOVE it
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+    assert(p.contains("SinglePartition"), s"the merge exchange must be one row:\n$p")
+    val gen = p.indexOf("Generate")
+    val ex  = p.indexOf("Exchange")
+    assert(gen >= 0 && gen < ex, // plans print top-down: above = smaller index
+      s"the (i,j,cov) explode must consume the merged buffer, not feed it:\n$p")
+  }
+
+  test("q116 dup-span census shuffles the window hash, not the text") {
+    val p = plan("q116_ngram_dup_spans")
+    assert(p.contains("hashpartitioning(h#"),
+      s"occurrence counting must partition by the md5 window hash:\n$p")
+    // the text column must die at the scan projection: no exchange carries it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
+    val p = plan("q119_bpe_pairs")
+    // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
+    // pair aggregate. Top-down printout: the pair explode (first Generate)
+    // sits ABOVE the deepest HashAggregate (vocab partial), the tokenize
+    // explode (last Generate) BELOW it.
+    val gens     = "Generate".r.findAllMatchIn(p).map(_.start).toSeq
+    val vocabAgg = p.lastIndexOf("HashAggregate")
+    assert(gens.size == 2, s"expected tokenize + pair explodes:\n$p")
+    assert(gens.head < vocabAgg && gens.last > vocabAgg,
+      s"pair explode must run over the aggregated vocabulary:\n$p")
+  }
 }
