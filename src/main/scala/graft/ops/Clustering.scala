@@ -183,22 +183,7 @@ object Clustering {
   def powerIteration(cov: Seq[(Int, Int, Double)], d: Int, steps: Int = 100): Array[Double] = {
     val m = Array.ofDim[Double](d, d)
     cov.foreach { case (i, j, v) => m(i)(j) = v; m(j)(i) = v }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var s = 0
-    while (s < steps) {
-      val w = Array.tabulate(d)(i => {
-        var acc = 0.0
-        var j = 0
-        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
-        acc
-      })
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      if (nrm == 0.0) return v // degenerate (zero matrix): keep the start vector
-      v = w.map(_ / nrm)
-      s += 1
-    }
-    val lead = v.find(math.abs(_) > 1e-12).getOrElse(0.0)
-    if (lead < 0) v.map(-_) else v
+    powerIterationDense(m, d, steps)
   }
 
   /** Project an embedding column onto a fixed basis (e.g. top principal
@@ -207,4 +192,59 @@ object Clustering {
     */
   def project(v: Column, basis: Seq[Seq[Double]]): Column =
     array(basis.map(b => Similarity.dot(v, typedLit(b))): _*)
+
+  /** Top-k principal components by power iteration with deflation: after
+    * each component, its rank-one term λ·vvᵀ is subtracted and the next
+    * iteration runs on the residual. Driver-side like [[powerIteration]]
+    * (the input is the TINY d×d output of [[covarianceMatrix]]); the
+    * corpus-scale application is [[project]]ing rows onto the result —
+    * the standard embedding-compression step before ANN indexing.
+    *
+    * @return (component, eigenvalue) pairs, λ descending; components unit,
+    *         first-nonzero-positive sign convention.
+    */
+  def principalComponents(cov: Seq[(Int, Int, Double)], d: Int, k: Int,
+      steps: Int = 100): Seq[(Array[Double], Double)] = {
+    require(k >= 1 && k <= d, "k must be in [1, d]")
+    val m = Array.ofDim[Double](d, d)
+    cov.foreach { case (i, j, v) => m(i)(j) = v; m(j)(i) = v }
+    (1 to k).map { _ =>
+      val v = powerIterationDense(m, d, steps)
+      // Rayleigh quotient: v is unit, so lambda = v' M v
+      var lambda = 0.0
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+        lambda += v(i) * acc
+        i += 1
+      }
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (v, lambda)
+    }
+  }
+
+  private def powerIterationDense(m: Array[Array[Double]], d: Int, steps: Int): Array[Double] = {
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var s = 0
+    while (s < steps) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm == 0.0) s = steps // residual is zero: keep the current vector
+      else { v = w.map(_ / nrm); s += 1 }
+    }
+    val lead = v.find(math.abs(_) > 1e-12).getOrElse(0.0)
+    if (lead < 0) v.map(-_) else v
+  }
 }

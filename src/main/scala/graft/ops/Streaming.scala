@@ -263,6 +263,62 @@ object Streaming {
       }
       .start()
 
+  /** Streaming mini-batch k-means — online topic/cluster maintenance over
+    * an embedding stream: each micro-batch is assigned against the stored
+    * centroids ([[Clustering.assignClusters]] — broadcast argmin, rows
+    * never shuffle), reduced to per-cluster (count, mean), and merged into
+    * the centroid table with the standard mini-batch update
+    * `c' = (n·c + bn·bm) / (n + bn)` — each batch moves a centroid in
+    * proportion to the evidence it carries. State is k rows of
+    * (cluster, n, centroid) in an open parquet table ([[swapInTable]] —
+    * crash-safe, and the replay guard is load-bearing: the weighted merge
+    * is not idempotent). First batch seeds from its k smallest-id rows.
+    * The k-row merge itself is driver-side — it IS the model update, the
+    * same economics as [[Clustering.kmeans]]'s iteration.
+    */
+  def kmeansSink(stream: DataFrame, idCol: String, vecCol: String, k: Int,
+      stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        swapInTable(spark, stateDir, batchId, checkpointQueryId(spark, checkpoint)) { exists =>
+          import spark.implicits._
+          val clean = batch.filter(col(vecCol).isNotNull)
+          val state: Map[Int, (Long, Seq[Double])] =
+            if (!exists) Map.empty
+            else spark.read.parquet(stateDir)
+              .select(col("cluster"), col("n"), col("centroid"))
+              .as[(Int, Long, Seq[Double])].collect()
+              .map(r => r._1 -> (r._2, r._3)).toMap
+          val centroids: Seq[(Int, Seq[Double])] =
+            if (state.nonEmpty) state.toSeq.map { case (cid, (_, c)) => (cid, c) }.sortBy(_._1)
+            else clean.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+              .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+              .zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) }.toSeq
+          val batchStats =
+            if (centroids.isEmpty) Seq.empty // empty stream start: no state yet
+            else Clustering.assignClusters(
+                clean.filter(size(col(vecCol)) === centroids.head._2.length), vecCol, centroids)
+              .groupBy(col("cluster"))
+              .agg(Similarity.vectorMean(col(vecCol)).as("bm"), count(lit(1)).as("bn"))
+              .as[(Int, Seq[Double], Long)].collect().toSeq
+          val merged = centroids.map { case (cid, c) =>
+            val (n0, c0) = state.getOrElse(cid, (0L, c))
+            batchStats.find(_._1 == cid) match {
+              case Some((_, bm, bn)) =>
+                val n1 = n0 + bn
+                val c1 = c0.indices.map(i => (n0 * c0(i) + bn * bm(i)) / n1)
+                (cid, n1, c1)
+              case None => (cid, n0, c0) // no evidence this batch: unchanged
+            }
+          }
+          merged.toDF("cluster", "n", "centroid")
+        }
+      }
+      .start()
+
   /** Streaming malformed-record quarantine — the streaming form of
     * [[Ingest.readJsonQuarantine]]: a text file stream parsed with the
     * in-expression corrupt-record field, routed into a good parquet sink

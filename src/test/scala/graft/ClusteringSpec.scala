@@ -97,6 +97,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(stats.map(_._2).sum == 40L)                 // means unpolluted
   }
 
+  test("principalComponents: deflation recovers successive axes with eigenvalues") {
+    val cov = Seq((0, 0, 9.0), (1, 1, 4.0), (2, 2, 1.0), (0, 1, 0.0), (0, 2, 0.0), (1, 2, 0.0))
+    val pcs = Clustering.principalComponents(cov, 3, 3)
+    assert(pcs.length == 3)
+    val axes = pcs.map(_._1)
+    val lams = pcs.map(_._2)
+    assert(math.abs(lams(0) - 9.0) < 1e-9 && math.abs(lams(1) - 4.0) < 1e-9 &&
+      math.abs(lams(2) - 1.0) < 1e-9)
+    assert(math.abs(axes(0)(0)) > 0.999 && math.abs(axes(1)(1)) > 0.999 &&
+      math.abs(axes(2)(2)) > 0.999)
+    // components are orthonormal
+    for (i <- 0 until 3; j <- i + 1 until 3) {
+      val dot = axes(i).zip(axes(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-9, s"components $i,$j not orthogonal")
+    }
+  }
+
   test("powerIteration finds the dominant axis; project reduces dimension") {
     // diagonal covariance with a dominant first axis
     val cov = Seq((0, 0, 9.0), (1, 1, 1.0), (2, 2, 0.1), (0, 1, 0.0), (0, 2, 0.0), (1, 2, 0.0))

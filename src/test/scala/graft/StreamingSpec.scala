@@ -333,6 +333,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmeansSink maintains mini-batch centroids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val base  = s"/root/repo/target/tmp/kmeans_sink_${System.nanoTime()}"
+    val q = Streaming.kmeansSink(input.toDF().toDF("id", "vec"), "id", "vec", 2,
+      s"$base/state", s"$base/ckpt")
+    try {
+      // seed batch: ids 0/1 become the two centroids, one per blob
+      input.addData((0L, Seq(10.0f, 0.0f)), (1L, Seq(-10.0f, 0.0f)),
+        (2L, Seq(12.0f, 0.0f)), (3L, Seq(-12.0f, 0.0f)))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(s"$base/state")
+        .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      val s1 = state()
+      assert(s1.map(_._2).sum == 4L && s1.length == 2)
+      val posCluster = s1.find(_._3.head > 0).get
+      assert(math.abs(posCluster._3.head - 11.0) < 1e-9) // mean(10, 12)
+      // second batch: two more positive-blob points move that centroid by
+      // the weighted mini-batch rule (2*11 + 2*15)/4 = 13
+      input.addData((4L, Seq(14.0f, 0.0f)), (5L, Seq(16.0f, 0.0f)))
+      q.processAllAvailable()
+      val s2 = state()
+      assert(s2.map(_._2).sum == 6L)
+      val pos2 = s2.find(_._1 == posCluster._1).get
+      assert(math.abs(pos2._3.head - 13.0) < 1e-9)
+      // negative centroid untouched by a batch with no evidence for it
+      val neg2 = s2.find(_._1 != posCluster._1).get
+      assert(math.abs(neg2._3.head - (-11.0)) < 1e-9)
+    } finally q.stop()
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._
