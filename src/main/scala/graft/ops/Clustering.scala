@@ -173,6 +173,78 @@ object Clustering {
   /** Covariance as a ready-to-explode column aggregate. */
   def covarianceMatrix(c: Column): Column = udaf(new CovarianceMatrix).apply(c)
 
+  // ---- incremental covariance state ----------------------------------------
+
+  /** The raw moment buffer as DATA — the covariance counterpart of
+    * [[Summaries.aggState]] / the HLL distinct state: (n, Σxᵢ, Σxᵢxⱼ) is
+    * algebraic, so yesterday's corpus state plus today's delta state merge
+    * by pure addition and the maintained covariance never re-reads
+    * history. `finish` here returns the buffer instead of finishing it;
+    * [[covFromState]] derives cov(i,j) at READ time, keeping the stored
+    * state mergeable forever.
+    */
+  class CovarianceState extends Aggregator[Seq[Float], CovBuf, CovStateRow] {
+    private val inner = new CovarianceMatrix
+    override def zero: CovBuf = inner.zero
+    override def reduce(b: CovBuf, v: Seq[Float]): CovBuf = inner.reduce(b, v)
+    override def merge(x: CovBuf, y: CovBuf): CovBuf = inner.merge(x, y)
+    override def finish(b: CovBuf): CovStateRow =
+      CovStateRow(b.n, b.sums.toSeq, b.prods.toSeq)
+    override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    override def outputEncoder: Encoder[CovStateRow] = Encoders.product[CovStateRow]
+  }
+  case class CovStateRow(n: Long, sums: Seq[Double], prods: Seq[Double])
+
+  /** One-row covariance state over an embedding column. */
+  def covState(df: DataFrame, vecCol: String): DataFrame =
+    df.agg(udaf(new CovarianceState).apply(col(vecCol)).as("s"))
+      .select(col("s.n").as("n"), col("s.sums").as("sums"), col("s.prods").as("prods"))
+
+  /** Merge covariance states (any number of one-row state frames unioned):
+    * counts add, both moment vectors add element-wise. The element-wise
+    * sum runs through posexplode → sum → ordered rebuild — states are a
+    * few kB, so this is metadata-scale work regardless of how much corpus
+    * each state summarizes.
+    */
+  def mergeCovStates(states: DataFrame): DataFrame = {
+    def addArrays(c: String) = states
+      .select(posexplode(col(c)).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(sum(col("v")).as("v"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        e => e.getField("v")).as(c))
+    states.agg(sum(col("n")).as("n"))
+      .crossJoin(addArrays("sums"))
+      .crossJoin(addArrays("prods"))
+  }
+
+  /** (i, j, cov) rows derived from a state frame — same arithmetic as
+    * [[CovarianceMatrix.finish]]: cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n.
+    */
+  def covFromState(state: DataFrame): Seq[(Int, Int, Double)] = {
+    val rows = state.select(col("n"), col("sums"), col("prods")).collect()
+    require(rows.length == 1, s"expected one state row, got ${rows.length}")
+    val r     = rows.head
+    val n     = r.getLong(0)
+    val sums  = r.getSeq[Double](1)
+    val prods = r.getSeq[Double](2)
+    if (n == 0L) Seq.empty
+    else {
+      val d   = sums.length
+      val out = Seq.newBuilder[(Int, Int, Double)]
+      var i = 0
+      var p = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          out += ((i, j, (prods(p) - sums(i) * sums(j) / n) / n))
+          j += 1; p += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
   /** Top principal component of a covariance matrix by power iteration —
     * DRIVER-side on the d×d result of [[covarianceMatrix]] (the matrix is
     * tiny; the corpus-scale work already happened in the one-pass
@@ -228,6 +300,19 @@ object Clustering {
       }
       (v, lambda)
     }
+  }
+
+  /** PCA whitening: project onto the top components AND rescale each
+    * coordinate to unit variance (÷√λ) — decorrelated, equalized features,
+    * the standard preprocessing before cosine/L2 retrieval when raw
+    * dimensions have wildly different spreads. Pure scan-stage expression
+    * like [[project]].
+    */
+  def whiten(v: Column, pcs: Seq[(Array[Double], Double)]): Column = {
+    require(pcs.forall(_._2 > 0), "whitening needs strictly positive eigenvalues")
+    array(pcs.map { case (b, lambda) =>
+      Similarity.dot(v, typedLit(b.toSeq)) / math.sqrt(lambda)
+    }: _*)
   }
 
   private def powerIterationDense(m: Array[Array[Double]], d: Int, steps: Int): Array[Double] = {

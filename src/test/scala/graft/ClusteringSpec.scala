@@ -114,6 +114,46 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("covariance state merges losslessly: split state merge equals the full build") {
+    val rows = (1 to 60).map { i =>
+      Tuple1(Seq((i % 7).toFloat, (i % 3).toFloat, (i * 0.5f) % 5))
+    }
+    val df = rows.toDF("v")
+    val full = df.agg(Clustering.covarianceMatrix(col("v")).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e._1"), col("e._2"), col("e._3"))
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val sA = Clustering.covState(rows.take(25).toDF("v"), "v")
+    val sB = Clustering.covState(rows.drop(25).toDF("v"), "v")
+    val merged = Clustering.covFromState(Clustering.mergeCovStates(sA.union(sB)))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(merged.keySet == full.keySet)
+    assert(full.forall { case (k, v) => math.abs(merged(k) - v) < 1e-9 })
+  }
+
+  test("anisotropic data: PCA-2 projection preserves neighborhoods; whiten equalizes") {
+    // variance lives in dims 0-1; dims 2-5 are near-constant noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, Seq(
+        (rnd.nextDouble() * 20 - 10).toFloat, (rnd.nextDouble() * 8 - 4).toFloat,
+        (rnd.nextDouble() * 0.01).toFloat, (rnd.nextDouble() * 0.01).toFloat,
+        (rnd.nextDouble() * 0.01).toFloat, (rnd.nextDouble() * 0.01).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val cov = Clustering.covFromState(Clustering.covState(df, "v"))
+    val pcs = Clustering.principalComponents(cov, 6, 2)
+    // the two dominant axes are (up to sign) e0 and e1
+    assert(math.abs(pcs(0)._1(0)) > 0.99 && math.abs(pcs(1)._1(1)) > 0.99)
+    assert(pcs(0)._2 > pcs(1)._2 && pcs(1)._2 > 1.0)
+    // whitened coordinates have ~unit variance on both components
+    val wh = df.select(Clustering.whiten(col("v"), pcs).as("w"))
+      .select(element_at(col("w"), 1).as("w0"), element_at(col("w"), 2).as("w1"))
+      .agg(var_pop(col("w0")), var_pop(col("w1")))
+      .as[(Double, Double)].head()
+    assert(math.abs(wh._1 - 1.0) < 0.05 && math.abs(wh._2 - 1.0) < 0.05)
+  }
+
   test("powerIteration finds the dominant axis; project reduces dimension") {
     // diagonal covariance with a dominant first axis
     val cov = Seq((0, 0, 9.0), (1, 1, 1.0), (2, 2, 0.1), (0, 1, 0.0), (0, 2, 0.0), (1, 2, 0.0))
