@@ -67,12 +67,28 @@ object Clustering {
     *         assignment pass; the centroids are the means of exactly those
     *         clusters.
     */
+  /** Deterministic seeding shared by [[kmeans]] and the streaming
+    * [[graft.ops.Streaming.kmeansSink]]: the k smallest-id vectors whose
+    * dimension matches the FIRST valid vector's (a wrong-dim row among the
+    * smallest ids must not become a centroid — its null distances would
+    * win every argmin). Over-fetches 4k candidates so a few malformed
+    * rows cannot starve the seed set.
+    */
+  private[graft] def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Seq[Double]] = {
+    val cand = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(math.max(4 * k, k)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    cand.headOption match {
+      case None    => Seq.empty
+      case Some(h) => cand.filter(_.length == h.length).take(k).map(v => v: Seq[Double]).toSeq
+    }
+  }
+
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Long, Seq[Double])]) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
-    val seeds = df.filter(col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    val seeds = seedCentroids(df, idCol, vecCol, k)
     require(seeds.nonEmpty, "kmeans needs at least one non-null vector")
     val dim = seeds.head.length
     // NULL or wrong-dimension vectors cannot be assigned (null distances
@@ -102,6 +118,31 @@ object Clustering {
     * upper-triangle (i ≤ j, row-major) cross-product sums.
     */
   case class CovBuf(n: Long, sums: Array[Double], prods: Array[Double])
+
+  /** The one place the covariance arithmetic lives — used by both the
+    * one-pass aggregate's finish and [[covFromState]], so a stored-state
+    * read can never diverge from the direct computation:
+    * cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n, upper triangle row-major.
+    */
+  private def covCells(n: Long, sums: IndexedSeq[Double],
+      prods: IndexedSeq[Double]): Seq[(Int, Int, Double)] = {
+    if (n == 0L) Seq.empty
+    else {
+      val d   = sums.length
+      val out = Seq.newBuilder[(Int, Int, Double)]
+      var i = 0
+      var p = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          out += ((i, j, (prods(p) - sums(i) * sums(j) / n) / n))
+          j += 1; p += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
 
   /** One-pass covariance matrix over an embedding column: each task
     * accumulates (n, Σxᵢ, Σxᵢxⱼ) — d + d(d+1)/2 doubles, ~17 kB at d = 64 —
@@ -147,24 +188,8 @@ object Clustering {
         CovBuf(x.n + y.n, x.sums, x.prods)
       }
     }
-    override def finish(b: CovBuf): Seq[(Int, Int, Double)] = {
-      if (b.n == 0L) Seq.empty
-      else {
-        val d   = b.sums.length
-        val out = Seq.newBuilder[(Int, Int, Double)]
-        var i = 0
-        var p = 0
-        while (i < d) {
-          var j = i
-          while (j < d) {
-            out += ((i, j, (b.prods(p) - b.sums(i) * b.sums(j) / b.n) / b.n))
-            j += 1; p += 1
-          }
-          i += 1
-        }
-        out.result()
-      }
-    }
+    override def finish(b: CovBuf): Seq[(Int, Int, Double)] =
+      covCells(b.n, b.sums, b.prods)
     override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
     override def outputEncoder: Encoder[Seq[(Int, Int, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Double)]]()
@@ -207,6 +232,14 @@ object Clustering {
     * each state summarizes.
     */
   def mergeCovStates(states: DataFrame): DataFrame = {
+    // dimension guard: index-wise addition of mismatched dims would emit a
+    // plausible-looking hybrid (first dims added, the tail passed through)
+    // with no error — the embedding-model-upgrade trap. State frames are
+    // tiny; the check is metadata-scale.
+    val dims = states.filter(col("n") > 0)
+      .select(size(col("sums")).as("d")).distinct().collect().map(_.getInt(0))
+    require(dims.length <= 1,
+      s"mergeCovStates: mixed embedding dimensions ${dims.mkString(", ")}")
     def addArrays(c: String) = states
       .select(posexplode(col(c)).as(Seq("i", "v")))
       .groupBy(col("i")).agg(sum(col("v")).as("v"))
@@ -223,26 +256,8 @@ object Clustering {
   def covFromState(state: DataFrame): Seq[(Int, Int, Double)] = {
     val rows = state.select(col("n"), col("sums"), col("prods")).collect()
     require(rows.length == 1, s"expected one state row, got ${rows.length}")
-    val r     = rows.head
-    val n     = r.getLong(0)
-    val sums  = r.getSeq[Double](1)
-    val prods = r.getSeq[Double](2)
-    if (n == 0L) Seq.empty
-    else {
-      val d   = sums.length
-      val out = Seq.newBuilder[(Int, Int, Double)]
-      var i = 0
-      var p = 0
-      while (i < d) {
-        var j = i
-        while (j < d) {
-          out += ((i, j, (prods(p) - sums(i) * sums(j) / n) / n))
-          j += 1; p += 1
-        }
-        i += 1
-      }
-      out.result()
-    }
+    val r = rows.head
+    covCells(r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getSeq[Double](2).toIndexedSeq)
   }
 
   /** Top principal component of a covariance matrix by power iteration —
@@ -316,7 +331,13 @@ object Clustering {
   }
 
   private def powerIterationDense(m: Array[Array[Double]], d: Int, steps: Int): Array[Double] = {
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    // deterministic but NON-uniform start: the uniform vector is exactly
+    // stationary on any eigenvector it happens to be orthogonal to (e.g.
+    // two perfectly anti-correlated features), and symmetric arithmetic
+    // never breaks the tie — sin(i+1) components have no such alignment
+    val raw  = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val rnrm = math.sqrt(raw.map(x => x * x).sum)
+    var v    = raw.map(_ / rnrm)
     var s = 0
     while (s < steps) {
       val w = Array.tabulate(d) { i =>

@@ -292,11 +292,22 @@ object Streaming {
               .select(col("cluster"), col("n"), col("centroid"))
               .as[(Int, Long, Seq[Double])].collect()
               .map(r => r._1 -> (r._2, r._3)).toMap
+          val existing: Seq[(Int, Seq[Double])] =
+            state.toSeq.map { case (cid, (_, c)) => (cid, c) }.sortBy(_._1)
+          // top up to k from this batch ([[Clustering.seedCentroids]]:
+          // dim-consistent, smallest ids): a 1-row first micro-batch must
+          // not freeze the model at one centroid forever
           val centroids: Seq[(Int, Seq[Double])] =
-            if (state.nonEmpty) state.toSeq.map { case (cid, (_, c)) => (cid, c) }.sortBy(_._1)
-            else clean.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-              .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
-              .zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) }.toSeq
+            if (existing.size >= k) existing
+            else {
+              val dimOk = existing.headOption.map(_._2.length)
+                .map(d => clean.filter(size(col(vecCol)) === d)).getOrElse(clean)
+              val fresh = Clustering.seedCentroids(dimOk, idCol, vecCol, k)
+                .filterNot(c => existing.exists(_._2 == c))
+                .take(k - existing.size)
+              val base = existing.map(_._1).foldLeft(-1)(math.max)
+              existing ++ fresh.zipWithIndex.map { case (c, i) => (base + 1 + i, c) }
+            }
           val batchStats =
             if (centroids.isEmpty) Seq.empty // empty stream start: no state yet
             else Clustering.assignClusters(

@@ -108,7 +108,10 @@ object Text {
     */
   def nameSimilarityPairs(df: DataFrame, nameCol: String, threshold: Double): DataFrame = {
     val names = df.groupBy(col(nameCol).as("nm")).agg(count(lit(1)).as("n"))
-      .withColumn("blk", split(lower(trim(col("nm"))), "\\s+").getItem(0))
+      // substring_index, not a regex \s+ split: the oracle's split_part
+      // takes the text before the first SINGLE SPACE (whole string when
+      // none), and a tab-separated name must block identically in both
+      .withColumn("blk", substring_index(lower(trim(col("nm"))), " ", 1))
       .repartition(col("blk")) // both self-join sides reuse this exchange
     val jw = Summaries.r4(call_function("graft_jaro_winkler", col("a.nm"), col("b.nm")))
     names.as("a")

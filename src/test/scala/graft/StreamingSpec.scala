@@ -365,6 +365,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmeansSink tops up an under-seeded model from later batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val base  = s"/root/repo/target/tmp/kmeans_topup_${System.nanoTime()}"
+    val q = Streaming.kmeansSink(input.toDF().toDF("id", "vec"), "id", "vec", 3,
+      s"$base/state", s"$base/ckpt")
+    try {
+      input.addData((0L, Seq(0.0f, 0.0f)))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(s"$base/state")
+        .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      assert(state().length == 1) // 1-row first batch: only one seed exists
+      // later batch supplies the missing centroids instead of collapsing
+      // all future data into the single frozen cluster
+      input.addData((1L, Seq(10.0f, 0.0f)), (2L, Seq(-10.0f, 0.0f)))
+      q.processAllAvailable()
+      val s2 = state()
+      assert(s2.length == 3 && s2.map(_._2).sum == 3L)
+      assert(s2.map(_._3.head).sorted == Seq(-10.0, 0.0, 10.0))
+    } finally q.stop()
+  }
+
   test("jsonQuarantineStream routes good rows to parquet, bad lines to the reject sink") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -241,6 +241,12 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(jw("aé", "aà") - 0.8222222222222222) < 1e-9)
     // prefix boost caps at 4
     assert(math.abs(jw("prefix_common_tail1", "prefix_common_tail2") - 0.9789473684210526) < 1e-9)
+    // ODD mismatch counts: transpositions floor (integer division), the
+    // rapidfuzz/DuckDB convention — the fractional form diverges here
+    assert(math.abs(jw("azure antique beige burnished almond",
+      "azure blanched burnished antique beige") - 0.8512280701754386) < 1e-12)
+    assert(math.abs(jw("abcdx", "baxdc") - 0.6222222222222222) < 1e-12)
+    assert(math.abs(jw("information", "informaiton") - 0.9818181818181818) < 1e-12)
   }
 
   test("nameSimilarityPairs blocks by first token and keeps the rounded-score frontier") {
