@@ -249,6 +249,21 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(jw("information", "informaiton") - 0.9818181818181818) < 1e-12)
   }
 
+  test("JaroWinkler matches 250 DuckDB-computed fixture pairs bit-for-bit") {
+    import graft.expr.JaroWinkler
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/jaro_winkler_fixture.tsv"), "UTF-8")
+    val cases = try src.getLines().map { line =>
+      val Array(a, b, v) = line.split("\t", 3)
+      (a, b, v.toDouble)
+    }.toList finally src.close()
+    assert(cases.length == 250)
+    cases.foreach { case (a, b, expected) =>
+      val got = JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got == expected, s"jw(${a.trim}, ${b.trim}): got $got, duckdb $expected")
+    }
+  }
+
   test("nameSimilarityPairs blocks by first token and keeps the rounded-score frontier") {
     val df = Seq(
       (1L, "small ring"), (2L, "small ring"), (3L, "small rings"),
