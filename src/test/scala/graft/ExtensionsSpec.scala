@@ -58,6 +58,8 @@ class ExtensionsSpec extends AnyFunSuite {
                   graft_normalize('Cafe' || decode(unhex('CC81'), 'UTF-8'), 'NFC')""").head()
       assert(n.getString(0) == "Cafe Zurich")
       assert(n.getString(1) == "Café")
+      val w = s2.sql("SELECT graft_jaro_winkler('martha', 'marhta') j").head()
+      assert(math.abs(w.getDouble(0) - 0.9611111111111111) < 1e-12)
       // non-literal size arguments are rejected with a clear message
       val ex = intercept[Exception] {
         s2.sql("SELECT graft_minhash(array('x'), cast(rand()*4 AS INT))").head()
