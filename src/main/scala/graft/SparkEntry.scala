@@ -1345,6 +1345,72 @@ object SparkEntry {
         .orderBy(pk)
     }),
 
+    // Snapshot diff (CDC validation): two derived versions of orders —
+    // old = keys %7≠0; new = keys %10≠0 with a 5% price bump on %3==0 —
+    // classified added/removed/changed with the differing-column list.
+    // One full-outer hash join; content compare is per-row, no window.
+    "q123_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val old = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val nw = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0,
+            floor(col("o_totalprice") * 1.05 * 100 + 0.5) / 100)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Relational.snapshotDiff(old, nw, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Time-series gap-fill: hourly buckets per user (user_id %100==0 slice),
+    // missing hours linearly interpolated between observed neighbors
+    "q124_gapfill" -> ((s, d) => {
+      Summaries.gapFillInterpolate(
+          t(s, d, "events").filter(col("user_id") % 100 === 0),
+          "user_id", "ts", col("value"), unit = "hour")
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // Vocabulary coverage curve: top-200 tokens with cumulative corpus share
+    "q125_vocab_coverage" -> ((s, d) =>
+      Text.vocabCoverage(t(s, d, "documents"), "text", 200).orderBy(col("rank"))),
+
+    // Char-bigram LM cross-entropy (perplexity-proxy quality score) against
+    // the corpus's own character statistics; integer micro-nat accumulation
+    "q126_charlm_quality" -> ((s, d) =>
+      Text.bigramLmScore(t(s, d, "documents"), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // Rendezvous (HRW) sharding, 8 shards: per-shard sizes plus how many keys
+    // move when a 9th shard is added (≈1/9 of each shard, all TO shard 8)
+    "q127_rendezvous_shards" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("s8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("s9"))
+        .groupBy(col("s8"))
+        .agg(count(lit(1)).as("n"), count(when(col("s9") =!= col("s8"), 1)).as("n_moved"))
+        .orderBy(col("s8"))
+    }),
+
+    // Grid-bucketed interval-overlap join: shipment windows × order promo
+    // weeks — equi-join on the first shared grid cell, never a cartesian
+    "q128_overlap_join" -> ((s, d) => {
+      val a = t(s, d, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("a_id"),
+          col("l_shipdate").as("a_start"),
+          // no receiptdate in the synthetic schema — derive a 3–12 day window
+          expr("timestampadd(DAY, CAST(l_quantity AS INT) % 10 + 3, l_shipdate)").as("a_end"))
+      val b = t(s, d, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("b_id"), col("o_orderdate").as("b_start"),
+          (col("o_orderdate") + expr("interval 7 days")).as("b_end"))
+      Relational.overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end", 30L * 86400)
+        .select(col("a_id"), col("b_id"),
+          datediff(least(col("a_end"), col("b_end")),
+            greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -2531,5 +2597,111 @@ object SparkEntry {
                      THEN list_filter([trim(p) for p in string_split(ip6_src, ',')], p -> instr(p, ':') > 0)[1] END AS ip6,
                 TRY_CAST(ts_src AS TIMESTAMP) AS ts_parsed
          FROM src ORDER BY p_partkey""",
+    "q123_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+         n AS (SELECT o_orderkey, o_orderstatus,
+                      CASE WHEN o_orderkey % 3 = 0
+                           THEN floor(o_totalprice * 1.05 * 100 + 0.5) / 100
+                           ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 10 <> 0),
+         j AS (SELECT coalesce(n.o_orderkey, o.o_orderkey) AS k,
+                      CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                           WHEN n.o_orderkey IS NULL THEN 'removed'
+                           WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                           ELSE 'unchanged' END AS change_type,
+                      concat_ws(',',
+                        CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+                        CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END) AS cc
+               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT k AS o_orderkey, change_type,
+                CASE WHEN change_type = 'changed' THEN cc ELSE '' END AS changed_cols
+         FROM j WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
+    "q124_gapfill" ->
+      """WITH obs AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+                      FROM events WHERE user_id % 100 = 0 GROUP BY user_id, bucket),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS bucket
+                  FROM (SELECT user_id, min(bucket) d0, max(bucket) d1 FROM obs GROUP BY user_id)),
+         j AS (SELECT g.user_id, g.bucket, o.v
+               FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket),
+         w AS (SELECT user_id, bucket, v,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pd,
+                 first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nd
+               FROM j)
+         SELECT user_id, bucket,
+                CASE WHEN v IS NOT NULL THEN v
+                     ELSE floor((pv + (nv - pv) *
+                       (CAST(epoch(bucket) - epoch(pd) AS DOUBLE) /
+                        CAST(epoch(nd) - epoch(pd) AS DOUBLE))) * 10000 + 0.5) / 10000 END AS v,
+                v IS NULL AS filled
+         FROM w ORDER BY user_id, bucket""",
+    "q125_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                      FROM documents WHERE length(trim(text)) > 0),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+         top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200)
+         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank, token, cnt,
+                floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total
+                  * 10000 + 0.5) / 10000 AS cum_share
+         FROM top CROSS JOIN tt ORDER BY rank""",
+    "q126_charlm_quality" ->
+      """WITH base AS (SELECT doc_id, text AS t FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 2),
+         db AS (SELECT doc_id, bg, count(*) AS c_db FROM (
+                  SELECT doc_id, unnest([substr(t, i, 2) for i in range(1, length(t))]) AS bg
+                  FROM base)
+                GROUP BY doc_id, bg),
+         cab AS (SELECT bg, sum(c_db) AS c_ab FROM db GROUP BY bg),
+         ca AS (SELECT substr(bg, 1, 1) AS a, sum(c_ab) AS c_a FROM cab GROUP BY a),
+         model AS (SELECT bg,
+                          CAST(floor(ln(CAST(c_ab AS DOUBLE) / c_a) * 1000000 + 0.5) AS BIGINT) AS lnp_u
+                   FROM cab JOIN ca ON substr(cab.bg, 1, 1) = ca.a),
+         sc AS (SELECT doc_id, sum(c_db * lnp_u) AS sum_u, sum(c_db) AS n_bigrams
+                FROM db JOIN model USING (bg) GROUP BY doc_id)
+         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                floor((-(CAST(sum_u AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)))
+                  * 10000 + 0.5) / 10000 AS xent
+         FROM sc ORDER BY doc_id""",
+    "q127_rendezvous_shards" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(struct_extract(list_reduce(
+                    [{'s': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT,
+                      'i': i} for i in range(0, 8)],
+                    (a, b) -> CASE WHEN struct_extract(b, 's') > struct_extract(a, 's') THEN b ELSE a END),
+                    'i') AS INT) AS s8,
+                  CAST(struct_extract(list_reduce(
+                    [{'s': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT,
+                      'i': i} for i in range(0, 9)],
+                    (a, b) -> CASE WHEN struct_extract(b, 's') > struct_extract(a, 's') THEN b ELSE a END),
+                    'i') AS INT) AS s9
+           FROM documents)
+         SELECT s8, count(*) AS n, count(*) FILTER (WHERE s9 <> s8) AS n_moved
+         FROM s GROUP BY s8 ORDER BY s8""",
+    "q128_overlap_join" ->
+      """WITH a AS (SELECT l_orderkey * 10 + l_linenumber AS a_id,
+                           l_shipdate AS a_start,
+                           l_shipdate + to_days(CAST(l_quantity AS INT) % 10 + 3) AS a_end
+                    FROM lineitem WHERE l_orderkey % 100 = 0),
+         b AS (SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+                      o_orderdate + INTERVAL 7 DAY AS b_end
+               FROM orders WHERE o_orderkey % 500 = 0)
+         SELECT a_id, b_id,
+                date_diff('day', CAST(greatest(a_start, b_start) AS DATE),
+                  CAST(least(a_end, b_end) AS DATE)) AS overlap_days
+         FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+         ORDER BY a_id, b_id""",
   )
 }

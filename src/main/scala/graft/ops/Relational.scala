@@ -171,6 +171,90 @@ object Relational {
           rightCols.map(c => col(s"__rc.$c").as(s"asof_$c")): _*)
   }
 
+  /** Snapshot diff (CDC validation): classify each key as `added` /
+    * `removed` / `changed` / `unchanged` between two table versions, with
+    * the list of differing columns for `changed` rows.
+    *
+    * One full-outer hash join on `keys` — the natural shuffle for the
+    * operation and the only one: content comparison is a per-row null-safe
+    * equality over `compareCols`, no window, no second pass. At 100 TB the
+    * join is the cost floor of any diff; everything else is narrow. For
+    * repeated diffs of the same table pair, bucket both snapshots on
+    * `keys` ([[Storage.writeBucketed]]) and the exchange disappears.
+    *
+    * NULL keys: the join is null-safe (`<=>`), so a NULL-keyed row in both
+    * snapshots compares as the same entity rather than producing a spurious
+    * added+removed pair (standard SQL `=` would never match NULL).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs key columns")
+    val o = oldDf.select((keys ++ compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select((keys ++ compareCols).map(c => col(c).as(s"__n_$c")): _*)
+    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    // presence flags must not depend on key nullability — tag each side
+    val ot = o.withColumn("__in_old", lit(true))
+    val nt = n.withColumn("__in_new", lit(true))
+    val j = ot.join(nt, cond, "full_outer")
+    val diffs = compareCols.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c)).otherwise(lit(null)))
+    val changedCols = concat_ws(",", diffs: _*)
+    val changeType = when(col("__in_old").isNull, lit("added"))
+      .when(col("__in_new").isNull, lit("removed"))
+      .when(changedCols =!= "", lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(
+      keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+        Seq(changeType.as("change_type"),
+          when(changeType === "changed", changedCols).otherwise(lit("")).as("changed_cols")): _*)
+  }
+
+  /** Interval-overlap join: pairs `(a, b)` whose `[aStart, aEnd]` and
+    * `[bStart, bEnd]` ranges overlap — sessions × campaign windows,
+    * shipments × promotions.
+    *
+    * NOT the `aStart <= bEnd AND bStart <= aEnd` theta join (a cartesian
+    * at scale): both sides explode to the fixed-width grid cells their
+    * interval covers and the join is a plain equi-join on the cell. The
+    * classic duplicate problem (a pair overlapping k shared cells appears
+    * k times) is solved at the JOIN CONDITION, not with a distinct: a pair
+    * is emitted only in the FIRST cell both intervals cover,
+    * `cell == greatest(floor(aStart/g), floor(bStart/g))` — exactly-once by
+    * construction, so there is no dedup shuffle afterwards. Cost: each side
+    * is amplified by its interval length in cells (choose `gridSec` near
+    * the typical interval length: amplification ~2×), one hash exchange
+    * per side, candidates bounded by cell occupancy.
+    */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      gridSec: Long): DataFrame = {
+    require(gridSec > 0, "gridSec must be positive")
+    val g = gridSec
+    // degenerate end<start intervals would make sequence() count DOWN and
+    // claim cells the interval never covers — drop them (and NULL bounds,
+    // which explode() drops for free)
+    val ac = a.filter(col(aEnd) >= col(aStart))
+      .withColumn("__c0", floor(unix_timestamp(col(aStart)) / g))
+      .withColumn("__cell", explode(sequence(col("__c0"), floor(unix_timestamp(col(aEnd)) / g))))
+      .drop("__c0")
+    val bc = b.filter(col(bEnd) >= col(bStart))
+      .withColumn("__c0", floor(unix_timestamp(col(bStart)) / g))
+      .withColumn("__cell", explode(sequence(col("__c0"), floor(unix_timestamp(col(bEnd)) / g))))
+      .drop("__c0")
+    val cond = ac("__cell") === bc("__cell") &&
+      ac("__cell") === greatest(
+        floor(unix_timestamp(ac(aStart)) / g), floor(unix_timestamp(bc(bStart)) / g)) &&
+      unix_timestamp(ac(aStart)) <= unix_timestamp(bc(bEnd)) &&
+      unix_timestamp(bc(bStart)) <= unix_timestamp(ac(aEnd))
+    ac.join(bc, cond).drop(ac("__cell")).drop(bc("__cell"))
+  }
+
   /** SCD-type-2 history derivation: each key's version rows become validity
     * intervals — `valid_from` = the version's own timestamp, `valid_to` =
     * the NEXT version's (half-open `[from, to)`), NULL-open with

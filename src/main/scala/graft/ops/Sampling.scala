@@ -169,6 +169,31 @@ object Sampling {
     df.filter(hashBucket(keys.map(col)) < cut)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: the shard of `key`
+    * is `argmax_i hash(key, i)` over the `shards` candidates. Unlike
+    * `hash(key) mod n`, resharding n → n+1 moves only ~1/(n+1) of the keys —
+    * and every key that moves, moves TO the new shard (a moved key's old
+    * argmax is still present, so only a new, higher-scoring candidate can
+    * win). That makes incremental re-sharding of a 100 TB corpus an
+    * append-mostly operation instead of a full rewrite.
+    *
+    * Implemented as a left-to-right fold over the candidate list — a pure
+    * narrow expression, zero shuffles, and the same fold a SQL
+    * `list_reduce` replays for the oracle. Ties (astronomically unlikely on
+    * a 60-bit hash) keep the LOWEST shard index: `>` not `>=` in the fold.
+    */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1, "shards must be positive")
+    val seed = struct(lit(-1L).as("s"), lit(-1).as("i"))
+    aggregate(
+      sequence(lit(0), lit(shards - 1)),
+      seed,
+      (acc, i) => {
+        val sc = Text.hash60(concat(key.cast("string"), lit(":"), i.cast("string")))
+        when(sc > acc.getField("s"), struct(sc.as("s"), i.cast("int").as("i"))).otherwise(acc)
+      }).getField("i")
+  }
+
   /** Train/val/test-style assignment: `weights` are cumulative-normalized;
     * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     */

@@ -20,6 +20,52 @@ object Summaries {
       .agg(count(lit(1)).as(cntName))
       .orderBy(col(cntName).desc, col(key).asc_nulls_first)
 
+  /** Time-series gap-fill with linear interpolation: bucket `ts` to days,
+    * aggregate `valueCol` per (key, day), then materialize every missing day
+    * between each key's first and last observation with a value linearly
+    * interpolated between its observed neighbors. The standard resample step
+    * before any fixed-step time-series model — missing days otherwise
+    * silently shrink windows and skew rates.
+    *
+    * Scale shape: everything is per-key — the day grid comes from a
+    * `sequence`/`explode` of each key's own [min, max] span (rows ∝ output,
+    * no global calendar cross join), the neighbor lookups are
+    * `last/first(_, ignoreNulls)` frame windows inside the key's partition,
+    * and the whole plan carries exactly two hash exchanges (the day
+    * aggregate, then the per-key window). No driver actions, no global sort.
+    * Interpolated rows carry `filled = true`. Endpoints are always observed
+    * (the grid spans observed min→max), so interpolation never extrapolates.
+    */
+  def gapFillInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: Column, unit: String = "day"): DataFrame = {
+    require(Set("day", "hour", "minute").contains(unit), s"unsupported unit $unit")
+    val obs = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(exactSum(valueCol).as("v"))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__d0"), max(col("bucket")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), expr(s"interval 1 $unit"))).as("bucket"))
+    val joined = grid.join(obs, Seq(keyCol, "bucket"), "left")
+    val wAll  = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("bucket"))
+    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+    val prevD = last(obsDay, ignoreNulls = true).over(wPrev)
+    val nextV = first(col("v"), ignoreNulls = true).over(wNext)
+    val nextD = first(obsDay, ignoreNulls = true).over(wNext)
+    // fraction of the prev→next span elapsed at this bucket, in epoch
+    // seconds (unit-agnostic; truncated buckets are whole seconds, exact in
+    // a double either engine). Both endpoints are observed rows, so the
+    // denominator is never zero on a filled row.
+    val frac = (unix_timestamp(col("bucket")) - unix_timestamp(prevD)).cast("double") /
+      (unix_timestamp(nextD) - unix_timestamp(prevD)).cast("double")
+    joined.select(col(keyCol), col("bucket"),
+      when(col("v").isNotNull, col("v"))
+        .otherwise(r4(prevV + (nextV - prevV) * frac)).as("v"),
+      col("v").isNull.as("filled"))
+  }
+
   /** A8 — arbitrary GROUPING SETS as a library operator (not just raw SQL):
     * the reference's two PARALLEL summaries over status and OS
     * (`app.py:245-261`) are exactly `GROUPING SETS ((status),(os))` — one

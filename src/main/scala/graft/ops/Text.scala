@@ -713,6 +713,81 @@ object Text {
       lit(1.0) - size(array_distinct(ngramsCol)).cast("double") / size(ngramsCol).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Tokenizer-design census: the top-`k` tokens by corpus frequency with
+    * each token's cumulative coverage share — "how much of the corpus do the
+    * first N vocabulary entries explain" (the coverage curve that sizes a
+    * vocabulary / decides an OOV cutoff).
+    *
+    * Scale shape: the count aggregate is partially-aggregated and its
+    * shuffle is bounded by VOCABULARY size (Heaps'-law sublinear), not
+    * corpus size; the grand total rides the same aggregate's output as a
+    * one-row broadcast. The only non-distributed step — rank + running sum
+    * — happens AFTER `limit(k)`, over k rows: a single-partition window on
+    * a driver-sized set, by construction, never over the full vocabulary.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val tok = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("__total"))
+    val order  = Seq(col("cnt").desc, col("token").asc)
+    val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(order: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank"), col("token"), col("cnt"),
+        Summaries.r4(col("cum_cnt").cast("double") / col("__total")).as("cum_share"))
+  }
+
+  /** Character-bigram language-model scoring — the cheap perplexity proxy of
+    * corpus quality filtering: fit `p(b|a) = c(ab)/c(a·)` on the corpus
+    * itself, then score each document by its average negative log-likelihood
+    * (nats/bigram). Gibberish, encoding noise, and boilerplate-free
+    * outliers surface as high cross-entropy against the corpus's own
+    * character statistics; no external model needed.
+    *
+    * Scale shape: one explode pass over the text compresses immediately to
+    * per-(doc, bigram) counts — the shuffle carries distinct-bigrams-per-doc
+    * rows, not one row per character; the model (distinct corpus bigrams ≤
+    * alphabet², thousands of rows) re-aggregates from those counts and
+    * broadcast-joins back. Cross-engine determinism: `ln` is quantized to
+    * integer MICRO-NATS (`floor(ln p · 1e6 + 0.5)` as a long) before the
+    * per-doc sum, so accumulation is exact integer math in any order on
+    * both engines — no FP-sum-order or double→decimal-cast hazards.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one row per (doc, distinct bigram) with its in-doc count — the explode
+    // materializes a len-1 array of 2-char strings, never a per-char row
+    // carrying the full text
+    val db = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+          i => col(textCol).substr(i, lit(2)))).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c_db"))
+    // corpus model: bigram counts + context (first-char) totals — vocabulary-
+    // sized, re-aggregated from the compressed (doc, bigram) counts
+    val cab = db.groupBy(col("bg")).agg(sum(col("c_db")).as("c_ab"))
+      .withColumn("__a", substring(col("bg"), 1, 1))
+    val ca = cab.groupBy(col("__a")).agg(sum(col("c_ab")).as("c_a"))
+    val model = cab.join(ca, "__a")
+      .select(col("bg"),
+        floor(log(col("c_ab").cast("double") / col("c_a")) * 1000000 + 0.5)
+          .cast("long").as("__lnp_u"))
+    db.join(broadcast(model), Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_db") * col("__lnp_u")).as("__sum_u"),
+        sum(col("c_db")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        Summaries.r4(-(col("__sum_u").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double"))).as("xent"))
+  }
+
   /** Training-corpus decontamination: drop every corpus document that shares
     * at least one word n-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

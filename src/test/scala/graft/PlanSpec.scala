@@ -215,6 +215,24 @@ class PlanSpec extends AnyFunSuite {
       s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
   }
 
+  test("q128 overlap join: grid-cell equi-join, never a cartesian/NL product") {
+    val p = plan("q128_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must bucket to grid cells, not theta-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on the cell:\n$p")
+  }
+
+  test("q126 charlm: the per-char explode collapses before any exchange") {
+    val p = plan("q126_charlm_quality")
+    // the (doc, bigram) count aggregate must have a map-side partial BELOW
+    // the first exchange, so the shuffle carries compressed counts, not one
+    // row per character of the corpus
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->

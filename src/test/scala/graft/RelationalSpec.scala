@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Relational
 
 class RelationalSpec extends AnyFunSuite {
@@ -108,6 +110,52 @@ class RelationalSpec extends AnyFunSuite {
       // co-located by bucket: no hash-partitioning exchange on either side
       assert(!plan.contains("Exchange hashpartitioning"))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with column lists") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "st", "v")
+    val nw  = Seq((2L, "B", 20.0), (3L, "X", 31.0), (4L, "D", 40.0)).toDF("k", "st", "v")
+    val out = Relational.snapshotDiff(old, nw, Seq("k"), Seq("st", "v"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq == Seq(
+      (1L, "removed", ""), (2L, "unchanged", ""),
+      (3L, "changed", "st,v"), (4L, "added", "")))
+  }
+
+  test("snapshotDiff is null-safe on keys and values") {
+    val old = Seq((Option.empty[Long], Some("A")), (Some(1L), None))
+      .toDF("k", "st")
+    val nw  = Seq((Option.empty[Long], Some("A")), (Some(1L), Some("B")))
+      .toDF("k", "st")
+    val out = Relational.snapshotDiff(old, nw, Seq("k"), Seq("st"))
+      .orderBy(col("k").asc_nulls_first).collect()
+    // NULL key matches NULL key (one unchanged row, not an added+removed pair)
+    assert(out.map(_.getString(1)).toSeq == Seq("unchanged", "changed"))
+  }
+
+  test("overlapJoin equals the naive theta join, each pair exactly once") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-03-15 00:00:00")), // spans many cells
+      (2L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00")),
+      (3L, ts("2024-06-01 00:00:00"), ts("2024-06-10 00:00:00"))
+    ).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, ts("2024-01-20 00:00:00"), ts("2024-02-10 00:00:00")), // overlaps 1 and 2
+      (11L, ts("2024-03-14 00:00:00"), ts("2024-04-01 00:00:00")), // touches 1's end
+      (12L, ts("2024-07-01 00:00:00"), ts("2024-07-02 00:00:00"))  // overlaps nothing
+    ).toDF("b_id", "b_s", "b_e")
+    val got = Relational.overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 7L * 86400)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("overlapJoin drops degenerate end<start intervals instead of mis-bucketing") {
+    val a = Seq((1L, ts("2024-01-10 00:00:00"), ts("2024-01-01 00:00:00"))).toDF("a_id", "a_s", "a_e")
+    val b = Seq((2L, ts("2024-01-01 00:00:00"), ts("2024-01-31 00:00:00"))).toDF("b_id", "b_s", "b_e")
+    assert(Relational.overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 86400).count() == 0)
   }
 
   test("asOfJoin carries right rows WHOLESALE: NULLs don't stitch across rows") {

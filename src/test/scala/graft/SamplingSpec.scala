@@ -153,4 +153,22 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(again == counts)
   }
+
+  test("rendezvousShard: every key that moves on n→n+1 moves TO the new shard") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+      .select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("id"), 9).as("s9"))
+      .cache()
+    val moved = df.filter(col("s8") =!= col("s9"))
+    // the HRW property: a key only moves when the ADDED candidate out-scores
+    // its old winner, so its new shard is always the added one
+    assert(moved.filter(col("s9") =!= 8).count() == 0)
+    // ~1/9 of keys move (binomial bounds, generous)
+    val m = moved.count()
+    assert(m > 2000 / 9 / 2 && m < 2000 / 9 * 2, s"moved $m of 2000")
+    // every shard in [0, 8) is populated
+    assert(df.select("s8").distinct().count() == 8)
+    df.unpersist()
+  }
 }

@@ -149,4 +149,34 @@ class SummariesSpec extends AnyFunSuite {
     assert(out(None)._2 == 0.1 && out(None)._3 == 0.6)
     assert(math.abs(out(None)._4 - 0.5 * math.log(6.0)) < 1e-12)
   }
+
+  test("gapFillInterpolate fills interior gaps linearly, never extrapolates") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: days 1, 4 observed (10, 40) → days 2, 3 interpolated 20, 30
+    // key 2: single observation → single row, no fill
+    val df = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 10.0),
+      (1L, ts("2024-01-04 19:00:00"), 40.0),
+      (2L, ts("2024-02-01 00:00:00"), 7.0)).toDF("k", "ts", "v")
+    val out = graft.ops.Summaries.gapFillInterpolate(df, "k", "ts", col("v"))
+      .orderBy("k", "bucket")
+      .as[(Long, java.sql.Timestamp, Double, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 10.0, false), (1L, 20.0, true), (1L, 30.0, true), (1L, 40.0, false),
+      (2L, 7.0, false)))
+    // grid spans observed min..max only — 4 rows for key 1, 1 for key 2
+    assert(out.map(_._1).groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1L -> 4, 2L -> 1))
+  }
+
+  test("gapFillInterpolate aggregates multiple observations per bucket first") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1.5),
+      (1L, ts("2024-01-01 23:00:00"), 2.5),
+      (1L, ts("2024-01-03 00:00:00"), 8.0)).toDF("k", "ts", "v")
+    val out = graft.ops.Summaries.gapFillInterpolate(df, "k", "ts", col("v"))
+      .orderBy("bucket").as[(Long, java.sql.Timestamp, Double, Boolean)].collect()
+    assert(out.map(_._3).toSeq == Seq(4.0, 6.0, 8.0)) // day1 sums to 4.0
+  }
 }

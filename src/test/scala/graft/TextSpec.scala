@@ -293,4 +293,33 @@ class TextSpec extends AnyFunSuite {
     assert(out.toMap == Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
     assert(out == out.sortBy(p => (-p._2, p._1))) // (cnt desc, pair) order
   }
+
+  test("vocabCoverage: counts, deterministic order, cumulative share reaches 1") {
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "a b c"),
+      (3L, "  ")).toDF("doc_id", "text") // whitespace-only doc contributes nothing
+    val out = Text.vocabCoverage(docs, "text", 10)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+    // shares over total 7: 4/7, 6/7, 7/7 (r4-rounded)
+    assert(out.map(_._4) == Seq(0.5714, 0.8571, 1.0))
+  }
+
+  test("bigramLmScore: per-context bigram probabilities, micro-nat precision") {
+    // corpus bigrams: aa×3 (doc 1), ab×2 + ba×1 (doc 2), zq×1 (doc 3)
+    // contexts: 'a' → 5 (aa 3 + ab 2), 'b' → 1, 'z' → 1
+    val docs = Seq(
+      (1L, "aaaa"),
+      (2L, "abab"),
+      (3L, "zq")).toDF("doc_id", "text")
+    val out = Text.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: 3× aa, p = 3/5 → xent = -ln 0.6 ≈ 0.5108
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 0.5108) < 1e-9)
+    // doc 3: zq is its context's only bigram → p = 1 → xent 0
+    assert(out(3L) == ((1L, 0.0)))
+    // doc 2: 2× ab (p = 2/5) + 1× ba (p = 1) → (2·(-ln 0.4))/3 ≈ 0.6109
+    assert(math.abs(out(2L)._2 - 0.6109) < 1e-9)
+  }
 }
