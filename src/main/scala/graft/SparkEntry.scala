@@ -1411,6 +1411,47 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Declarative data-quality gate: five constraint classes over lineitem
+    // (row rules fuse into one aggregate pass; unique = one key aggregate;
+    // FK = one anti-join). The synthetic data genuinely violates c2/c4.
+    "q129_quality_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Constraints.check(li, Seq(
+        Constraints.NotNull("c1_shipdate_not_null", "l_shipdate"),
+        Constraints.InRange("c2_discount_range", "l_discount", 0.0, 0.05),
+        Constraints.Matches("c3_returnflag_domain", "l_returnflag", "^[ARN]$"),
+        Constraints.Unique("c4_line_unique", Seq("l_orderkey", "l_linenumber")),
+        Constraints.RefIntegrity("c5_order_fk", "l_orderkey", t(s, d, "orders"), "o_orderkey")))
+    }),
+
+    // Per-group OLS trend of event value over days — drift monitoring
+    "q130_trend" -> ((s, d) => {
+      Summaries.groupTrend(
+          t(s, d, "events")
+            .withColumn("__x", datediff(col("ts"), lit("2024-01-01").cast("timestamp"))),
+          "event_type", col("__x"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Mutual information decomposition between lang and source
+    "q131_mutual_info" -> ((s, d) =>
+      Summaries.mutualInfoCells(t(s, d, "documents"), "lang", "source")
+        .orderBy(col("lang"), col("source"))),
+
+    // Per-user EWMA of event values (α=0.75; exact-binary 1−α for replay)
+    "q132_ewma" -> ((s, d) =>
+      Summaries.ewmaLast(t(s, d, "events"), "user_id", "ts", col("value"), 0.75, "event_id")
+        .orderBy(col("user_id"))),
+
+    // Contamination report: overlap fraction of corpus docs' 5-gram sets
+    // against the benchmark slice (doc_id %97==0), not just a boolean drop
+    "q133_contamination_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Text.contaminationScore(docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -2703,5 +2744,86 @@ object SparkEntry {
                   CAST(least(a_end, b_end) AS DATE)) AS overlap_days
          FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
          ORDER BY a_id, b_id""",
+    "q129_quality_rules" ->
+      """SELECT 'c1_shipdate_not_null' AS rule,
+                count(*) FILTER (WHERE l_shipdate IS NULL) AS violations FROM lineitem
+         UNION ALL
+         SELECT 'c2_discount_range',
+                count(*) FILTER (WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.05))
+         FROM lineitem
+         UNION ALL
+         SELECT 'c3_returnflag_domain',
+                count(*) FILTER (WHERE NOT regexp_matches(l_returnflag, '^[ARN]$'))
+         FROM lineitem
+         UNION ALL
+         SELECT 'c4_line_unique', coalesce(CAST(sum(cnt - 1) AS BIGINT), 0)
+         FROM (SELECT count(*) cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         WHERE cnt > 1
+         UNION ALL
+         SELECT 'c5_order_fk', count(*)
+         FROM lineitem
+         WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         ORDER BY rule""",
+    "q130_trend" ->
+      """WITH pts AS (SELECT event_type,
+                             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                             value FROM events),
+         m AS (SELECT event_type,
+                      count(*) AS cnt,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(x * value AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+               FROM pts GROUP BY event_type),
+         f AS (SELECT event_type, cnt, n, sx, sy,
+                      n * sxx - sx * sx AS den,
+                      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+               FROM m)
+         SELECT event_type, CAST(cnt AS BIGINT) AS n,
+                CASE WHEN den <> 0.0
+                     THEN floor(slope * 10000 + 0.5) / 10000 END AS slope,
+                CASE WHEN den <> 0.0
+                     THEN floor((sy - slope * sx) / n * 10000 + 0.5) / 10000 END AS intercept
+         FROM f ORDER BY event_type""",
+    "q131_mutual_info" ->
+      """WITH j AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+         t AS (SELECT sum(c) AS N FROM j),
+         ma AS (SELECT lang, sum(c) AS ca FROM j GROUP BY lang),
+         mb AS (SELECT source, sum(c) AS cb FROM j GROUP BY source)
+         SELECT j.lang, j.source, j.c,
+                floor(CAST(j.c AS DOUBLE) / N *
+                  ln((CAST(j.c AS DOUBLE) * N) / (CAST(ca AS DOUBLE) * cb))
+                  * 1000000 + 0.5) / 1000000 AS mi_term
+         FROM j JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN t
+         ORDER BY lang, source""",
+    "q132_ewma" ->
+      """WITH ys AS (SELECT user_id, count(*) AS n,
+                            list(value ORDER BY ts, event_id) AS v
+                     FROM events GROUP BY user_id)
+         SELECT user_id, n,
+                floor(list_reduce(v, (a, b) -> a * 0.75 + b * 0.25) * 10000 + 0.5) / 10000
+                  AS ewma
+         FROM ys ORDER BY user_id""",
+    "q133_contamination_score" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         benchset AS (
+           SELECT DISTINCT unnest(list_distinct([array_to_string(list_slice(tk, i, i+4), ' ')
+                                                 for i in range(1, len(tk)-3)])) s
+           FROM (SELECT string_split_regex(lower(trim(text)), '\s+') tk
+                 FROM documents WHERE doc_id % 97 = 0)),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(list_slice(tk, i, i+4), ' ')
+                                             for i in range(1, len(tk)-3)])) s
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+                      FROM corpus)),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         shr AS (SELECT doc_id, count(*) AS n_shared FROM sh
+                 WHERE s IN (SELECT s FROM benchset) GROUP BY doc_id)
+         SELECT shr.doc_id, shr.n_shared, tot.n_shingles,
+                floor(CAST(shr.n_shared AS DOUBLE) / tot.n_shingles * 10000 + 0.5) / 10000
+                  AS frac
+         FROM shr JOIN tot USING (doc_id) ORDER BY doc_id""",
   )
 }

@@ -66,6 +66,84 @@ object Summaries {
       col("v").isNull.as("filled"))
   }
 
+  /** Per-group ordinary-least-squares trend: closed-form slope/intercept of
+    * `y` against `x` from the four sufficient moments (Σx, Σy, Σxy, Σx²) —
+    * the "is this metric drifting" primitive of monitoring pipelines.
+    *
+    * Moments are DECIMAL-accumulated (exact, order-free) so the result is
+    * identical for any partitioning; the closed form then runs on the four
+    * merged scalars. One partial+final aggregate, no window, no second
+    * pass. Groups where x is constant get NULL slope/intercept (the fit is
+    * undefined), not a division blow-up.
+    */
+  def groupTrend(df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame = {
+    val m = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x.cast("decimal(27,6)")).cast("double").as("__sx"),
+      sum(y.cast("decimal(27,6)")).cast("double").as("__sy"),
+      sum((x * y).cast("decimal(27,6)")).cast("double").as("__sxy"),
+      sum((x * x).cast("decimal(27,6)")).cast("double").as("__sxx"))
+    val den = m("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (m("__n") * col("__sxy") - col("__sx") * col("__sy")) / den
+    m.select(col(keyCol), col("__n").cast("long").as("n"),
+      when(den =!= 0.0, r4(slope)).as("slope"),
+      when(den =!= 0.0,
+        r4((col("__sy") - slope * col("__sx")) / m("__n"))).as("intercept"))
+  }
+
+  /** Mutual information between two categorical columns, reported as the
+    * per-cell decomposition `p(a,b) · ln(p(a,b)/(p(a)·p(b)))` — which
+    * (lang, source) cells actually carry the association, not just the
+    * total. Feature-selection / leakage-detection primitive.
+    *
+    * One hash aggregate builds the joint contingency table; the marginals
+    * re-aggregate from it (tiny) and broadcast back, with the grand total
+    * as a one-row broadcast. Probabilities are formed in double space
+    * (`c·N / (ca·cb)` would overflow integer space at corpus scale), and
+    * the ln term is quantized to 1e-6 like every cross-engine log here.
+    */
+  def mutualInfoCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("c"))
+    val tot = joint.agg(sum(col("c")).as("__N"))
+    val ma  = joint.groupBy(col(aCol)).agg(sum(col("c")).as("__ca"))
+    val mb  = joint.groupBy(col(bCol)).agg(sum(col("c")).as("__cb"))
+    val ratio = (col("c").cast("double") * col("__N")) /
+      (col("__ca").cast("double") * col("__cb"))
+    joint.join(broadcast(ma), Seq(aCol)).join(broadcast(mb), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("c"),
+        (floor(col("c").cast("double") / col("__N") * log(ratio) * 1000000 + 0.5) /
+          1000000).as("mi_term"))
+  }
+
+  /** Per-key exponentially-weighted moving average (final smoothed value):
+    * the `s ← α·s + (1−α)·y` recurrence folded over the key's events in
+    * (ts, tieBreak) order. Seed is the first observation.
+    *
+    * A recurrence is not window-expressible without an exponential-weight
+    * running sum that overflows doubles on long histories, so each key's
+    * series is collected into ONE ordered in-memory array and folded —
+    * correct and exactly replayable by a SQL `list_reduce`. CONTRACT: the
+    * per-key history must fit in executor memory (fine for per-user event
+    * streams; for unbounded keys use the streaming sessionizer's
+    * mapGroupsWithState shape instead). Pick α such that 1−α is exact in
+    * binary (0.75, 0.5) when an oracle must replay the arithmetic.
+    */
+  def ewmaLast(df: DataFrame, keyCol: String, tsCol: String, valueCol: Column,
+      alpha: Double, tieBreak: String): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val ys = transform(
+      sort_array(collect_list(struct(col(tsCol), col(tieBreak), valueCol.as("y")))),
+      s => s.getField("y"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), ys.as("__ys"))
+      .select(col(keyCol), col("n"),
+        r4(aggregate(
+          slice(col("__ys"), lit(2), size(col("__ys")) - 1),
+          element_at(col("__ys"), 1),
+          (acc, y) => acc * lit(alpha) + y * (lit(1.0) - lit(alpha)))).as("ewma"))
+  }
+
   /** A8 — arbitrary GROUPING SETS as a library operator (not just raw SQL):
     * the reference's two PARALLEL summaries over status and OS
     * (`app.py:245-261`) are exactly `GROUPING SETS ((status),(os))` — one

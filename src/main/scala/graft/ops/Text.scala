@@ -788,6 +788,40 @@ object Text {
           col("n_bigrams").cast("double"))).as("xent"))
   }
 
+  /** Contamination REPORT (the measuring companion of [[decontaminate]]):
+    * for every corpus document sharing at least one word n-gram with the
+    * benchmark set, the overlap fraction `shared / total distinct n-grams` —
+    * the evidence a curation run logs before deciding a drop threshold,
+    * rather than a silent boolean.
+    *
+    * Same scale shape as [[decontaminate]]: the benchmark n-gram set is
+    * tiny and sits on the build side of a semi-join against the corpus's
+    * exploded distinct shingles; per-doc totals and shared counts are
+    * partial-aggregated on (doc, shingle) rows, never raw text. Docs with
+    * zero overlap are absent from the report by construction (the common
+    * case at any healthy contamination rate, so the report stays small).
+    */
+  def contaminationScore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int): DataFrame = {
+    val corpusSh = corpus
+      .select(col(idCol), explode(shinglesOf(col(textCol), n)).as("__s"))
+    val benchGrams = bench
+      .select(explode(shinglesOf(col(benchTextCol), n)).as("__s"))
+      .distinct()
+    val totals = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val shared = corpusSh
+      .join(benchGrams, Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    shared.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_shared"), col("n_shingles"),
+        Summaries.r4(col("n_shared").cast("double") / col("n_shingles")).as("frac"))
+  }
+
   /** Training-corpus decontamination: drop every corpus document that shares
     * at least one word n-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

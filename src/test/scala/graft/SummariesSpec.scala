@@ -169,6 +169,41 @@ class SummariesSpec extends AnyFunSuite {
       Map(1L -> 4, 2L -> 1))
   }
 
+  test("groupTrend recovers an exact linear relation; constant x yields NULLs") {
+    val pts = (0 to 10).map(x => ("up", x, 2.5 * x + 1.0)) ++
+      (0 to 5).map(_ => ("flat", 3, 9.9))
+    val out = graft.ops.Summaries.groupTrend(pts.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("up") == (("up", 11L, Some(2.5), Some(1.0))))
+    assert(out("flat") == (("flat", 6L, None, None))) // undefined fit, not Inf/NaN
+  }
+
+  test("mutualInfoCells: independent columns → ~0 terms; dependent → ln 2 total") {
+    // perfectly dependent: a == b over two symbols, 4 rows each
+    val dep = (Seq.fill(4)(("x", "x")) ++ Seq.fill(4)(("y", "y"))).toDF("a", "b")
+    val depOut = graft.ops.Summaries.mutualInfoCells(dep, "a", "b")
+      .as[(String, String, Long, Double)].collect()
+    assert(math.abs(depOut.map(_._4).sum - math.log(2.0)) < 1e-5)
+    // independent uniform 2×2: every term 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val indOut = graft.ops.Summaries.mutualInfoCells(ind, "a", "b")
+      .as[(String, String, Long, Double)].collect()
+    assert(indOut.forall(_._4 == 0.0))
+  }
+
+  test("ewmaLast folds in (ts, tieBreak) order from the first observation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:02"), 3L, 8.0),
+      (1L, ts("2024-01-01 00:00:01"), 2L, 4.0), // order: 4, 8 (by ts)
+      (2L, ts("2024-01-01 00:00:01"), 1L, 5.0)).toDF("k", "ts", "eid", "v")
+    val out = graft.ops.Summaries.ewmaLast(df, "k", "ts", col("v"), 0.75, "eid")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, 0.75 * 4.0 + 0.25 * 8.0))) // 5.0
+    assert(out(2L) == ((1L, 5.0)))                      // single point = itself
+  }
+
   test("gapFillInterpolate aggregates multiple observations per bucket first") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

@@ -306,6 +306,19 @@ class TextSpec extends AnyFunSuite {
     assert(out.map(_._4) == Seq(0.5714, 0.8571, 1.0))
   }
 
+  test("contaminationScore reports overlap fractions, omits clean docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it"),   // shares the 5-gram prefix
+      (2L, "completely unrelated text with nothing shared here"),
+      (3L, "the quick brown fox jumps")).toDF("doc_id", "text") // 1 shingle, shared
+    val bench = Seq((100L, "the quick brown fox jumps high today")).toDF("doc_id", "text")
+    val out = Text.contaminationScore(corpus, "doc_id", "text", bench, "text", 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(2L))                 // clean doc absent from the report
+    assert(out(1L) == ((1L, 1L, 3L, 0.3333))) // 1 of 3 shingles shared
+    assert(out(3L) == ((3L, 1L, 1L, 1.0)))    // fully contained
+  }
+
   test("bigramLmScore: per-context bigram probabilities, micro-nat precision") {
     // corpus bigrams: aa×3 (doc 1), ab×2 + ba×1 (doc 2), zq×1 (doc 3)
     // contexts: 'a' → 5 (aa 3 + ab 2), 'b' → 1, 'z' → 1
