@@ -2660,9 +2660,11 @@ object SparkEntry {
                 CASE WHEN change_type = 'changed' THEN cc ELSE '' END AS changed_cols
          FROM j WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
     "q124_gapfill" ->
-      """WITH obs AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
-                             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
-                      FROM events WHERE user_id % 100 = 0 GROUP BY user_id, bucket),
+      """WITH obs AS (SELECT * FROM (
+                        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+                        FROM events WHERE user_id % 100 = 0 GROUP BY user_id, bucket)
+                      WHERE bucket IS NOT NULL AND v IS NOT NULL),
          grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS bucket
                   FROM (SELECT user_id, min(bucket) d0, max(bucket) d1 FROM obs GROUP BY user_id)),
          j AS (SELECT g.user_id, g.bucket, o.v
@@ -2768,7 +2770,8 @@ object SparkEntry {
     "q130_trend" ->
       """WITH pts AS (SELECT event_type,
                              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-                             value FROM events),
+                             value FROM events
+                      WHERE ts IS NOT NULL AND value IS NOT NULL),
          m AS (SELECT event_type,
                       count(*) AS cnt,
                       CAST(count(*) AS DOUBLE) AS n,

@@ -32,7 +32,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Filter the oracle dump by the same prefixes as the result dump —
+    // otherwise a partial run makes tools/verify_local.py fail every
+    // declared-but-undumped query and exit 1.
+    val oracle =
+      if (only.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.filter { case (n, _) => only.exists(n.startsWith) }
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -50,6 +50,7 @@ object Constraints {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules declared")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    require(rules.forall(!_.name.contains("`")), "rule names must not contain backticks")
     val rowConds: Seq[(String, Column)] = rules.collect {
       case NotNull(n, c)        => n -> col(c).isNull
       case InRange(n, c, lo, hi) => n -> !(col(c) >= lo && col(c) <= hi)
@@ -59,7 +60,9 @@ object Constraints {
     if (rowConds.nonEmpty) {
       val aggs = rowConds.map { case (n, cond) => count(when(cond, 1)).as(n) }
       parts += df.agg(aggs.head, aggs.tail: _*)
-        .unpivot(Array.empty[Column], rowConds.map(p => col(p._1)).toArray,
+        // backtick-quote: a rule name containing '.' must stay a single
+        // column reference, not parse as a nested-field access
+        .unpivot(Array.empty[Column], rowConds.map(p => col(s"`${p._1}`")).toArray,
           "rule", "violations")
     }
     rules.foreach {

@@ -185,6 +185,12 @@ object Relational {
     * NULL keys: the join is null-safe (`<=>`), so a NULL-keyed row in both
     * snapshots compares as the same entity rather than producing a spurious
     * added+removed pair (standard SQL `=` would never match NULL).
+    *
+    * PRECONDITION: `keys` must identify rows uniquely in EACH snapshot —
+    * duplicate keys make the full-outer join fan out and the report emits
+    * one (possibly contradictory) classification per matched pair. Dedup
+    * first ([[Dedup.keepLatest]]) or certify with
+    * [[Constraints.Unique]] when uniqueness is not structural.
     */
   def snapshotDiff(
       oldDf: DataFrame,

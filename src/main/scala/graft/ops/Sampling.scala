@@ -181,17 +181,20 @@ object Sampling {
     * narrow expression, zero shuffles, and the same fold a SQL
     * `list_reduce` replays for the oracle. Ties (astronomically unlikely on
     * a 60-bit hash) keep the LOWEST shard index: `>` not `>=` in the fold.
+    * A NULL key yields a NULL shard (SQL convention), never a silent
+    * out-of-range id.
     */
   def rendezvousShard(key: Column, shards: Int): Column = {
     require(shards >= 1, "shards must be positive")
     val seed = struct(lit(-1L).as("s"), lit(-1).as("i"))
-    aggregate(
+    val win = aggregate(
       sequence(lit(0), lit(shards - 1)),
       seed,
       (acc, i) => {
         val sc = Text.hash60(concat(key.cast("string"), lit(":"), i.cast("string")))
         when(sc > acc.getField("s"), struct(sc.as("s"), i.cast("int").as("i"))).otherwise(acc)
       }).getField("i")
+    when(key.isNotNull, win)
   }
 
   /** Train/val/test-style assignment: `weights` are cumulative-normalized;

@@ -35,12 +35,19 @@ object Summaries {
     * aggregate, then the per-key window). No driver actions, no global sort.
     * Interpolated rows carry `filled = true`. Endpoints are always observed
     * (the grid spans observed min→max), so interpolation never extrapolates.
+    *
+    * A bucket whose every row has a NULL value (or a NULL timestamp) is not
+    * an observation: it is dropped from the anchor set and treated as a gap
+    * like any missing day — otherwise an all-NULL first/last bucket would
+    * anchor the grid yet have nothing to interpolate from, breaking the
+    * observed-endpoints invariant above.
     */
   def gapFillInterpolate(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: Column, unit: String = "day"): DataFrame = {
     require(Set("day", "hour", "minute").contains(unit), s"unsupported unit $unit")
     val obs = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(exactSum(valueCol).as("v"))
+      .filter(col("bucket").isNotNull && col("v").isNotNull)
     val grid = obs.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__d0"), max(col("bucket")).as("__d1"))
       .select(col(keyCol),
@@ -74,10 +81,13 @@ object Summaries {
     * identical for any partitioning; the closed form then runs on the four
     * merged scalars. One partial+final aggregate, no window, no second
     * pass. Groups where x is constant get NULL slope/intercept (the fit is
-    * undefined), not a division blow-up.
+    * undefined), not a division blow-up. Rows with a NULL x or y are
+    * excluded from the fit ENTIRELY — mixing `count(*)` with NULL-skipping
+    * sums would silently bend the slope (n counts a point the moments never
+    * saw); `n` reports the points actually fitted.
     */
   def groupTrend(df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame = {
-    val m = df.groupBy(col(keyCol)).agg(
+    val m = df.filter(x.isNotNull && y.isNotNull).groupBy(col(keyCol)).agg(
       count(lit(1)).cast("double").as("__n"),
       sum(x.cast("decimal(27,6)")).cast("double").as("__sx"),
       sum(y.cast("decimal(27,6)")).cast("double").as("__sy"),

@@ -53,4 +53,14 @@ class ConstraintsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(out == Map("u" -> 1L, "fk" -> 1L)) // NULL k is never an orphan; 9 is
   }
+
+  test("rule names containing dots survive the unpivot; backticks are rejected") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "v")
+    val out = Constraints.check(df, Seq(NotNull("v.not_null", "v")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("v.not_null" -> 1L))
+    intercept[IllegalArgumentException] {
+      Constraints.check(df, Seq(NotNull("bad`name", "v")))
+    }
+  }
 }

@@ -231,6 +231,12 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.forall(!_.contains("text#")),
       s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
+    // plans print top-down, so "below the first exchange" = larger index:
+    // a partial count must execute before (deeper than) the first shuffle
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    assert(firstEx >= 0, s"expected a hash exchange:\n$p")
+    assert(p.indexOf("partial_count", firstEx) > firstEx,
+      s"the bigram count needs a map-side partial below the first exchange:\n$p")
   }
 
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
