@@ -1452,6 +1452,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Join-key skew pre-flight: top-20 heaviest user_ids with share + skew
+    "q134_skew_report" -> ((s, d) =>
+      Summaries.keySkewReport(t(s, d, "events"), "user_id", 20)),
+
+    // Rank-sum (Mann-Whitney) AUC per event_type: synthetic label vs value
+    "q135_auc" -> ((s, d) =>
+      Summaries.rankAuc(t(s, d, "events"), "event_type",
+        col("user_id") % 3 === 0, col("value"))),
+
+    // Two-sample KS distance between view-event and purchase-event values
+    "q136_ks_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Summaries.ksDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), col("value"))
+    }),
+
+    // Chi-square independence cells for lang × source (full grid)
+    "q137_chi2_cells" -> ((s, d) =>
+      Summaries.chiSquareCells(t(s, d, "documents"), "lang", "source")),
+
+    // First-order Markov transition matrix of per-user event sequences
+    "q138_transitions" -> ((s, d) =>
+      Summaries.transitionMatrix(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+
+    // Temperature-scaled source mixing weights (α = 0.5 upsamples the tail)
+    "q139_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureWeights(t(s, d, "documents"), "source", 0.5)),
+
+    // Per-user time-weighted average of event values (irregular sampling)
+    "q140_twap" -> ((s, d) =>
+      Summaries.timeWeightedAvg(t(s, d, "events"), "user_id", "ts",
+        col("value"), "event_id")),
+
+    // Robust median/MAD outliers on a cubed (heavy-tailed) value, per type
+    "q141_mad_outliers" -> ((s, d) =>
+      Curation.madOutliers(t(s, d, "events"), "event_type",
+        col("value") * col("value") * col("value"), "event_id", k = 3.5)),
+
+    // Per-type winsorization at [p05, p95] (exact order-statistic bounds)
+    "q142_winsorize" -> ((s, d) =>
+      Curation.winsorize(t(s, d, "events"), "event_type", col("value"), "event_id")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("clipped"), col("was_clipped"))
+        .orderBy(col("event_id"))),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -2828,5 +2875,168 @@ object SparkEntry {
                 floor(CAST(shr.n_shared AS DOUBLE) / tot.n_shingles * 10000 + 0.5) / 10000
                   AS frac
          FROM shr JOIN tot USING (doc_id) ORDER BY doc_id""",
+
+    "q134_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c)
+         SELECT user_id, n,
+                floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS share,
+                floor(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 10000 + 0.5) / 10000 AS skew
+         FROM c CROSS JOIN t ORDER BY n DESC, user_id NULLS FIRST LIMIT 20""",
+
+    "q135_auc" ->
+      """WITH d AS (SELECT event_type, (user_id % 3 = 0) AS y, CAST(value AS DOUBLE) AS s
+                    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         r AS (SELECT event_type, y,
+                      rank() OVER (PARTITION BY event_type ORDER BY s)
+                        + CAST(count(*) OVER (PARTITION BY event_type, s) - 1 AS DOUBLE) / 2.0
+                        AS mr
+               FROM d),
+         g AS (SELECT event_type,
+                      count(*) FILTER (WHERE y) AS n_pos,
+                      count(*) FILTER (WHERE NOT y) AS n_neg,
+                      sum(mr) FILTER (WHERE y) AS sr
+               FROM r GROUP BY event_type)
+         SELECT event_type, n_pos, n_neg,
+                CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  floor((sr - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2)
+                        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                        * 10000 + 0.5) / 10000
+                END AS auc
+         FROM g ORDER BY event_type""",
+
+    "q136_ks_drift" ->
+      """WITH pv AS (
+           SELECT v, count(*) FILTER (WHERE src = 0) AS ca,
+                     count(*) FILTER (WHERE src = 1) AS cb
+           FROM (SELECT CAST(value AS DOUBLE) AS v, 0 AS src FROM events
+                 WHERE event_type = 'view' AND value IS NOT NULL
+                 UNION ALL
+                 SELECT CAST(value AS DOUBLE), 1 FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL)
+           GROUP BY v),
+         c AS (SELECT
+                 sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                 sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+               FROM pv)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
+         FROM c""",
+
+    "q137_chi2_cells" ->
+      """WITH j AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM j),
+         ma AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY lang),
+         mb AS (SELECT source, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY source)
+         SELECT ma.lang, mb.source, COALESCE(c, 0) AS observed,
+                floor(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(N AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS expected,
+                floor((CAST(COALESCE(c, 0) AS DOUBLE)
+                        - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
+                      * (CAST(COALESCE(c, 0) AS DOUBLE)
+                        - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
+                      / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
+                      * 1000000 + 0.5) / 1000000 AS chi2_term
+         FROM ma CROSS JOIN mb
+         LEFT JOIN j ON ma.lang = j.lang AND mb.source = j.source
+         CROSS JOIN t ORDER BY ma.lang, mb.source""",
+
+    "q138_transitions" ->
+      """WITH s AS (SELECT event_type AS from_state,
+                           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS to_state
+                    FROM events),
+         m AS (SELECT from_state, to_state, count(*) AS n FROM s
+               WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
+         SELECT from_state, to_state, n,
+                floor(CAST(n AS DOUBLE)
+                      / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)
+                      * 10000 + 0.5) / 10000 AS p
+         FROM m ORDER BY from_state, to_state""",
+
+    "q139_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM c),
+         w1 AS (SELECT source, n,
+                       CAST(n AS DOUBLE) / CAST(grand AS DOUBLE) AS p,
+                       floor(pow(CAST(n AS DOUBLE) / CAST(grand AS DOUBLE), 0.5)
+                         * 1000000 + 0.5) / 1000000 AS tq
+                FROM c CROSS JOIN t),
+         d AS (SELECT list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(tq ORDER BY source NULLS FIRST)),
+                        (acc, x) -> acc + x) AS denom
+               FROM w1)
+         SELECT source, n,
+                floor(p * 10000 + 0.5) / 10000 AS p,
+                floor(tq / denom * 10000 + 0.5) / 10000 AS w,
+                floor(tq / denom / p * 10000 + 0.5) / 10000 AS boost
+         FROM w1 CROSS JOIN d ORDER BY source""",
+
+    "q140_twap" ->
+      """WITH d AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v FROM events
+                    WHERE ts IS NOT NULL AND value IS NOT NULL),
+         l AS (SELECT user_id, v,
+                      CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                        AS BIGINT)
+                      - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+               FROM d),
+         g AS (SELECT user_id,
+                      CAST(sum(CAST(v AS DECIMAL(27,6)) * dur) AS DOUBLE) AS wv,
+                      CAST(sum(dur) AS BIGINT) AS span_s
+               FROM l WHERE dur IS NOT NULL GROUP BY user_id)
+         SELECT user_id, span_s,
+                CASE WHEN span_s > 0 THEN
+                  floor(wv / CAST(span_s AS DOUBLE) * 10000 + 0.5) / 10000
+                END AS twap
+         FROM g ORDER BY user_id""",
+
+    "q141_mad_outliers" ->
+      """WITH d AS (SELECT event_type, event_id, value * value * value AS v FROM events
+                    WHERE value IS NOT NULL),
+         r1 AS (SELECT event_type, event_id, v,
+                       row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d),
+         med AS (SELECT event_type, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+         dev AS (SELECT d.event_type, d.event_id, d.v, med.med, abs(d.v - med.med) AS adev
+                 FROM d JOIN med USING (event_type)),
+         r2 AS (SELECT event_type, adev,
+                       row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+         mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT dev.event_type, dev.event_id, dev.v AS value, dev.med, mad.mad,
+                floor(0.6745 * (dev.v - dev.med) / mad.mad * 10000 + 0.5) / 10000 AS score
+         FROM dev JOIN mad USING (event_type)
+         WHERE mad.mad > 0 AND abs(0.6745 * (dev.v - dev.med) / mad.mad) > 3.5
+         ORDER BY event_type, event_id""",
+
+    "q142_winsorize" ->
+      """WITH d AS (SELECT event_id, event_type, value, CAST(value AS DOUBLE) AS v
+                    FROM events),
+         r AS (SELECT event_id, event_type, value, v,
+                      CASE WHEN v IS NOT NULL THEN
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY v NULLS LAST, event_id) END AS rn,
+                      count(v) OVER (PARTITION BY event_type) AS n
+               FROM d),
+         b AS (SELECT *,
+                      CAST(floor((n - 1) * 0.05) + 1 AS BIGINT) AS ilo,
+                      CAST(floor((n - 1) * 0.95) + 1 AS BIGINT) AS ihi
+               FROM r),
+         w AS (SELECT *,
+                      max(CASE WHEN rn = ilo THEN v END) OVER (PARTITION BY event_type) AS vlo,
+                      max(CASE WHEN rn = ihi THEN v END) OVER (PARTITION BY event_type) AS vhi
+               FROM b)
+         SELECT event_id, event_type, value,
+                CASE WHEN v IS NOT NULL THEN least(greatest(v, vlo), vhi) END AS clipped,
+                CASE WHEN v IS NOT NULL THEN least(greatest(v, vlo), vhi) END <> v
+                  AS was_clipped
+         FROM w ORDER BY event_id""",
   )
 }

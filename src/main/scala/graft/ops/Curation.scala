@@ -261,4 +261,87 @@ object Curation {
         when(run > 0.0d, ent - (run / n) * log2(run / n)).otherwise(ent)
       })
   }
+
+  /** Robust per-group outlier detection via median/MAD (modified z-score,
+    * Iglewicz–Hoaglin: flag when |0.6745·(x−median)/MAD| > k, k ≈ 3.5).
+    * The mean/σ version ([[zScoreOutliers]]) is itself dragged by the
+    * outliers it hunts; median and MAD have a 50% breakdown point, which is
+    * what heavy-tailed quality metrics (exp-scaled scores, token counts)
+    * need.
+    *
+    * Both medians are the LOWER MEDIAN — the exact order statistic at
+    * position ⌈n/2⌉ in (value, id) order — not an interpolated midpoint:
+    * an element of the data, engine-agnostic (interpolation formulas
+    * differ bit-wise across engines), and still a valid robust center.
+    * Groups with MAD = 0 (≥ half the group identical) flag nothing —
+    * score undefined, not infinite. NULL values are excluded.
+    *
+    * Scale shape: two per-group sort windows and two small joins, all on
+    * the same group key — AQE coalesces to ~3 exchanges of narrow rows;
+    * nothing global, no driver math.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, value: Column, idCol: String,
+      k: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.filter(value.isNotNull)
+      .select(col(keyCol), col(idCol), value.cast("double").as("__v"))
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      val wk = Window.partitionBy(col(keyCol))
+      val wo = wk.orderBy(col(v), col(idCol))
+      in.withColumn("__rn", row_number().over(wo))
+        .withColumn("__n", count(lit(1)).over(wk))
+        .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+        .select(col(keyCol), col(v).as(out))
+    }
+    val med = lowerMedian(d, "__v", "__med")
+    val dev = d.join(med, Seq(keyCol))
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = lowerMedian(dev.select(col(keyCol), col(idCol), col("__dev")), "__dev", "__mad")
+    dev.join(mad, Seq(keyCol))
+      .filter(col("__mad") > 0)
+      .withColumn("__score", lit(0.6745) * (col("__v") - col("__med")) / col("__mad"))
+      .filter(abs(col("__score")) > k)
+      .select(col(keyCol), col(idCol), col("__v").as("value"),
+        col("__med").as("med"), col("__mad").as("mad"),
+        Summaries.r4(col("__score")).as("score"))
+      .orderBy(col(keyCol), col(idCol))
+  }
+
+  /** Per-group winsorization: clip values to the group's [lo, hi] quantile
+    * cut points — the standard tail-taming step before normalizing a
+    * heavy-tailed feature (z-scores after winsorizing aren't dominated by
+    * the 0.1% extremes). Emits every row with the clipped value and a
+    * `was_clipped` flag.
+    *
+    * Cut points are type-1 (exact order statistic at ⌊(n−1)·q⌋ + 1 in
+    * (value, id) order) — elements of the data, so the clip bounds are
+    * engine-agnostic and rows keep exact input values. NULL values pass
+    * through unclipped (`was_clipped` NULL), preserving row count.
+    *
+    * Scale shape: one hash exchange on the group key; the ranked window and
+    * the two bound-extraction windows share it. Bounds travel inside the
+    * window partition — no second join.
+    */
+  def winsorize(df: DataFrame, keyCol: String, value: Column, idCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo, $hi")
+    val wk = Window.partitionBy(col(keyCol))
+    // NULLs last so non-null rows rank 1..n (n counts non-nulls; a NULL-led
+    // ordering would shift every index)
+    val wo = wk.orderBy(col("__v").asc_nulls_last, col(idCol))
+    df.withColumn("__v", value.cast("double"))
+      .withColumn("__rn", when(col("__v").isNotNull, row_number().over(wo)))
+      .withColumn("__n", count(col("__v")).over(wk))
+      .withColumn("__ilo", (floor((col("__n") - 1) * lit(lo)) + 1).cast("long"))
+      .withColumn("__ihi", (floor((col("__n") - 1) * lit(hi)) + 1).cast("long"))
+      .withColumn("__vlo", max(when(col("__rn") === col("__ilo"), col("__v"))).over(wk))
+      .withColumn("__vhi", max(when(col("__rn") === col("__ihi"), col("__v"))).over(wk))
+      // greatest/least IGNORE nulls (both engines), which would clip a NULL
+      // value to the lower bound — guard explicitly
+      .withColumn("clipped",
+        when(col("__v").isNotNull, least(greatest(col("__v"), col("__vlo")), col("__vhi"))))
+      .withColumn("was_clipped", col("clipped") =!= col("__v"))
+      .drop("__v", "__rn", "__n", "__ilo", "__ihi", "__vlo", "__vhi")
+  }
 }

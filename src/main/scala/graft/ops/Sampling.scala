@@ -210,4 +210,39 @@ object Sampling {
         when(bucket < cut, lit(name)).otherwise(acc)
       }
   }
+
+  /** Temperature-scaled source mixing weights — the multilingual/multi-source
+    * rebalancing rule (`wᵢ ∝ pᵢ^α`, α < 1 upsamples the tail): per source,
+    * the row count, natural share `p`, temperature weight `w`, and the
+    * resampling `boost = w/p` a sampler would apply. α = 1 is the natural
+    * mix; α = 0 is uniform.
+    *
+    * Scale shape: one count aggregate (shuffle bounded by source
+    * cardinality); the grand total and the normalizer ride one-row
+    * broadcasts. Cross-engine determinism: `p^α` is quantized to 1e-6
+    * (pow's last-ulp is implementation-defined), and the normalizing sum
+    * folds the per-source terms in sorted order, so both engines add the
+    * same doubles in the same sequence — bit-identical denominators with no
+    * order-dependent parallel reduction.
+    */
+  def temperatureWeights(df: DataFrame, srcCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__N"))
+    val withT = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", col("n").cast("double") / col("__N").cast("double"))
+      .withColumn("__t", floor(pow(col("__p"), lit(alpha)) * 1000000 + 0.5) / 1000000)
+    val denom = withT.agg(
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col(srcCol).as("s"), col("__t").as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (acc, t) => acc + t).as("__denom"))
+    withT.crossJoin(broadcast(denom))
+      .select(col(srcCol), col("n"),
+        Summaries.r4(col("__p")).as("p"),
+        Summaries.r4(col("__t") / col("__denom")).as("w"),
+        Summaries.r4(col("__t") / col("__denom") / col("__p")).as("boost"))
+      .orderBy(col(srcCol))
+  }
 }

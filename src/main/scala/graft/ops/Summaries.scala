@@ -450,4 +450,183 @@ object Summaries {
     state.unionByName(delta)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Join-key skew diagnostic: the top-`topN` heaviest values of `key` with
+    * each value's row count, corpus share, and skew factor (count ÷ the
+    * mean count over all key values). The pre-flight check that decides
+    * whether a planned shuffle join needs [[Relational.saltedJoin]] — at
+    * 1000-executor scale a key with skew ≫ 10 is the straggler task.
+    *
+    * Scale shape: one partial+final count aggregate (shuffle bounded by key
+    * cardinality); the grand totals ride a one-row broadcast; only the
+    * top-`topN` frontier is globally sorted — post-aggregate rows, never
+    * the input. NULL keys are a group like any other (their skew matters
+    * just as much in a null-safe join).
+    */
+  def keySkewReport(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("n"),
+        r4(col("n").cast("double") / col("__total").cast("double")).as("share"),
+        r4(col("n").cast("double") * col("__k").cast("double") /
+          col("__total").cast("double")).as("skew"))
+      .orderBy(col("n").desc, col(key).asc_nulls_first)
+      .limit(topN)
+  }
+
+  /** Per-group ROC AUC by rank sums (Mann-Whitney): with positives' average
+    * ranks `R` over ascending `score`, AUC = (ΣR − P(P+1)/2) / (P·N). The
+    * standard calibration check on a learned quality/toxicity scorer before
+    * its threshold gates a corpus.
+    *
+    * Ties get the midrank (`rank() + (ties−1)/2` — min-rank plus half the
+    * tie run), which is what makes the estimator unbiased under heavily
+    * quantized scores. Midranks are exact binary halves, so their sum is
+    * exact in doubles regardless of partial-agg order. Groups with no
+    * positives or no negatives have undefined AUC → NULL. NULL labels and
+    * scores are excluded. One shuffle (the per-group sort feeds both the
+    * rank window and the aggregate).
+    */
+  def rankAuc(df: DataFrame, keyCol: String, label: Column, score: Column): DataFrame = {
+    val d = df.filter(label.isNotNull && score.isNotNull)
+      .select(col(keyCol), label.cast("boolean").as("__y"), score.cast("double").as("__s"))
+    val w   = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val tie = Window.partitionBy(col(keyCol), col("__s"))
+    val midrank = rank().over(w) + (count(lit(1)).over(tie) - 1).cast("double") / 2.0
+    d.withColumn("__r", midrank)
+      .groupBy(col(keyCol))
+      .agg(count(when(col("__y"), 1)).as("n_pos"),
+           count(when(!col("__y"), 1)).as("n_neg"),
+           sum(when(col("__y"), col("__r"))).as("__sr"))
+      .select(col(keyCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          r4((col("__sr") - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double") / 2) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")))).as("auc"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance: max |F_a(x) − F_b(x)| over the
+    * pooled support — the distribution-drift gate that PSI ([[categoryDrift]])
+    * can't give you for continuous columns. Returns one row:
+    * `(n_a, n_b, d_stat)`.
+    *
+    * Scale shape: both inputs collapse to per-distinct-value counts first
+    * (partial-agg'd; shuffle bounded by distinct cardinality), so the
+    * cumulative window runs over the VALUE DOMAIN, not the rows. The final
+    * global-order window is single-partition by construction — acceptable
+    * because its input is the distinct-value table; for a continuous column
+    * at 100 TB, quantize first (e.g. `round(v, 3)` or [[quantileBin]]) to
+    * bound the domain, which biases D by at most one bin's mass.
+    * CDF ratios are exact (BIGINT cumulative counts ÷ total, one division
+    * per distinct value), so the max is order-free.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+        .withColumn("__src", lit(tag))
+    val perValue = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("v"))
+      .agg(count(when(col("__src") === 0, 1)).as("ca"),
+           count(when(col("__src") === 1, 1)).as("cb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perValue
+      .select(sum(col("ca")).over(w).as("__cuma"), sum(col("cb")).over(w).as("__cumb"),
+              sum(col("ca")).over(wAll).as("__na"), sum(col("cb")).over(wAll).as("__nb"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma").cast("double") / col("__na").cast("double") -
+                col("__cumb").cast("double") / col("__nb").cast("double"))).as("d_stat"))
+  }
+
+  /** Chi-square independence decomposition between two categorical columns:
+    * one row per cell of the FULL contingency grid (observed categories of
+    * `a` × observed categories of `b`, including never-co-occurring pairs —
+    * their expected count still contributes), with the observed count,
+    * expected count, and the cell's χ² term. The caller sums `chi2_term`
+    * for the statistic; emitting per-cell terms keeps the result
+    * order-deterministic (a global double sum is not) and is more useful
+    * anyway — the biggest cells ARE the drift explanation.
+    *
+    * Scale shape: mirrors [[mutualInfoCells]] — one hash aggregate over the
+    * data builds the joint table; marginals re-aggregate from it (tiny) and
+    * broadcast back; the full grid is marginal-a × marginal-b, a broadcast
+    * cross of two post-aggregation tables. Terms are quantized to 1e-6
+    * before emission, the cross-engine float contract used by every log/
+    * ratio surface here.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("c"))
+    val tot = joint.agg(sum(col("c")).as("__N"))
+    val ma  = joint.groupBy(col(aCol)).agg(sum(col("c")).as("__ca"))
+    val mb  = joint.groupBy(col(bCol)).agg(sum(col("c")).as("__cb"))
+    val expected = col("__ca").cast("double") * col("__cb").cast("double") /
+      col("__N").cast("double")
+    ma.crossJoin(broadcast(mb))
+      .join(joint, Seq(aCol, bCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol),
+        coalesce(col("c"), lit(0L)).as("observed"),
+        (floor(expected * 1000000 + 0.5) / 1000000).as("expected"),
+        (floor(pow(coalesce(col("c"), lit(0L)).cast("double") - expected, 2) / expected
+          * 1000000 + 0.5) / 1000000).as("chi2_term"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
+  /** First-order Markov transition matrix of `stateCol` sequences per `key`:
+    * counts of (state → next state) steps in (`tsCol`, `tieBreak`) order,
+    * with each row's transition probability (count ÷ out-degree of the
+    * source state). The behavioral-drift / session-model primitive: "what
+    * does a `view` lead to, and did that change".
+    *
+    * Scale shape: the lag window is per-key (one hash exchange, bounded
+    * partitions); the matrix aggregate collapses to ≤ S² rows before the
+    * tiny row-normalizing window runs over source states. Probabilities
+    * are single divisions of exact counts — order-free.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val steps = df
+      .select(col(keyCol), col(tsCol), col(tieBreak), col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val m = steps.groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("from_state"))
+    m.select(col("from_state"), col("to_state"), col("n"),
+        r4(col("n").cast("double") / sum(col("n")).over(wSrc).cast("double")).as("p"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  /** Per-key time-weighted average (TWAP): each observation holds until the
+    * next one, so it is weighted by its holding duration in seconds —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first). The correct "average sensor value"
+    * when sampling is irregular (the arithmetic mean over-weights bursts).
+    *
+    * Keys with a single observation are omitted — no holding interval
+    * exists; a key whose observations all share one timestamp has span 0 →
+    * NULL TWAP. The value·duration products are
+    * accumulated as DECIMAL (value at 1e-6, duration an exact BIGINT of
+    * seconds), so the sum is exact and partition-order-free; one division
+    * at the end. One shuffle: the per-key sort feeds lead() and the
+    * aggregate in the same exchange.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: Column, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val d = df.filter(col(tsCol).isNotNull && valueCol.isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieBreak), valueCol.cast("double").as("__v"))
+      .withColumn("__dur",
+        (unix_timestamp(lead(col(tsCol), 1).over(w)) - unix_timestamp(col(tsCol))))
+      .filter(col("__dur").isNotNull)
+    d.groupBy(col(keyCol))
+      .agg(sum(col("__v").cast("decimal(27,6)") * col("__dur")).as("__wv"),
+           sum(col("__dur")).as("__span"))
+      .select(col(keyCol), col("__span").as("span_s"),
+        when(col("__span") > 0,
+          r4(col("__wv").cast("double") / col("__span").cast("double"))).as("twap"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -113,6 +113,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq(("a", 500L)))
   }
 
+  test("madOutliers flags only extreme values; MAD-zero groups flag nothing") {
+    // g1: tight cluster around 10 plus one wild value
+    val g1 = (1L to 11L).map(i => ("g1", i, 9.0 + (i % 3))) :+ (("g1", 99L, 500.0))
+    // g2: more than half identical -> MAD 0 -> no flags even for the 1000
+    val g2 = Seq(("g2", 1L, 5.0), ("g2", 2L, 5.0), ("g2", 3L, 5.0), ("g2", 4L, 1000.0))
+    val df = (g1 ++ g2).toDF("g", "id", "v")
+    val out = Curation.madOutliers(df, "g", col("v"), "id")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("g1", 99L)))
+    assert(out.head._3 == 500.0)
+  }
+
+  test("winsorize clips to exact order-statistic bounds, NULLs pass through") {
+    val vals = (1 to 20).map(i => ("g", i.toLong, Some(i.toDouble))) :+ (("g", 99L, Option.empty[Double]))
+    val df = vals.toDF("g", "id", "v")
+    // n=20: ilo = floor(19*.05)+1 = 1 -> 1.0; ihi = floor(19*.95)+1 = 19 -> 19.0
+    val out = Curation.winsorize(df, "g", col("v"), "id")
+      .select(col("id"), col("clipped"), col("was_clipped"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toMap
+    assert(out(20L) == ((Some(19.0), Some(true))))  // clipped down to p95 bound
+    assert(out(19L) == ((Some(19.0), Some(false)))) // the bound itself untouched
+    assert(out(1L)  == ((Some(1.0),  Some(false)))) // p05 bound = min here
+    assert(out(99L) == ((None, None)))              // NULL passes through
+  }
+
   test("withGlobalId assigns dense ids in key order across many partitions") {
     val df  = spark.range(1000).select((col("id") * 37 % 1000).as("k")) // permuted keys
       .repartition(8)

@@ -171,4 +171,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(df.select("s8").distinct().count() == 8)
     df.unpersist()
   }
+
+  test("temperatureWeights: alpha=0.5 flattens an 80/20 mix toward 2/3-1/3") {
+    val df = (Seq.fill(8)("big") ++ Seq.fill(2)("small")).toDF("src")
+    val out = Sampling.temperatureWeights(df, "src", 0.5)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // sqrt(.8)=.894427, sqrt(.2)=.447214 -> w = .6667/.3333, boost = .8333/1.6667
+    assert(out == Seq(
+      ("big", 8L, 0.8, 0.6667, 0.8333),
+      ("small", 2L, 0.2, 0.3333, 1.6667)))
+  }
+
+  test("temperatureWeights: alpha=1 reproduces the natural mix exactly") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(1)("b")).toDF("src")
+    val out = Sampling.temperatureWeights(df, "src", 1.0)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 3L, 0.75, 0.75, 1.0), ("b", 1L, 0.25, 0.25, 1.0)))
+  }
 }

@@ -214,4 +214,76 @@ class SummariesSpec extends AnyFunSuite {
       .orderBy("bucket").as[(Long, java.sql.Timestamp, Double, Boolean)].collect()
     assert(out.map(_._3).toSeq == Seq(4.0, 6.0, 8.0)) // day1 sums to 4.0
   }
+
+  test("keySkewReport ranks heavy keys with share and skew vs the mean") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("k")
+    val out = Summaries.keySkewReport(df, "k", 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // mean count = 10/3; a: share .6, skew 6*3/10 = 1.8
+    assert(out == Seq(("a", 6L, 0.6, 1.8), ("b", 3L, 0.3, 0.9)))
+  }
+
+  test("rankAuc: perfect separation is 1, ties midranked, degenerate NULL") {
+    val df = Seq(
+      // g1: positives strictly above negatives -> AUC 1
+      ("g1", true, 10.0), ("g1", true, 9.0), ("g1", false, 1.0), ("g1", false, 2.0),
+      // g2: all four tied -> AUC 0.5 by midranks
+      ("g2", true, 5.0), ("g2", true, 5.0), ("g2", false, 5.0), ("g2", false, 5.0),
+      // g3: no negatives -> NULL
+      ("g3", true, 1.0)).toDF("g", "y", "s")
+    val out = Summaries.rankAuc(df, "g", col("y"), col("s"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("g1").contains(1.0))
+    assert(out("g2").contains(0.5))
+    assert(out("g3").isEmpty)
+  }
+
+  test("ksDrift: identical samples give 0, disjoint supports give 1") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(1.0, 2.0, 3.0).toDF("v")
+    val same = Summaries.ksDrift(a, b, col("v")).as[(Long, Long, Double)].head()
+    assert(same == ((3L, 3L, 0.0)))
+    val c = Seq(10.0, 11.0).toDF("v")
+    val disjoint = Summaries.ksDrift(a, c, col("v")).as[(Long, Long, Double)].head()
+    assert(disjoint == ((3L, 2L, 1.0)))
+  }
+
+  test("chiSquareCells emits the full grid including unseen combinations") {
+    val df = Seq(("en", "web"), ("en", "web"), ("fr", "book")).toDF("lang", "src")
+    val out = Summaries.chiSquareCells(df, "lang", "src")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(out.length == 4) // 2 langs x 2 sources; (en,book) and (fr,web) unseen
+    val cells = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells(("en", "book")) == 0L && cells(("fr", "web")) == 0L)
+    // (fr,book): observed 1, expected 1*1/3; term = (1-1/3)^2/(1/3) = 4/3
+    val frBook = out.find(r => r._1 == "fr" && r._2 == "book").get
+    assert(math.abs(frBook._5 - 4.0 / 3.0) < 1e-5)
+  }
+
+  test("transitionMatrix counts ordered steps and row-normalizes") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "a"),
+      (2L, ts("2024-01-01 00:00:01"), 4L, "a"),
+      (2L, ts("2024-01-01 00:00:02"), 5L, "c")).toDF("u", "ts", "eid", "st")
+    val out = Summaries.transitionMatrix(df, "u", "ts", "st", "eid")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: a->b once, a->c once (p 0.5 each); from b: b->a once (p 1)
+    assert(out == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("timeWeightedAvg weights by holding time; single-obs keys omitted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0), // holds 10 s
+      (1L, ts("2024-01-01 00:00:10"), 2L, 20.0), // holds 30 s
+      (1L, ts("2024-01-01 00:00:40"), 3L, 99.0), // last obs: no interval
+      (2L, ts("2024-01-01 00:00:00"), 4L, 7.0)). // single obs
+      toDF("u", "ts", "eid", "v")
+    val out = Summaries.timeWeightedAvg(df, "u", "ts", col("v"), "eid")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 40L, Some((10.0 * 10 + 20.0 * 30) / 40)))) // 17.5
+  }
 }
