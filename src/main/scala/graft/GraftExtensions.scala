@@ -76,6 +76,10 @@ object GraftExtensions {
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings (UTF-8 byte-wise)",
       (children: Seq[Expression]) => { val c = args(children, 2, "graft_jaro_winkler")
         graft.expr.JaroWinkler(c(0), c(1)) }),
+    ("graft_char_bigram_counts",
+      "graft_char_bigram_counts(s) - map of char bigram -> occurrence count",
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_char_bigram_counts")
+        graft.expr.CharBigramCounts(c(0)) }),
     ("graft_ngrams", "graft_ngrams(text, n) - space-joined word n-grams (ordered, with dups)",
       (children: Seq[Expression]) => { val c = args(children, 2, "graft_ngrams")
         graft.expr.WordNgrams(c(0), litInt(c(1), "graft_ngrams", "n"), distinct = false) }),

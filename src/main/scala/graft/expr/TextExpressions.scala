@@ -413,3 +413,54 @@ object JaroWinkler {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
+
+/** Per-document character-bigram histogram in one compiled pass: the map
+  * `bigram → occurrence count` over `substr(i, 2)` windows, i = 1..len−1 —
+  * bit-identical to exploding `transform(sequence(1, length(s)−1),
+  * i -> substr(s, i, 2))` and counting, but with no per-character row, no
+  * hash aggregate, and no shuffle: the "aggregation" happens inside the
+  * expression, so a corpus-scale scoring pass ships already-compressed
+  * (doc, bigram, count) rows from the scan itself (`Text.bigramLmScore`,
+  * reference quality-scoring intent `/root/reference/app.py:267-276`).
+  * Windows index CODE POINTS (Column.substr semantics), so multi-byte text
+  * matches the HOF form exactly.
+  */
+case class CharBigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_bigram_counts expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 1
+    while (i < n) {
+      val bg  = s.substringSQL(i, 2)
+      val cur = m.get(bg)
+      m.put(bg, if (cur == null) 1L else cur + 1L)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it   = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
+    copy(child = newChild)
+}

@@ -272,11 +272,16 @@ object Summaries {
     // each execution re-samples its range boundaries and the pids silently
     // desynchronize. Cache footprint = the distinct domain with counts,
     // exactly what this operator is bounded by.
-    val ranged = df
+    val domain = df
       .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy(col("__ci"), col("__v")).agg(count(lit(1)).as("__c"))
+      // pinned BEFORE the range partition: RangePartitioner runs a separate
+      // sampling job over its child, which would re-execute this whole
+      // aggregate a second time (measured ~2× the operator's cost)
+      .localCheckpoint(false)
+    val ranged = domain
       .repartitionByRange(nPart, col("__ci"), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)

@@ -471,8 +471,16 @@ object Text {
     val spread = docs.select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
     val sh  = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    // The postings index feeds FIVE consumers (hot set, both self-join
+    // sides, both hot-overlap probes). Exchange reuse does not reliably
+    // unify them (measured: 14 scans of the source in one run), so pin ONE
+    // materialization: narrow (id, shingle) rows, cardinality = postings.
+    // localCheckpoint is local-executor storage — an executor loss fails
+    // the job loudly (recompute impossible); at cluster scale swap for a
+    // reliable checkpoint dir if that trade-off is wrong for the deploy.
     val inv = sh.select(col("id"), explode(col("ss")).as("s"))
-      .repartition(col("s")) // both join sides + the df aggregate reuse this one exchange
+      .repartition(col("s"))
+      .localCheckpoint(false)
     // Hot-shingle set via a partial-aggregated count on the co-partitioned
     // index (no extra exchange, no sort — a window over `s` would sort all
     // 750k index rows); the hot set is tiny by definition, so dropping it is
@@ -487,10 +495,14 @@ object Text {
     // full shingle arrays per candidate (~kBs × millions of pairs — it was
     // 75% of this operator's runtime and would be a network melter at
     // corpus scale); here the pair graph carries three integers per row.
+    // Pinned too: the pair graph is read twice (final assembly + the hot
+    // correction's candidate list) and recomputing it would replay the
+    // whole self-join — the single most expensive stage here.
     val oRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
     // The rare-side count misses shared HOT shingles when the cutoff binds;
     // add their contribution back from the hot postings, which join only
     // against the (already-bounded) candidate pairs.
@@ -501,8 +513,11 @@ object Text {
         col("doc_b") === col("hb.id") && col("ha.s") === col("hb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("oh"))
     // |x ∩ y| exact; |x ∪ y| = mx + my − o from the per-doc set sizes —
-    // 12 bytes/row (corpus cardinality, so NOT force-broadcast; AQE decides)
-    val sizes = sh.select(col("id"), size(col("ss")).as("m"))
+    // 12 bytes/row (corpus cardinality, so NOT force-broadcast; AQE
+    // decides). Derived from the pinned index, not a re-shingling pass:
+    // shinglesOf is distinct, so the posting count IS the set size; docs
+    // with zero shingles are absent, but they can never appear in a pair.
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("m"))
     val j = col("o") / (col("x.m") + col("y.m") - col("o"))
     oRare.join(oHot, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
@@ -558,10 +573,13 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val n    = docs.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
-    val tf   = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     // df falls out of tf: one row per (doc, term) already — a second
     // explode + distinct scan of the corpus would recompute exactly this,
-    // and sharing the subtree lets AQE reuse the tf exchange
+    // and sharing the subtree lets AQE reuse the tf exchange. NOT pinned:
+    // a localCheckpoint here would execute the aggregate's stages at plan-
+    // construction time (AQE materializes stages when the RDD is created),
+    // breaking the lazy-plan contract this operator's PlanSpec test pins.
+    val tf   = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfq  = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = Summaries.r4(col("tf") * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
@@ -759,17 +777,29 @@ object Text {
     * per-doc sum, so accumulation is exact integer math in any order on
     * both engines — no FP-sum-order or double→decimal-cast hazards.
     */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one row per (doc, distinct bigram) with its in-doc count — the explode
-    // materializes a len-1 array of 2-char strings, never a per-char row
-    // carrying the full text
-    val db = docs
+  /** Stage 1 of [[bigramLmScore]]: one row per (doc, distinct char bigram)
+    * with its in-doc count. The native [[graft.expr.CharBigramCounts]]
+    * histogram aggregates INSIDE the expression — no per-character row, no
+    * hash aggregate, zero exchanges in this stage (PlanSpec pins that
+    * shape); the explode emits the already-compressed map entries.
+    */
+  private[graft] def docCharBigramCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
       .select(col(idCol),
-        explode(transform(sequence(lit(1), length(col(textCol)) - 1),
-          i => col(textCol).substr(i, lit(2)))).as("bg"))
-      .groupBy(col(idCol), col("bg"))
-      .agg(count(lit(1)).as("c_db"))
+        explode(asCol(graft.expr.CharBigramCounts(asExpr(col(textCol)))))
+          .as(Seq("bg", "c_db")))
+
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The (doc, bigram) counts feed three consumers (corpus model, context
+    // totals, per-doc scoring); exchange reuse does not unify them, and the
+    // histogram pass over every character is the operator's real cost
+    // (measured: recompute-per-consumer is ~1.7× slower than pinning), so
+    // pin ONE materialization — cardinality is distinct-bigrams-per-doc,
+    // the compressed form. localCheckpoint: executor-local blocks; loss
+    // fails loudly, see jaccardNearDupPairs.
+    val db = docCharBigramCounts(docs, idCol, textCol).localCheckpoint(false)
     // corpus model: bigram counts + context (first-char) totals — vocabulary-
     // sized, re-aggregated from the compressed (doc, bigram) counts
     val cab = db.groupBy(col("bg")).agg(sum(col("c_db")).as("c_ab"))

@@ -39,15 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
       // the full text/similarity battery is SQL-addressable too
       val t = s2.sql(
         """SELECT graft_ngrams('a b a b', 2) ng,
+                  graft_char_bigram_counts('aab') cbc,
                   graft_shingles('a b a b', 2) sh,
                   graft_simhash(array('x','y'), 16) simh,
                   graft_minhash(array('x','y'), 4) mh,
                   graft_lsh_buckets(array(0.5f, -0.25f), 2, 3) lb""").head()
       assert(t.getSeq[String](0) == Seq("a b", "b a", "a b"))
-      assert(t.getSeq[String](1).toSet == Set("a b", "b a"))
-      assert(t.getLong(2) >= 0 && t.getLong(2) < (1L << 16))
-      assert(t.getSeq[Long](3).size == 4)
-      assert(t.getSeq[Long](4).size == 2 && t.getSeq[Long](4).forall(b => b >= 0 && b < 8))
+      assert(t.getMap[String, Long](1) == Map("aa" -> 1L, "ab" -> 1L))
+      assert(t.getSeq[String](2).toSet == Set("a b", "b a"))
+      assert(t.getLong(3) >= 0 && t.getLong(3) < (1L << 16))
+      assert(t.getSeq[Long](4).size == 4)
+      assert(t.getSeq[Long](5).size == 2 && t.getSeq[Long](5).forall(b => b >= 0 && b < 8))
       val m = s2.sql(
         """SELECT graft_image_dims(unhex('89504E470D0A1A0A0000000D49484452' ||
                                          '00000280' || '000001E0')).width,

@@ -224,19 +224,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q126 charlm: the per-char explode collapses before any exchange") {
-    val p = plan("q126_charlm_quality")
-    // the (doc, bigram) count aggregate must have a map-side partial BELOW
-    // the first exchange, so the shuffle carries compressed counts, not one
-    // row per character of the corpus
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.forall(!_.contains("text#")),
-      s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
-    // plans print top-down, so "below the first exchange" = larger index:
-    // a partial count must execute before (deeper than) the first shuffle
-    val firstEx = p.indexOf("Exchange hashpartitioning")
-    assert(firstEx >= 0, s"expected a hash exchange:\n$p")
-    assert(p.indexOf("partial_count", firstEx) > firstEx,
-      s"the bigram count needs a map-side partial below the first exchange:\n$p")
+    // assert on the pre-checkpoint stage (the final query plan hides it
+    // behind the pinned materialization's LogicalRDD)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val stage = graft.ops.Text.docCharBigramCounts(docs, "doc_id", "text")
+    val p = stage.queryExecution.executedPlan.toString
+    // the per-doc bigram histogram aggregates INSIDE the native expression:
+    // the stage must carry NO exchange at all — compressed (doc, bigram,
+    // count) rows come straight off the scan, never one row per character
+    assert(!p.contains("Exchange"),
+      s"the bigram-count stage must be shuffle-free:\n$p")
+    assert(p.toLowerCase.contains("charbigramcounts"),
+      s"expected the native histogram expression:\n$p")
+    // and the full query must still never shuffle document text
+    val full = plan("q126_charlm_quality")
+    val fullEx = full.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(fullEx.forall(!_.contains("text#")),
+      s"no exchange may carry document text:\n${fullEx.mkString("\n")}")
   }
 
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {

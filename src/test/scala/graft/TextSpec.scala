@@ -335,4 +335,22 @@ class TextSpec extends AnyFunSuite {
     // doc 2: 2× ab (p = 2/5) + 1× ba (p = 1) → (2·(-ln 0.4))/3 ≈ 0.6109
     assert(math.abs(out(2L)._2 - 0.6109) < 1e-9)
   }
+
+  test("CharBigramCounts matches the HOF explode+count form, incl. multi-byte") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "abab"), (3L, "zq"),
+      (4L, "héllo héllo"), // multi-byte é: windows must index code points
+      (5L, "日本語テキスト")).toDF("doc_id", "text")
+    val native = Text.docCharBigramCounts(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    val hof = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == hof)
+    assert(native.exists { case (id, bg, _) => id == 4L && bg == "hé" })
+  }
 }
