@@ -1499,6 +1499,35 @@ object SparkEntry {
           col("clipped"), col("was_clipped"))
         .orderBy(col("event_id"))),
 
+    // Asymmetric containment (doc-in-doc): either direction >= 0.6
+    "q143_containment" -> ((s, d) =>
+      Text.containmentPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Gap-based batch sessionization: per-user sessions at a 30-min gap
+    "q145_sessions" -> ((s, d) =>
+      Summaries.sessionizeBatch(t(s, d, "events"), "user_id", "ts", 1800, "event_id")),
+
+    // Decile lift table for a synthetic label vs the event value as score
+    "q146_lift" -> ((s, d) =>
+      Summaries.liftTable(t(s, d, "events"),
+        col("user_id") % 3 === 0, col("value"), "event_id", 10)),
+
+    // Z-order write → file-stats index → stats-pruned range scan; the
+    // result must equal the plain filtered aggregate (oracle), while
+    // StorageSpec pins that the pruned read opens a strict file subset
+    "q144_pruned_scan" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/zorder_li_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Storage.zOrderWrite(t(s, d, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"), 4, dir, 16)
+      val stats = Storage.fileStats(s, dir, Seq("l_extendedprice", "l_quantity"))
+      val (rows, _, _) = Storage.prunedRead(s, dir, stats,
+        "l_extendedprice", 1000.0, 5000.0)
+      rows.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // F1/F2/F5/F6/F9 — string-cleaning battery on derived columns
     "q54_clean_strings" -> ((s, d) => {
       val pk = col("p_partkey")
@@ -3038,5 +3067,69 @@ object SparkEntry {
                 CASE WHEN v IS NOT NULL THEN least(greatest(v, vlo), vhi) END <> v
                   AS was_clipped
          FROM w ORDER BY event_id""",
+
+    "q143_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+                                         for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+                 FROM documents)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS o,
+                      CAST(len(a.ss) AS BIGINT) AS ma, CAST(len(b.ss) AS BIGINT) AS mb
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(a.ss) > 0 AND len(b.ss) > 0)
+         SELECT doc_a, doc_b, o,
+                floor(o / CAST(ma AS DOUBLE) * 10000 + 0.5) / 10000 AS cont_a,
+                floor(o / CAST(mb AS DOUBLE) * 10000 + 0.5) / 10000 AS cont_b
+         FROM p
+         WHERE greatest(o / CAST(ma AS DOUBLE), o / CAST(mb AS DOUBLE)) >= 0.6
+         ORDER BY doc_a, doc_b""",
+
+    "q145_sessions" ->
+      """WITH d AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+         f AS (SELECT user_id, ts, event_id,
+                      CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                             > 1800
+                           THEN 1 ELSE 0 END AS flag
+               FROM d),
+         s AS (SELECT user_id, ts,
+                      sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS sid
+               FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+                min(ts) AS start_ts, max(ts) AS end_ts,
+                max(CAST(floor(epoch(ts)) AS BIGINT))
+                  - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""",
+
+    "q146_lift" ->
+      """WITH d AS (SELECT (user_id % 3 = 0) AS y, CAST(value AS DOUBLE) AS s, event_id
+                    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         b AS (SELECT ntile(10) OVER (ORDER BY s DESC, event_id) AS bin, y FROM d),
+         g AS (SELECT bin, count(*) AS n, count(*) FILTER (WHERE y) AS n_pos
+               FROM b GROUP BY bin)
+         SELECT bin, n, n_pos,
+                floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS resp_rate,
+                floor(CAST(sum(n_pos) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      / CAST(sum(n_pos) OVER () AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS cum_capture,
+                floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                         / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000
+                  AS lift
+         FROM g ORDER BY bin""",
+
+    "q144_pruned_scan" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -164,4 +164,49 @@ object Storage {
       .write.mode("overwrite").parquet(outDir)
     (parts.length, parquetFiles(new Path(outDir)).length)
   }
+
+  /** File-level min/max statistics index over a parquet directory: one row
+    * per file with `(min_c, max_c)` for each requested column plus the row
+    * count — the data-skipping catalog (Delta/Iceberg manifest stats
+    * semantics) that [[prunedRead]] consumes. Built with one distributed
+    * scan (`input_file_name()` group); amortized over every subsequent
+    * selective read, exactly like [[zOrderWrite]]'s write-time sort. Pair
+    * the two: z-ordered files have tight ranges on EVERY clustered column,
+    * which is what makes these stats selective.
+    */
+  def fileStats(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val df = spark.read.parquet(dir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stats-pruned range scan: drop every file whose `[min, max]` span
+    * cannot intersect `[lo, hi]`, read only the survivors, and re-apply the
+    * predicate to the rows that remain (file stats admit false positives,
+    * never false negatives). Returns the filtered DataFrame plus
+    * `(files read, files total)` for observability — the pruning ratio IS
+    * the operator's value and belongs in pipeline logs.
+    *
+    * The file list is driver-side by design (file PRUNING is metadata work
+    * in every table format; bytes never move), and an all-null-stats file
+    * is skipped correctly: its NULL min/max can't satisfy the overlap test,
+    * and its rows couldn't satisfy the row predicate either.
+    */
+  def prunedRead(spark: SparkSession, dir: String, stats: DataFrame,
+      c: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val total = stats.count().toInt
+    val keep = stats
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val schema = spark.read.parquet(dir).schema
+    val rows =
+      if (keep.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep.toIndexedSeq: _*)
+    (rows.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), keep.length, total)
+  }
 }

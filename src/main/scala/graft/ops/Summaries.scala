@@ -605,6 +605,71 @@ object Summaries {
       .orderBy(col("from_state"), col("to_state"))
   }
 
+  /** Gap-based BATCH sessionization: a new session starts where the gap
+    * from the key's previous event exceeds `gapSeconds`; returns one row
+    * per session with ordinal id, event count, and span — the historical
+    * twin of the streaming sessionizer ([[Streaming]] `sessionize`), for
+    * backfills and offline behavioral features.
+    *
+    * Scale shape: one hash exchange on the key; the boundary flags (lag)
+    * and the running session ordinal (prefix sum of flags) share the same
+    * sorted window, and the per-session aggregate re-uses the partitioning.
+    * Timestamps compare at whole-second resolution (`unix_timestamp`,
+    * floored — the engine-agnostic form); a gap of EXACTLY `gapSeconds`
+    * keeps the session open, `>` closes it. NULL timestamps are excluded.
+    */
+  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, tieBreak: String): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    val flag = when(gap > gapSeconds, 1).otherwise(0) // first row: NULL gap → 0
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__sid", sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+      .groupBy(col(keyCol), col("__sid").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        (max(unix_timestamp(col(tsCol))) - min(unix_timestamp(col(tsCol))))
+          .as("duration_s"))
+      .orderBy(col(keyCol), col("session_id"))
+  }
+
+  /** Decile lift table — the calibration report read before a learned
+    * quality/conversion scorer gates anything: rank rows by `score`
+    * descending, cut into `nBins` equal-population bins (`ntile`), and per
+    * bin report size, positives, response rate, cumulative capture share,
+    * and lift over the base rate.
+    *
+    * The ntile is a GLOBAL sort — correct for what this is (a report over
+    * a scored evaluation sample, driver-bounded by construction); scoring
+    * a full 100 TB corpus into deciles would instead use
+    * [[quantileBin]]'s distributed cut points on the score. Ordering is
+    * (score desc, id) so ties are deterministic; rates are single
+    * divisions of exact counts.
+    */
+  def liftTable(df: DataFrame, label: Column, score: Column, idCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val d = df.filter(label.isNotNull && score.isNotNull)
+      .select(label.cast("boolean").as("__y"), score.cast("double").as("__s"), col(idCol))
+    val w = Window.orderBy(col("__s").desc, col(idCol))
+    val binned = d.withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"))
+    val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .select(col("bin"), col("n"), col("n_pos"),
+        r4(col("n_pos").cast("double") / col("n").cast("double")).as("resp_rate"),
+        r4(sum(col("n_pos")).over(wCum).cast("double") /
+           sum(col("n_pos")).over(wAll).cast("double")).as("cum_capture"),
+        r4(col("n_pos").cast("double") / col("n").cast("double") /
+           (sum(col("n_pos")).over(wAll).cast("double") /
+            sum(col("n")).over(wAll).cast("double"))).as("lift"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation holds until the
     * next one, so it is weighted by its holding duration in seconds —
     * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first). The correct "average sensor value"

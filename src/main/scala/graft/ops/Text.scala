@@ -461,13 +461,17 @@ object Text {
     * of any discriminating phrase (default 500 ≫ the testdata max of 25,
     * where output is bit-identical to the unfiltered form).
     */
-  def jaccardNearDupPairs(
+  /** Exact pair-overlap core shared by [[jaccardNearDupPairs]] (symmetric
+    * resemblance) and [[containmentPairs]] (asymmetric doc-in-doc): one row
+    * per candidate pair with the exact intersection size and both set
+    * sizes — `(doc_a, doc_b, o, ma, mb)`.
+    */
+  private def pairOverlaps(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       nShingle: Int,
-      threshold: Double,
-      maxDf: Int = 500): DataFrame = {
+      maxDf: Int): DataFrame = {
     val spread = docs.select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
     val sh  = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
@@ -518,14 +522,52 @@ object Text {
     // shinglesOf is distinct, so the posting count IS the set size; docs
     // with zero shingles are absent, but they can never appear in a pair.
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("m"))
-    val j = col("o") / (col("x.m") + col("y.m") - col("o"))
     oRare.join(oHot, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         (col("o") + coalesce(col("oh"), lit(0L))).as("o"))
       .join(sizes.as("x"), col("doc_a") === col("x.id"))
       .join(sizes.as("y"), col("doc_b") === col("y.id"))
+      .select(col("doc_a"), col("doc_b"), col("o"),
+        col("x.m").as("ma"), col("y.m").as("mb"))
+  }
+
+  def jaccardNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      threshold: Double,
+      maxDf: Int = 500): DataFrame = {
+    val j = col("o") / (col("ma") + col("mb") - col("o"))
+    pairOverlaps(docs, idCol, textCol, nShingle, maxDf)
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
+  }
+
+  /** Asymmetric containment pairs — doc-in-doc detection: `|A∩B| / |A|` is
+    * high when A is mostly QUOTED inside B even if B is far larger, which a
+    * symmetric Jaccard threshold can never see (a 100-word doc embedded in
+    * a 10 000-word doc has resemblance ≈ 0.01). The standard mirror/quote/
+    * partial-copy sweep a crawl dedup runs AFTER near-dup removal. Emits
+    * both directions (`cont_a` = covered share of A, `cont_b` of B) for
+    * pairs where either reaches `threshold`; same exact inverted-index
+    * machinery (and hot-shingle cap + correction) as
+    * [[jaccardNearDupPairs]] — the intersection is exact, so both ratios
+    * are too.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      threshold: Double,
+      maxDf: Int = 500): DataFrame = {
+    val ca = col("o") / col("ma")
+    val cb = col("o") / col("mb")
+    pairOverlaps(docs, idCol, textCol, nShingle, maxDf)
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("o"),
+        Summaries.r4(ca).as("cont_a"), Summaries.r4(cb).as("cont_b"))
   }
 
   /** SimHash (nBits ≤ 60) over the distinct token set: bit b of the signature

@@ -60,6 +60,23 @@ class StorageSpec extends AnyFunSuite {
     assert(avgSpanFrac(s"$tmp/x", "l_quantity") > 0.8, "x-sort should NOT bound y")
   }
 
+  test("prunedRead opens a strict file subset on a z-ordered layout, same rows") {
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Storage.zOrderWrite(li, Seq("l_extendedprice", "l_quantity"), 4, s"$base/z", 16)
+    val stats = Storage.fileStats(spark, s"$base/z", Seq("l_extendedprice", "l_quantity"))
+    val (rows, kept, total) = Storage.prunedRead(spark, s"$base/z", stats,
+      "l_extendedprice", 1000.0, 3000.0)
+    assert(total == 16)
+    assert(kept < total, s"a selective range must prune files ($kept of $total)")
+    val expected = li.filter(col("l_extendedprice").between(1000.0, 3000.0)).count()
+    assert(rows.count() == expected, "pruning must never drop qualifying rows")
+    // degenerate range below the domain: nothing survives, schema intact
+    val (none, k0, _) = Storage.prunedRead(spark, s"$base/z", stats,
+      "l_extendedprice", -10.0, -1.0)
+    assert(k0 == 0 && none.count() == 0 && none.schema == rows.schema)
+  }
+
   test("compactTo rewrites many small files into the computed target count") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.range(100000).select(col("id"), (col("id") % 97).as("v"))

@@ -274,6 +274,29 @@ class SummariesSpec extends AnyFunSuite {
     assert(out == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
   }
 
+  test("sessionizeBatch splits on gap > threshold, keeps gap == threshold open") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:30:00"), 2L), // gap 1800 == threshold: same session
+      (1L, ts("2024-01-01 01:00:01"), 3L), // gap 1801 > threshold: new session
+      (2L, ts("2024-01-01 00:00:00"), 4L)).toDF("u", "ts", "eid")
+    val out = graft.ops.Summaries.sessionizeBatch(df, "u", "ts", 1800, "eid")
+      .select(col("u"), col("session_id"), col("n_events"), col("duration_s"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, 1800L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("liftTable: a perfectly ranked label concentrates capture in bin 1") {
+    // 10 rows, 2 positives with the highest scores -> bin1 rate 1.0, lift 5
+    val df = (1 to 10).map(i => (i.toLong, 11.0 - i, i <= 2)).toDF("id", "s", "y")
+    val out = Summaries.liftTable(df, col("y"), col("s"), "id", 5)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.head == ((1, 2L, 2L, 1.0, 1.0, 5.0)))
+    assert(out.map(_._2).sum == 10L)
+    assert(out.last._5 == 1.0) // cumulative capture ends at 1
+  }
+
   test("timeWeightedAvg weights by holding time; single-obs keys omitted") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

@@ -336,6 +336,20 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._2 - 0.6109) < 1e-9)
   }
 
+  test("containmentPairs sees a quoted doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated text entirely different"))
+      .toDF("doc_id", "text")
+    val cont = Text.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(cont.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(cont.head._4 == 1.0)     // all of doc 1's shingles appear in doc 2
+    assert(cont.head._5 < 0.1)      // but doc 2 is mostly NOT doc 1
+    // symmetric jaccard at the same bar finds nothing
+    assert(Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.9).count() == 0)
+  }
+
   test("CharBigramCounts matches the HOF explode+count form, incl. multi-byte") {
     val docs = Seq(
       (1L, "aaaa"), (2L, "abab"), (3L, "zq"),
