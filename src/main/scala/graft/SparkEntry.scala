@@ -2971,14 +2971,15 @@ object SparkEntry {
                       / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
                       * 1000000 + 0.5) / 1000000 AS chi2_term
          FROM ma CROSS JOIN mb
-         LEFT JOIN j ON ma.lang = j.lang AND mb.source = j.source
+         LEFT JOIN j ON ma.lang IS NOT DISTINCT FROM j.lang
+                    AND mb.source IS NOT DISTINCT FROM j.source
          CROSS JOIN t ORDER BY ma.lang, mb.source""",
 
     "q138_transitions" ->
       """WITH s AS (SELECT event_type AS from_state,
                            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              AS to_state
-                    FROM events),
+                    FROM events WHERE ts IS NOT NULL),
          m AS (SELECT from_state, to_state, count(*) AS n FROM s
                WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
          SELECT from_state, to_state, n,

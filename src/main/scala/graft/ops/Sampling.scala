@@ -227,7 +227,11 @@ object Sampling {
     */
   def temperatureWeights(df: DataFrame, srcCol: String, alpha: Double): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    // pinned: the counts aggregate feeds the grand total, the normalizer
+    // fold, and the report — recompute would scan the corpus three times
+    // (see Summaries.chiSquareCells for the rationale)
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = counts.agg(sum(col("n")).as("__N"))
     val withT = counts.crossJoin(broadcast(tot))
       .withColumn("__p", col("n").cast("double") / col("__N").cast("double"))

@@ -199,10 +199,16 @@ object Storage {
     */
   def prunedRead(spark: SparkSession, dir: String, stats: DataFrame,
       c: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
-    val total = stats.count().toInt
-    val keep = stats
-      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
-      .select(col("file")).collect().map(_.getString(0))
+    // ONE execution of the stats plan: a separate count() + filter().collect()
+    // would replay the distributed stats scan twice. The overlap test is
+    // evaluated in-plan (typed comparison stays in Spark); the driver sees
+    // only (file, keep) pairs — one row per file, driver-sized by design.
+    val flagged = stats
+      .select(col("file"),
+        (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)).as("__keep"))
+      .collect()
+    val total = flagged.length
+    val keep = flagged.filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
     val schema = spark.read.parquet(dir).schema
     val rows =
       if (keep.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -113,7 +113,9 @@ object Summaries {
     * the ln term is quantized to 1e-6 like every cross-engine log here.
     */
   def mutualInfoCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // pinned: four consumers, same shape and rationale as [[chiSquareCells]]
     val joint = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val tot = joint.agg(sum(col("c")).as("__N"))
     val ma  = joint.groupBy(col(aCol)).agg(sum(col("c")).as("__ca"))
     val mb  = joint.groupBy(col(bCol)).agg(sum(col("c")).as("__cb"))
@@ -470,7 +472,10 @@ object Summaries {
     */
   def keySkewReport(df: DataFrame, key: String, topN: Int): DataFrame = {
     require(topN >= 1, "topN must be positive")
+    // pinned: consumed by both the totals aggregate and the report —
+    // recompute would scan the input twice (see chiSquareCells)
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val totals = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__k"))
     counts.crossJoin(broadcast(totals))
       .select(col(key), col("n"),
@@ -563,14 +568,24 @@ object Summaries {
     * ratio surface here.
     */
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // pinned: the joint table feeds FOUR consumers (total, both marginals,
+    // the grid join) — exchange reuse does not reliably unify identical
+    // subtrees (measured on the near-dup index), and recomputing joint
+    // means re-scanning the corpus per consumer. Cardinality = observed
+    // (a, b) pairs. localCheckpoint trade-off: see Text.jaccardNearDupPairs.
     val joint = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val tot = joint.agg(sum(col("c")).as("__N"))
     val ma  = joint.groupBy(col(aCol)).agg(sum(col("c")).as("__ca"))
     val mb  = joint.groupBy(col(bCol)).agg(sum(col("c")).as("__cb"))
     val expected = col("__ca").cast("double") * col("__cb").cast("double") /
       col("__N").cast("double")
+    // null-safe grid join: a NULL category is a real category here (it has
+    // a marginal), so its observed count must attach to its grid cell —
+    // plain `=` would orphan it to observed 0 and corrupt the cell term
+    val jr = joint.withColumnRenamed(aCol, "__ja").withColumnRenamed(bCol, "__jb")
     ma.crossJoin(broadcast(mb))
-      .join(joint, Seq(aCol, bCol), "left")
+      .join(jr, col(aCol) <=> col("__ja") && col(bCol) <=> col("__jb"), "left")
       .crossJoin(broadcast(tot))
       .select(col(aCol), col(bCol),
         coalesce(col("c"), lit(0L)).as("observed"),
@@ -589,12 +604,17 @@ object Summaries {
     * Scale shape: the lag window is per-key (one hash exchange, bounded
     * partitions); the matrix aggregate collapses to ≤ S² rows before the
     * tiny row-normalizing window runs over source states. Probabilities
-    * are single divisions of exact counts — order-free.
+    * are single divisions of exact counts — order-free. Events with a NULL
+    * timestamp are excluded (their sequence position is unknown; engines
+    * also disagree on NULL sort placement, so keeping them would make the
+    * matrix engine-dependent) — same contract as [[sessionizeBatch]] and
+    * [[timeWeightedAvg]].
     */
   def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
       stateCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
     val steps = df
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(tieBreak), col(stateCol).as("from_state"))
       .withColumn("to_state", lead(col("from_state"), 1).over(w))
       .filter(col("to_state").isNotNull)

@@ -445,26 +445,20 @@ object Text {
     batch.join(dupIds, batch(idCol) === dupIds("bid"), "left_anti")
   }
 
-  /** D3 exact variant — n-gram Jaccard near-dup via an inverted shingle
-    * index: explode (id, shingle), drop shingles hotter than `maxDf`
-    * documents (standard prefix filtering — a stop-phrase shingle shared by
-    * d documents alone generates O(d²) candidate rows, a quadratic bomb at
-    * corpus scale), self-equi-join the filtered index on the shingle to get
-    * DISTINCT candidate pairs, then verify each candidate with the exact
-    * Jaccard of the FULL shingle sets (the cutoff affects only candidate
-    * generation, never the similarity value).
-    *
-    * Recall contract: a qualifying pair is missed only if EVERY shingle it
-    * shares has document frequency > maxDf. At threshold ≥ 0.5 a near-dup
-    * pair shares most of its shingles, so it is found unless the documents
-    * are built entirely of corpus-wide boilerplate; set maxDf above the df
-    * of any discriminating phrase (default 500 ≫ the testdata max of 25,
-    * where output is bit-identical to the unfiltered form).
-    */
   /** Exact pair-overlap core shared by [[jaccardNearDupPairs]] (symmetric
     * resemblance) and [[containmentPairs]] (asymmetric doc-in-doc): one row
     * per candidate pair with the exact intersection size and both set
     * sizes — `(doc_a, doc_b, o, ma, mb)`.
+    *
+    * Machinery: explode an inverted (id, shingle) index, drop shingles
+    * hotter than `maxDf` documents from CANDIDATE GENERATION (standard
+    * prefix filtering — a stop-phrase shingle shared by d documents alone
+    * generates O(d²) candidate rows, a quadratic bomb at corpus scale),
+    * self-equi-join the filtered index to get candidate pairs with their
+    * rare-shingle overlap counts, then add back each candidate's shared
+    * HOT shingles from the hot postings — so `o` is the EXACT intersection
+    * size; the cutoff affects only which pairs are generated, never their
+    * overlap value.
     */
   private def pairOverlaps(
       docs: DataFrame,
@@ -531,6 +525,17 @@ object Text {
         col("x.m").as("ma"), col("y.m").as("mb"))
   }
 
+  /** D3 exact variant — n-gram Jaccard near-dup pairs over the inverted-
+    * index core ([[pairOverlaps]]): `|A∩B| / |A∪B|` from the exact overlap
+    * and set sizes, at or above `threshold`.
+    *
+    * Recall contract: a qualifying pair is missed only if EVERY shingle it
+    * shares has document frequency > maxDf. At threshold ≥ 0.5 a near-dup
+    * pair shares most of its shingles, so it is found unless the documents
+    * are built entirely of corpus-wide boilerplate; set maxDf above the df
+    * of any discriminating phrase (default 500 ≫ the testdata max of 25,
+    * where output is bit-identical to the unfiltered form).
+    */
   def jaccardNearDupPairs(
       docs: DataFrame,
       idCol: String,

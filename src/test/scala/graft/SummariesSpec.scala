@@ -260,6 +260,27 @@ class SummariesSpec extends AnyFunSuite {
     assert(math.abs(frBook._5 - 4.0 / 3.0) < 1e-5)
   }
 
+  test("chiSquareCells attaches NULL-category counts to their grid cell") {
+    val df = Seq((Some("en"), "web"), (Option.empty[String], "web")).toDF("lang", "src")
+    val out = Summaries.chiSquareCells(df, "lang", "src")
+      .as[(Option[String], String, Long, Double, Double)].collect()
+    // NULL lang is a real category: observed must be 1, not an orphaned 0
+    val nullCell = out.find(_._1.isEmpty).get
+    assert(nullCell._3 == 1L)
+    assert(out.map(_._3).sum == 2L) // sum(observed) == N
+  }
+
+  test("transitionMatrix excludes NULL-timestamp events from sequences") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 1L, "x"), // unknown position: dropped
+      (1L, Some(ts("2024-01-01 00:00:01")), 2L, "a"),
+      (1L, Some(ts("2024-01-01 00:00:02")), 3L, "b")).toDF("u", "ts", "eid", "st")
+    val out = Summaries.transitionMatrix(df, "u", "ts", "st", "eid")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 1.0))) // no x->a phantom step
+  }
+
   test("transitionMatrix counts ordered steps and row-normalizes") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
