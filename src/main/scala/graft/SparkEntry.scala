@@ -1513,6 +1513,24 @@ object SparkEntry {
       Summaries.liftTable(t(s, d, "events"),
         col("user_id") % 3 === 0, col("value"), "event_id", 10)),
 
+    // Integer-mass PageRank over the customer<->supplier trade graph
+    "q147_pagerank" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+                concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      Graph.pageRankInt(edges, "a", "b", iterations = 3)
+    }),
+
+    // Fixed-size weighted sample (A-ES): 500 docs, inclusion ∝ n_chars
+    "q148_weighted_topk" -> ((s, d) =>
+      Sampling.weightedTakeK(t(s, d, "documents"), col("doc_id"), col("n_chars"), 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("__prio").as("prio"), col("__h").as("h"))
+        .orderBy(col("prio"), col("h"))),
+
     // Z-order write → file-stats index → stats-pruned range scan; the
     // result must equal the plain filtered aggregate (oracle), while
     // StorageSpec pins that the pruned read opens a strict file subset
@@ -3124,6 +3142,45 @@ object SparkEntry {
                          / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000
                   AS lift
          FROM g ORDER BY bin""",
+
+    "q147_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                                       's' || CAST(l_suppkey AS VARCHAR) AS b
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         m0 AS (SELECT v, CAST(1000000 AS BIGINT) AS m FROM nodes),
+         it1 AS (SELECT n.v, 150000 + COALESCE(i.inc, 0) AS m
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS v, sum((r.m * 85) // (100 * g.d)) AS inc
+                   FROM edges e JOIN m0 r ON e.src = r.v JOIN deg g ON e.src = g.src
+                   GROUP BY e.dst) i ON n.v = i.v),
+         it2 AS (SELECT n.v, 150000 + COALESCE(i.inc, 0) AS m
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS v, sum((r.m * 85) // (100 * g.d)) AS inc
+                   FROM edges e JOIN it1 r ON e.src = r.v JOIN deg g ON e.src = g.src
+                   GROUP BY e.dst) i ON n.v = i.v),
+         it3 AS (SELECT n.v, 150000 + COALESCE(i.inc, 0) AS m
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS v, sum((r.m * 85) // (100 * g.d)) AS inc
+                   FROM edges e JOIN it2 r ON e.src = r.v JOIN deg g ON e.src = g.src
+                   GROUP BY e.dst) i ON n.v = i.v)
+         SELECT v, CAST(m AS BIGINT) AS rank_micro
+         FROM it3 ORDER BY rank_micro DESC, v""",
+
+    "q148_weighted_topk" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         p AS (SELECT doc_id, lang, n_chars, h,
+                      CAST(floor(-ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+                                 / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                        AS prio
+               FROM d)
+         SELECT doc_id, lang, n_chars, prio, h
+         FROM p ORDER BY prio, h, CAST(doc_id AS VARCHAR) LIMIT 500""",
 
     "q144_pruned_scan" ->
       """SELECT l_returnflag,

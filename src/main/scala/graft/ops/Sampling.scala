@@ -211,6 +211,39 @@ object Sampling {
       }
   }
 
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws an exponential priority `e = −ln(u) / w` from a
+    * content-hash uniform `u ∈ (0, 1]`, and the `k` SMALLEST priorities win
+    * — inclusion probability proportional to weight, sample size exactly
+    * `min(k, eligible rows)`, no global weight total needed (unlike the
+    * Bernoulli [[weightedSample]], whose output size is itself random).
+    * Deterministic: a pure function of (key, weight, k), stable across
+    * reruns and partitionings.
+    *
+    * Cross-engine contract: `u` is `(hash60(key) + 1) / 2⁶⁰` (exact
+    * power-of-two scaling; the bigint→double cast rounds identically under
+    * IEEE), and the priority is quantized to integer MICRO-units before
+    * ranking, so the frontier compares exact longs — the 1-ulp `ln`
+    * wobble cannot reorder it. Ties (quantized-equal priorities) break on
+    * the hash, then the key string. Rows with NULL or non-positive weight
+    * are excluded.
+    *
+    * Scale shape: one narrow expression pass + a top-k frontier
+    * (`TakeOrderedAndProject` — per-partition heaps, no global sort of the
+    * corpus).
+    */
+  def weightedTakeK(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val h = Text.hash60(key.cast("string"))
+    val u = (h.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+    val prio = floor(-log(u) / weight.cast("double") * 1000000 + 0.5).cast("long")
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__h", h)
+      .withColumn("__prio", prio)
+      .orderBy(col("__prio").asc, col("__h").asc, key.cast("string").asc)
+      .limit(k)
+  }
+
   /** Temperature-scaled source mixing weights — the multilingual/multi-source
     * rebalancing rule (`wᵢ ∝ pᵢ^α`, α < 1 upsamples the tail): per source,
     * the row count, natural share `p`, temperature weight `w`, and the

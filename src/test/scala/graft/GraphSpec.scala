@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRankInt: hand-computed integer masses on a 3-node graph") {
+    // a->b, b->a, c->a; all out-degrees 1
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("s", "t")
+    val out = Graph.pageRankInt(edges, "s", "t", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    // it1: a = 150000 + 850000(b) + 850000(c) = 1850000; b = 1000000; c = 150000
+    // it2: a = 150000 + 850000(b) + 127500(c) = 1127500
+    //      b = 150000 + (1850000*85) DIV 100 = 1722500; c = 150000
+    assert(out == Map("a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L))
+  }
+
+  test("pageRankInt is partitioning-independent (exact integer masses)") {
+    val pairs = (1L to 200L).map(i => (s"n$i", s"n${i * 7 % 200 + 1}")).distinct
+    val e1 = pairs.toDF("s", "t")
+    val e2 = e1.repartition(13)
+    val r1 = Graph.pageRankInt(e1, "s", "t", 3).as[(String, Long)].collect().toSeq
+    val r2 = Graph.pageRankInt(e2, "s", "t", 3).as[(String, Long)].collect().toSeq
+    assert(r1 == r2)
+  }
+}

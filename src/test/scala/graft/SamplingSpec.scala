@@ -172,6 +172,24 @@ class SamplingSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("weightedTakeK: exact size, weight-proportional, layout-independent") {
+    val df = (1L to 2000L).map(i => (i, if (i <= 100) 50.0 else 1.0)).toDF("id", "w")
+    val out = Sampling.weightedTakeK(df, col("id"), col("w"), 200)
+      .select(col("id")).as[Long].collect().toSet
+    assert(out.size == 200)
+    // the 100 heavy rows (50x weight) should nearly all make a 200-sample
+    assert(out.count(_ <= 100L) > 70, s"heavy rows in sample: ${out.count(_ <= 100L)}")
+    // deterministic under repartitioning
+    val out2 = Sampling.weightedTakeK(df.repartition(17), col("id"), col("w"), 200)
+      .select(col("id")).as[Long].collect().toSet
+    assert(out == out2)
+    // null/non-positive weights are never sampled
+    val withBad = df.union(Seq((9001L, -5.0), (9002L, 0.0)).toDF("id", "w"))
+    val out3 = Sampling.weightedTakeK(withBad, col("id"), col("w"), 2000)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!out3.contains(9001L) && !out3.contains(9002L) && out3.size == 2000)
+  }
+
   test("temperatureWeights: alpha=0.5 flattens an 80/20 mix toward 2/3-1/3") {
     val df = (Seq.fill(8)("big") ++ Seq.fill(2)("small")).toDF("src")
     val out = Sampling.temperatureWeights(df, "src", 0.5)
