@@ -25,8 +25,21 @@ object Bench {
       catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1   = ordered.map { case (name, fn) => name -> once(fn) }
-    val pass2   = ordered.map { case (name, fn) => name -> once(fn) }
+    // Between passes, release superseded localCheckpoint blocks: pinned
+    // RDD blocks from the checkpointing operators are only freed when the
+    // driver GCs their RDD references (ContextCleaner is weak-ref driven),
+    // and with a large heap that may never happen mid-suite — storage
+    // memory then fills with dead blocks and later queries pay eviction
+    // churn (measured: queries that run in 0.2 s early in a pass took ~3 s
+    // late in an un-GC'd sweep).
+    def sweep() = {
+      val r = ordered.map { case (name, fn) => name -> once(fn) }
+      System.gc()
+      Thread.sleep(300) // let ContextCleaner drain its async unpersist queue
+      r
+    }
+    val pass1   = sweep()
+    val pass2   = sweep()
     val results = pass1.zip(pass2).map { case ((name, r1), (_, r2)) =>
       val attempt = (r1, r2) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))

@@ -40,18 +40,23 @@ object Graph {
       iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
+    // out-degree is folded INTO the pinned edge table via a window over the
+    // source key — ONE pass over the input (an agg+self-join would compute
+    // the edge expression twice), one shuffle, then each round needs only
+    // the ranks join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
       .localCheckpoint(true)
     val base = 1000000L * (100 - dampingPct) / 100
-    var ranks = nodes.select(col("v"), lit(1000000L).as("m")).localCheckpoint(true)
+    // round 0 derives trivially from the pinned node set — no checkpoint job
+    var ranks = nodes.select(col("v"), lit(1000000L).as("m"))
     var iter = 0
     while (iter < iterations) {
       val inc = e.join(ranks, col("src") === col("v"))
-        .join(deg, "src")
         .select(col("dst").as("v"),
           expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("inc"))

@@ -112,6 +112,9 @@ object Storage {
       cols.zipWithIndex.map { case (c, i) => (c, 1 << bits, s"__zb_$i") })
     binned
       .withColumn("__z", zValue(cols.indices.map(i => col(s"__zb_$i")), bits))
+      // pinned: RangePartitioner's sampling job would otherwise re-execute
+      // the whole binning subtree a second time (see exactQuantileArrays)
+      .localCheckpoint(false)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop(cols.indices.map(i => s"__zb_$i") :+ "__z": _*)
