@@ -85,107 +85,31 @@ object Streaming {
     *
     * `foreachBatch` is the right tool (not a stateful operator): the "state"
     * is the corpus itself, which must outlive the query, be readable by
-    * batch jobs mid-stream, and scale past executor state stores. Batch +
-    * append is idempotent-ish under retries only per content (a replayed
-    * batch re-checks the corpus, so duplicates cannot enter; a crash BETWEEN
-    * the read and the append can at worst re-admit rows written by that very
-    * attempt — at-least-once, deduped at the content level).
+    * batch jobs mid-stream, and scale past executor state stores. The corpus
+    * is a [[TxTable]] (read it with `TxTable.read`): each batch's survivors
+    * land as ONE atomic append commit, so a replayed batch is skipped by the
+    * guard and a crash mid-write leaves no partial files for the next read
+    * to trip on — the content-level anti-join then backstops even a marker
+    * loss (duplicates still cannot enter).
     */
   def incrementalDedupSink(stream: DataFrame, corpusDir: String,
       contentCol: String, idCol: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark  = batch.sparkSession
-        val corpus = new org.apache.hadoop.fs.Path(corpusDir)
-        val fs     = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // existence is not readability: a crashed first write leaves only
-        // _temporary behind, and read.parquet on it throws on EVERY retry —
-        // a permanent crash loop. Only committed data files count.
-        val hasData = fs.exists(corpus) && fs.listStatus(corpus).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val fresh =
-          if (hasData)
-            Dedup.dedupAgainstCorpus(batch, spark.read.parquet(corpusDir), contentCol)
+          if (TxTable.exists(spark, corpusDir))
+            Dedup.dedupAgainstCorpus(batch, TxTable.read(spark, corpusDir), contentCol)
           else batch
         // dedup WITHIN the batch too: two copies in one micro-batch must land once
-        Dedup.dedupByDigest(fresh, contentCol, idCol)
-          .write.mode("append").parquet(corpusDir)
+        TxTable.append(spark, corpusDir,
+          Dedup.dedupByDigest(fresh, contentCol, idCol),
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
       }
       .start()
-
-  /** Crash-safe, replay-idempotent table swap shared by the rebuild-style
-    * sinks ([[upsertSink]], [[aggStateSink]]). Parquet has no transactional
-    * row update, so each batch rebuilds the table into `dir__next` and
-    * renames it in — with two properties a naive write/delete/rename lacks:
-    *
-    *  - **Crash safety**: the old table is renamed ASIDE (`dir__old`), not
-    *    deleted, before the new one renames in. A crash between the two
-    *    renames leaves `dir` missing and `dir__old` intact; the next run
-    *    restores it and re-applies the replayed batch. The naive form's
-    *    delete-then-rename window silently reinitializes the table from
-    *    one micro-batch.
-    *  - **Replay idempotence**: `foreachBatch` is at-least-once. The
-    *    last-applied batch id rides inside the table dir (underscore file,
-    *    invisible to parquet reads); a replayed batch whose merge already
-    *    swapped in is skipped, which matters for non-idempotent merges
-    *    (an algebraic state merge would double-count; see q110).
-    *  - **Checkpoint-scoped guard**: batch ids are scoped to a CHECKPOINT
-    *    — delete/recreate the checkpoint against an existing table dir and
-    *    ids restart at 0, so a bare id guard would silently skip every new
-    *    batch until the id passed the stale marker. The marker therefore
-    *    also records `guard` (the streaming query id persisted in the
-    *    checkpoint, [[checkpointQueryId]] — stable across restarts of the
-    *    same checkpoint, fresh when it is recreated); a guard mismatch
-    *    resets the skip logic instead of honoring a stale id.
-    *
-    * A table format (Delta/Iceberg) would make this one atomic commit —
-    * that is storage's job; this helper is the plain-parquet contract.
-    */
-  private[graft] def swapInTable(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      batchId: Long, guard: String = "")(build: Boolean => DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    val cur  = new Path(tableDir)
-    val next = new Path(tableDir + "__next")
-    val old  = new Path(tableDir + "__old")
-    val fs   = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
-      throw new java.io.IOException(s"crash recovery failed: $old -> $cur")
-    if (fs.exists(old)) fs.delete(old, true) // completed swap's leftover
-    val marker = new Path(cur, "_graft_batch")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val txt =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val (storedGuard, applied) = parseBatchMarker(txt)
-      // legacy single-line markers (empty guard) predate guard scoping:
-      // treat them as matching ANY guard, or the first replayed batch
-      // after an upgrade would bypass the skip and double-apply
-      if ((storedGuard == guard || storedGuard.isEmpty) && applied >= batchId) return
-    }
-    build(fs.exists(cur)).write.mode("overwrite").parquet(next.toString)
-    val out = fs.create(new Path(next, "_graft_batch"), true)
-    try out.write(s"$guard\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(cur) && !fs.rename(cur, old))
-      throw new java.io.IOException(s"swap failed: $cur -> $old")
-    if (!fs.rename(next, cur))
-      throw new java.io.IOException(s"swap failed: $next -> $cur")
-    fs.delete(old, true)
-  }
-
-  /** Parse a `_graft_batch` marker: `guard \n batchId`, tolerating the
-    * legacy single-line id-only form (empty guard).
-    */
-  private def parseBatchMarker(txt: String): (String, Long) = {
-    val lines = txt.trim.split("\n", 2)
-    if (lines.length == 2) (lines(0).trim, lines(1).trim.toLong)
-    else ("", lines(0).trim.toLong)
-  }
 
   /** The streaming query id persisted in `checkpoint/metadata` — stable
     * across restarts of the SAME checkpoint (unlike runId, which changes
@@ -209,15 +133,30 @@ object Streaming {
     }
   }
 
+  /** [[checkpointQueryId]] as a [[TxTable]] replay guard. When the
+    * checkpoint metadata is absent/unreadable this is [[TxTable.NoGuard]]
+    * (a sentinel, NOT the empty string): TxTable matches guards exactly, so
+    * a commit made while the id was unavailable can never be mistaken for a
+    * match-any marker if the checkpoint is later recreated — the failure
+    * mode the old empty-guard legacy form re-enabled.
+    */
+  private[graft] def guardFor(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): String = {
+    val id = checkpointQueryId(spark, checkpoint)
+    if (id.isEmpty) TxTable.NoGuard else id
+  }
+
   /** Streaming keyed upsert sink — the streaming MERGE: each micro-batch
     * SCD-1-upserts into a parquet table via [[Dedup.upsert]], with
     * [[Dedup.keepLatest]] resolving multi-version keys INSIDE a batch by
     * `versionCol` (whole-row-hash tie-break — deterministic under replay).
-    * The table is rebuilt and swapped via [[swapInTable]]. Per batch this
-    * reads the table once and writes it once — the economics of
-    * merge-on-read compaction, acceptable when batches are minutes apart;
-    * the anti-join inside upsert broadcasts the increment, so the rewrite
-    * is one narrow scan+union pass.
+    * The table is a [[TxTable]] (read it with `TxTable.read`): each batch
+    * commits one atomic `replace`, replays are skipped by the
+    * checkpoint-scoped guard, and a concurrent reader always sees a full
+    * snapshot. Per batch this reads the table once and writes it once — the
+    * economics of merge-on-read compaction, acceptable when batches are
+    * minutes apart; the anti-join inside upsert broadcasts the increment,
+    * so the rewrite is one narrow scan+union pass.
     */
   def upsertSink(stream: DataFrame, tableDir: String, keys: Seq[String],
       versionCol: String,
@@ -226,12 +165,15 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        swapInTable(spark, tableDir, batchId, checkpointQueryId(spark, checkpoint)) { tableExists =>
-          val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol),
-            Seq(xxhash64(batch.columns.map(col): _*)))
-          if (tableExists) Dedup.upsert(spark.read.parquet(tableDir), resolved, keys)
+        val resolved = Dedup.keepLatest(batch, keys, Seq(versionCol),
+          Seq(xxhash64(batch.columns.map(col): _*)))
+        val next =
+          if (TxTable.exists(spark, tableDir))
+            Dedup.upsert(TxTable.read(spark, tableDir), resolved, keys)
           else resolved
-        }
+        TxTable.replace(spark, tableDir, next,
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
       }
       .start()
 
@@ -240,12 +182,12 @@ object Streaming {
     * ([[Summaries.aggState]]) and merged into the stored state table
     * ([[Summaries.mergeAggStates]]), so the maintained view never re-reads
     * history — per batch, one narrow state-table scan plus the batch's own
-    * partial aggregate, swapped in via [[swapInTable]] (whose replay guard
-    * is load-bearing HERE: the algebraic merge is not idempotent, so an
-    * unguarded at-least-once replay would double-count the batch). Unlike
-    * Spark's built-in streaming aggregation this state lives in an open
-    * parquet table readable by ANY engine between batches, not inside a
-    * checkpoint's state store.
+    * partial aggregate, committed as one atomic [[TxTable]] `replace`
+    * (whose replay guard is load-bearing HERE: the algebraic merge is not
+    * idempotent, so an unguarded at-least-once replay would double-count
+    * the batch). The state lives in open parquet files readable by ANY
+    * engine between batches (`TxTable.read` resolves the current snapshot),
+    * not inside a checkpoint's state store.
     */
   def aggStateSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       measures: Seq[String],
@@ -254,12 +196,14 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        swapInTable(spark, stateDir, batchId, checkpointQueryId(spark, checkpoint)) { tableExists =>
-          val delta = Summaries.aggState(batch, keys, measures)
-          if (tableExists)
-            Summaries.mergeAggStates(spark.read.parquet(stateDir), delta, keys, measures)
+        val delta = Summaries.aggState(batch, keys, measures)
+        val next =
+          if (TxTable.exists(spark, stateDir))
+            Summaries.mergeAggStates(TxTable.read(spark, stateDir), delta, keys, measures)
           else delta
-        }
+        TxTable.replace(spark, stateDir, next,
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
       }
       .start()
 
@@ -270,11 +214,11 @@ object Streaming {
     * the centroid table with the standard mini-batch update
     * `c' = (n·c + bn·bm) / (n + bn)` — each batch moves a centroid in
     * proportion to the evidence it carries. State is k rows of
-    * (cluster, n, centroid) in an open parquet table ([[swapInTable]] —
-    * crash-safe, and the replay guard is load-bearing: the weighted merge
-    * is not idempotent). First batch seeds from its k smallest-id rows.
-    * The k-row merge itself is driver-side — it IS the model update, the
-    * same economics as [[Clustering.kmeans]]'s iteration.
+    * (cluster, n, centroid) in a [[TxTable]] (atomic commit; the replay
+    * guard is load-bearing: the weighted merge is not idempotent). First
+    * batch seeds from its k smallest-id rows. The k-row merge itself is
+    * driver-side — it IS the model update, the same economics as
+    * [[Clustering.kmeans]]'s iteration.
     */
   def kmeansSink(stream: DataFrame, idCol: String, vecCol: String, k: Int,
       stateDir: String,
@@ -283,12 +227,12 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        swapInTable(spark, stateDir, batchId, checkpointQueryId(spark, checkpoint)) { exists =>
+        locally {
           import spark.implicits._
           val clean = batch.filter(col(vecCol).isNotNull)
           val state: Map[Int, (Long, Seq[Double])] =
-            if (!exists) Map.empty
-            else spark.read.parquet(stateDir)
+            if (!TxTable.exists(spark, stateDir)) Map.empty
+            else TxTable.read(spark, stateDir)
               .select(col("cluster"), col("n"), col("centroid"))
               .as[(Int, Long, Seq[Double])].collect()
               .map(r => r._1 -> (r._2, r._3)).toMap
@@ -325,75 +269,52 @@ object Streaming {
               case None => (cid, n0, c0) // no evidence this batch: unchanged
             }
           }
-          merged.toDF("cluster", "n", "centroid")
+          TxTable.replace(spark, stateDir, merged.toDF("cluster", "n", "centroid"),
+            guard = guardFor(spark, checkpoint), batchId = batchId)
+          ()
         }
       }
       .start()
 
   /** Streaming malformed-record quarantine — the streaming form of
     * [[Ingest.readJsonQuarantine]]: a text file stream parsed with the
-    * in-expression corrupt-record field, routed into a good parquet sink
-    * and a raw-lines reject sink. `foreachBatch` because one streaming
-    * query cannot feed two sinks and two separate queries would scan the
-    * source twice; the micro-batch is persisted across the two writes so
-    * the parse runs once. Rejected lines keep their original bytes, so a
-    * fixed parser can re-drive the reject directory later.
+    * in-expression corrupt-record field, routed into a good rows table and
+    * a raw reject-lines table under ONE [[TxTable]] root (`root`, tables
+    * `"good"` / `"bad"` — read with `TxTable.read(spark, root, "good")`).
+    * `foreachBatch` because one streaming query cannot feed two sinks and
+    * two separate queries would scan the source twice; the micro-batch is
+    * persisted across the two writes so the parse runs once. Both appends
+    * land in ONE atomic commit: there is no state in which good rows are
+    * visible without their batch's rejects (the old dual-`mode("append")`
+    * form had exactly that crash window), and a replayed batch is skipped
+    * by the checkpoint-scoped guard. Rejected lines keep their original
+    * bytes, so a fixed parser can re-drive the reject table later.
     */
   def jsonQuarantineStream(spark: org.apache.spark.sql.SparkSession, inDir: String,
-      schema: org.apache.spark.sql.types.StructType, goodDir: String,
-      badDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      schema: org.apache.spark.sql.types.StructType, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(!schema.fieldNames.contains("__corrupt"), "__corrupt is reserved")
     val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
     spark.readStream.text(inDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Replay guard for the append sinks: foreachBatch is at-least-once,
-        // and re-appending a replayed batch silently duplicates good rows.
-        // ONE max-applied-id marker (underscore file — invisible to parquet
-        // reads; replays are monotone so only the max matters — a per-batch
-        // marker dir would grow by a file per trigger forever) makes
-        // replays of fully-committed batches no-ops. The marker is scoped
-        // to the checkpoint's query id like swapInTable's: a recreated
-        // checkpoint restarts batch ids at 0, and an id-only guard would
-        // skip every new batch until the id passed the stale marker.
-        // Residual window: a crash BETWEEN the two appends and the marker
-        // still duplicates on replay — closing it needs a transactional
-        // table format.
-        val guard = checkpointQueryId(batch.sparkSession, checkpoint)
-        val mk = new org.apache.hadoop.fs.Path(goodDir, "_graft_batch")
-        val fs = mk.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        val applied =
-          if (!fs.exists(mk)) -1L
-          else {
-            val in = fs.open(mk)
-            val txt =
-              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            val (storedGuard, id) = parseBatchMarker(txt)
-            // empty stored guard = legacy marker: honor it under any guard
-            if (storedGuard == guard || storedGuard.isEmpty) id else -1L
-          }
-        if (applied < batchId) {
-          val parsed = batch.select(col("value"),
-            from_json(col("value"), withCorrupt,
-              Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
-          // blank lines parse to a NULL struct, not a corrupt record — they
-          // quarantine too (see Ingest.readJsonQuarantine)
-          val isGood = col("j").isNotNull && col("j.__corrupt").isNull
-          try {
-            parsed.filter(isGood)
-              // getField: a field literally named "a.b" must not resolve as a path
-              .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toIndexedSeq: _*)
-              .write.mode("append").parquet(goodDir)
-            parsed.filter(!isGood)
-              .select(col("value").as("raw"))
-              .write.mode("append").text(badDir)
-            val out = fs.create(mk, true)
-            try out.write(s"$guard\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-          } finally parsed.unpersist()
-        }
+        val parsed = batch.select(col("value"),
+          from_json(col("value"), withCorrupt,
+            Map("columnNameOfCorruptRecord" -> "__corrupt")).as("j")).persist()
+        // blank lines parse to a NULL struct, not a corrupt record — they
+        // quarantine too (see Ingest.readJsonQuarantine)
+        val isGood = col("j").isNotNull && col("j.__corrupt").isNull
+        try {
+          val good = parsed.filter(isGood)
+            // getField: a field literally named "a.b" must not resolve as a path
+            .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toIndexedSeq: _*)
+          val bad = parsed.filter(!isGood).select(col("value").as("raw"))
+          TxTable.commit(batch.sparkSession, root,
+            Seq(("good", "append", good), ("bad", "append", bad)),
+            guard = guardFor(batch.sparkSession, checkpoint), batchId = batchId)
+          ()
+        } finally parsed.unpersist()
       }
       .start()
   }

@@ -1,0 +1,280 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transactional table format — the atomic multi-file commit that
+  * plain `write.parquet` lacks. The reference's storage story is a single
+  * xlsx swap (`/root/reference/app.py:369-378`); at 100 TB the same need
+  * ("replace/extend a table so readers never see partial state") is what
+  * Delta/Iceberg commit logs solve. This is that protocol reduced to its
+  * load-bearing core:
+  *
+  * {{{
+  * root/
+  *   _log/00000000000000000007.commit   // manifest, made live by ONE rename
+  *   data/00000000000000000007-0-t/     // immutable parquet dirs
+  * }}}
+  *
+  *  - **Stage**: each table's rows are written to a fresh dir under `data/`
+  *    named by the version being attempted. Staged dirs are invisible —
+  *    readers only follow dirs referenced by a committed manifest — so a
+  *    crash mid-stage leaves garbage, never a torn table, and a replayed
+  *    attempt at the same version overwrites its own garbage.
+  *  - **Commit**: the manifest (guard, batch id, and `(mode, table, dir)`
+  *    entries) is written to a temp file and RENAMED to
+  *    `_log/<version>.commit`. Rename is the one atomic filesystem
+  *    primitive (posix and HDFS both); a reader lists the log and either
+  *    sees the whole commit or none of it. A multi-table commit (e.g. the
+  *    quarantine's good+bad sinks) is therefore all-or-nothing — the crash
+  *    window between two `mode("append")` writes that this replaces cannot
+  *    exist here.
+  *  - **Resolve**: a table's state is the ordered fold of the log — a
+  *    `replace` entry resets its dir list, an `append` entry extends it —
+  *    so rebuild-style sinks and append-style sinks share one reader.
+  *  - **Replay guard**: `foreachBatch` is at-least-once; a commit records
+  *    the streaming checkpoint's query id (`guard`) and batch id, and
+  *    [[lastApplied]] takes the max batch over commits with the SAME guard
+  *    — so a recreated checkpoint (fresh guard, ids restart at 0) is never
+  *    falsely skipped, and a non-batch commit in between (compaction,
+  *    guard [[NoGuard]]) never disturbs the streaming high-water mark.
+  *  - **GC**: after a commit, dirs superseded before the PREVIOUS version
+  *    are deleted. Keeping exactly one superseded snapshot is the grace
+  *    window for concurrent readers: a plan resolved against version N
+  *    still executes correctly while version N+1 commits (TxTableSpec pins
+  *    this).
+  *
+  * Single writer per root (the streaming sinks' natural shape — one query
+  * owns its state table); the log is one small file per commit, so a
+  * long-lived table should periodically [[compact]], which folds history
+  * into one `replace` commit the resolver can fold just as cheaply.
+  */
+object TxTable {
+
+  /** Table name used by the single-table convenience forms. */
+  val SingleTable = "t"
+
+  /** Guard for commits that are not streaming batches (compaction, batch
+    * jobs). Never equal to a checkpoint query id, so it cannot disturb
+    * [[lastApplied]]'s per-guard high-water mark.
+    */
+  val NoGuard = "-"
+
+  private[graft] case class Entry(mode: String, table: String, dir: String)
+  private[graft] case class Commit(version: Long, guard: String, batchId: Long,
+      entries: Seq[Entry])
+
+  private def logDir(root: Path)  = new Path(root, "_log")
+  private def dataDir(root: Path) = new Path(root, "data")
+  private def commitPath(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.commit")
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All committed manifests in version order. An unparseable file (torn by
+    * something other than this writer — rename can't produce one) is
+    * skipped rather than poisoning the table.
+    */
+  private[graft] def listCommits(fs: FileSystem, root: Path): Seq[Commit] = {
+    val ld = logDir(root)
+    if (!fs.exists(ld)) return Seq.empty
+    fs.listStatus(ld).toSeq
+      .filter(_.getPath.getName.endsWith(".commit"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        parseManifest(st.getPath.getName.stripSuffix(".commit").toLong, txt)
+      }
+  }
+
+  private def parseManifest(version: Long, txt: String): Option[Commit] = {
+    val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (!lines.headOption.contains("graft-tx v1")) return None
+    var guard = NoGuard
+    var batch = -1L
+    val entries = Seq.newBuilder[Entry]
+    lines.drop(1).foreach { l =>
+      l.split(" ").toSeq match {
+        case Seq("guard", g)           => guard = g
+        case Seq("batch", b)           => batch = b.toLong
+        case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
+        case _                         => return None
+      }
+    }
+    Some(Commit(version, guard, batch, entries.result()))
+  }
+
+  private def renderManifest(guard: String, batchId: Long, entries: Seq[Entry]): String = {
+    val head = Seq("graft-tx v1", s"guard $guard", s"batch $batchId")
+    (head ++ entries.map(e => s"${e.mode} ${e.table} ${e.dir}")).mkString("\n")
+  }
+
+  /** Fold the log into `table`'s current dir list (relative to `data/`). */
+  private def resolveRel(commits: Seq[Commit], table: String): Seq[String] =
+    commits.foldLeft(Seq.empty[String]) { (dirs, c) =>
+      c.entries.filter(_.table == table).foldLeft(dirs) { (d, e) =>
+        if (e.mode == "replace") Seq(e.dir) else d :+ e.dir
+      }
+    }
+
+  private def dataFiles(fs: FileSystem, root: Path, rel: Seq[String]): Seq[Path] =
+    rel.flatMap { d =>
+      val p = new Path(dataDir(root), d)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+
+  /** True when `table` has committed data rows (a committed empty append
+    * alone does not count — there is nothing to read).
+    */
+  def exists(spark: SparkSession, root: String, table: String = SingleTable): Boolean = {
+    val (fs, rp) = fsFor(spark, root)
+    dataFiles(fs, rp, resolveRel(listCommits(fs, rp), table)).nonEmpty
+  }
+
+  /** The committed snapshot of `table` — the union of its resolved dirs,
+    * each immutable and fully written by construction. `schema` pins the
+    * read schema (useful when empty staged appends are present).
+    */
+  def read(spark: SparkSession, root: String, table: String = SingleTable,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val files = dataFiles(fs, rp, resolveRel(listCommits(fs, rp), table))
+    require(files.nonEmpty, s"no committed data for table '$table' under $root")
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(files.map(_.toString): _*)
+  }
+
+  /** Max batch id committed under `guard` (-1 if none) — the replay
+    * high-water mark. Per-guard max over the WHOLE log, not the last
+    * commit's id: a compaction or a different checkpoint's commits in
+    * between must not reset streaming replay tracking.
+    */
+  def lastApplied(spark: SparkSession, root: String, guard: String): Long = {
+    val (fs, rp) = fsFor(spark, root)
+    lastAppliedIn(listCommits(fs, rp), guard)
+  }
+
+  private def lastAppliedIn(commits: Seq[Commit], guard: String): Long =
+    commits.filter(_.guard == guard).map(_.batchId).foldLeft(-1L)(math.max)
+
+  /** Stage one table's rows for version `v` (visible to nobody until the
+    * manifest commits). Deterministic dir name: a replay of a crashed
+    * attempt at the same version overwrites its own garbage instead of
+    * leaking a dir per retry.
+    */
+  private[graft] def stage(root: String, v: Long, i: Int, table: String,
+      df: DataFrame): Entry = {
+    require(!table.contains(" ") && !table.contains("/"), s"bad table name: $table")
+    val rel = f"$v%020d-$i-$table"
+    df.write.mode("overwrite").parquet(new Path(new Path(root, "data"), rel).toString)
+    Entry("stage", table, rel) // mode filled in by commit
+  }
+
+  /** Atomically commit `writes` — each `(table, mode, rows)` with mode
+    * `"replace"` or `"append"` — as one all-or-nothing version. Returns
+    * false (nothing written) when `batchId` was already applied under
+    * `guard` — the at-least-once replay skip. Plans in `writes` may read
+    * this table's current snapshot: they execute against the resolved dirs
+    * while staging writes NEW dirs, and GC keeps the previous snapshot, so
+    * there is no read-while-overwrite hazard.
+    */
+  def commit(spark: SparkSession, root: String,
+      writes: Seq[(String, String, DataFrame)],
+      guard: String = NoGuard, batchId: Long = -1L): Boolean = {
+    require(writes.nonEmpty, "commit needs at least one write")
+    writes.foreach { case (_, m, _) =>
+      require(m == "replace" || m == "append", s"bad mode: $m") }
+    val (fs, rp) = fsFor(spark, root)
+    val commits = listCommits(fs, rp)
+    if (batchId >= 0 && lastAppliedIn(commits, guard) >= batchId) return false
+    val v = commits.lastOption.map(_.version).getOrElse(0L) + 1
+    val entries = writes.zipWithIndex.map { case ((table, mode, df), i) =>
+      stage(root, v, i, table, df).copy(mode = mode)
+    }
+    // temp manifest + rename: the ONE atomic step. A reader lists the log
+    // before or after this rename; there is no in-between.
+    val tmp = new Path(logDir(rp), f".$v%020d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(guard, batchId, entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = commitPath(rp, v)
+    require(!fs.exists(target),
+      s"concurrent writer detected at $target — TxTable roots are single-writer")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+    gc(fs, rp, commits :+ Commit(v, guard, batchId, entries))
+    true
+  }
+
+  /** Replace `table` with `rows` in one commit (batch-job form). */
+  def replace(spark: SparkSession, root: String, rows: DataFrame,
+      table: String = SingleTable, guard: String = NoGuard, batchId: Long = -1L): Boolean =
+    commit(spark, root, Seq((table, "replace", rows)), guard, batchId)
+
+  /** Append `rows` to `table` in one commit (batch-job form). */
+  def append(spark: SparkSession, root: String, rows: DataFrame,
+      table: String = SingleTable, guard: String = NoGuard, batchId: Long = -1L): Boolean =
+    commit(spark, root, Seq((table, "append", rows)), guard, batchId)
+
+  /** Fold `table`'s accumulated append dirs (and their small files) into
+    * one compacted `replace` commit sized from the actual on-disk bytes —
+    * [[Storage.compactTo]]'s economics with an atomic swap: readers see the
+    * old file set or the new one, never a mix, and streaming replay
+    * tracking is untouched ([[NoGuard]]). Returns (files before, after).
+    */
+  def compact(spark: SparkSession, root: String, table: String = SingleTable,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (fs, rp) = fsFor(spark, root)
+    val files = dataFiles(fs, rp, resolveRel(listCommits(fs, rp), table))
+    require(files.nonEmpty, s"no committed data for table '$table' under $root")
+    val totalBytes = files.map(fs.getFileStatus(_).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val compacted = spark.read.parquet(files.map(_.toString): _*).repartition(nOut)
+    replace(spark, root, compacted, table)
+    val after = {
+      val (fs2, rp2) = fsFor(spark, root)
+      dataFiles(fs2, rp2, resolveRel(listCommits(fs2, rp2), table)).length
+    }
+    (files.length, after)
+  }
+
+  /** Delete data dirs superseded before the previous version. A dir is
+    * kept while the current OR previous resolved state of any table
+    * references it — one snapshot of grace for in-flight readers. Staged
+    * dirs of versions above the log (a writer mid-stage) are never
+    * touched; use [[vacuum]] for crashed-stage garbage.
+    */
+  private def gc(fs: FileSystem, root: Path, commits: Seq[Commit]): Unit = {
+    if (commits.size < 2) return
+    val tables = commits.flatMap(_.entries.map(_.table)).distinct
+    val live = tables.flatMap { t =>
+      resolveRel(commits, t) ++ resolveRel(commits.dropRight(1), t)
+    }.toSet
+    val referenced = commits.flatMap(_.entries.map(_.dir)).toSet
+    (referenced -- live).foreach(d => fs.delete(new Path(dataDir(root), d), true))
+  }
+
+  /** Delete data dirs referenced by NO commit — crashed-stage leftovers.
+    * Only safe when no writer is mid-commit on this root.
+    */
+  def vacuum(spark: SparkSession, root: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    val dd = dataDir(rp)
+    if (!fs.exists(dd)) return 0
+    val referenced = listCommits(fs, rp).flatMap(_.entries.map(_.dir)).toSet
+    val orphans = fs.listStatus(dd).map(_.getPath).filterNot(p => referenced(p.getName))
+    orphans.foreach(fs.delete(_, true))
+    orphans.length
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Streaming
+import graft.ops.{Streaming, TxTable}
 import graft.ops.Streaming.Ev
 
 /** ST1–ST7 driven through MemoryStream (SURVEY §5.5: streaming stays out of
@@ -187,7 +187,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData((4L, "beta"), (5L, "gamma"))                // cross-batch dup
       q.processAllAvailable()
-      val corpus = spark.read.parquet(s"$base/corpus")
+      val corpus = TxTable.read(spark, s"$base/corpus")
         .select("content").as[String].collect().sorted.toSeq
       assert(corpus == Seq("alpha", "beta", "gamma"))
     } finally q.stop()
@@ -205,7 +205,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData((1L, "a2", 3L), (3L, "c0", 1L)) // replace + insert
       q.processAllAvailable()
-      val table = spark.read.parquet(s"$base/table")
+      val table = TxTable.read(spark, s"$base/table")
         .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
       assert(table == Seq((1L, "a2", 3L), (2L, "b1", 2L), (3L, "c0", 1L)))
     } finally q.stop()
@@ -223,80 +223,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(("x", 2.0), ("z", -5.0)) // existing keys update, new key inserts
       q.processAllAvailable()
-      val state = spark.read.parquet(s"$base/state")
+      val state = TxTable.read(spark, s"$base/state")
         .select("k", "cnt", "sum_v", "min_v", "max_v")
         .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
       assert(state == Seq(
         ("x", 3L, 6.0, 1.0, 3.0), ("y", 1L, 10.0, 10.0, 10.0), ("z", 1L, -5.0, -5.0, -5.0)))
     } finally q.stop()
   }
-
-  test("swapInTable skips a replayed batch id and recovers a mid-swap crash") {
-    import spark.implicits._
-    val base = s"/root/repo/target/tmp/swap_${System.nanoTime()}"
-    val dir  = s"$base/t"
-    def readSum() = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("v"))
-      .as[Long].head()
-    Streaming.swapInTable(spark, dir, 0L)(_ => Seq(1L, 2L).toDF("v"))
-    assert(readSum() == 3L)
-    // at-least-once replay of batch 0: the build closure would double the
-    // table if the batch-id guard failed
-    Streaming.swapInTable(spark, dir, 0L)(exists =>
-      if (exists) spark.read.parquet(dir).union(Seq(1L, 2L).toDF("v"))
-      else Seq(1L, 2L).toDF("v"))
-    assert(readSum() == 3L)
-    // genuine next batch merges
-    Streaming.swapInTable(spark, dir, 1L)(_ =>
-      spark.read.parquet(dir).union(Seq(10L).toDF("v")))
-    assert(readSum() == 13L)
-    // crash window: current renamed aside, new table never renamed in —
-    // the next invocation must restore the pre-batch state, then apply
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + "__old")))
-    Streaming.swapInTable(spark, dir, 2L)(_ =>
-      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
-    assert(readSum() == 113L)
-  }
-
-  test("swapInTable guard reset: a recreated checkpoint's restarted batch ids still apply") {
-    import spark.implicits._
-    val base = s"/root/repo/target/tmp/swapguard_${System.nanoTime()}"
-    val dir  = s"$base/t"
-    def readSum() = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("v"))
-      .as[Long].head()
-    // first checkpoint lifetime: batches 0..1 applied under guard "q-A"
-    Streaming.swapInTable(spark, dir, 0L, "q-A")(_ => Seq(1L).toDF("v"))
-    Streaming.swapInTable(spark, dir, 1L, "q-A")(_ =>
-      spark.read.parquet(dir).union(Seq(2L).toDF("v")))
-    assert(readSum() == 3L)
-    // same guard, replayed id: skipped
-    Streaming.swapInTable(spark, dir, 1L, "q-A")(_ =>
-      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
-    assert(readSum() == 3L)
-    // checkpoint recreated: new query id, batch ids restart at 0 — the old
-    // id-only guard would skip every batch until the id passed the marker
-    Streaming.swapInTable(spark, dir, 0L, "q-B")(_ =>
-      spark.read.parquet(dir).union(Seq(10L).toDF("v")))
-    assert(readSum() == 13L)
-    // and the new guard's own replay protection works from there
-    Streaming.swapInTable(spark, dir, 0L, "q-B")(_ =>
-      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
-    assert(readSum() == 13L)
-    // legacy single-line marker (pre-guard release): must match ANY guard,
-    // or the first replay after an upgrade double-applies
-    val mk = new org.apache.hadoop.fs.Path(dir, "_graft_batch")
-    val out = fs2(mk).create(mk, true)
-    try out.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    Streaming.swapInTable(spark, dir, 0L, "q-C")(_ =>
-      spark.read.parquet(dir).union(Seq(100L).toDF("v")))
-    assert(readSum() == 13L) // replayed batch skipped despite the guard change
-  }
-
-  private def fs2(p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   test("sessionize merges cross-batch late events into their own session, not singletons") {
     import spark.implicits._
@@ -345,7 +278,7 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((0L, Seq(10.0f, 0.0f)), (1L, Seq(-10.0f, 0.0f)),
         (2L, Seq(12.0f, 0.0f)), (3L, Seq(-12.0f, 0.0f)))
       q.processAllAvailable()
-      def state() = spark.read.parquet(s"$base/state")
+      def state() = TxTable.read(spark, s"$base/state")
         .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
       val s1 = state()
       assert(s1.map(_._2).sum == 4L && s1.length == 2)
@@ -375,7 +308,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       input.addData((0L, Seq(0.0f, 0.0f)))
       q.processAllAvailable()
-      def state() = spark.read.parquet(s"$base/state")
+      def state() = TxTable.read(spark, s"$base/state")
         .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
       assert(state().length == 1) // 1-row first batch: only one seed exists
       // later batch supplies the missing centroids instead of collapsing
@@ -398,16 +331,17 @@ class StreamingSpec extends AnyFunSuite {
       """{"id": 1, "name": "ok"}""", """{"id": 2, BROKEN"""))
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
     val q = Streaming.jsonQuarantineStream(spark, s"$base/in", schema,
-      s"$base/good", s"$base/bad", s"$base/ckpt")
+      s"$base/out", s"$base/ckpt")
     try {
       q.processAllAvailable()
       // a second file arriving mid-stream is picked up incrementally
       java.nio.file.Files.write(in.resolve("f2.jsonl"), java.util.Arrays.asList(
         """{"id": 3, "name": "late"}""", "garbage"))
       q.processAllAvailable()
-      val good = spark.read.schema(schema).parquet(s"$base/good")
+      val good = TxTable.read(spark, s"$base/out", "good", Some(schema))
         .select("id").as[Long].collect().sorted.toSeq
-      val bad = spark.read.text(s"$base/bad").as[String].collect().toSet
+      val bad = TxTable.read(spark, s"$base/out", "bad")
+        .as[String].collect().toSet
       assert(good == Seq(1L, 3L))
       assert(bad == Set("""{"id": 2, BROKEN""", "garbage"))
     } finally q.stop()

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** The atomic-commit contract: a reader never sees partial state, replays
+  * are skipped per checkpoint guard, and GC keeps one snapshot of grace for
+  * in-flight readers.
+  */
+class TxTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def base() = s"/root/repo/target/tmp/tx_${System.nanoTime()}"
+
+  private def readSum(root: String, table: String = TxTable.SingleTable) = {
+    import spark.implicits._
+    TxTable.read(spark, root, table)
+      .agg(org.apache.spark.sql.functions.sum("v")).as[Long].head()
+  }
+
+  test("replace/append fold in order; replay of an applied batch is skipped") {
+    import spark.implicits._
+    val root = base()
+    assert(!TxTable.exists(spark, root))
+    assert(TxTable.replace(spark, root, Seq(1L, 2L).toDF("v"), guard = "q-A", batchId = 0L))
+    assert(readSum(root) == 3L)
+    // at-least-once replay of batch 0 under the same guard: no-op
+    assert(!TxTable.replace(spark, root, Seq(100L).toDF("v"), guard = "q-A", batchId = 0L))
+    assert(readSum(root) == 3L)
+    // genuine next batch appends
+    assert(TxTable.append(spark, root, Seq(10L).toDF("v"), guard = "q-A", batchId = 1L))
+    assert(readSum(root) == 13L)
+    // a replace resets the dir list — appends before it no longer contribute
+    assert(TxTable.replace(spark, root, Seq(7L).toDF("v"), guard = "q-A", batchId = 2L))
+    assert(readSum(root) == 7L)
+  }
+
+  test("guard reset: a recreated checkpoint's restarted batch ids still apply") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L).toDF("v"), guard = "q-A", batchId = 0L)
+    TxTable.append(spark, root, Seq(2L).toDF("v"), guard = "q-A", batchId = 1L)
+    assert(readSum(root) == 3L)
+    // checkpoint recreated: fresh guard, ids restart at 0 — must APPLY
+    assert(TxTable.append(spark, root, Seq(10L).toDF("v"), guard = "q-B", batchId = 0L))
+    assert(readSum(root) == 13L)
+    // and the new guard's own replay protection works from there
+    assert(!TxTable.append(spark, root, Seq(100L).toDF("v"), guard = "q-B", batchId = 0L))
+    assert(readSum(root) == 13L)
+    // the high-water mark is per-guard over the WHOLE log: q-A's id 1 is
+    // still remembered even though q-B committed since
+    assert(!TxTable.append(spark, root, Seq(100L).toDF("v"), guard = "q-A", batchId = 1L))
+    assert(readSum(root) == 13L)
+  }
+
+  test("mid-commit crash: staged-but-uncommitted data is invisible; retry completes") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L, 2L).toDF("v"), guard = "q-A", batchId = 0L)
+    // simulate a crash AFTER staging batch 1's data but BEFORE the manifest
+    // rename: stage directly, write no commit file
+    TxTable.stage(root, 2L, 0, TxTable.SingleTable, Seq(1L, 2L, 10L).toDF("v"))
+    // a concurrent reader sees exactly the committed snapshot — the staged
+    // dir is not referenced by any manifest
+    assert(readSum(root) == 3L)
+    assert(TxTable.lastApplied(spark, root, "q-A") == 0L)
+    // the replayed attempt overwrites its own garbage (same deterministic
+    // staging dir) and commits; state moves atomically to the new snapshot
+    assert(TxTable.replace(spark, root, Seq(1L, 2L, 10L).toDF("v"), guard = "q-A", batchId = 1L))
+    assert(readSum(root) == 13L)
+    // vacuum with no writer active removes nothing here (the retry reused
+    // the staged dir), and never touches referenced dirs
+    TxTable.vacuum(spark, root)
+    assert(readSum(root) == 13L)
+  }
+
+  test("multi-table commit is all-or-nothing (quarantine shape)") {
+    import spark.implicits._
+    val root = base()
+    TxTable.commit(spark, root,
+      Seq(("good", "append", Seq(1L).toDF("v")), ("bad", "append", Seq(-1L).toDF("v"))),
+      guard = "q-A", batchId = 0L)
+    // crash between the two staged writes of batch 1: good staged, bad not,
+    // no manifest — NEITHER is visible
+    TxTable.stage(root, 2L, 0, "good", Seq(2L).toDF("v"))
+    assert(readSum(root, "good") == 1L)
+    assert(readSum(root, "bad") == -1L)
+    // retry commits both sides as one version
+    assert(TxTable.commit(spark, root,
+      Seq(("good", "append", Seq(2L).toDF("v")), ("bad", "append", Seq(-2L).toDF("v"))),
+      guard = "q-A", batchId = 1L))
+    assert(readSum(root, "good") == 3L)
+    assert(readSum(root, "bad") == -3L)
+  }
+
+  test("concurrent reader: a plan resolved before a replace still executes after commit+GC") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L, 2L).toDF("v"))
+    val before = TxTable.read(spark, root) // resolves version 1's files NOW
+    TxTable.replace(spark, root, Seq(50L).toDF("v")) // v2 commits, GC runs
+    // GC keeps the previous snapshot: the in-flight reader's plan still works
+    assert(before.agg(org.apache.spark.sql.functions.sum("v")).as[Long].head() == 3L)
+    assert(readSum(root) == 50L)
+    // one more commit retires version 1's dirs for good
+    TxTable.replace(spark, root, Seq(60L).toDF("v"))
+    assert(readSum(root) == 60L)
+    val dataDirs = new java.io.File(s"$root/data").list().toSeq
+    // only v2 (grace) and v3 (current) remain on disk
+    assert(dataDirs.count(_.endsWith("-t")) == 2, s"unexpected dirs: $dataDirs")
+  }
+
+  test("compact folds appends into one snapshot without disturbing replay tracking") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L).toDF("v"), guard = "q-A", batchId = 0L)
+    TxTable.append(spark, root, Seq(2L).toDF("v"), guard = "q-A", batchId = 1L)
+    TxTable.append(spark, root, Seq(3L).toDF("v"), guard = "q-A", batchId = 2L)
+    val (beforeFiles, afterFiles) = TxTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(beforeFiles >= 3 && afterFiles == 1)
+    assert(readSum(root) == 6L)
+    // compaction committed under NoGuard: the stream's high-water mark is intact
+    assert(TxTable.lastApplied(spark, root, "q-A") == 2L)
+    assert(!TxTable.append(spark, root, Seq(100L).toDF("v"), guard = "q-A", batchId = 2L))
+    assert(TxTable.append(spark, root, Seq(4L).toDF("v"), guard = "q-A", batchId = 3L))
+    assert(readSum(root) == 10L)
+  }
+}
