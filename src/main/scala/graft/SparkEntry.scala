@@ -1194,14 +1194,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal decode path — mapPartitions feature extraction (stub
-    // decoder); not SQL-expressible → rows-only check
+    // Multimodal decode path — REAL 16-bit PCM decode via mapPartitions
+    // over a WAV constructed in-plan (q97's byte-plumbing trick, now with a
+    // data chunk): sample i of doc is ((doc_id·7919 + i·104729) % 65536)
+    // − 32768, n = doc_id % 64 + 64 samples. The decoder walks RIFF chunks
+    // and recovers exact integer features (sums/energy/peak/zero-crossings/
+    // per-lane sums) that the oracle computes from the same formula — a
+    // wrong byte anywhere breaks the hash
     "q56_decode_features" -> ((s, d) => {
-      val payload = t(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeFeatures(Tables.spread(payload), "doc_id", "payload", dim = 16)
-        .select(col("doc_id"), col("byte_len"),
-          Summaries.r4(element_at(col("features"), 1).cast("double")).as("f0"))
+      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+      val n    = (col("doc_id") % 64 + 64).cast("int")
+      val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+      val sampleHex = array_join(
+        transform(sequence(lit(0), n - 1), i => {
+          val tc = pmod(pmod(col("doc_id") * 7919 + i * 104729, lit(65536)) - 32768,
+            lit(65536)) // two's-complement 16-bit image of the signed sample
+          concat(lpad(hex(pmod(tc, lit(256))), 2, "0"), lpad(hex(shiftright(tc, 8)), 2, "0"))
+        }), "")
+      val payload = concat(
+        lit("RIFF").cast("binary"), le(n * 2 + 36, 4), lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), unhex(lit("10000000")),
+        le(lit(1), 2), le(lit(1), 2), le(rate, 4),
+        le(rate * 2, 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data").cast("binary"), le(n * 2, 4),
+        unhex(sampleHex))
+      val src = t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+      Multimodal.decodeFeatures(Tables.spread(src), "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), col("format"), col("byte_len"),
+          col("sample_rate"), col("n_samples"), col("sum_s"), col("sum_sq"),
+          col("peak"), col("zero_cross"), col("features"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2387,6 +2409,36 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS format,
                 CAST(doc_id % 500 + 1 AS INT) AS width, CAST(256 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+    // replays q56's generative formula: the Spark side must DECODE the wav
+    // bytes back into exactly these numbers
+    "q56_decode_features" ->
+      """WITH s AS (
+           SELECT doc_id, unnest(range(doc_id % 64 + 64)) AS i FROM documents),
+         v AS (
+           SELECT doc_id, i,
+                  ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS sv,
+                  lag(((doc_id * 7919 + i * 104729) % 65536) - 32768)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM s),
+         f AS (
+           SELECT doc_id, count(*) AS n_samples,
+                  CAST(sum(sv) AS BIGINT) AS sum_s,
+                  CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
+                  CAST(max(abs(sv)) AS BIGINT) AS peak,
+                  CAST(sum(CASE WHEN prev IS NOT NULL AND ((sv < 0) != (prev < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+           FROM v GROUP BY doc_id),
+         l AS (
+           SELECT doc_id, list(lane_sum ORDER BY lane) AS features
+           FROM (SELECT doc_id, i % 16 AS lane, CAST(sum(sv) AS BIGINT) AS lane_sum
+                 FROM v GROUP BY doc_id, i % 16)
+           GROUP BY doc_id)
+         SELECT d.doc_id, 'riff' AS format,
+                CAST(44 + (d.doc_id % 64 + 64) * 2 AS BIGINT) AS byte_len,
+                CAST(8000 + (d.doc_id % 8) * 4000 AS INT) AS sample_rate,
+                f.n_samples, f.sum_s, f.sum_sq, f.peak, f.zero_cross, l.features
+         FROM documents d JOIN f USING (doc_id) JOIN l USING (doc_id)
+         ORDER BY doc_id""",
     "q53_multimodal" ->
       """SELECT doc_id, length(text) AS byte_len, sha256(text) AS sha,
                 ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus a feature-extraction path.
   *
-  * The DECODE itself is a deterministic STUB ([[fakeDecode]]) — the real
-  * codec libraries are not in this container. Everything around it is the
-  * real 100 TB design: payloads never leave their partition (feature
-  * extraction is `mapPartitions`, no shuffle), metadata is computed by
-  * codegen'd expressions in the scan stage, and the output schema is fixed
-  * `(id, format, byte_len, features: array<float>)` so downstream similarity
-  * ops ([[Similarity]]) consume it directly.
+  * The decode path is REAL for WAV/PCM ([[decodeFeatures]] walks RIFF
+  * chunks, decodes 16-bit little-endian PCM, and computes exact integer
+  * signal features — q56 hash-checks it against an oracle that replays the
+  * payload's generative formula); compressed codecs (jpeg decode, mp3
+  * synthesis) would slot into the same `mapPartitions` site. The
+  * surrounding design is the 100 TB shape either way: payloads never leave
+  * their partition (no shuffle, no driver involvement), metadata is
+  * computed by codegen'd expressions in the scan stage, and the output
+  * schema is fixed so downstream similarity ops ([[Similarity]]) consume
+  * it directly.
   */
 object Multimodal {
 
@@ -69,27 +72,6 @@ object Multimodal {
   def wavInfo(payload: Column): Column =
     asCol(graft.expr.WavInfo(asExpr(payload)))
 
-  /** Deterministic stand-in for a real decoder (STUB — see object docs): a
-    * rolling hash of the bytes seeds each feature lane. Real decode would
-    * replace only this function; the Spark plumbing is unchanged.
-    */
-  def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h   = 1125899906842597L
-    var i   = 0
-    while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      out(i % dim) += (h % 1000003L).toFloat / 1000003f
-      i += 1
-    }
-    out
-  }
-
-  /** Batch feature extraction: `(id, payload)` → `(id, format, byte_len,
-    * features)`. `mapPartitions`, so each executor decodes its partition's
-    * payloads in one pass — no shuffle, no driver involvement, and the
-    * partition is the batch unit a native decoder would amortize setup over.
-    */
   /** JVM-side mirror of [[inferFormat]] for the `mapPartitions` decode
     * path — same rules, same labels, kept adjacent so they evolve together.
     */
@@ -104,7 +86,74 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Decoded-PCM signal features — EXACT integer math end to end (long
+    * sums, no float accumulation), so an oracle that replays the payload's
+    * generative formula hash-matches bit-for-bit.
+    */
+  private[graft] case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+      nSamples: Long, sumS: Long, sumSq: Long, peak: Long, zeroCross: Long,
+      laneSums: Array[Long])
+
+  /** REAL WAV/PCM decode: walk RIFF chunks (fmt + data, even-size padding
+    * honored), decode 16-bit little-endian two's-complement samples, and
+    * fold them into [[Pcm]] features in one pass:
+    * `sum`, `sum of squares` (energy), `peak = max |s|`, sign-change count
+    * (zero crossings, `s == 0` counted non-negative), and `dim` per-lane
+    * sums (lane `j` accumulates samples `i ≡ j mod dim`) — the fixed-width
+    * vector downstream similarity ops consume. None for anything that is
+    * not a complete 16-bit PCM WAV.
+    */
+  private[graft] def decodeWavPcm(b: Array[Byte], dim: Int): Option[Pcm] = {
+    def u8(i: Int)  = b(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (b.length < 12 || formatOf(b) != "riff" ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var rate = -1; var ch = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= b.length) {
+      val id  = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(off + 4)
+      val body = off + 8
+      if (body + len > b.length) return None // truncated chunk
+      if (id == "fmt " && len >= 16) {
+        rate = le32(body + 4).toInt; ch = le16(body + 2); bits = le16(body + 14)
+      } else if (id == "data") { dataOff = body; dataLen = len }
+      off = body + len.toInt + (len.toInt & 1) // chunks are even-aligned
+    }
+    if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1 || dataLen % 2 != 0) return None
+    val n = dataLen / 2
+    var sumS = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+    val lanes = new Array[Long](dim)
+    var prevNeg = false
+    var i = 0L
+    while (i < n) {
+      val raw = le16(dataOff + 2 * i.toInt)
+      val s = (if (raw >= 0x8000) raw - 0x10000 else raw).toLong
+      sumS += s; sumSq += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      lanes((i % dim).toInt) += s
+      i += 1
+    }
+    Some(Pcm(rate, ch, bits, n, sumS, sumSq, peak, zc, lanes))
+  }
+
+  /** Batch feature extraction: `(id, payload)` → `(id, format, byte_len,
+    * sample_rate, channels, bits, n_samples, sum_s, sum_sq, peak,
+    * zero_cross, features)` with the PCM fields NULL for payloads that are
+    * not decodable 16-bit WAV. `mapPartitions`, so each executor decodes
+    * its partition's payloads in one pass — no shuffle, no driver
+    * involvement, and the partition is the batch unit a decoder amortizes
+    * setup over. `features` is the `dim` per-lane sums — an exact-integer
+    * embedding of the signal.
+    */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
@@ -112,9 +161,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          (id, formatOf(b), b.length.toLong, fakeDecode(b, dim))
+          val p = decodeWavPcm(b, dim)
+          (id, formatOf(b), b.length.toLong,
+            p.map(_.sampleRate), p.map(_.channels), p.map(_.bits),
+            p.map(_.nSamples), p.map(_.sumS), p.map(_.sumSq), p.map(_.peak),
+            p.map(_.zeroCross), p.map(_.laneSums.toSeq))
         }
       }
-      .toDF(idCol, "format", "byte_len", "features")
+      .toDF(idCol, "format", "byte_len", "sample_rate", "channels", "bits",
+        "n_samples", "sum_s", "sum_sq", "peak", "zero_cross", "features")
   }
 }

@@ -15,9 +15,10 @@ class ContractSpec extends AnyFunSuite {
     assert(qs.forall(_.matches("q\\d+_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
   }
 
-  test("rows-only queries are the two documented ones") {
+  test("rows-only queries are the one documented exception") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("q34_approx_distinct", "q56_decode_features"))
+    // q34 is HLL++ — no DuckDB twin by design; everything else is oracle-checked
+    assert(rowsOnly == Set("q34_approx_distinct"))
   }
 
   test("entry (driver smoke) returns rows on sf0.001") {

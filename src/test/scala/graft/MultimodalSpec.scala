@@ -87,19 +87,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).isNullAt(0)) // no fmt chunk found
   }
 
-  test("decodeFeatures: fixed schema, fixed dim, deterministic, null-safe") {
-    val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, "abcd".getBytes("UTF-8")),
+  /** Minimal 16-bit mono PCM WAV with the given samples. */
+  private def wavBytes(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    (Seq('R'.toInt, 'I', 'F', 'F') ++ le32(36 + samples.length * 2) ++
+      Seq('W'.toInt, 'A', 'V', 'E') ++
+      Seq('f'.toInt, 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      Seq('d'.toInt, 'a', 't', 'a') ++ le32(samples.length * 2) ++
+      samples.flatMap(s => le16(s & 0xffff))).map(_.toByte).toArray
+  }
+
+  test("decodeFeatures: real PCM decode — exact sums/peak/zero-crossings/lanes") {
+    // samples chosen to exercise sign changes, negative peak, lane wrap
+    val samples = Seq(100, -200, 300, -32768, 0, 5)
+    val df = Seq((1L, wavBytes(8000, samples)),
+      (2L, "not audio".getBytes("UTF-8")),
       (3L, null: Array[Byte])).toDF("id", "payload")
     val out = Multimodal.decodeFeatures(df, "id", "payload", dim = 4)
-    assert(out.columns.toSeq == Seq("id", "format", "byte_len", "features"))
-    val rows = out.orderBy("id").as[(Long, String, Long, Seq[Float])].collect()
-    assert(rows.forall(_._4.length == 4))
-    assert(rows(0)._3 == 3 && rows(2)._3 == 0)
-    assert(rows.forall(_._2 == "unknown")) // text bytes sniff as no container
+    assert(out.columns.toSeq == Seq("id", "format", "byte_len", "sample_rate",
+      "channels", "bits", "n_samples", "sum_s", "sum_sq", "peak", "zero_cross",
+      "features"))
+    val r = out.orderBy("id").collect()
+    val wav = r(0)
+    assert(wav.getString(1) == "riff")
+    assert(wav.getInt(3) == 8000 && wav.getInt(4) == 1 && wav.getInt(5) == 16)
+    assert(wav.getLong(6) == 6)
+    assert(wav.getLong(7) == samples.map(_.toLong).sum)
+    assert(wav.getLong(8) == samples.map(s => s.toLong * s).sum)
+    assert(wav.getLong(9) == 32768L)
+    // sign changes: +,-,+,-,0(non-neg),+ → crossings at 1,2,3,4 = 4
+    assert(wav.getLong(10) == 4L)
+    val lanes = wav.getSeq[Long](11)
+    assert(lanes == Seq(100L + 0, -200L + 5, 300L, -32768L))
+    // non-wav / null payloads: PCM fields NULL, not a crash
+    assert(r(1).getString(1) == "unknown" && r(1).isNullAt(3) && r(1).isNullAt(11))
+    assert(r(2).getLong(2) == 0 && r(2).isNullAt(3))
     // determinism: same payload → same features
-    val again = Multimodal.decodeFeatures(df, "id", "payload", dim = 4)
-      .orderBy("id").as[(Long, String, Long, Seq[Float])].collect()
-    assert(rows.toSeq == again.toSeq)
+    val again = Multimodal.decodeFeatures(df, "id", "payload", dim = 4).orderBy("id").collect()
+    assert(r.toSeq == again.toSeq)
+  }
+
+  test("decodeWavPcm rejects truncated data chunks and non-16-bit formats") {
+    val good = wavBytes(8000, Seq(1, 2, 3))
+    assert(Multimodal.decodeWavPcm(good, 2).isDefined)
+    // truncate mid-data
+    assert(Multimodal.decodeWavPcm(good.dropRight(2), 2).isEmpty)
+    // 8-bit fmt (bits field at fmt body + 14)
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(Multimodal.decodeWavPcm(eightBit, 2).isEmpty)
   }
 
   test("decodeFeatures preserves partitioning (no shuffle in the plan)") {
