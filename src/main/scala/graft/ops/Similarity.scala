@@ -162,37 +162,49 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
   }
 
-  /** IVF-style cell assignment: the coarse quantizer is the first `nCells`
-    * vectors by id (deterministic, model-free); every vector takes its
-    * most-cosine-similar seed as its cell. Exactly replayable in SQL (the
-    * oracle derives the same seeds with `WHERE vec_id < nCells`). A trained
-    * k-means codebook would slot in as a different seed set without
-    * changing the plan.
+  /** IVF-style cell assignment: the coarse quantizer is the `nCells`
+    * SMALLEST-id vectors (deterministic, model-free — a bounded
+    * TakeOrdered, no assumption that ids are dense or 0-based); every
+    * vector takes its most-cosine-similar seed as its cell. On the
+    * canonical dense 0-based tables the seed set is exactly `id < nCells`,
+    * so the SQL oracle replays it with that predicate. A trained k-means
+    * codebook would slot in as a different seed set without changing the
+    * plan. `seedByHash = true` orders seed candidates by `md5('seed:'||id)`
+    * instead — a deterministic pseudo-random sample for corpora whose ids
+    * correlate with content (e.g. insertion time); still replayable in any
+    * engine with md5.
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
-    ivfAssignN(df, idCol, vecCol, nCells, 1).drop("rn")
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      seedByHash: Boolean = false): DataFrame =
+    ivfAssignN(df, idCol, vecCol, nCells, 1, seedByHash).drop("rn")
 
   /** Top-`nProbe` cell assignments per vector (rn = 1 is the home cell).
     *
     * The codebook fetch below is the ONE deliberate driver action in the
     * ANN family: `nCells` rows (the model artifact — bounded, tiny) pulled
-    * through a pushed-down `id < nCells` scan and inlined into a
-    * [[graft.expr.NearestCells]] expression. Assignment is then a single
-    * compiled pass inside the scan stage — no join, no window, no shuffle.
-    * The previous expand-join + argmax-window form shuffled the corpus
-    * `nCells`-fold amplified; at 1000s of cells over 100 TB only the
-    * expression form survives.
+    * through a partial top-k (TakeOrdered — never a full sort) and inlined
+    * into a [[graft.expr.NearestCells]] expression. Assignment is then a
+    * single compiled pass inside the scan stage — no join, no window, no
+    * shuffle. The previous expand-join + argmax-window form shuffled the
+    * corpus `nCells`-fold amplified; at 1000s of cells over 100 TB only
+    * the expression form survives.
     */
   private def ivfAssignN(
-      df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int,
+      seedByHash: Boolean = false): DataFrame = {
+    val seedOrder =
+      if (seedByHash) Seq(md5(concat(lit("seed:"), col("s_id").cast("string"))), col("s_id"))
+      else Seq(col("s_id"))
     val seedRows = df
       .select(col(idCol).cast("long").as("s_id"), col(vecCol).as("sv"))
       // a NULL seed embedding would NPE inside NearestCells on every task
-      .filter(col("s_id") < nCells && col("sv").isNotNull)
-      .orderBy(col("s_id"))
+      .filter(col("s_id").isNotNull && col("sv").isNotNull)
+      .orderBy(seedOrder: _*)
+      .limit(nCells)
       .collect()
+      .sortBy(_.getLong(0))
     require(seedRows.nonEmpty,
-      s"ivfAssign: no non-null embeddings with $idCol < $nCells to seed the cells")
+      s"ivfAssign: no rows with a non-null long $idCol and non-null $vecCol to seed the cells")
     val cells = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expr.NearestCells(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
@@ -218,8 +230,8 @@ object Similarity {
     * embeddings a small nProbe recovers high recall.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int, k: Int,
-      nProbe: Int = 1): DataFrame = {
-    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe)
+      nProbe: Int = 1, seedByHash: Boolean = false): DataFrame = {
+    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe, seedByHash)
     val a = assigned.select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
     val b = assigned.filter(col("rn") === 1)
       .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("v").as("cv"))
@@ -247,8 +259,9 @@ object Similarity {
     * pairs are canonicalized `(min, max)` so each surfaces once.
     */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, nProbe: Int = 1): DataFrame = {
-    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe)
+      nCells: Int, threshold: Double, nProbe: Int = 1,
+      seedByHash: Boolean = false): DataFrame = {
+    val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe, seedByHash)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val b = assigned.filter(col("rn") === 1)
       .select(col("cell").as("__c2"), col("id").as("id_b"), col("v").as("vb"))

@@ -104,6 +104,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("ivfAssign seeds from the smallest ids — sparse/hashed id spaces work") {
+    // ids are sparse hashes (nothing below nCells): the old `id < nCells`
+    // seed rule would find zero seeds and throw. Seeds must be the two
+    // smallest ids (1000003 → x-axis, 7000021 → y-axis).
+    val vecs = Seq(
+      (1000003L, Seq(1f, 0f)), (7000021L, Seq(0f, 1f)),
+      (9000017L, Seq(0.9f, 0.1f)), (8123457L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "embedding", 2)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells == Map(1000003L -> 1000003L, 7000021L -> 7000021L,
+      9000017L -> 1000003L, 8123457L -> 7000021L))
+  }
+
+  test("ivfAssign seedByHash picks a deterministic pseudo-random seed set") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq((i % 7).toFloat + 1f, (i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
+    val a = Similarity.ivfAssign(vecs, "vec_id", "embedding", 4, seedByHash = true)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val b = Similarity.ivfAssign(vecs, "vec_id", "embedding", 4, seedByHash = true)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(a == b, "hash-ordered seeding must be run-to-run deterministic")
+    val seeds = a.values.toSet
+    assert(seeds.size == 4)
+    assert(seeds != Set(0L, 1L, 2L, 3L), "hash order should not degenerate to id order")
+    // every vector still lands in a real seed cell
+    assert(a.keySet == (0L until 40L).toSet && a.values.forall(seeds.contains))
+  }
+
   test("ivfTopK finds within-cell neighbours") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
