@@ -131,13 +131,15 @@ object Pipeline {
     * (`app.py:367`). Collects to the driver by design — a workbook is a
     * single machine's byte stream and this is a human-scale presentation
     * export; [[exportCatalog]] (parquet per table) is the 100 TB sink.
-    * Header row + stringified cells, sheet names truncated like `app.py:55`.
+    * Header row first; cells keep their JVM types so [[Excel.writeRaw]] can
+    * apply the reference's number formats and width sampling
+    * (`app.py:72-99`); sheet names truncated like `app.py:55`.
     */
   def exportCatalogXlsx(catalog: Map[String, DataFrame], path: String): Unit = {
     val sheets = catalog.toSeq.map { case (name, df) =>
       val header: Seq[Any] = df.columns.toSeq
       val rows = df.collect().toSeq.map(r =>
-        (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i).toString))
+        (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)))
       name -> (header +: rows)
     }
     Excel.writeRaw(path, sheets)

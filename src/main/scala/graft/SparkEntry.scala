@@ -916,11 +916,12 @@ object SparkEntry {
            cand AS (
              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM sig a JOIN sig b
-               ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id)
-           SELECT doc_a, doc_b,
-                  floor(graft_jaccard(x.ss, y.ss) * 10000 + 0.5)/10000 AS jacc
-           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-           WHERE graft_jaccard(x.ss, y.ss) >= 0.5
+               ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id),
+           scored AS (
+             SELECT doc_a, doc_b, graft_jaccard(x.ss, y.ss) AS j
+             FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
+           SELECT doc_a, doc_b, floor(j * 10000 + 0.5)/10000 AS jacc
+           FROM scored WHERE j >= 0.5
            ORDER BY doc_a, doc_b""")
     }),
 
@@ -1715,11 +1716,13 @@ object SparkEntry {
          ex AS (SELECT doc_id$langSel, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv$langEq AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b,
-                floor(len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) * 10000 + 0.5)/10000 AS jacc
-         FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-         WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv$langEq AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT doc_a, doc_b,
+                  len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) AS j
+           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
+         SELECT doc_a, doc_b, floor(j * 10000 + 0.5)/10000 AS jacc
+         FROM scored WHERE j >= 0.5
          ORDER BY doc_a, doc_b"""
   }
 
@@ -2077,7 +2080,11 @@ object SparkEntry {
 
   private def similarityOracles: Map[String, String] = Map(
     "q117_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(embedding) = (SELECT len(embedding) FROM embeddings
+                                       WHERE embedding IS NOT NULL
+                                       ORDER BY vec_id LIMIT 1)),
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid, v c
                 FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
          a1 AS (SELECT vec_id, v, cid FROM (
@@ -2958,7 +2965,9 @@ object SparkEntry {
     "q132_ewma" ->
       """WITH ys AS (SELECT user_id, count(*) AS n,
                             list(value ORDER BY ts, event_id) AS v
-                     FROM events GROUP BY user_id)
+                     FROM events
+                     WHERE ts IS NOT NULL AND value IS NOT NULL
+                     GROUP BY user_id)
          SELECT user_id, n,
                 floor(list_reduce(v, (a, b) -> a * 0.75 + b * 0.25) * 10000 + 0.5) / 10000
                   AS ewma

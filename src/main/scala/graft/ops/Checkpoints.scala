@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.CheckpointBridge
+
+/** Round-pinning policy for iterative operators (PageRank, connected
+  * components): each round's result must be materialized with lineage
+  * truncated — otherwise the plan nests one join+agg deeper per round and
+  * round N replays rounds 1..N−1.
+  *
+  * Two pinning modes, chosen per call site:
+  *  - `localCheckpoint` (default): executor block storage — no filesystem
+  *    round-trip, but an executor loss makes the checkpoint unrecoverable
+  *    and fails the job loudly. Right for benchmarks and short jobs.
+  *  - reliable `checkpoint(dir)`: survives executor loss — the right trade
+  *    on a 1000-executor cluster where losing one machine mid-iteration-10
+  *    of a corpus-scale PageRank must not restart the job. Costs one
+  *    filesystem write per round.
+  */
+object Checkpoints {
+
+  /** The pinning function for `dir`: reliable checkpoints into `dir` when
+    * set, eager localCheckpoint otherwise. The checkpoint directory is a
+    * SparkContext-level setting — last caller wins, which is fine because
+    * the dir only namespaces files.
+    */
+  def pinner(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case Some(d) =>
+        spark.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(eager = true)
+    }
+
+  /** Free a SUPERSEDED round's pinned blocks (no-op for reliable
+    * checkpoints, whose data lives in files, not the block store). Callers
+    * must guarantee the Dataset is never read again — a localCheckpoint
+    * cannot recompute.
+    */
+  def release(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    CheckpointBridge.unpersistCheckpoint(ds)
+}

@@ -96,6 +96,9 @@ object Dedup {
     * action. Build the pairs DataFrame lazily as usual; invoke this at
     * execution time.
     *
+    * @param checkpointDir reliable-checkpoint directory for cluster-scale
+    *        runs — per-round pins survive executor loss ([[Checkpoints]]);
+    *        None = localCheckpoint (fast, fails loudly on executor loss).
     * @return one row per node that appears in any pair: (id, comp) where
     *         comp is the minimum id of the node's component.
     */
@@ -103,11 +106,12 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pin = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
+    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // Convergence signature over HASHES of the labels, not a numeric cast:
     // string ids like "doc-17" would throw under ANSI mode or cast to NULL
     // without it — and an all-NULL sum "converges" after one round, halting
@@ -115,22 +119,20 @@ object Dedup {
     // CHANGED labels is a ~2^-64 coincidence per round.
     def labelSum(df: DataFrame): String =
       String.valueOf(df.agg(sum(xxhash64(col("comp")).cast("decimal(38,0)"))).head().get(0))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var sig       = labelSum(labels)
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+      val next = pin(labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val nsig = labelSum(next)
       converged = nsig == sig
       sig = nsig
-      labels.unpersist() // superseded checkpoint — don't pin O(rounds) copies
+      Checkpoints.release(labels) // superseded — don't pin O(rounds) copies
       labels = next
       iter += 1
     }
@@ -245,17 +247,17 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pin = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
     def normalize(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val nodes = pairs.select(col(aCol).as("n"))
-      .union(pairs.select(col(bCol).as("n"))).distinct()
-      .localCheckpoint(true)
-    var edges = normalize(
-        pairs.select(col(aCol).as("a"), col(bCol).as("b")))
-      .localCheckpoint(true)
+    val nodes = pin(pairs.select(col(aCol).as("n"))
+      .union(pairs.select(col(bCol).as("n"))).distinct())
+    var edges = pin(normalize(
+        pairs.select(col(aCol).as("a"), col(bCol).as("b"))))
     var converged = edges.isEmpty
     var iter      = 0
     while (!converged && iter < maxIter) {
@@ -271,13 +273,12 @@ object Dedup {
       // SMALL-STAR on the normalized (u < v) form: v's smaller neighbors are
       // exactly its u-partners; all of them and v itself re-attach to their min
       val mS = afterLarge.groupBy(col("v")).agg(min(col("u")).as("m"))
-      val afterSmall = normalize(
+      val afterSmall = pin(normalize(
         afterLarge.join(mS, "v").select(col("u").as("a"), col("m").as("b"))
-          .union(mS.select(col("v").as("a"), col("m").as("b"))))
-        .localCheckpoint(true)
+          .union(mS.select(col("v").as("a"), col("m").as("b")))))
       converged = afterSmall.count() == edges.count() &&
         afterSmall.except(edges).isEmpty
-      edges.unpersist() // superseded checkpoint — don't pin O(rounds) copies
+      Checkpoints.release(edges) // superseded — don't pin O(rounds) copies
       edges = afterSmall
       iter += 1
     }

@@ -203,7 +203,21 @@ object Excel {
 
   /** Multi-sheet workbook from named row sets (the engine-side contract of
     * the reference's `df_to_xlsx_bytes`): sheet names are sanitized and
-    * truncated to Excel's 31-char limit like `app.py:55,108`.
+    * truncated to Excel's 31-char limit like `app.py:55,108`, and the
+    * reference's presentation formatting (`app.py:72-99`) is applied:
+    *
+    *  - row 1 (the header) is FROZEN (`worksheet.freeze_panes(1, 0)`);
+    *  - all-integral columns get number format `#,##0`, columns with any
+    *    fractional numeric get `#,##0.00`, written as NUMERIC cells (the
+    *    reference's `fmt_int`/`fmt_float`; xlsxwriter's last-set_column-wins
+    *    quirk silently drops them there — the declared intent is applied);
+    *  - column widths come from a ≤1000-row sample: the widest FORMATTED
+    *    value (`%,.2f` / `%,d` with thousands separators, like the
+    *    reference's width estimate) vs the header, +2 padding, capped at 60.
+    *
+    * Column type classification is per SHEET COLUMN over the data rows
+    * (row 0 is the header): the JVM types of the values stand in for the
+    * pandas dtype the reference consults.
     */
   def writeRaw(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
     require(sheets.nonEmpty, "at least one sheet")
@@ -237,6 +251,7 @@ object Excel {
            |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
            |<Default Extension="xml" ContentType="application/xml"/>
            |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+           |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
            |$sheetTypes
            |</Types>""".stripMargin)
       put("_rels/.rels",
@@ -255,24 +270,110 @@ object Excel {
       val rels = names.indices.map { i =>
         s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
       }.mkString
+      val stylesRel =
+        s"""<Relationship Id="rId${names.length + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
       put("xl/_rels/workbook.xml.rels",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""".stripMargin)
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels$stylesRel</Relationships>""".stripMargin)
+      // cellXfs index 1 = float (#,##0.00), 2 = int (#,##0) — the
+      // reference's fmt_float/fmt_int (`app.py:75-76`)
+      put("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<numFmts count="2"><numFmt numFmtId="164" formatCode="#,##0.00"/><numFmt numFmtId="165" formatCode="#,##0"/></numFmts>
+          |<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+          |<fills count="2"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill></fills>
+          |<borders count="1"><border/></borders>
+          |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+          |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs>
+          |</styleSheet>""".stripMargin)
       sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+        val dataRows = rows.drop(1)
+        val nCols    = rows.iterator.map(_.length).maxOption.getOrElse(0)
+        // column class from JVM types over ALL data rows (the stand-in for
+        // the pandas dtype the reference consults): 1=float, 2=int, 0=other
+        val cls = (0 until nCols).map { ci =>
+          val vs = dataRows.iterator
+            .map(r => if (ci < r.length) r(ci) else null).filter(_ != null)
+          var any = false; var frac = false; var allNum = true
+          vs.foreach { v => any = true
+            if (isFractional(v)) frac = true else if (!isIntegral(v)) allNum = false
+          }
+          if (any && allNum) { if (frac) 1 else 2 } else 0
+        }
+        // width from a ≤1000-row sample of FORMATTED values (`app.py:79-99`)
+        val sample = dataRows.take(1000)
+        val widths = (0 until nCols).map { ci =>
+          val headerLen = rows.headOption.flatMap(_.lift(ci)).map(_.toString.length).getOrElse(0)
+          val dataLen = sample.iterator
+            .map(r => if (ci < r.length) r(ci) else null).filter(_ != null)
+            .map(v => cellText(v, cls(ci)).length)
+            .maxOption.getOrElse(0)
+          math.min(math.max(headerLen, dataLen) + 2, 60)
+        }
+        val colsXml =
+          if (nCols == 0) ""
+          else "<cols>" + (0 until nCols).map { ci =>
+            val style = if (cls(ci) == 0) "" else s""" style="${cls(ci)}""""
+            s"""<col min="${ci + 1}" max="${ci + 1}" width="${widths(ci)}" customWidth="1"$style/>"""
+          }.mkString + "</cols>"
         val body = rows.zipWithIndex.map { case (r, ri) =>
           val cells = r.zipWithIndex.collect {
             case (v, ci) if v != null =>
-              s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${escape(v.toString)}</t></is></c>"""
+              val ref = s"${colRef(ci)}${ri + 1}"
+              // header row (ri == 0) stays an unstyled inline string even in
+              // numeric columns; numeric data cells carry the column style
+              if (ri > 0 && cls(ci) != 0)
+                s"""<c r="$ref" s="${cls(ci)}"><v>${numText(v)}</v></c>"""
+              else
+                s"""<c r="$ref" t="inlineStr"><is><t>${escape(v.toString)}</t></is></c>"""
           }.mkString
           s"""<row r="${ri + 1}">$cells</row>"""
         }.mkString
         put(s"xl/worksheets/sheet${i + 1}.xml",
           s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
              |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+             |<sheetViews><sheetView workbookViewId="0"><pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/></sheetView></sheetViews>
+             |$colsXml
              |<sheetData>$body</sheetData>
              |</worksheet>""".stripMargin)
       }
     } finally zout.close()
+  }
+
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: Byte | _: Short | _: Int | _: Long               => true
+    case _: java.math.BigInteger | _: scala.math.BigInt      => true
+    case _                                                   => false
+  }
+
+  private def isFractional(v: Any): Boolean = v match {
+    case _: Float | _: Double                                   => true
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal     => true
+    case _                                                      => false
+  }
+
+  /** The literal written into a numeric `<v>` element. */
+  private def numText(v: Any): String = v match {
+    case b: java.math.BigDecimal  => b.toPlainString
+    case b: scala.math.BigDecimal => b.underlying.toPlainString
+    case n                        => n.toString
+  }
+
+  /** What the cell DISPLAYS under its column's number format — the
+    * reference estimates widths from `f"{x:,.2f}"` / `f"{int(x):,d}"`
+    * (`app.py:87-93`), not the raw repr.
+    */
+  private def cellText(v: Any, cls: Int): String = cls match {
+    case 1 => v match {
+      case n: Number => String.format(java.util.Locale.US, "%,.2f", Double.box(n.doubleValue()))
+      case other     => other.toString
+    }
+    case 2 => v match {
+      case n: Number => String.format(java.util.Locale.US, "%,d", Long.box(n.longValue()))
+      case other     => other.toString
+    }
+    case _ => v.toString
   }
 
   /** Reference sheet-name handling: strip illegal chars, cap at 31. */

@@ -29,45 +29,61 @@ object Graph {
     * rank stabilizes geometrically and a fixed unroll keeps the oracle
     * finite.
     *
-    * Scale shape per round: one join of edges against current ranks on the
-    * source key, one aggregate on the destination key, one left join back
-    * to the node set — all hash exchanges on node ids; each round's result
-    * is checkpointed so lineage stays O(1) and the next round reads
-    * materialized ranks (same discipline as
-    * [[Dedup.connectedComponents]]).
+    * Scale shape per round: ONE join of the pinned edge table against
+    * current ranks on the source key and ONE aggregate on the destination
+    * key — the per-node base term rides the aggregate as a unioned
+    * constant row per node (ranks' node set is invariant across rounds),
+    * so there is no third join back to a node table. The edge table is
+    * shuffled ONCE at pin time (the out-degree window hash-partitions it
+    * by src, and checkpoint preserves that partitioning); every round
+    * reshuffles only the node-sized rank rows. Rounds 1..n−1 are
+    * checkpointed ([[Checkpoints]]) so lineage stays O(1); the FINAL round
+    * stays lazy — it is consumed exactly once by the caller's action, and
+    * an eager checkpoint would materialize it twice.
+    *
+    * @param checkpointDir reliable-checkpoint directory for cluster-scale
+    *        runs (survives executor loss); None = localCheckpoint.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPct: Int = 85): DataFrame = {
+      iterations: Int, dampingPct: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
+    val pin = Checkpoints.pinner(edges.sparkSession, checkpointDir)
     // out-degree is folded INTO the pinned edge table via a window over the
     // source key — ONE pass over the input (an agg+self-join would compute
     // the edge expression twice), one shuffle, then each round needs only
     // the ranks join
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .withColumn("d", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct()
-      .localCheckpoint(true)
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
     val base = 1000000L * (100 - dampingPct) / 100
-    // round 0 derives trivially from the pinned node set — no checkpoint job
-    var ranks = nodes.select(col("v"), lit(1000000L).as("m"))
+    // round-0 ranks IS the node set at uniform mass — one pinned artifact
+    // (it feeds two consumers per round: the contribution join and the
+    // base-term union), not separate nodes + ranks copies
+    var ranks = pin(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v"), lit(1000000L).as("m")))
+    var last: DataFrame = ranks
     var iter = 0
     while (iter < iterations) {
-      val inc = e.join(ranks, col("src") === col("v"))
+      val contrib = e.join(ranks, col("src") === col("v"))
         .select(col("dst").as("v"),
           expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("inc"))
-      val next = nodes.join(inc, Seq("v"), "left")
-        .select(col("v"), (lit(base) + coalesce(col("inc"), lit(0L))).as("m"))
-        .localCheckpoint(true)
-      ranks.unpersist() // superseded checkpoint — don't pin O(rounds) copies
-      ranks = next
+      val next = contrib.union(ranks.select(col("v"), lit(base).as("c")))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
       iter += 1
+      if (iter < iterations) {
+        val pinned = pin(next)
+        Checkpoints.release(ranks) // superseded — don't pin O(rounds) copies
+        ranks = pinned
+        last = pinned
+      } else {
+        last = next // final round: lazy, single-consumer
+      }
     }
-    ranks.select(col("v"), col("m").as("rank_micro"))
+    last.select(col("v"), col("m").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("v"))
   }
 }

@@ -147,7 +147,11 @@ object Summaries {
     val ys = transform(
       sort_array(collect_list(struct(col(tsCol), col(tieBreak), valueCol.as("y")))),
       s => s.getField("y"))
-    df.groupBy(col(keyCol))
+    // NULL ts would sort first in Spark but last in DuckDB's list(... ORDER BY ts),
+    // diverging the fold order (and a NULL value poisons the whole fold) — drop
+    // both up front, mirroring transitionMatrix/timeWeightedAvg's contract.
+    df.filter(col(tsCol).isNotNull && valueCol.isNotNull)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), ys.as("__ys"))
       .select(col(keyCol), col("n"),
         r4(aggregate(

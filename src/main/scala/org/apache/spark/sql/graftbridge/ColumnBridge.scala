@@ -25,6 +25,28 @@ object ListenerBridge {
   def flush(sc: org.apache.spark.SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
 
+/** Checkpoint-lifecycle shim: the cached blocks behind a
+  * `localCheckpoint`/`checkpoint`ed Dataset belong to its INTERNAL RDD
+  * (wrapped in a `LogicalRDD` plan node), which `Dataset.unpersist` never
+  * sees — the blocks are not registered with the CacheManager and only
+  * vanish when the driver GCs the RDD reference. Iterative operators
+  * (PageRank, connected components) supersede a checkpoint every round and
+  * must free it explicitly or pin O(rounds) copies. `LogicalRDD` is
+  * private[sql].
+  */
+object CheckpointBridge {
+  /** Drop the block-store data behind a checkpointed Dataset. Safe ONLY
+    * when nothing will read the Dataset again: a localCheckpoint cannot
+    * recompute (lineage is severed), so a later action on it would fail.
+    */
+  def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}
+
 /** Catalog shim: the MANAGED location a table would get, resolved by the
   * session catalog itself (honoring per-database LOCATION overrides) —
   * re-deriving the `<warehouse>/<db>.db/<table>` convention breaks for any

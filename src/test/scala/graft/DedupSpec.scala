@@ -98,6 +98,19 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: reliable-checkpoint path matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 5L), (5L, 3L)).toDF("a", "b")
+      val local    = Dedup.connectedComponents(pairs, "a", "b").as[(Long, Long)].collect().toMap
+      val reliable = Dedup.connectedComponents(pairs, "a", "b", checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("connectedComponents fails loudly when maxIter is too small for the diameter") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, "a", "b", maxIter = 2))

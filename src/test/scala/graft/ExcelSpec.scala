@@ -92,6 +92,44 @@ class ExcelSpec extends AnyFunSuite {
     assert(back(3) == Seq())
   }
 
+  test("writeRaw applies reference formatting: freeze pane, number formats, sampled widths") {
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("name", "qty", "score"),              // header
+      Seq("a-very-long-endpoint-name", 1234567L, 3.5),
+      Seq("b", 42L, null),
+      Seq("c", null, 0.125))
+    val p = tmp("styled")
+    Excel.writeRaw(p, Seq("S1" -> rows))
+    // raw parts: the style records the reference's app.py:72-99 applies
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(p))
+    val parts = scala.collection.mutable.Map.empty[String, String]
+    var e = zin.getNextEntry
+    while (e != null) {
+      parts(e.getName) = new String(zin.readAllBytes(), "UTF-8"); e = zin.getNextEntry
+    }
+    zin.close()
+    val styles = parts("xl/styles.xml")
+    assert(styles.contains("""formatCode="#,##0.00""""), "float number format missing")
+    assert(styles.contains("""formatCode="#,##0""""), "int number format missing")
+    val sheet = parts("xl/worksheets/sheet1.xml")
+    assert(sheet.contains("""state="frozen""""), "header freeze pane missing")
+    assert(sheet.contains("""ySplit="1""""), "freeze must split below row 1")
+    // col 2 (qty, all-integral) style 2; col 3 (score, fractional) style 1
+    assert(sheet.contains("""<col min="2" max="2" width="11" customWidth="1" style="2"/>"""),
+      s"qty col record wrong: $sheet") // width = len("1,234,567")+2 = 11
+    assert(sheet.contains("""<col min="3" max="3" width="7" customWidth="1" style="1"/>"""),
+      "score col record wrong") // width = max(len("score"),len("3.50"))+2 = 7
+    // width cap at 60 honored via header+data max rule on col 1
+    assert(sheet.contains("""<col min="1" max="1" width="27" customWidth="1"/>"""),
+      "string col width wrong") // len("a-very-long-endpoint-name")+2 = 27
+    // numeric data cells carry the column style and a <v> payload
+    assert(sheet.contains("""<c r="B2" s="2"><v>1234567</v></c>"""), "int cell not numeric")
+    assert(sheet.contains("""<c r="C2" s="1"><v>3.5</v></c>"""), "float cell not numeric")
+    // header cells stay unstyled inline strings; round-trip still reads
+    assert(Excel.readRaw(p).head == Seq("name", "qty", "score"))
+    assert(Excel.readRaw(p)(1) == Seq("a-very-long-endpoint-name", "1234567", "3.5"))
+  }
+
   test("multi-sheet workbook: first sheet wins on read; all sheets written") {
     val p = tmp("multi")
     Excel.writeRaw(p, Seq("first" -> Seq(Seq("a")), "second" -> Seq(Seq("b"))))

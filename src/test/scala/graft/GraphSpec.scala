@@ -28,4 +28,21 @@ class GraphSpec extends AnyFunSuite {
     val r2 = Graph.pageRankInt(e2, "s", "t", 3).as[(String, Long)].collect().toSeq
     assert(r1 == r2)
   }
+
+  test("pageRankInt: reliable-checkpoint path matches localCheckpoint bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    try {
+      val edges = (1L to 100L).map(i => (s"n$i", s"n${i * 3 % 100 + 1}")).distinct.toDF("s", "t")
+      val local    = Graph.pageRankInt(edges, "s", "t", 3).as[(String, Long)].collect().toSeq
+      val reliable = Graph.pageRankInt(edges, "s", "t", 3, checkpointDir = Some(dir))
+        .as[(String, Long)].collect().toSeq
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint wrote no files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
