@@ -5,11 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** One place to build the engine's SparkSession so Verify, Bench, and the
   * test suites agree on semantics-critical config.
   *
-  * - `legacy.parquet.nanosAsLong`: the driver test data's `events.ts` is
-  *   parquet TIMESTAMP(NANOS), which Spark otherwise refuses to read
+  * - `legacy.parquet.nanosAsLong`: if a source writes `events.ts` as
+  *   parquet TIMESTAMP(NANOS), Spark otherwise refuses to read it
   *   ([PARQUET_TYPE_ILLEGAL]); with this flag it arrives as a long that
   *   [[Tables.t]] converts to a µs timestamp — matching what the DuckDB
   *   oracle sees (DuckDB truncates ns→µs on read too).
+  * - `inferTimestampNTZ.enabled=false`: parquet TIMESTAMP(isAdjustedToUTC
+  *   =false) otherwise surfaces as TIMESTAMP_NTZ, a type half the
+  *   timestamp function surface (`unix_micros`, `to_utc_timestamp`, …)
+  *   rejects. With the session timezone pinned to UTC the TIMESTAMP
+  *   reading denotes the identical instants, every chrono function
+  *   applies, and plans/oracle hashes match the TIMESTAMP-writer data
+  *   layouts byte for byte.
   * - UTC session timezone: oracle determinism (SURVEY §5.2).
   * - shuffle.partitions = cores: local[.] has no reason for 200 partitions;
   *   on a real cluster this would instead be sized to data volume — with AQE
@@ -22,6 +29,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // The generated-class cache defaults to 100 entries; a sweep of 70+
       // distinct queries evicts everything between passes and re-pays janino

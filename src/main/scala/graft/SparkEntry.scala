@@ -1224,7 +1224,10 @@ object SparkEntry {
       Multimodal.decodeFeatures(Tables.spread(src), "doc_id", "payload", dim = 16)
         .select(col("doc_id"), col("format"), col("byte_len"),
           col("sample_rate"), col("n_samples"), col("sum_s"), col("sum_sq"),
-          col("peak"), col("zero_cross"), col("features"))
+          col("peak"), col("zero_cross"),
+          // CSV, not the raw array: the driver's compare sorts/hashes
+          // pandas cells, and ndarray cells are unhashable there
+          array_join(col("features").cast("array<string>"), ",").as("features_csv"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2436,14 +2439,15 @@ object SparkEntry {
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
            FROM v GROUP BY doc_id),
          l AS (
-           SELECT doc_id, list(lane_sum ORDER BY lane) AS features
+           SELECT doc_id,
+                  string_agg(CAST(lane_sum AS VARCHAR), ',' ORDER BY lane) AS features_csv
            FROM (SELECT doc_id, i % 16 AS lane, CAST(sum(sv) AS BIGINT) AS lane_sum
                  FROM v GROUP BY doc_id, i % 16)
            GROUP BY doc_id)
          SELECT d.doc_id, 'riff' AS format,
                 CAST(44 + (d.doc_id % 64 + 64) * 2 AS BIGINT) AS byte_len,
                 CAST(8000 + (d.doc_id % 8) * 4000 AS INT) AS sample_rate,
-                f.n_samples, f.sum_s, f.sum_sq, f.peak, f.zero_cross, l.features
+                f.n_samples, f.sum_s, f.sum_sq, f.peak, f.zero_cross, l.features_csv
          FROM documents d JOIN f USING (doc_id) JOIN l USING (doc_id)
          ORDER BY doc_id""",
     "q53_multimodal" ->

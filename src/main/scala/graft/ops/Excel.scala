@@ -304,7 +304,8 @@ object Excel {
         // width from a ≤1000-row sample of FORMATTED values (`app.py:79-99`)
         val sample = dataRows.take(1000)
         val widths = (0 until nCols).map { ci =>
-          val headerLen = rows.headOption.flatMap(_.lift(ci)).map(_.toString.length).getOrElse(0)
+          val headerLen = rows.headOption.flatMap(_.lift(ci))
+            .flatMap(Option(_)).map(_.toString.length).getOrElse(0) // header cell may be null
           val dataLen = sample.iterator
             .map(r => if (ci < r.length) r(ci) else null).filter(_ != null)
             .map(v => cellText(v, cls(ci)).length)
