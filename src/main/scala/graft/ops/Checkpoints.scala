@@ -20,17 +20,24 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
 object Checkpoints {
 
   /** The pinning function for `dir`: reliable checkpoints into `dir` when
-    * set, eager localCheckpoint otherwise. The checkpoint directory is a
+    * set, localCheckpoint otherwise. The checkpoint directory is a
     * SparkContext-level setting — last caller wins, which is fine because
     * the dir only namespaces files.
+    *
+    * `eager = false` defers materialization to the consumer's first action
+    * (no standalone job barrier — setup artifacts that feed exactly the
+    * next job want this); `eager = true` materializes NOW, which is the
+    * right mode for any artifact that will later be [[release]]d — release
+    * semantics on a never-materialized lazy checkpoint would be undefined.
     */
-  def pinner(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame =
+  def pinner(spark: SparkSession, dir: Option[String], eager: Boolean = true)
+      : DataFrame => DataFrame =
     dir match {
       case Some(d) =>
         spark.sparkContext.setCheckpointDir(d)
-        df => df.checkpoint(eager = true)
+        df => df.checkpoint(eager = eager)
       case None =>
-        df => df.localCheckpoint(eager = true)
+        df => df.localCheckpoint(eager = eager)
     }
 
   /** Free a SUPERSEDED round's pinned blocks (no-op for reliable

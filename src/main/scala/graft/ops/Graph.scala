@@ -33,54 +33,77 @@ object Graph {
     * current ranks on the source key and ONE aggregate on the destination
     * key — the per-node base term rides the aggregate as a unioned
     * constant row per node (ranks' node set is invariant across rounds),
-    * so there is no third join back to a node table. The edge table is
-    * shuffled ONCE at pin time (the out-degree window hash-partitions it
-    * by src, and checkpoint preserves that partitioning); every round
-    * reshuffles only the node-sized rank rows. Rounds 1..n−1 are
-    * checkpointed ([[Checkpoints]]) so lineage stays O(1); the FINAL round
-    * stays lazy — it is consumed exactly once by the caller's action, and
-    * an eager checkpoint would materialize it twice.
+    * so there is no third join back to a node table. Out-degree comes from
+    * a partial-aggregated count joined back to the edges (node-sized build
+    * side — AQE broadcasts it when small, hash-joins it at corpus scale);
+    * a window over `src` would instead SORT the full edge set inside each
+    * shuffle partition. Every round reshuffles only node-sized rank rows.
+    *
+    * Pinning cadence: rounds are checkpointed ([[Checkpoints]]) every
+    * `pinEvery` iterations, the Pregel checkpoint-interval pattern. Between
+    * pins the plan tree doubles per round (ranks feeds the contribution
+    * join AND the base-term union), so `pinEvery` is capped at 5 (2^5
+    * scans of one pinned artifact, deduplicated by exchange reuse) —
+    * lineage depth stays O(pinEvery), recovery cost on a real cluster is
+    * bounded to `pinEvery` rounds, and short fixed unrolls (3–5 rounds,
+    * the common scoring configuration) run as ONE job instead of paying a
+    * full materialization barrier per round. The FINAL round always stays
+    * lazy — it is consumed exactly once by the caller's action, and an
+    * eager checkpoint would materialize it twice.
     *
     * @param checkpointDir reliable-checkpoint directory for cluster-scale
     *        runs (survives executor loss); None = localCheckpoint.
+    * @param pinEvery checkpoint interval in rounds (1 = every round).
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, pinEvery: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
+    require(pinEvery >= 1 && pinEvery <= 5, "pinEvery in [1, 5]")
     val pin = Checkpoints.pinner(edges.sparkSession, checkpointDir)
-    // out-degree is folded INTO the pinned edge table via a window over the
-    // source key — ONE pass over the input (an agg+self-join would compute
-    // the edge expression twice), one shuffle, then each round needs only
-    // the ranks join
-    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .withColumn("d", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    // setup artifacts pin LAZILY: they feed exactly the next job, so an
+    // eager pin would only add a standalone materialization barrier
+    val lazyPin = Checkpoints.pinner(edges.sparkSession, checkpointDir, eager = false)
+    val es  = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = es.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e   = lazyPin(es.join(deg, Seq("src")))
     val base = 1000000L * (100 - dampingPct) / 100
     // round-0 ranks IS the node set at uniform mass — one pinned artifact
     // (it feeds two consumers per round: the contribution join and the
     // base-term union), not separate nodes + ranks copies
-    var ranks = pin(e.select(col("src").as("v"))
+    var ranks = lazyPin(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct()
       .select(col("v"), lit(1000000L).as("m")))
     var last: DataFrame = ranks
+    var lastPinnedRanks = ranks // only ever release a PINNED artifact
     var iter = 0
     while (iter < iterations) {
-      val contrib = e.join(ranks, col("src") === col("v"))
-        .select(col("dst").as("v"),
-          expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
+      // Round 1 shortcut: ranks are still the uniform constant, so the
+      // per-edge term is (1 000 000 · damping) DIV (100 · d) — a plain
+      // projection of the edge table; the rank join only exists to fetch
+      // m, which round 1 already knows. Saves one full edge-sized join.
+      val contrib =
+        if (iter == 0)
+          e.select(col("dst").as("v"),
+            expr(s"(1000000 * $dampingPct) DIV (100 * d)").as("c"))
+        else
+          e.join(ranks, col("src") === col("v"))
+            .select(col("dst").as("v"),
+              expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
       val next = contrib.union(ranks.select(col("v"), lit(base).as("c")))
         .groupBy(col("v")).agg(sum(col("c")).as("m"))
       iter += 1
-      if (iter < iterations) {
+      if (iter < iterations && iter % pinEvery == 0) {
         val pinned = pin(next)
-        Checkpoints.release(ranks) // superseded — don't pin O(rounds) copies
+        Checkpoints.release(lastPinnedRanks) // superseded — don't pin O(rounds) copies
+        lastPinnedRanks = pinned
         ranks = pinned
         last = pinned
       } else {
-        last = next // final round: lazy, single-consumer
+        ranks = next
+        last = next // final round (and un-pinned rounds): lazy
       }
     }
     last.select(col("v"), col("m").as("rank_micro"))

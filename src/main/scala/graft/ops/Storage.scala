@@ -188,6 +188,71 @@ object Storage {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic fingerprint of a set of source paths: for each path the
+    * recursive (relative name, length, mtime) listing, hashed together with
+    * `params`. Changes whenever any source file is added, removed, resized,
+    * or rewritten — the `make`-style freshness test for derived layouts.
+    * Listing is driver-side metadata work (same class as file pruning);
+    * content is never read.
+    */
+  def sourceStamp(spark: SparkSession, paths: Seq[String], params: String): String = {
+    require(paths.nonEmpty, "need at least one source path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = paths.sorted.flatMap { p =>
+      val path = new Path(p)
+      val fs   = path.getFileSystem(conf)
+      val base = fs.makeQualified(path).toString
+      if (!fs.exists(path)) Seq(s"$base:absent")
+      else {
+        val it  = fs.listFiles(path, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          buf += s"${s.getPath.toString.stripPrefix(base)}:${s.getLen}:${s.getModificationTime}"
+        }
+        buf.result().sorted
+      }
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((parts.mkString("\n") + " " + params).getBytes("UTF-8"))
+    digest.map(b => f"$b%02x").mkString
+  }
+
+  /** Idempotent derived-layout refresh: run `write` (which must rebuild
+    * `dir` from scratch, e.g. a mode-overwrite parquet write) only when
+    * `stamp` differs from the marker recorded by the last successful
+    * refresh. Returns true when a rebuild ran.
+    *
+    * This is the write-once/scan-many contract of every table-format
+    * OPTIMIZE: the expensive clustering rewrite is paid when the SOURCE
+    * changes, not once per consumer. Crash safety is by marker ordering —
+    * the stale marker is deleted BEFORE `write` starts and the new one is
+    * written only after it returns, so an interrupted rebuild leaves no
+    * marker and the next caller rebuilds. (Concurrent writers need the
+    * [[TxTable]] commit log instead; this guard is for single-writer
+    * derived artifacts.)
+    */
+  def refreshIfChanged(spark: SparkSession, dir: String, stamp: String)
+      (write: => Unit): Boolean = {
+    val conf   = spark.sparkContext.hadoopConfiguration
+    val marker = new Path(dir + ".stamp")
+    val fs     = marker.getFileSystem(conf)
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    if (current.contains(stamp)) false
+    else {
+      fs.delete(marker, false)
+      write
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      true
+    }
+  }
+
   /** Stats-pruned range scan: drop every file whose `[min, max]` span
     * cannot intersect `[lo, hi]`, read only the survivors, and re-apply the
     * predicate to the rows that remain (file stats admit false positives,

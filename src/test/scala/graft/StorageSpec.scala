@@ -77,6 +77,35 @@ class StorageSpec extends AnyFunSuite {
     assert(k0 == 0 && none.count() == 0 && none.schema == rows.schema)
   }
 
+  test("refreshIfChanged rebuilds only when the source stamp moves, and a failed build leaves no marker") {
+    val base = java.nio.file.Files.createTempDirectory("refresh").toString
+    spark.range(100).select(col("id"), (col("id") % 7).as("v"))
+      .write.parquet(s"$base/src")
+    def stamp(params: String) = Storage.sourceStamp(spark, Seq(s"$base/src"), params)
+    var builds = 0
+    def build(): Boolean = Storage.refreshIfChanged(spark, s"$base/derived", stamp("p1")) {
+      builds += 1
+      spark.read.parquet(s"$base/src").write.mode("overwrite").parquet(s"$base/derived")
+    }
+    assert(build() && builds == 1, "first call must build")
+    assert(!build() && builds == 1, "unchanged source must not rebuild")
+    assert(stamp("p1") != stamp("p2"), "params participate in the stamp")
+    // source mutation (new file) moves the stamp -> rebuild
+    spark.range(5).select(col("id"), col("id").as("v"))
+      .write.mode("append").parquet(s"$base/src")
+    assert(build() && builds == 2, "changed source must rebuild")
+    assert(!build() && builds == 2)
+    // a build that throws must leave NO marker: the next call rebuilds
+    intercept[RuntimeException] {
+      Storage.refreshIfChanged(spark, s"$base/broken", stamp("p1")) {
+        throw new RuntimeException("mid-write crash")
+      }
+    }
+    var recovered = false
+    Storage.refreshIfChanged(spark, s"$base/broken", stamp("p1")) { recovered = true }
+    assert(recovered, "an interrupted refresh must not be recorded as done")
+  }
+
   test("compactTo rewrites many small files into the computed target count") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.range(100000).select(col("id"), (col("id") % 97).as("v"))
