@@ -1570,6 +1570,98 @@ object SparkEntry {
           col("__prio").as("prio"), col("__h").as("h"))
         .orderBy(col("prio"), col("h"))),
 
+    // Exact triangle census of the part co-purchase graph (parts that
+    // appear in the same order are linked) — graph-density profiling via
+    // the degree-ordered wedge join (Graph.triangleCounts). The census runs
+    // on a DETERMINISTIC 30% node sample (partkey mod 10 < 3): node
+    // sampling shrinks wedge work cubically (the DOULION estimator scales
+    // counts back up by p^-3), which is how a triangle census stays
+    // tractable on a dense co-occurrence graph at any corpus size — the
+    // sampled subgraph census itself stays exact and oracle-replayable
+    "q149_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .filter(col("p") % 10 < 3)
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.triangleCounts(edges, "a", "b")
+    }),
+
+    // Multi-touch attribution: for each purchase, the user's click/view/
+    // signup touches in the trailing 24 h share credit under first-touch,
+    // last-touch, and linear models — per-channel totals. The touch
+    // lookup is the banded interval join (never a per-user cross
+    // product); credit assignment is one window pass per purchase
+    "q150_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id").as("t_id"), col("ts").as("t_ts"),
+          col("event_type").as("channel"))
+      val joined = Relational.intervalJoin(purchases, touches,
+          Seq("user_id"), "p_ts", "t_ts", toleranceSec = 86400)
+        .filter(col("t_ts") <= col("p_ts")) // lookback only, inclusive
+      val byPurchase = Window.partitionBy(col("p_id"))
+      val asc = byPurchase.orderBy(col("t_ts").asc, col("t_id").asc)
+      joined
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(byPurchase))
+        .groupBy(col("channel"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("rn") === col("cnt"), 1L).otherwise(0L)).as("last_touch"),
+          Summaries.r4(sum(lit(1.0) / col("cnt"))).as("linear"))
+        .orderBy(col("channel"))
+    }),
+
+    // Burst detection: daily event counts vs the SAME type's trailing-7-
+    // observation mean/stddev — |z| > 2 flags the spike. One agg + one
+    // bounded window per event type; the frame is 7 ROWS, so partition
+    // state is O(1) regardless of history length
+    "q151_bursts" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("mu", avg(col("n")).over(trail))
+        .withColumn("sd", stddev_samp(col("n").cast("double")).over(trail))
+        .select(col("event_type"), col("day"), col("n"),
+          Summaries.r4(when(col("sd") > 0, (col("n") - col("mu")) / col("sd"))).as("z"),
+          when(col("sd") > 0, abs((col("n") - col("mu")) / col("sd")) > 2)
+            .otherwise(lit(false)).as("burst"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Reciprocal-rank fusion of two bounded retrieval lists (by length and
+    // by lexical diversity): the standard zero-tuning rank combiner for
+    // hybrid search. Each list is a TakeOrdered top-100 (never a global
+    // sort); the fusion is a full outer join of two 100-row sides
+    "q152_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def top100(metric: Column): DataFrame = {
+        val ranked = docs.select(col("doc_id"), metric.as("m"))
+          .orderBy(col("m").desc, col("doc_id")).limit(100)
+        // rank within 100 driver-bounded rows — the single-partition window
+        // is over the ALREADY-limited list, not the corpus
+        ranked.withColumn("r",
+          row_number().over(Window.orderBy(col("m").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r"))
+      }
+      val a = top100(length(col("text")).cast("double"))
+      val b = top100(size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " ")))
+      a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          Summaries.r4(
+            coalesce(lit(1.0) / (col("a.r") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("b.r") + 60), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Z-order write → file-stats index → stats-pruned range scan; the
     // result must equal the plain filtered aggregate (oracle), while
     // StorageSpec pins that the pruned read opens a strict file subset
@@ -3283,5 +3375,70 @@ object SparkEntry {
          FROM lineitem
          WHERE l_quantity >= 10.0 AND l_quantity <= 20.0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // triangle COUNT is orientation-invariant: the oracle closes id-ordered
+    // wedges (a<b<c) while the engine closes degree-ordered ones — same set
+    "q149_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_partkey % 10 < 3),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+                   ON e3.a = e1.a AND e3.b = e2.b),
+         nn AS (SELECT count(*) AS n_nodes
+                FROM (SELECT a AS v FROM e UNION SELECT b FROM e)),
+         ne AS (SELECT count(*) AS n_edges FROM e)
+         SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""",
+
+    "q150_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS channel
+               FROM events WHERE event_type IN ('click', 'view', 'signup')),
+         j AS (SELECT p.p_id, t.t_id, t.t_ts, t.channel,
+                      row_number() OVER (PARTITION BY p.p_id
+                                         ORDER BY t.t_ts, t.t_id) AS rn,
+                      count(*) OVER (PARTITION BY p.p_id) AS cnt
+               FROM p JOIN t ON p.user_id = t.user_id
+                AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 DAY)
+         SELECT channel,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+                sum(CASE WHEN rn = cnt THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+                floor(sum(1.0::DOUBLE / cnt) * 10000 + 0.5) / 10000 AS linear
+         FROM j GROUP BY channel ORDER BY channel""",
+
+    "q151_bursts" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  avg(n) OVER tw AS mu,
+                  stddev_samp(CAST(n AS DOUBLE)) OVER tw AS sd
+           FROM daily
+           WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n,
+                CASE WHEN sd > 0
+                     THEN floor((n - mu) / sd * 10000 + 0.5) / 10000 END AS z,
+                CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2 ELSE false END AS burst
+         FROM w ORDER BY event_type, day""",
+
+    "q152_rrf" ->
+      """WITH la AS (
+           SELECT doc_id, row_number() OVER (ORDER BY length(text) DESC, doc_id) AS r
+           FROM documents QUALIFY r <= 100),
+         lb AS (
+           SELECT doc_id, row_number() OVER (
+             ORDER BY len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')) DESC, doc_id) AS r
+           FROM documents QUALIFY r <= 100)
+         SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id,
+                floor((coalesce(1.0::DOUBLE / (la.r + 60), 0) + coalesce(1.0::DOUBLE / (lb.r + 60), 0))
+                      * 10000 + 0.5) / 10000 AS rrf
+         FROM la FULL JOIN lb ON la.doc_id = lb.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
   )
 }

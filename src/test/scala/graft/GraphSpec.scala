@@ -29,6 +29,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("triangleCounts: canonicalizes dup/reversed/self-loop edges, counts each triangle once") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant node 5 and noise:
+    // duplicates, reversed duplicates, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (1L, 2L), // reversed + repeated
+      (4L, 5L),                     // pendant: no new triangle
+      (3L, 3L)                      // self-loop: dropped
+    ).toDF("s", "t")
+    val r = Graph.triangleCounts(edges, "s", "t").as[(Long, Long, Long)].head()
+    assert(r == ((5L, 7L, 4L)))
+  }
+
+  test("triangleCounts: triangle-free bipartite graph yields zero") {
+    val edges = (for { l <- 1L to 10L; r <- 101L to 105L } yield (l, r)).toDF("s", "t")
+    val r = Graph.triangleCounts(edges, "s", "t").as[(Long, Long, Long)].head()
+    assert(r == ((15L, 50L, 0L)))
+  }
+
   test("pageRankInt: reliable-checkpoint path matches localCheckpoint bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     try {
