@@ -1635,6 +1635,63 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Cross-split contamination matrix: count 8-gram shingles shared
+    // between the train/val/test hash splits — the leakage audit run
+    // before any eval is trusted. The shingle index is (split, shingle)
+    // DISTINCT, so the self-join emits at most C(3,2) rows per shingle —
+    // bounded by the split count, never by document frequency
+    "q153_split_contamination" -> ((s, d) => {
+      val split = Sampling.splitColumn(Seq(col("doc_id").cast("string")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val ss = Tables.spread(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(split.as("split"), explode(Text.shinglesOf(col("text"), 8)).as("sh"))
+        .distinct()
+      ss.as("a").join(ss.as("b"),
+          col("a.sh") === col("b.sh") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Language-ID confusion matrix vs the labeled lang column — the
+    // classifier-eval view of q21's heuristic: cells plus each cell's
+    // share of its true class. One scan, one node-bounded aggregate
+    "q154_langid_confusion" -> ((s, d) => {
+      val cells = Tables.spread(t(s, d, "documents"))
+        .select(col("lang"), Text.languageId(Text.tokenSet(col("text"))).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("frac_of_true",
+          Summaries.r4(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("lang")))))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Zipf power-law fit: ln(freq) ~ a + b·ln(rank) over the top-100
+    // tokens — corpus-health fingerprint (a natural corpus slopes ≈ −1;
+    // template/boilerplate floods flatten or steepen it). Top-100 via
+    // TakeOrdered; the OLS fold is over 100 driver-bounded points
+    "q155_zipf_slope" -> ((s, d) => {
+      val top = Tables.spread(t(s, d, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(100)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      val x = log(col("r").cast("double"))
+      val y = log(col("cnt").cast("double"))
+      top.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .select(col("n"),
+          Summaries.r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          Summaries.r4((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+            .as("intercept"))
+    }),
+
     // Reciprocal-rank fusion of two bounded retrieval lists (by length and
     // by lexical diversity): the standard zero-tuning rank combiner for
     // hybrid search. Each list is a TakeOrdered top-100 (never a global
@@ -3425,6 +3482,70 @@ object SparkEntry {
                      THEN floor((n - mu) / sd * 10000 + 0.5) / 10000 END AS z,
                 CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2 ELSE false END AS burst
          FROM w ORDER BY event_type, day""",
+
+    "q153_split_contamination" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct([array_to_string(list_slice(tk, i, i+7), ' ')
+                                        for i in range(1, len(tk)-6)])) AS sh
+           FROM tk),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+                       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+         ss AS (SELECT DISTINCT sp.split, sh.sh FROM sh JOIN sp USING (doc_id))
+         SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
+         FROM ss a JOIN ss b ON a.sh = b.sh AND a.split < b.split
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q154_langid_confusion" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  len(list_intersect(tk, ['der','die','das','und'])) s_de,
+                  len(list_intersect(tk, ['the','a','of','and'])) s_en,
+                  len(list_intersect(tk, ['el','la','los','y'])) s_es,
+                  len(list_intersect(tk, ['le','les','une','et'])) s_fr,
+                  len(list_intersect(tk, ['shi','bu','wo','zhe'])) s_zh
+           FROM (SELECT doc_id, lang, list_distinct(string_split_regex(lower(trim(text)), '\s+')) tk FROM documents)),
+         p AS (
+           SELECT lang,
+                  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh' END AS pred
+           FROM s),
+         c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2)
+         SELECT lang, pred, n,
+                floor(n::DOUBLE / sum(n) OVER (PARTITION BY lang) * 10000 + 0.5) / 10000
+                  AS frac_of_true
+         FROM c ORDER BY lang, pred""",
+
+    "q155_zipf_slope" ->
+      """WITH tok AS (
+           SELECT token, count(*) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           GROUP BY token ORDER BY cnt DESC, token LIMIT 100),
+         rk AS (
+           SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM tok),
+         m AS (
+           SELECT count(*)::BIGINT AS n,
+                  sum(ln(r::DOUBLE)) AS sx, sum(ln(cnt::DOUBLE)) AS sy,
+                  sum(ln(r::DOUBLE) * ln(cnt::DOUBLE)) AS sxy,
+                  sum(ln(r::DOUBLE) * ln(r::DOUBLE)) AS sxx
+           FROM rk)
+         SELECT n,
+                floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5) / 10000
+                  AS slope,
+                floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                      * 10000 + 0.5) / 10000 AS intercept
+         FROM m""",
 
     "q152_rrf" ->
       """WITH la AS (
