@@ -522,7 +522,7 @@ object SparkEntry {
     // tables × 3 planes: measured recall@3 ≈ 0.87 vs q24 ground truth on the
     // isotropic test embeddings; SimilaritySpec gates it at ≥ 0.7)
     "q26_ann_lsh" -> ((s, d) => {
-      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, 3, nTables = 8)
+      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, 3, nTables = 12)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -531,7 +531,7 @@ object SparkEntry {
     // fraction — measured recall@3 ≈ 0.85; SimilaritySpec gates it at ≥ 0.7)
     "q58_ivf_ann" -> ((s, d) => {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3,
-          nProbe = 5)
+          nProbe = 6)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -2346,7 +2346,7 @@ object SparkEntry {
                             for d in range(0, len(v))]), (a, b) -> a + b) > 0
                     THEN (1::BIGINT << p) ELSE 0::BIGINT END
                     for p in range(0, 3)]) AS BIGINT) AS bucket
-           FROM e, unnest([0,1,2,3,4,5,6,7]) tt(t)),
+           FROM e, unnest([0,1,2,3,4,5,6,7,8,9,10,11]) tt(t)),
          cand AS (
            SELECT DISTINCT a.vec_id probe_id, b.vec_id neighbor_id
            FROM eb a JOIN eb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -2372,7 +2372,7 @@ object SparkEntry {
                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in seeds.sv]), (a, b) -> a + b))) DESC,
                       seeds.s_id ASC) rn
              FROM e, seeds)
-           WHERE rn <= 5),
+           WHERE rn <= 6),
          s AS (
            SELECT a.vec_id probe_id, b.vec_id neighbor_id,
                   floor(list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)

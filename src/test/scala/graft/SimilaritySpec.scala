@@ -143,7 +143,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == 3L && out(3L) == 0L)
   }
 
-  test("ANN recall@3 vs q24 brute-force ground truth is ≥ 0.7 (sf0.001)") {
+  test("ANN recall@3 vs q24 brute-force ground truth is ≥ 0.9 (sf0.001)") {
     // Retrieval-quality gate: the bucketed paths are CORRECT against their
     // own oracles by construction; this pins that future bucket/cell tuning
     // cannot silently degrade what they retrieve.
@@ -159,7 +159,7 @@ class SimilaritySpec extends AnyFunSuite {
         approx.get(p).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
       }
       val recall = recalls.sum / recalls.size
-      assert(recall >= 0.7, s"$name recall@3 = $recall")
+      assert(recall >= 0.9, s"$name recall@3 = $recall")
     }
   }
 
