@@ -243,6 +243,35 @@ class PlanSpec extends AnyFunSuite {
       s"no exchange may carry document text:\n${fullEx.mkString("\n")}")
   }
 
+  test("q149 triangles: wedge legs are equi-joins; non-equi joins only glue 1-row aggregates") {
+    val p = plan("q149_triangles")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the only nested-loop joins are the Cross glue between the three
+    // SINGLE-ROW summary aggregates — every data-sized leg is hash-keyed
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2,
+      s"nested-loop joins beyond the 1-row glue:\n${bnlj.mkString("\n")}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected hash-keyed wedge legs:\n$p")
+  }
+
+  test("q150 attribution: the touch lookup is a banded equi-join, not a per-user theta") {
+    val p = plan("q150_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval lookback must bucket to time bands:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on (user, band):\n$p")
+  }
+
+  test("q153 contamination: shingle self-join is equi-keyed and the index aggregates partially") {
+    val p = plan("q153_split_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"split-contamination must join on the shingle key:\n$p")
+    // distinct (split, shingle) must partial-aggregate below its exchange —
+    // the map-side combine is what keeps hot shingles from flooding the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final distinct:\n$p")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
