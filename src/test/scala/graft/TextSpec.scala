@@ -74,6 +74,20 @@ class TextSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("jaccardNearDupPairs: hot-shingle correction keeps intersections exact when the cutoff binds") {
+    // every doc opens with the corpus-wide phrase "hot hot hot" (df = 6 >
+    // maxDf = 2); docs 2j and 2j+1 additionally share all their b_j
+    // shingles (df = 2, rare). Candidates are generated from the rare
+    // shingles only, but the intersection must still count the hot one:
+    // o = 4 of 4 shingles -> jacc 1.0 (an uncorrected count gives 3/5)
+    val docs = (0L until 6L).map { i =>
+      (i, s"hot hot hot b${i / 2} b${i / 2} b${i / 2}")
+    }.toDF("doc_id", "text")
+    val out = Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.9, maxDf = 2)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((0L, 1L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0)))
+  }
+
   test("native fast paths are bit-identical to the HOF forms") {
     val df = Seq("the quick brown fox the quick", "x", "", "a  b\tc").toDF("t")
     val cmp = df.select(
