@@ -1635,6 +1635,76 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // PII incidence report: per-brand counts of emails / IPs / long
+    // numbers found by the q71 redaction patterns — the compliance-audit
+    // view (what WOULD be redacted, where) before any text ships. Pure
+    // per-row regexp counts + one aggregate
+    "q156_pii_summary" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val txt = concat(
+        lit("ref "), (pk * 1234567).cast("string"),
+        when(pk % 3 === 0, concat(lit(" user"), pk.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pk % 4 === 0, concat(lit(" 10.0."), (pk % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")))
+      val em = regexp_count(txt, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+      val ip = regexp_count(txt, lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+      val nm = regexp_count(txt, lit("\\b\\d{7,}\\b"))
+      t(s, d, "part")
+        .select(col("p_brand"), em.as("em"), ip.as("ip"), nm.as("nm"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("em")).as("n_email"), sum(col("ip")).as("n_ip"),
+          sum(col("nm")).as("n_num"),
+          sum(when(col("em") + col("ip") + col("nm") > 0, 1L).otherwise(0L))
+            .as("rows_with_pii"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Profile-based language ID: train per-language top-20 char-trigram
+    // profiles FROM the labeled corpus, score each doc's distinct trigrams
+    // against them — the realistic two-pass shape (corpus-derived model,
+    // broadcast-joined application; the model is 5×20 rows however large
+    // the corpus). Tie rule: highest hit count, then alphabetical language
+    "q157_charngram_langid" -> ((s, d) => {
+      val docs = Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      // deliberately TWO explode passes over the text (train + score): the
+      // explode is a narrow codegen'd stage, and pinning the ~300×-larger
+      // trigram stream to share it measured SLOWER than re-exploding
+      val tri = docs.select(col("lang"),
+        explode(Text.charNgrams(col("text"), 3)).as("g"))
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("g").asc)
+      val profile = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byLang))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("plang"), col("g"))
+      val hits = docs
+        .select(col("doc_id"), explode(array_distinct(Text.charNgrams(col("text"), 3))).as("g"))
+        .join(broadcast(profile), Seq("g"))
+        .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("cnt"))
+      val best = hits
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("plang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"), coalesce(col("plang"), lit("und")).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup cluster-size histogram — the dedup report that tells you
+    // whether duplication is pairwise noise or template floods: SimHash
+    // pair graph → connected components → component sizes → histogram
+    "q158_cluster_sizes" -> ((s, d) => {
+      val pairs = Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     // Cross-split contamination matrix: count 8-gram shingles shared
     // between the train/val/test hash splits — the leakage audit run
     // before any eval is trusted. The shingle index is (split, shingle)
@@ -3482,6 +3552,78 @@ object SparkEntry {
                      THEN floor((n - mu) / sd * 10000 + 0.5) / 10000 END AS z,
                 CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2 ELSE false END AS burst
          FROM w ORDER BY event_type, day""",
+
+    "q156_pii_summary" ->
+      """WITH s AS (
+           SELECT p_brand,
+                  'ref ' || (p_partkey * 1234567)::VARCHAR ||
+                  CASE WHEN p_partkey % 3 = 0
+                       THEN ' user' || p_partkey::VARCHAR || '@example.com' ELSE '' END ||
+                  CASE WHEN p_partkey % 4 = 0
+                       THEN ' 10.0.' || (p_partkey % 256)::VARCHAR || '.1' ELSE '' END AS txt
+           FROM part),
+         c AS (
+           SELECT p_brand,
+                  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) em,
+                  len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) ip,
+                  len(regexp_extract_all(txt, '\b\d{7,}\b')) nm
+           FROM s)
+         SELECT p_brand,
+                sum(em)::BIGINT AS n_email, sum(ip)::BIGINT AS n_ip,
+                sum(nm)::BIGINT AS n_num,
+                sum(CASE WHEN em + ip + nm > 0 THEN 1 ELSE 0 END)::BIGINT AS rows_with_pii
+         FROM c GROUP BY p_brand ORDER BY p_brand""",
+
+    "q157_charngram_langid" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) t FROM documents),
+         tri AS (
+           SELECT doc_id, lang, unnest([substr(t, i, 3) for i in range(1, len(t) - 1)]) g
+           FROM lt),
+         pc AS (SELECT lang, g, count(*) cnt FROM tri GROUP BY 1, 2),
+         prof AS (
+           SELECT lang AS plang, g FROM (
+             SELECT lang, g,
+                    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g) rn
+             FROM pc) WHERE rn <= 20),
+         dtri AS (
+           SELECT doc_id,
+                  unnest(list_distinct([substr(t, i, 3) for i in range(1, len(t) - 1)])) g
+           FROM lt),
+         sc AS (SELECT doc_id, plang, count(*) cnt
+                FROM dtri JOIN prof ON dtri.g = prof.g GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, plang FROM (
+             SELECT doc_id, plang,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, plang) rn
+             FROM sc) WHERE rn = 1)
+         SELECT d.doc_id, d.lang, coalesce(b.plang, 'und') AS pred
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+
+    "q158_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+         shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
+                                                    for t in ss]) > 0
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                                 for b in range(0, 48)]) AS BIGINT) AS sig
+           FROM shl),
+         ex AS (SELECT doc_id, sig, p AS band, (sig >> (p*16)) & 65535 AS bv FROM sh, unnest([0,1,2]) t(p)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig sa, b.doc_id AS doc_b, b.sig sb
+                  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, root) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.id)
+         SELECT sz, count(*)::BIGINT AS n_clusters FROM (
+           SELECT comp, count(*)::BIGINT AS sz FROM (
+             SELECT id, min(root) AS comp FROM walk GROUP BY id)
+           GROUP BY comp)
+         GROUP BY sz ORDER BY sz""",
 
     "q153_split_contamination" ->
       """WITH tk AS (

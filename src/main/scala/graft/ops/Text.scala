@@ -29,6 +29,21 @@ object Text {
   /** Distinct token set (order-insensitive ops: SimHash, language-ID). */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Character n-grams of the lowercased text (one entry per occurrence) —
+    * the substrate for profile-based language ID and other sub-word
+    * signals. Character semantics (not bytes) on both engines, so
+    * multi-byte scripts produce n CODEPOINTS per gram. `sequence` guarded
+    * like [[ngramsOf]]: Spark's `sequence(1, 0)` counts DOWN, so texts
+    * shorter than n need the empty branch.
+    */
+  def charNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    val lc = lower(c)
+    when(length(lc) >= n,
+      transform(sequence(lit(1), length(lc) - (n - 1)), i => lc.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** T3 — all n-token grams joined by a single space (one entry per
     * occurrence, for frequency counting). `sequence` must be guarded:
     * Spark's `sequence(1, 0)` counts DOWN, so a doc with fewer than n tokens

@@ -88,6 +88,14 @@ class TextSpec extends AnyFunSuite {
     assert(out == Set((0L, 1L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0)))
   }
 
+  test("charNgrams: codepoint semantics, short-text guard, lowercasing") {
+    val rows = Seq("AbC", "ab", "", "日本語テキスト").toDF("t")
+      .select(Text.charNgrams($"t", 3).as("g")).as[Seq[String]].collect()
+    assert(rows(0) == Seq("abc"))
+    assert(rows(1) == Nil && rows(2) == Nil, "texts shorter than n yield empty, not a down-counting sequence")
+    assert(rows(3) == Seq("日本語", "本語テ", "語テキ", "テキス", "キスト"), "grams count codepoints, not bytes")
+  }
+
   test("native fast paths are bit-identical to the HOF forms") {
     val df = Seq("the quick brown fox the quick", "x", "", "a  b\tc").toDF("t")
     val cmp = df.select(
