@@ -21,8 +21,17 @@ object Bench {
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
+      val r =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
+      // Queries are independent: drop every pinned (checkpointed/cached)
+      // RDD once the query's action finishes — OUTSIDE the timed region.
+      // Without this, each pass accumulates dead localCheckpoint blocks
+      // from every prior query; storage fills mid-pass and later queries
+      // pay eviction churn they would never see standalone (q103 measured
+      // 3.7 s alone vs 6.8 s late in a loaded pass).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      r
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Between passes, release superseded localCheckpoint blocks: pinned
