@@ -1635,6 +1635,39 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Packing-efficiency report: per bucket, how full the packed training
+    // sequences actually are (q89's greedy offset packing) — fill factor,
+    // extremes, and boundary-straddling count. Two aggregates over the
+    // packing plan; no new shuffle beyond the per-bucket window q89 pays
+    "q159_packing_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Sampling.packSequences(docs, "doc_id", col("n_tokens"), maxTokens = 512L, buckets = 4)
+        .groupBy(col("bucket"), col("seq")).agg(sum(col("n_tokens")).as("fill"))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_seqs"),
+          Summaries.r4(avg(col("fill") / 512.0)).as("avg_fill"),
+          min(col("fill")).as("min_fill"), max(col("fill")).as("max_fill"),
+          sum(when(col("fill") > 512, 1L).otherwise(0L)).as("n_overflow"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Local clustering coefficients on the sampled part co-purchase graph
+    // (q149's edge set): top-20 most tightly-knit neighborhoods. Same
+    // arboricity-bounded wedge machinery; each triangle credits its three
+    // corners
+    "q160_clustering_coeff" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .filter(col("p") % 10 < 3)
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.clusteringCoefficients(edges, "a", "b")
+        .orderBy(col("coeff").desc, col("v"))
+        .limit(20)
+    }),
+
     // PII incidence report: per-brand counts of emails / IPs / long
     // numbers found by the q71 redaction patterns — the compliance-audit
     // view (what WOULD be redacted, where) before any text ships. Pure
@@ -3552,6 +3585,49 @@ object SparkEntry {
                      THEN floor((n - mu) / sd * 10000 + 0.5) / 10000 END AS z,
                 CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2 ELSE false END AS burst
          FROM w ORDER BY event_type, day""",
+
+    "q159_packing_report" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM documents),
+         o AS (
+           SELECT doc_id, h % 4 AS bucket, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+                       - n_tokens AS BIGINT) AS "offset"
+           FROM d),
+         sq AS (
+           SELECT CAST(bucket AS BIGINT) AS bucket,
+                  CAST(bucket * 1099511627776 + floor("offset" / 512) AS BIGINT) AS seq,
+                  sum(n_tokens) AS fill
+           FROM o GROUP BY 1, 2)
+         SELECT bucket, count(*)::BIGINT AS n_seqs,
+                floor(avg(fill::DOUBLE / 512.0) * 10000 + 0.5) / 10000 AS avg_fill,
+                CAST(min(fill) AS BIGINT) AS min_fill,
+                CAST(max(fill) AS BIGINT) AS max_fill,
+                sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END)::BIGINT AS n_overflow
+         FROM sq GROUP BY bucket ORDER BY bucket""",
+
+    "q160_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_partkey % 10 < 3),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+                   ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri),
+         tc AS (SELECT v, count(*) AS t FROM corners GROUP BY v),
+         deg AS (SELECT v, count(*) AS deg
+                 FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+         SELECT deg.v, deg.deg, coalesce(tc.t, 0)::BIGINT AS triangles,
+                floor(coalesce(tc.t, 0) * 2.0::DOUBLE / (deg.deg * (deg.deg - 1))
+                      * 10000 + 0.5) / 10000 AS coeff
+         FROM deg LEFT JOIN tc ON deg.v = tc.v
+         WHERE deg.deg >= 2
+         ORDER BY coeff DESC, deg.v LIMIT 20""",
 
     "q156_pii_summary" ->
       """WITH s AS (

@@ -128,6 +128,51 @@ object Graph {
     * legs are equi-joins on node ids; nothing driver-side.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (und, deg, closed) = closedWedges(edges, srcCol, dstCol)
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node — `2·t(v) / (d(v)·(d(v)−1))`,
+    * the fraction of a node's neighbor pairs that are themselves linked.
+    * Nodes of degree < 2 are excluded (coefficient undefined); nodes whose
+    * neighborhood closes no triangle report 0. Output
+    * `(v, deg, triangles, coeff)` with `coeff` rounded to 4 decimals.
+    * Same arboricity-bounded wedge machinery as [[triangleCounts]] — each
+    * triangle surfaces once and credits all three corners.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (_, deg, closed) = closedWedges(edges, srcCol, dstCol)
+    val corners = closed.select(col("u").as("v"))
+      .union(closed.select(col("x").as("v")))
+      .union(closed.select(col("y").as("v")))
+    val tc = corners.groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(tc, Seq("v"), "left_outer")
+      .select(col("v"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        graft.ops.Summaries.r4(
+          coalesce(col("triangles"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
+
+  /** Shared triangle core: canonical undirected edges, degrees, and the
+    * closed out-wedges `(u, x, y)` — one row per triangle, `u` the
+    * orientation apex and `x -> y` the closing oriented edge.
+    *
+    * Input edges may contain duplicates, self-loops, or both directions;
+    * they are canonicalized to distinct `a < b` pairs first. Edges are
+    * ORIENTED from the lower (degree, id) endpoint to the higher, so
+    * out-degrees are bounded by O(sqrt(|E|)) on any graph (arboricity
+    * bound) and the wedge join survives pathological degree skew; the
+    * orientation is a total order, so exactly ONE of each wedge's two leg
+    * orders has a closing edge — every triangle surfaces once, no /3
+    * fixup. All legs are equi-joins on node ids; nothing driver-side.
+    */
+  private def closedWedges(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -145,17 +190,11 @@ object Graph {
       .select(when(low, col("a")).otherwise(col("b")).as("u"),
         when(low, col("b")).otherwise(col("a")).as("w"))
       .localCheckpoint(false)
-    // out-wedges at each apex u, closed by the oriented edge x -> y: the
-    // orientation is a total order, so exactly ONE of the wedge's two leg
-    // orders has a closing edge — each triangle counts once, no /3 fixup
     val wedges = oriented.select(col("u"), col("w").as("x"))
       .join(oriented.select(col("u"), col("w").as("y")), Seq("u"))
       .filter(col("x") =!= col("y"))
     val closed = wedges
       .join(oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    (und, deg, closed)
   }
 }

@@ -42,6 +42,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r == ((5L, 7L, 4L)))
   }
 
+  test("clusteringCoefficients: K4 corners close fully, the pendant-attached node half, degree-1 excluded") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)
+    ).toDF("s", "t")
+    val r = Graph.clusteringCoefficients(edges, "s", "t")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 3L, 3L, 1.0)) && r(2L) == ((2L, 3L, 3L, 1.0)) &&
+      r(3L) == ((3L, 3L, 3L, 1.0)), "K4-internal nodes: every neighbor pair linked")
+    assert(r(4L) == ((4L, 4L, 3L, 0.5)), "node 4: 3 of its C(4,2)=6 neighbor pairs linked")
+    assert(!r.contains(5L), "degree-1 node has no defined coefficient")
+  }
+
   test("triangleCounts: triangle-free bipartite graph yields zero") {
     val edges = (for { l <- 1L to 10L; r <- 101L to 105L } yield (l, r)).toDF("s", "t")
     val r = Graph.triangleCounts(edges, "s", "t").as[(Long, Long, Long)].head()
