@@ -1668,6 +1668,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Functional-dependency discovery: for candidate determinant →
+    // dependent column pairs, count keys whose dependent value is not
+    // unique — the schema-inference / data-contract profiling pass. One
+    // two-level aggregate per pair (distinct-per-key, then violations),
+    // unioned into a single plan
+    "q161_fd_discovery" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def fd(det: String, dep: String): DataFrame = o
+        .groupBy(col(det)).agg(countDistinct(col(dep)).as("nv"))
+        .agg(lit(det).as("determinant"), lit(dep).as("dependent"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"),
+          (sum(when(col("nv") > 1, 1L).otherwise(0L)) === 0).as("fd_holds"))
+      fd("o_orderkey", "o_custkey")
+        .unionByName(fd("o_custkey", "o_orderstatus"))
+        .unionByName(fd("o_orderpriority", "o_orderstatus"))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
     // PII incidence report: per-brand counts of emails / IPs / long
     // numbers found by the q71 redaction patterns — the compliance-audit
     // view (what WOULD be redacted, where) before any text ships. Pure
@@ -3628,6 +3647,25 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q161_fd_discovery" ->
+      """WITH f1 AS (
+           SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                  count(*)::BIGINT AS n_keys,
+                  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating
+           FROM (SELECT o_orderkey, count(DISTINCT o_custkey) nv FROM orders GROUP BY 1)),
+         f2 AS (
+           SELECT 'o_custkey', 'o_orderstatus', count(*)::BIGINT,
+                  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+           FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) nv FROM orders GROUP BY 1)),
+         f3 AS (
+           SELECT 'o_orderpriority', 'o_orderstatus', count(*)::BIGINT,
+                  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+           FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) nv FROM orders GROUP BY 1)),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+         SELECT determinant, dependent, n_keys, n_violating,
+                n_violating = 0 AS fd_holds
+         FROM u ORDER BY determinant, dependent""",
 
     "q156_pii_summary" ->
       """WITH s AS (
