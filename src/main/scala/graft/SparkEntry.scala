@@ -1668,6 +1668,26 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // LSH-vs-exact evaluation: recall/precision of the MinHash-LSH
+    // near-dup pipeline against the exact inverted-index ground truth on
+    // the same corpus slice — the tuning harness for band/row choices
+    // (run on a scoped sample, exactly how banding parameters are tuned
+    // before a corpus-wide pass)
+    "q162_lsh_recall_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("lang") === "en")
+      val exact = Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val both = exact.intersect(lsh)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          Summaries.r4(col("n_both").cast("double") / col("n_exact")).as("recall"),
+          Summaries.r4(col("n_both").cast("double") / col("n_lsh")).as("precision"))
+    }),
+
     // Functional-dependency discovery: for candidate determinant →
     // dependent column pairs, count keys whose dependent value is not
     // unique — the schema-inference / data-contract profiling pass. One
@@ -3647,6 +3667,36 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q162_lsh_recall_eval" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk
+                 FROM documents WHERE lang = 'en')),
+         ep AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id),
+         lp AS (
+           SELECT doc_a, doc_b
+           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+           WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+                 / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5),
+         ne AS (SELECT count(*) AS n_exact FROM ep),
+         nl AS (SELECT count(*) AS n_lsh FROM lp),
+         nb AS (SELECT count(*) AS n_both FROM (SELECT * FROM ep INTERSECT SELECT * FROM lp))
+         SELECT n_exact, n_lsh, n_both,
+                floor(n_both::DOUBLE / n_exact * 10000 + 0.5) / 10000 AS recall,
+                floor(n_both::DOUBLE / n_lsh * 10000 + 0.5) / 10000 AS precision
+         FROM ne, nl, nb""",
 
     "q161_fd_discovery" ->
       """WITH f1 AS (
