@@ -31,11 +31,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // The generated-class cache defaults to 100 entries; a sweep of 70+
+      // The generated-class cache defaults to 100 entries; a sweep of many
       // distinct queries evicts everything between passes and re-pays janino
       // compilation per stage. Any many-query workload (BI server, test
-      // suite, this engine's Verify/Bench) wants this sized to its plan count.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // suite, this engine's Verify/Bench) wants this sized to its plan
+      // count — 160+ queries × several compiled stages each needs well
+      // beyond the 1000 that sufficed at 70 queries.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // ObjectHashAggregate (TypedImperativeAggregate, e.g. the bounded
       // top-k ranker) falls back to SORT-based aggregation after 128
       // distinct keys by default — re-paying exactly the full-candidate
