@@ -1668,6 +1668,45 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Deterministic negative sampling for contrastive training: per
+    // anchor, 3 cross-language negatives drawn by content hash WITHIN the
+    // anchor's hash bucket — candidate generation is a bucket equi-join
+    // (corpus²/buckets, tunable), never all-pairs, and every draw is
+    // replayable under retry or corpus growth
+    "q163_negative_sampling" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("bkt", pmod(Text.hash60(col("doc_id").cast("string")), lit(16)))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.doc_id") =!= col("b.doc_id") &&
+            col("a.lang") =!= col("b.lang"))
+        .select(col("a.doc_id").as("anchor"), col("b.doc_id").as("neg_id"),
+          Text.hash60(concat(col("a.doc_id").cast("string"), lit("_"),
+            col("b.doc_id").cast("string"))).as("draw"))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("anchor")).orderBy(col("draw"), col("neg_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("anchor"), col("neg_id"), col("rank"))
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
+    // Curriculum interleave: per-source difficulty rank (longest docs
+    // first as the difficulty proxy), then round-robin across sources —
+    // the schedule column a trainer reads shards by. Two window passes,
+    // both partitioned (per-source rank, then per-round position)
+    "q164_curriculum_order" -> ((s, d) => {
+      val ranked = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+      ranked
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("rk")).orderBy(col("source"))))
+        .select(col("doc_id"), col("source"), col("rk").as("round"), col("pos"))
+        .orderBy(col("round"), col("pos"))
+    }),
+
     // LSH-vs-exact evaluation: recall/precision of the MinHash-LSH
     // near-dup pipeline against the exact inverted-index ground truth on
     // the same corpus slice — the tuning harness for band/row choices
@@ -3667,6 +3706,32 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q163_negative_sampling" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bkt
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS anchor, b.doc_id AS neg_id,
+                  ('0x' || substr(md5(a.doc_id::VARCHAR || '_' || b.doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+           FROM d a JOIN d b ON a.bkt = b.bkt AND a.doc_id <> b.doc_id AND a.lang <> b.lang),
+         r AS (
+           SELECT anchor, neg_id,
+                  row_number() OVER (PARTITION BY anchor ORDER BY draw, neg_id) AS rank
+           FROM p)
+         SELECT anchor, neg_id, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY anchor, rank""",
+
+    "q164_curriculum_order" ->
+      """WITH rk AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS round
+           FROM documents)
+         SELECT doc_id, source, CAST(round AS INT) AS round,
+                CAST(row_number() OVER (PARTITION BY round ORDER BY source) AS INT) AS pos
+         FROM rk ORDER BY round, pos""",
 
     "q162_lsh_recall_eval" ->
       s"""WITH sh AS (

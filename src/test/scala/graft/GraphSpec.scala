@@ -60,6 +60,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r == ((15L, 50L, 0L)))
   }
 
+  test("triangleCounts: degree-ordered census equals brute force on pseudo-random graphs") {
+    // deterministic LCG edge streams over 12 nodes — exercises dup edges,
+    // high-degree hubs, and disconnected remnants across 5 graph shapes
+    (1 to 5).foreach { seed =>
+      var x = seed.toLong
+      def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+      val raw = Seq.fill(30)((nxt() % 12, nxt() % 12))
+      val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val adj = und.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val brute = (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if adj((i, j)) && adj((j, k)) && adj((i, k))
+      } yield 1).size.toLong
+      val r = Graph.triangleCounts(raw.toDF("s", "t"), "s", "t")
+        .as[(Long, Long, Long)].head()
+      assert(r._3 == brute, s"seed $seed: census ${r._3} vs brute $brute")
+      assert(r._2 == und.size.toLong, s"seed $seed: edge count")
+    }
+  }
+
   test("pageRankInt: reliable-checkpoint path matches localCheckpoint bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     try {

@@ -272,6 +272,12 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final distinct:\n$p")
   }
 
+  test("q157 langid: the trained profile is broadcast — the trigram stream never shuffles for the model join") {
+    val p = plan("q157_charngram_langid")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5x20-row model must broadcast to the trigram stream:\n$p")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
