@@ -1668,6 +1668,52 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Dedup funnel: document and token counts surviving each dedup stage
+    // (raw → exact digest → fuzzy MinHash survivors) — the shrinkage
+    // report every corpus build publishes. Each stage reuses the shipped
+    // operator; the fuzzy stage runs on the exact-deduped remainder
+    "q165_dedup_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"))
+      val exact = Dedup.dedupByDigest(docs, "text", "doc_id")
+      val dropped = Dedup.nearDupSurvivors(
+          Text.minhashNearDupPairs(exact, "doc_id", "text", 3, 16, 0.5),
+          "doc_a", "doc_b")
+        .filter(!col("keep")).select(col("doc_id"))
+      val fuzzy = exact.join(dropped, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"))
+      stage("1_raw", docs)
+        .unionByName(stage("2_exact", exact))
+        .unionByName(stage("3_fuzzy", fuzzy))
+        .orderBy(col("stage"))
+    }),
+
+    // JSON schema drift between snapshot generations: key-set profiling
+    // over a JSON column (added / removed / common, with occurrence
+    // counts) — the ingestion guard for evolving upstream payloads. One
+    // explode of json keys + one aggregate
+    "q166_props_schema_drift" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val js = when(pk % 2 === 0,
+          concat(lit("{\"id\": "), pk.cast("string"), lit(", \"price\": 1"),
+            when(pk % 4 === 0, lit(", \"legacy\": true")).otherwise(lit("")), lit("}")))
+        .otherwise(
+          concat(lit("{\"id\": "), pk.cast("string"), lit(", \"price_cents\": 100"),
+            when(pk % 5 === 0, lit(", \"tags\": []")).otherwise(lit("")), lit("}")))
+      t(s, d, "part")
+        .select((pk % 2 === 0).as("is_old"), explode(json_object_keys(js)).as("key"))
+        .groupBy(col("key"))
+        .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("status",
+          when(col("n_old") > 0 && col("n_new") > 0, "common")
+            .when(col("n_old") > 0, "removed").otherwise("added"))
+        .orderBy(col("key"))
+    }),
+
     // Deterministic negative sampling for contrastive training: per
     // anchor, 3 cross-language negatives drawn by content hash WITHIN the
     // anchor's hash bucket — candidate generation is a bucket equi-join
@@ -3706,6 +3752,67 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q165_dedup_funnel" ->
+      s"""WITH RECURSIVE docs AS (
+           SELECT doc_id, text,
+                  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+           FROM documents),
+         ex AS (
+           SELECT * FROM docs
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM ex)),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         exx AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM exx a JOIN exx b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT doc_a, doc_b
+           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+           WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+                 / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, root) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.id),
+         dropd AS (
+           SELECT id FROM (SELECT id, min(root) AS comp FROM walk GROUP BY id)
+           WHERE id <> comp),
+         fz AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM dropd)),
+         u AS (
+           SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM docs
+           UNION ALL
+           SELECT '2_exact', count(*)::BIGINT, sum(nt)::BIGINT FROM ex
+           UNION ALL
+           SELECT '3_fuzzy', count(*)::BIGINT, sum(nt)::BIGINT FROM fz)
+         SELECT stage, n_docs, n_tokens FROM u ORDER BY stage""",
+
+    "q166_props_schema_drift" ->
+      """WITH j AS (
+           SELECT p_partkey % 2 = 0 AS is_old,
+                  CASE WHEN p_partkey % 2 = 0 THEN
+                    '{"id": ' || p_partkey::VARCHAR || ', "price": 1' ||
+                    CASE WHEN p_partkey % 4 = 0 THEN ', "legacy": true' ELSE '' END || '}'
+                  ELSE
+                    '{"id": ' || p_partkey::VARCHAR || ', "price_cents": 100' ||
+                    CASE WHEN p_partkey % 5 = 0 THEN ', "tags": []' ELSE '' END || '}'
+                  END AS js
+           FROM part),
+         k AS (SELECT is_old, unnest(json_keys(js)) AS key FROM j)
+         SELECT key,
+                sum(CASE WHEN is_old THEN 1 ELSE 0 END)::BIGINT AS n_old,
+                sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                CASE WHEN sum(CASE WHEN is_old THEN 1 ELSE 0 END) > 0
+                      AND sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) > 0 THEN 'common'
+                     WHEN sum(CASE WHEN is_old THEN 1 ELSE 0 END) > 0 THEN 'removed'
+                     ELSE 'added' END AS status
+         FROM k GROUP BY key ORDER BY key""",
 
     "q163_negative_sampling" ->
       """WITH d AS (
