@@ -319,6 +319,47 @@ object Streaming {
       .start()
   }
 
+  /** Streaming burst detection — the continuous twin of the batch q151
+    * analysis: per micro-batch, (event_type, day) count deltas merge into
+    * a counts table, the trailing-7-observation z-score is recomputed over
+    * the merged state, and the counts AND the refreshed alert table land
+    * in ONE atomic [[TxTable]] commit — a reader never sees counts without
+    * their matching alerts, and a replayed batch is skipped by the
+    * checkpoint-scoped guard (count merging is not idempotent). State is
+    * bounded by (types × days), day-grain metadata scale — the detector's
+    * window math runs over the state table, never re-reading the stream.
+    */
+  def burstAlertSink(stream: DataFrame, tsCol: String, typeCol: String,
+      root: String, checkpoint: String,
+      zThreshold: Double = 2.0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .groupBy(col(typeCol).as("event_type"),
+            date_trunc("day", col(tsCol)).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val merged =
+          if (TxTable.exists(spark, root, "counts"))
+            TxTable.read(spark, root, "counts").unionByName(delta)
+              .groupBy(col("event_type"), col("day")).agg(sum(col("n")).as("n"))
+          else delta
+        val trail = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-7, -1)
+        val alerts = merged
+          .withColumn("mu", avg(col("n")).over(trail))
+          .withColumn("sd", stddev_samp(col("n").cast("double")).over(trail))
+          .filter(col("sd") > 0 && abs((col("n") - col("mu")) / col("sd")) > zThreshold)
+          .select(col("event_type"), col("day"), col("n"),
+            Summaries.r4((col("n") - col("mu")) / col("sd")).as("z"))
+        TxTable.commit(spark, root,
+          Seq(("counts", "replace", merged), ("alerts", "replace", alerts)),
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
+      }
+      .start()
+
   // ---- ST6: arbitrary stateful sessionization ------------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -211,6 +211,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("burstAlertSink: counts merge across batches and alerts refresh atomically with them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/burst_${System.nanoTime()}"
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.burstAlertSink(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      s"$base/state", s"$base/ckpt")
+    try {
+      // 8 quiet days, one event each — no day has 2 trailing observations
+      // deviating, sd = 0 -> no alerts yet
+      input.addData((1 to 8).map(d => (ts(d), "click")): _*)
+      q.processAllAvailable()
+      assert(TxTable.read(spark, s"$base/state", "alerts").count() == 0)
+      // day 9 arrives twice in one batch, and day 3 gets one LATE extra
+      // event (cross-batch count merge) — day 9's count of 2 against a
+      // trailing window of ~1s must alert; counts must show the merge
+      input.addData((ts(9), "click"), (ts(9), "click"), (ts(3), "click"))
+      q.processAllAvailable()
+      val counts = TxTable.read(spark, s"$base/state", "counts")
+        .as[(String, java.sql.Timestamp, Long)].collect()
+        .map { case (_, d, n) => d.toString.take(10) -> n }.toMap
+      assert(counts("2024-01-03") == 2L, "late event must merge into the existing day")
+      assert(counts("2024-01-09") == 2L)
+      val alerts = TxTable.read(spark, s"$base/state", "alerts")
+        .select("day").as[java.sql.Timestamp].collect().map(_.toString.take(10)).toSet
+      assert(alerts.contains("2024-01-09"), s"day 9 spike must alert, got $alerts")
+    } finally q.stop()
+  }
+
   test("aggStateSink maintains the state table: merged state equals full re-aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
