@@ -1668,6 +1668,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Medallion flow (the reference's declared Bronze→Silver→Gold model,
+    // /root/reference/README.md:5-8) on the transactional table layer:
+    // bronze = raw, silver = normalized strings, gold = business rules
+    // (keep-latest dedup per customer + date-range + column selection).
+    // All three layers land in ONE atomic TxTable commit — a reader never
+    // sees a silver that disagrees with its bronze — and the output
+    // aggregates the RE-READ gold table, so the round trip through the
+    // commit log is what the oracle checks
+    "q167_medallion" -> ((s, d) => {
+      val root = s"/root/repo/target/tmp/medallion_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val bronze = t(s, d, "orders")
+      val silver = bronze
+        .withColumn("o_orderstatus", upper(trim(col("o_orderstatus"))))
+        .withColumn("o_orderpriority", trim(col("o_orderpriority")))
+      val keep = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val gold = silver
+        .withColumn("__rn", row_number().over(keep)).filter(col("__rn") === 1).drop("__rn")
+        .filter(col("o_orderdate").isNotNull &&
+          col("o_orderdate") >= lit("1993-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      TxTable.commit(s, root, Seq(
+        ("bronze", "replace", bronze),
+        ("silver", "replace", silver),
+        ("gold",   "replace", gold)))
+      TxTable.read(s, root, "gold")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Dedup funnel: document and token counts surviving each dedup stage
     // (raw → exact digest → fuzzy MinHash survivors) — the shrinkage
     // report every corpus build publishes. Each stage reuses the shipped
@@ -3752,6 +3786,24 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q167_medallion" ->
+      """WITH silver AS (
+           SELECT o_orderkey, o_custkey, upper(trim(o_orderstatus)) AS o_orderstatus,
+                  o_totalprice, o_orderdate
+           FROM orders),
+         gold AS (
+           SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+           FROM silver
+           QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+         SELECT o_orderstatus, count(*)::BIGINT AS n,
+                count(DISTINCT o_custkey)::BIGINT AS n_customers,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM gold
+         WHERE o_orderdate IS NOT NULL
+           AND o_orderdate >= '1993-01-01' AND o_orderdate < '1998-01-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q165_dedup_funnel" ->
       s"""WITH RECURSIVE docs AS (
