@@ -214,7 +214,7 @@ object Storage {
       }
     }
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((parts.mkString("\n") + " " + params).getBytes("UTF-8"))
+      .digest((parts.mkString("\n") + "|" + params).getBytes("UTF-8"))
     digest.map(b => f"$b%02x").mkString
   }
 
@@ -232,8 +232,8 @@ object Storage {
     * [[TxTable]] commit log instead; this guard is for single-writer
     * derived artifacts.)
     */
-  def refreshIfChanged(spark: SparkSession, dir: String, stamp: String)
-      (write: => Unit): Boolean = {
+  def refreshIfChanged(spark: SparkSession, dir: String, stamp: String,
+      alsoRequire: Seq[String] = Nil)(write: => Unit): Boolean = {
     val conf   = spark.sparkContext.hadoopConfiguration
     val marker = new Path(dir + ".stamp")
     val fs     = marker.getFileSystem(conf)
@@ -243,7 +243,11 @@ object Storage {
         val in = fs.open(marker)
         try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
       }
-    if (current.contains(stamp)) false
+    // a matching marker only skips when the artifacts it vouches for are
+    // actually present — a cleanup that removed the data dir but left the
+    // marker must self-heal, not fail every read until the SOURCE changes
+    val artifactsPresent = (dir +: alsoRequire).forall(p => fs.exists(new Path(p)))
+    if (current.contains(stamp) && artifactsPresent) false
     else {
       fs.delete(marker, false)
       write

@@ -501,46 +501,38 @@ object Text {
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("s"))
-    // Adaptive: probe whether the cutoff binds AT ALL (one cheap aggregate
-    // over the pinned index — the action also materializes the checkpoint
-    // every later stage reads). On a corpus whose hottest shingle is under
-    // maxDf the anti-join, hot postings, and correction join would all be
-    // empty-input stages that still pay their scheduling and shuffle
-    // bookkeeping; skipping them compiles the exact-count fast path
-    // instead. Same output by construction: with no hot shingles,
-    // rare == inv and the correction term is identically zero.
-    val cutoffBinds = !hot.isEmpty
     // Intersection sizes fall straight out of the index self-join — one
     // count-aggregated row per candidate pair. Candidate pairs NEVER pull
     // their shingle sets: the verify-by-set-join form materialized two
     // full shingle arrays per candidate (~kBs × millions of pairs — it was
     // 75% of this operator's runtime and would be a network melter at
     // corpus scale); here the pair graph carries three integers per row.
+    // (A driver-side `hot.isEmpty` probe could compile the correction out
+    // when the cutoff never binds — measured ~0.25 s at sf0.1 — but it
+    // would launch an eager job at plan-BUILD time, which this engine bans
+    // for lazy operators; the empty-hot stages are runtime-cheap under AQE
+    // empty-relation propagation.)
     def pairCounts(idx: DataFrame): DataFrame = idx.as("a")
       .join(idx.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("o"))
-    val o =
-      if (!cutoffBinds) pairCounts(inv)
-      else {
-        val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
-        // Pinned: the pair graph is read twice (final assembly + the hot
-        // correction's candidate list) and recomputing it would replay the
-        // whole self-join — the single most expensive stage here.
-        val oRare = pairCounts(rare).localCheckpoint(false)
-        // The rare-side count misses shared HOT shingles when the cutoff
-        // binds; add their contribution back from the hot postings, which
-        // join only against the (already-bounded) candidate pairs.
-        val hotInv = inv.join(broadcast(hot), Seq("s"), "left_semi")
-        val oHot = oRare.select(col("doc_a"), col("doc_b"))
-          .join(hotInv.as("ha"), col("doc_a") === col("ha.id"))
-          .join(hotInv.as("hb"),
-            col("doc_b") === col("hb.id") && col("ha.s") === col("hb.s"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("oh"))
-        oRare.join(oHot, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("o") + coalesce(col("oh"), lit(0L))).as("o"))
-      }
+    val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
+    // Pinned: the pair graph is read twice (final assembly + the hot
+    // correction's candidate list) and recomputing it would replay the
+    // whole self-join — the single most expensive stage here.
+    val oRare = pairCounts(rare).localCheckpoint(false)
+    // The rare-side count misses shared HOT shingles when the cutoff
+    // binds; add their contribution back from the hot postings, which
+    // join only against the (already-bounded) candidate pairs.
+    val hotInv = inv.join(broadcast(hot), Seq("s"), "left_semi")
+    val oHot = oRare.select(col("doc_a"), col("doc_b"))
+      .join(hotInv.as("ha"), col("doc_a") === col("ha.id"))
+      .join(hotInv.as("hb"),
+        col("doc_b") === col("hb.id") && col("ha.s") === col("hb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("oh"))
+    val o = oRare.join(oHot, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("o") + coalesce(col("oh"), lit(0L))).as("o"))
     // |x ∩ y| exact; |x ∪ y| = mx + my − o from the per-doc set sizes —
     // 12 bytes/row (corpus cardinality, so NOT force-broadcast; AQE
     // decides). Derived from the pinned index, not a re-shingling pass:

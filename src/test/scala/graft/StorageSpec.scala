@@ -95,6 +95,11 @@ class StorageSpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$base/src")
     assert(build() && builds == 2, "changed source must rebuild")
     assert(!build() && builds == 2)
+    // a surviving marker whose artifacts were deleted must NOT skip: the
+    // guard self-heals instead of failing every read until the source moves
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/derived"))
+    assert(build() && builds == 3, "missing artifacts must force a rebuild despite a valid marker")
+    assert(!build() && builds == 3)
     // a build that throws must leave NO marker: the next call rebuilds
     intercept[RuntimeException] {
       Storage.refreshIfChanged(spark, s"$base/broken", stamp("p1")) {
