@@ -2595,7 +2595,7 @@ object SparkEntry {
                      * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in b.v]), (x, y) -> x + y))) AS c
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, floor(c * 10000 + 0.5)/10000 AS sim
-         FROM s WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
+         FROM s WHERE floor(c * 10000 + 0.5)/10000 >= 0.4 ORDER BY vec_a, vec_b""",
     "q26_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          eb AS (

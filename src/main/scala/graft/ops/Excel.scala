@@ -113,12 +113,23 @@ object Excel {
       dateStyles: Set[Int]): Seq[Seq[Any]] = {
     val rows = ArrayBuffer.empty[Seq[Any]]
     elems(parseXml(bytes), "row").foreach { row =>
+      // honor the row's r attribute: Excel OMITS fully-empty rows from the
+      // XML, but pandas/openpyxl preserve them as blank — collapsing them
+      // would shift every later row up and break header/offset parity
+      // (sparse CELLS below get the same treatment via the cell ref)
+      Option(row.getAttribute("r")).filter(_.nonEmpty)
+        .flatMap(_.toIntOption).map(_ - 1).foreach { target =>
+          while (rows.length < target) rows += Seq.empty
+        }
       val cells = ArrayBuffer.empty[Any]
       elems(row, "c").foreach { c =>
         val idx = Option(c.getAttribute("r")).filter(_.nonEmpty)
           .map(colIndex).getOrElse(cells.length)
         while (cells.length < idx) cells += null
-        cells += cellValue(c, shared, dateStyles)
+        val v = cellValue(c, shared, dateStyles)
+        // out-of-order refs (legal in the spec, produced by some writers)
+        // must land AT their column, not append into the wrong one
+        if (idx < cells.length) cells(idx) = v else cells += v
       }
       rows += cells.toSeq
     }
@@ -323,8 +334,15 @@ object Excel {
             case (v, ci) if v != null =>
               val ref = s"${colRef(ci)}${ri + 1}"
               // header row (ri == 0) stays an unstyled inline string even in
-              // numeric columns; numeric data cells carry the column style
-              if (ri > 0 && cls(ci) != 0)
+              // numeric columns; numeric data cells carry the column style.
+              // NaN/Infinity have no ECMA-376 numeric literal — they fall
+              // back to inline strings rather than corrupting the workbook
+              val finite = v match {
+                case d: Double => !d.isNaN && !d.isInfinite
+                case f: Float  => !f.isNaN && !f.isInfinite
+                case _         => true
+              }
+              if (ri > 0 && cls(ci) != 0 && finite)
                 s"""<c r="$ref" s="${cls(ci)}"><v>${numText(v)}</v></c>"""
               else
                 s"""<c r="$ref" t="inlineStr"><is><t>${escape(v.toString)}</t></is></c>"""
@@ -390,7 +408,15 @@ object Excel {
     sb.toString
   }
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** XML 1.0 forbids control characters below 0x20 (except TAB/LF/CR) even
+    * as entity references — one raw 0x01 in a cell would corrupt the WHOLE
+    * workbook (Excel's repair dialog, SAX error on re-read). Scraped text
+    * carries such bytes routinely, so they are dropped, matching what
+    * openpyxl's writer does on ILLEGAL_CHARACTERS_RE.
+    */
+  private def escape(s: String): String = {
+    val legal = s.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+    legal.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
+  }
 }

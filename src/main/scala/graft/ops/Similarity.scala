@@ -63,12 +63,17 @@ object Similarity {
     * the neighbour id as tie-break — deterministic and oracle-matchable.
     * This is the correctness baseline; [[annTopK]] is the scale path.
     */
-  def knn(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def knn(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
+    // excludeSelf compares RAW ids — only meaningful when probes are drawn
+    // from the corpus id space; set false when probing with an external
+    // query batch whose ids coincide with corpus ids by accident
+    val cond = if (excludeSelf) col("probe_id") =!= col("neighbor_id") else lit(true)
     rankTopK(
-      p.join(c, col("probe_id") =!= col("neighbor_id"))
+      p.join(c, cond)
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
   }
 
@@ -80,8 +85,10 @@ object Similarity {
     val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     val c = cosine(col("va"), col("vb"))
+    // threshold the ROUNDED similarity — the module-wide determinism rule
+    // (see semanticDedupPairs), so baseline and scale path agree at the cut
     a.join(b, col("vec_a") < col("vec_b"))
-      .filter(c >= threshold)
+      .filter(Summaries.r4(c) >= threshold)
       .select(col("vec_a"), col("vec_b"), Summaries.r4(c).as("sim"))
   }
 
@@ -314,6 +321,8 @@ object Similarity {
     override def zero: VecMeanBuf = VecMeanBuf(Array.empty, 0L)
     override def reduce(b: VecMeanBuf, v: Seq[Float]): VecMeanBuf = {
       if (v == null) return b
+      require(b.sums.isEmpty || b.sums.length == v.length,
+        s"VectorMean: dimension mismatch (${b.sums.length} vs ${v.length})")
       val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
       var i = 0
       while (i < v.length) { s(i) += v(i); i += 1 }
@@ -322,6 +331,8 @@ object Similarity {
     override def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf = {
       if (x.n == 0) return y
       if (y.n == 0) return x
+      require(x.sums.length == y.sums.length,
+        s"VectorMean: dimension mismatch (${x.sums.length} vs ${y.sums.length})")
       val s = x.sums.clone()
       var i = 0
       while (i < s.length) { s(i) += y.sums(i); i += 1 }

@@ -68,6 +68,15 @@ object TxTable {
   private def dataDir(root: Path) = new Path(root, "data")
   private def commitPath(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.commit")
+  private def ckptPath(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.ckpt")
+
+  /** Fold the log into a checkpoint once this many manifest files
+    * accumulate past the last checkpoint. Without folding, every
+    * read/exists/lastApplied opens EVERY historical manifest — a streaming
+    * sink committing per micro-batch pays O(batches²) cumulative log I/O.
+    */
+  private val LogCheckpointEvery = 64
 
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -81,16 +90,71 @@ object TxTable {
   private[graft] def listCommits(fs: FileSystem, root: Path): Seq[Commit] = {
     val ld = logDir(root)
     if (!fs.exists(ld)) return Seq.empty
-    fs.listStatus(ld).toSeq
-      .filter(_.getPath.getName.endsWith(".commit"))
-      .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val txt =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        parseManifest(st.getPath.getName.stripSuffix(".commit").toLong, txt)
+    val names = fs.listStatus(ld).toSeq.map(_.getPath.getName)
+    def readText(name: String): String = {
+      val in = fs.open(new Path(ld, name))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // latest parseable checkpoint is the base state; manifests at or below
+    // its version are folded into it (and deleted by the checkpointer —
+    // tolerating both present is what makes the fold crash-safe)
+    val base = names.filter(_.endsWith(".ckpt")).sorted.reverse.iterator
+      .flatMap { n =>
+        n.stripSuffix(".ckpt").toLongOption
+          .flatMap(v => parseCheckpoint(v, readText(n)))
       }
+      .nextOption().getOrElse(Seq.empty)
+    val baseV = base.headOption.map(_.version).getOrElse(Long.MinValue)
+    val live = names.filter(_.endsWith(".commit")).sorted
+      .flatMap { n =>
+        // toLongOption, not toLong: a foreign file named x.commit must be
+        // SKIPPED (the documented bad-manifest contract), not poison every
+        // read of the root with a NumberFormatException
+        n.stripSuffix(".commit").toLongOption
+          .filter(_ > baseV)
+          .flatMap(parseManifest(_, readText(n)))
+      }
+    base ++ live
+  }
+
+  /** A checkpoint parses to SYNTHETIC commits at its version — one carrying
+    * each retained guard's high-water mark, one carrying the folded table
+    * entries — so every log consumer (resolve, guard scan, gc, vacuum)
+    * reads a checkpointed log exactly like a raw one.
+    */
+  private def parseCheckpoint(version: Long, txt: String): Option[Seq[Commit]] = {
+    val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (!lines.headOption.contains("graft-txck v1")) return None
+    val guards  = Seq.newBuilder[Commit]
+    val entries = Seq.newBuilder[Entry]
+    lines.drop(1).foreach { l =>
+      l.split(" ").toSeq match {
+        case Seq("guardmax", g, b) =>
+          guards += Commit(version, g, b.toLongOption.getOrElse(return None), Seq.empty)
+        case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
+        case _ => return None
+      }
+    }
+    Some(guards.result() :+ Commit(version, NoGuard, -1L, entries.result()))
+  }
+
+  /** Highest version any `.commit` FILENAME claims, parseable or not — the
+    * version allocator must never re-issue a number a corrupt/foreign file
+    * already occupies, or the atomic-rename target exists forever and the
+    * root wedges with a spurious concurrent-writer error.
+    */
+  private def maxClaimedVersion(fs: FileSystem, root: Path): Long = {
+    val ld = logDir(root)
+    if (!fs.exists(ld)) return 0L
+    fs.listStatus(ld).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".commit")) n.stripSuffix(".commit").toLongOption
+        else if (n.endsWith(".ckpt")) n.stripSuffix(".ckpt").toLongOption
+        else None
+      }
+      .foldLeft(0L)(math.max)
   }
 
   private def parseManifest(version: Long, txt: String): Option[Commit] = {
@@ -102,7 +166,8 @@ object TxTable {
     lines.drop(1).foreach { l =>
       l.split(" ").toSeq match {
         case Seq("guard", g)           => guard = g
-        case Seq("batch", b)           => batch = b.toLong
+        case Seq("batch", b)           =>
+          batch = b.toLongOption.getOrElse(return None) // garbage batch = bad manifest, skip
         case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
         case _                         => return None
       }
@@ -196,7 +261,14 @@ object TxTable {
     val (fs, rp) = fsFor(spark, root)
     val commits = listCommits(fs, rp)
     if (batchId >= 0 && lastAppliedIn(commits, guard) >= batchId) return false
-    val v = commits.lastOption.map(_.version).getOrElse(0L) + 1
+    // allocate PAST any version a commit FILENAME claims, even unparseable
+    // ones listCommits skipped — reusing such a number would make the
+    // rename target exist forever and wedge the root
+    val v = math.max(commits.lastOption.map(_.version).getOrElse(0L),
+      maxClaimedVersion(fs, rp)) + 1
+    val target = commitPath(rp, v)
+    require(!fs.exists(target),
+      s"concurrent writer detected at $target — TxTable roots are single-writer")
     val entries = writes.zipWithIndex.map { case ((table, mode, df), i) =>
       stage(root, v, i, table, df).copy(mode = mode)
     }
@@ -207,9 +279,6 @@ object TxTable {
     try out.write(renderManifest(guard, batchId, entries)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val target = commitPath(rp, v)
-    require(!fs.exists(target),
-      s"concurrent writer detected at $target — TxTable roots are single-writer")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
     gc(fs, rp, commits :+ Commit(v, guard, batchId, entries))
@@ -263,6 +332,50 @@ object TxTable {
     }.toSet
     val referenced = commits.flatMap(_.entries.map(_.dir)).toSet
     (referenced -- live).foreach(d => fs.delete(new Path(dataDir(root), d), true))
+    checkpointLog(fs, root, commits)
+  }
+
+  /** Fold the manifest prefix into one checkpoint file once enough raw
+    * manifests accumulate. The NEWEST commit stays a raw file — the fold
+    * captures the state one version back, so gc's one-superseded-snapshot
+    * grace window for concurrent readers survives checkpointing. Ordering
+    * is crash-safe: the checkpoint lands by atomic rename FIRST; the
+    * folded manifests are deleted after, and the reader tolerates both
+    * being present (it ignores manifests at or below the checkpoint).
+    */
+  private def checkpointLog(fs: FileSystem, root: Path, commits: Seq[Commit]): Unit = {
+    val ld = logDir(root)
+    val rawNames = fs.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+    if (rawNames.size < LogCheckpointEvery || commits.size < 2) return
+    val prefix = commits.dropRight(1)
+    val v      = prefix.map(_.version).max
+    val guardLines = prefix
+      .filter(c => c.guard != NoGuard && c.batchId >= 0)
+      .groupBy(_.guard).toSeq.sortBy(_._1)
+      .map { case (g, cs) => s"guardmax $g ${cs.map(_.batchId).max}" }
+    val tables = prefix.flatMap(_.entries.map(_.table)).distinct.sorted
+    val entryLines = tables.flatMap { t =>
+      resolveRel(prefix, t) match {
+        case Seq()          => Seq.empty[String]
+        case first +: rest  => s"replace $t $first" +: rest.map(d => s"append $t $d")
+      }
+    }
+    val body = (Seq("graft-txck v1") ++ guardLines ++ entryLines).mkString("\n")
+    val tmp = new Path(ld, f".$v%020d.ckpt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, ckptPath(root, v)))
+      throw new java.io.IOException(s"checkpoint rename failed at version $v")
+    // prune what the checkpoint folded: manifests <= v, checkpoints < v
+    fs.listStatus(ld).foreach { st =>
+      val n = st.getPath.getName
+      val folded =
+        (n.endsWith(".commit") && n.stripSuffix(".commit").toLongOption.exists(_ <= v)) ||
+        (n.endsWith(".ckpt") && n.stripSuffix(".ckpt").toLongOption.exists(_ < v))
+      if (folded) fs.delete(st.getPath, false)
+    }
   }
 
   /** Delete data dirs referenced by NO commit — crashed-stage leftovers.

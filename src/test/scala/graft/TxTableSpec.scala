@@ -111,6 +111,47 @@ class TxTableSpec extends AnyFunSuite {
     assert(dataDirs.count(_.endsWith("-t")) == 2, s"unexpected dirs: $dataDirs")
   }
 
+  test("log checkpointing bounds manifest count and preserves state + replay marks") {
+    import spark.implicits._
+    val root = base()
+    // 70 commits under two guards: enough to trip the 64-manifest fold
+    (0 until 35).foreach { i =>
+      TxTable.append(spark, root, Seq(i.toLong).toDF("v"), guard = "q-A", batchId = i.toLong)
+      TxTable.append(spark, root, Seq(100L + i).toDF("v"), guard = "q-B", batchId = i.toLong)
+    }
+    val logFiles = new java.io.File(s"$root/_log").list().toSeq
+    assert(logFiles.count(_.endsWith(".ckpt")) == 1,
+      s"expected one checkpoint, got: ${logFiles.filter(_.endsWith(".ckpt"))}")
+    assert(logFiles.count(_.endsWith(".commit")) < 64,
+      s"folded manifests must be deleted, ${logFiles.count(_.endsWith(".commit"))} remain")
+    // full content survives the fold
+    assert(readSum(root) == (0L until 35L).sum + (100L until 135L).sum)
+    // per-guard replay high-water marks survive the fold
+    assert(TxTable.lastApplied(spark, root, "q-A") == 34L)
+    assert(TxTable.lastApplied(spark, root, "q-B") == 34L)
+    assert(!TxTable.append(spark, root, Seq(999L).toDF("v"), guard = "q-A", batchId = 30L))
+    assert(TxTable.append(spark, root, Seq(1L).toDF("v"), guard = "q-A", batchId = 35L))
+    assert(readSum(root) == (0L until 35L).sum + (100L until 135L).sum + 1L)
+  }
+
+  test("a foreign or corrupt log file is skipped, never wedges the root") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L).toDF("v"))
+    // foreign file with a non-numeric stem + a corrupt manifest CLAIMING a
+    // future version: reads must skip both, and the next commit must
+    // allocate PAST the claimed version instead of wedging on the rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_log/x.commit"), "not a manifest")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_log/00000000000000000009.commit"), "garbage header")
+    assert(readSum(root) == 1L)
+    TxTable.replace(spark, root, Seq(7L).toDF("v"))
+    assert(readSum(root) == 7L)
+    TxTable.replace(spark, root, Seq(8L).toDF("v"))
+    assert(readSum(root) == 8L)
+  }
+
   test("compact folds appends into one snapshot without disturbing replay tracking") {
     import spark.implicits._
     val root = base()
