@@ -1668,6 +1668,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Weekday seasonality profile: per event type, the day-of-week shape
+    // of daily volume (mean/min/max) — the baseline any anomaly detector
+    // (q151) should be normalized against. Two bounded aggregates
+    "q168_weekday_profile" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("int")) // Sunday = 0
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          Summaries.r4(avg(col("n"))).as("avg_n"),
+          min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
     // Medallion flow (the reference's declared Bronze→Silver→Gold model,
     // /root/reference/README.md:5-8) on the transactional table layer:
     // bronze = raw, silver = normalized strings, gold = business rules
@@ -3786,6 +3802,17 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q168_weekday_profile" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(date_part('dow', day) AS INT) AS dow,
+                count(*)::BIGINT AS n_days,
+                floor(avg(n) * 10000 + 0.5) / 10000 AS avg_n,
+                CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+         FROM daily GROUP BY 1, 2 ORDER BY event_type, dow""",
 
     "q167_medallion" ->
       """WITH silver AS (
