@@ -1668,6 +1668,47 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Longest consecutive-day activity streak per user, summarized as a
+    // histogram — the gaps-and-islands pattern: day minus per-user rank is
+    // constant within a run, so streaks fall out of two partitioned
+    // windows and two aggregates, no self-join
+    "q169_activity_streaks" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+      val streaks = days
+        .withColumn("grp", date_sub(col("day"), rn))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("best"))
+      streaks.groupBy(col("best").as("streak_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("streak_days"))
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary quartiles
+    // (deterministic ntile over totally-ordered customers), segment = the
+    // three digits concatenated, output = customers per segment. The
+    // global ntile is a single-partition window over the CUSTOMER-GRAIN
+    // aggregate (already reduced); at key counts where that single task
+    // binds, swap quantile-cut binning (q94's machinery) for ntile
+    "q170_rfm_segments" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          exactSum(col("o_totalprice")).as("monetary"))
+      def q4(c: Column) =
+        ntile(4).over(Window.orderBy(c, col("o_custkey")))
+      val seg = per
+        .withColumn("r", q4(col("last_order")))
+        .withColumn("f", q4(col("freq")))
+        .withColumn("m", q4(col("monetary")))
+        .select(concat(col("r"), col("f"), col("m")).as("segment"))
+      seg.groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("segment"))
+    }),
+
     // Weekday seasonality profile: per event type, the day-of-week shape
     // of daily volume (mean/min/max) — the baseline any anomaly detector
     // (q151) should be normalized against. Two bounded aggregates
@@ -3802,6 +3843,32 @@ object SparkEntry {
          FROM deg LEFT JOIN tc ON deg.v = tc.v
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, deg.v LIMIT 20""",
+
+    "q169_activity_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+         r AS (SELECT user_id, day,
+                      row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+               FROM days),
+         st AS (SELECT user_id, day - rn::INT AS grp, count(*) AS len
+                FROM r GROUP BY user_id, day - rn::INT),
+         b AS (SELECT user_id, max(len) AS best FROM st GROUP BY user_id)
+         SELECT CAST(best AS BIGINT) AS streak_days, count(*)::BIGINT AS n_users
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q170_rfm_segments" ->
+      """WITH per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         seg AS (
+           SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+                  ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+                  ntile(4) OVER (ORDER BY monetary, o_custkey) AS m
+           FROM per)
+         SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
+                count(*)::BIGINT AS n_customers
+         FROM seg GROUP BY 1 ORDER BY 1""",
 
     "q168_weekday_profile" ->
       """WITH daily AS (
