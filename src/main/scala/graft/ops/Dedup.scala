@@ -32,6 +32,8 @@ object Dedup {
       keys: Seq[String],
       recency: Seq[String],
       tieBreak: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "keepLatest uses __rn internally; rename the input's __rn column first")
     val order = recency.map(col(_).desc) ++ tieBreak.map(_.asc)
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -47,6 +49,8 @@ object Dedup {
       keys: Seq[String],
       order: Seq[Column],
       k: Int): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "topKPerGroup uses __rn internally; rename the input's __rn column first")
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -66,12 +70,19 @@ object Dedup {
     * crafted colliding pair of documents must not silently merge.
     */
   def dedupByDigest(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    // NULL content is NOT "equal content": sha2(NULL) is NULL, and letting
+    // those rows share one digest group would silently collapse every
+    // NULL-content row into a single survivor. They all pass instead —
+    // consistent with [[dedupAgainstCorpus]], where a NULL digest never
+    // matches the corpus set.
     val winners = df
       .select(sha2(col(contentCol).cast("binary"), 256).as("__digest"), col(idCol).as("__keep"))
+      .filter(col("__digest").isNotNull)
       .groupBy(col("__digest"))
       .agg(min(col("__keep")).as("__keep"))
       .select(col("__keep"))
     df.join(winners, col(idCol) === col("__keep"), "left_semi")
+      .unionByName(df.filter(col(contentCol).isNull))
   }
 
   /** D3 final step — connected components over a candidate-pair graph by
@@ -153,9 +164,10 @@ object Dedup {
     * graphs whose diameter may exceed propagation's round budget.
     */
   def nearDupSurvivors(pairs: DataFrame, aCol: String, bCol: String,
-      useStar: Boolean = false): DataFrame = {
-    val cc = if (useStar) connectedComponentsStar(pairs, aCol, bCol)
-             else connectedComponents(pairs, aCol, bCol)
+      useStar: Boolean = false, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cc = if (useStar) connectedComponentsStar(pairs, aCol, bCol, maxIter, checkpointDir)
+             else connectedComponents(pairs, aCol, bCol, maxIter, checkpointDir)
     cc.select(col("id").as("doc_id"), col("comp"), (col("id") === col("comp")).as("keep"))
   }
 
@@ -181,11 +193,17 @@ object Dedup {
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
       resolveBy: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // lazily pinned: `up` feeds BOTH the union side and the anti-join key
+    // probe — without the pin the keepLatest window (exchange + sort)
+    // would execute once per consumer in the same action
     val up = resolveBy.fold(updates)(o =>
       keepLatest(updates, keys, Seq(o),
-        Seq(xxhash64(updates.columns.map(col): _*))))
+        Seq(xxhash64(updates.columns.map(col): _*)))).localCheckpoint(false)
+    // resolveBy already guarantees one row per key; only the raw-updates
+    // path needs the distinct on the probe side
+    val probe = up.select(keys.map(col): _*)
     up.unionByName(
-      current.join(up.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      current.join(if (resolveBy.isDefined) probe else probe.distinct(), keys, "left_anti"))
   }
 
   /** Incremental exact dedup: drop batch rows whose content digest already

@@ -76,7 +76,6 @@ object Graph {
       .union(e.select(col("dst").as("v")))
       .distinct()
       .select(col("v"), lit(1000000L).as("m")))
-    var last: DataFrame = ranks
     var lastPinnedRanks = ranks // only ever release a PINNED artifact
     var iter = 0
     while (iter < iterations) {
@@ -100,13 +99,11 @@ object Graph {
         Checkpoints.release(lastPinnedRanks) // superseded — don't pin O(rounds) copies
         lastPinnedRanks = pinned
         ranks = pinned
-        last = pinned
       } else {
-        ranks = next
-        last = next // final round (and un-pinned rounds): lazy
+        ranks = next // final round (and un-pinned rounds): lazy
       }
     }
-    last.select(col("v"), col("m").as("rank_micro"))
+    ranks.select(col("v"), col("m").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("v"))
   }
 

@@ -48,10 +48,12 @@ object Multimodal {
     * Empty payloads need the guard: `sequence(1, 0, step)` with an explicit
     * positive step throws (same trap [[graft.ops.Text.ngrams]] documents).
     */
-  def frameOffsets(payload: Column, step: Int): Column =
+  def frameOffsets(payload: Column, step: Int): Column = {
+    require(step >= 1, "step must be positive") // sequence() would throw mid-job otherwise
     when(octet_length(payload) >= 1,
       sequence(lit(1), octet_length(payload), lit(step)))
       .otherwise(array().cast("array<int>"))
+  }
 
   private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(e)

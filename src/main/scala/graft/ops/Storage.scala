@@ -110,15 +110,20 @@ object Storage {
     require(cols.size >= 2, "z-order needs at least two columns (sort for one)")
     val binned = Summaries.quantileBins(df,
       cols.zipWithIndex.map { case (c, i) => (c, 1 << bits, s"__zb_$i") })
-    binned
+    // pinned: RangePartitioner's sampling job would otherwise re-execute
+    // the whole binning subtree a second time (see exactQuantileArrays)
+    val pinned = binned
       .withColumn("__z", zValue(cols.indices.map(i => col(s"__zb_$i")), bits))
-      // pinned: RangePartitioner's sampling job would otherwise re-execute
-      // the whole binning subtree a second time (see exactQuantileArrays)
       .localCheckpoint(false)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop(cols.indices.map(i => s"__zb_$i") :+ "__z": _*)
-      .write.mode("overwrite").parquet(outDir)
+    try
+      pinned
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop(cols.indices.map(i => s"__zb_$i") :+ "__z": _*)
+        .write.mode("overwrite").parquet(outDir)
+    // both consumers (sampling + write) are done — free the corpus-sized
+    // blocks instead of pinning them for the session lifetime
+    finally Checkpoints.release(pinned)
   }
 
   /** Rewrite a directory of parquet files into ~`targetBytes` files at
@@ -284,7 +289,10 @@ object Storage {
     val schema = spark.read.parquet(dir).schema
     val rows =
       if (keep.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(keep.toIndexedSeq: _*)
+      // basePath keeps hive-partition discovery alive for the leaf-file
+      // read: without it, partition columns present in `schema` but absent
+      // in the files would silently fill with NULL
+      else spark.read.option("basePath", dir).schema(schema).parquet(keep.toIndexedSeq: _*)
     (rows.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), keep.length, total)
   }
 }
