@@ -1709,6 +1709,40 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    // Sessions-per-user distribution: histogram of how many gap-based
+    // sessions each user accumulates (q145's sessionizer feeding an
+    // engagement-shape report) — two bounded aggregates on top of the
+    // shared sessionization plan
+    "q171_sessions_per_user" -> ((s, d) => {
+      Summaries.sessionizeBatch(t(s, d, "events"), "user_id", "ts", 1800, "event_id")
+        .groupBy(col("user_id")).agg(countDistinct(col("session_id")).as("n_sessions"))
+        .groupBy(col("n_sessions")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_sessions"))
+    }),
+
+    // Time-to-conversion: median and p90 minutes from each user's FIRST
+    // click to their FIRST subsequent purchase, by signup-week cohort of
+    // the first click — funnel latency, the q114 conversion funnel's
+    // "how fast" companion. Exact per-cohort percentiles (quantile_cont
+    // parity); cohort count bounds the groups
+    "q172_time_to_convert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pt"))
+        .groupBy(col("pu")).agg(min(col("pt")).as("fp"))
+      firstClick
+        .join(firstPurchase, col("user_id") === col("pu") && col("fp") >= col("fc"))
+        .select(date_trunc("week", col("fc")).as("cohort_week"),
+          ((unix_timestamp(col("fp")) - unix_timestamp(col("fc"))) / 60.0).as("mins"))
+        .groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_converted"),
+          Summaries.r4(expr("percentile(mins, 0.5)")).as("median_mins"),
+          Summaries.r4(expr("percentile(mins, 0.9)")).as("p90_mins"))
+        .orderBy(col("cohort_week"))
+    }),
+
     // Weekday seasonality profile: per event type, the day-of-week shape
     // of daily volume (mean/min/max) — the baseline any anomaly detector
     // (q151) should be normalized against. Two bounded aggregates
@@ -3869,6 +3903,37 @@ object SparkEntry {
          SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
                 count(*)::BIGINT AS n_customers
          FROM seg GROUP BY 1 ORDER BY 1""",
+
+    "q171_sessions_per_user" ->
+      """WITH d AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+         f AS (SELECT user_id, ts, event_id,
+                      CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                             > 1800
+                           THEN 1 ELSE 0 END AS flag
+               FROM d),
+         s AS (SELECT user_id,
+                      sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS sid
+               FROM f),
+         per AS (SELECT user_id, count(DISTINCT sid) AS n_sessions FROM s GROUP BY user_id)
+         SELECT CAST(n_sessions AS BIGINT) AS n_sessions, count(*)::BIGINT AS n_users
+         FROM per GROUP BY 1 ORDER BY 1""",
+
+    "q172_time_to_convert" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS fc FROM events
+                     WHERE event_type = 'click' GROUP BY user_id),
+         fp AS (SELECT user_id, min(ts) AS fp FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+         j AS (SELECT CAST(date_trunc('week', fc.fc) AS TIMESTAMP) AS cohort_week,
+                      (CAST(floor(epoch(fp.fp)) AS BIGINT)
+                       - CAST(floor(epoch(fc.fc)) AS BIGINT)) / 60.0::DOUBLE AS mins
+               FROM fc JOIN fp ON fc.user_id = fp.user_id AND fp.fp >= fc.fc)
+         SELECT cohort_week, count(*)::BIGINT AS n_converted,
+                floor(quantile_cont(mins, 0.5) * 10000 + 0.5) / 10000 AS median_mins,
+                floor(quantile_cont(mins, 0.9) * 10000 + 0.5) / 10000 AS p90_mins
+         FROM j GROUP BY cohort_week ORDER BY cohort_week""",
 
     "q168_weekday_profile" ->
       """WITH daily AS (
