@@ -1898,6 +1898,61 @@ object SparkEntry {
           Summaries.r4(col("n_both").cast("double") / col("n_lsh")).as("precision"))
     }),
 
+    // D3 hot-bucket bound under pathological duplication: a 1000-copy
+    // boilerplate flood collides in EVERY LSH band, so the unguarded band
+    // self-join would emit ~500k candidate rows into one shuffle partition;
+    // maxBucket=64 switches those buckets to star pairing — each clone
+    // links to the bucket representative (min id), O(d) rows — and the
+    // flood still resolves around one representative. Constant-size by
+    // construction (doc_id < 50 + 1000 synthesized clones), so this costs
+    // the same at every SF
+    "q173_boilerplate_flood" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+      val t0   = docs.filter(col("doc_id") === 0).select(col("text").as("t0"))
+      val clones = s.range(1000).crossJoin(t0)
+        .select((col("id") + 1000000L).as("doc_id"), col("t0").as("text"))
+      Text.minhashNearDupPairs(base.unionByName(clones), "doc_id", "text", 3, 16, 0.5,
+          maxBucket = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Recall cost of the hot-bucket star bound, quantified (the q162
+    // harness re-run against a clone flood): capped-LSH pairs are a
+    // verified subset of the exact ground truth, so pair_recall =
+    // n_capped/n_exact collapses (the flood's O(d²) pairs reduce to O(d)
+    // star pairs — by design), while doc_recall — the dedup-relevant
+    // metric, "does every duplicated document keep a verified partner" —
+    // stays 1.0: capping bounds candidate volume without losing a single
+    // dedupable document
+    "q174_flood_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+      val t0   = docs.filter(col("doc_id") === 0).select(col("text").as("t0"))
+      val clones = s.range(200).crossJoin(t0)
+        .select((col("id") + 1000000L).as("doc_id"), col("t0").as("text"))
+      val corpus = base.unionByName(clones)
+      // ground truth: exact inverted-index Jaccard with maxDf above the
+      // flood's df (the deliberate unbounded form — feasible at this
+      // fixture size, impossible at corpus scale; that gap is the point)
+      val exact = Text.jaccardNearDupPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 5000)
+        .select(col("doc_a"), col("doc_b"))
+      val capped = Text.minhashNearDupPairs(corpus, "doc_id", "text", 3, 16, 0.5,
+          maxBucket = 64)
+        .select(col("doc_a"), col("doc_b"))
+      def dupDocs(p: DataFrame) =
+        p.select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(dupDocs(exact).agg(count(lit(1)).as("n_dup_docs_exact")))
+        .crossJoin(dupDocs(capped).agg(count(lit(1)).as("n_dup_docs_capped")))
+        .select(col("n_exact"), col("n_capped"),
+          Summaries.r4(col("n_capped").cast("double") / col("n_exact")).as("pair_recall"),
+          col("n_dup_docs_exact"), col("n_dup_docs_capped"),
+          Summaries.r4(col("n_dup_docs_capped").cast("double") / col("n_dup_docs_exact"))
+            .as("doc_recall"))
+    }),
+
     // Functional-dependency discovery: for candidate determinant →
     // dependent column pairs, count keys whose dependent value is not
     // unique — the schema-inference / data-contract profiling pass. One
@@ -2275,7 +2330,74 @@ object SparkEntry {
          WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
          ORDER BY doc_id"""
 
+  /** Flood fixture shared by q173/q174: `documents` rows with doc_id < 50
+    * plus `nClones` synthesized copies of doc 0's text (ids 1000000+i) —
+    * the pathological boilerplate cluster that makes an unbounded LSH
+    * band join quadratic.
+    */
+  private def floodCorpusSql(nClones: Int): String =
+    s"""corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT 1000000 + i AS doc_id, (SELECT text FROM documents WHERE doc_id = 0) AS text
+           FROM range($nClones) t(i))"""
+
+  /** MinHash-LSH candidate pairs over the flood corpus WITH the hot-bucket
+    * star bound replayed in SQL: buckets above `maxBucket` members pair
+    * everyone with the bucket's min id only (mirrors
+    * `Text.minhashNearDupPairs(maxBucket = …)`). Both self-join sides are
+    * pre-filtered to cold buckets so the oracle itself never materializes
+    * the quadratic hot-bucket join.
+    */
+  private def cappedLshCtesSql(maxBucket: Int): String =
+    s"""sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM corpus)),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         occ AS (SELECT band, hv, count(*) AS n, min(doc_id) AS rep FROM ex GROUP BY band, hv),
+         coldex AS (
+           SELECT e.doc_id, e.band, e.hv
+           FROM ex e JOIN occ o ON e.band = o.band AND e.hv = o.hv AND o.n <= $maxBucket),
+         cand AS (
+           SELECT DISTINCT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM coldex a JOIN coldex b ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id
+             UNION ALL
+             SELECT o.rep AS doc_a, e.doc_id AS doc_b
+             FROM ex e JOIN occ o ON e.band = o.band AND e.hv = o.hv
+             WHERE o.n > $maxBucket AND e.doc_id <> o.rep)),
+         capped AS (
+           SELECT doc_a, doc_b,
+                  len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) AS j
+           FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+           WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5)"""
+
   private def textOracles: Map[String, String] = Map(
+    "q173_boilerplate_flood" ->
+      s"""WITH ${floodCorpusSql(1000)},
+         ${cappedLshCtesSql(64)}
+         SELECT doc_a, doc_b, floor(j * 10000 + 0.5)/10000 AS jacc
+         FROM capped ORDER BY doc_a, doc_b""",
+    "q174_flood_recall" ->
+      s"""WITH ${floodCorpusSql(200)},
+         ${cappedLshCtesSql(64)},
+         exact AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5),
+         m AS (
+           SELECT (SELECT count(*) FROM exact) AS n_exact,
+                  (SELECT count(*) FROM capped) AS n_capped,
+                  (SELECT count(DISTINCT id) FROM (SELECT doc_a AS id FROM exact UNION ALL SELECT doc_b FROM exact)) AS nde,
+                  (SELECT count(DISTINCT id) FROM (SELECT doc_a AS id FROM capped UNION ALL SELECT doc_b FROM capped)) AS ndc)
+         SELECT n_exact, n_capped,
+                floor(n_capped::DOUBLE / n_exact * 10000 + 0.5)/10000 AS pair_recall,
+                nde AS n_dup_docs_exact, ndc AS n_dup_docs_capped,
+                floor(ndc::DOUBLE / nde * 10000 + 0.5)/10000 AS doc_recall
+         FROM m""",
     "q13_tokenize" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)

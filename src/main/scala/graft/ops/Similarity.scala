@@ -139,9 +139,25 @@ object Similarity {
     * recall: the (id, table, bucket) index is 3 ints per vector per table,
     * and only candidate pairs ever pull vectors through the verify join —
     * the same never-all-pairs shape as the MinHash pipeline.
+    *
+    * Hot-bucket bound (`maxBucket`): a bucket holding d vectors emits
+    * d·(d−1) candidate rows into one shuffle partition — a clone flood (or
+    * an unlucky low-entropy bucket) makes that quadratic. When a bucket's
+    * occupancy exceeds `maxBucket` it is SALTED: members are split into
+    * ⌈d/maxBucket⌉ deterministic groups (md5-derived from the id — the
+    * oracle-replayable [[graft.ops.Text.hash60]]) and only within-group
+    * pairs are generated, so each member still draws up to ~maxBucket
+    * same-bucket candidates (≫ k — top-k quality is preserved; a clone
+    * flood fills every member's top-k with sim-1.0 groupmates) while the
+    * bucket's candidate volume drops from O(d²) to O(d·maxBucket).
+    * Cross-group neighbours are recovered by the other tables. Default off
+    * (`Int.MaxValue`) — the cap changes which approximate candidates are
+    * seen, so enabling it is an explicit corpus-scale decision; ~8·k is a
+    * reasonable setting (SimilaritySpec exercises a binding cap).
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
-      nTables: Int = 1): DataFrame = {
+      nTables: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // all tables' buckets in ONE compiled pass (the inlined-literal Column
     // form generated >8 KB methods that the JIT refused — see SignLshBuckets)
@@ -150,6 +166,18 @@ object Similarity {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), nTables, nPlanes))
     val slim = base.select(col("id"), posexplode(buckets).as(Seq("t", "b")))
       .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
+    // With the cap off the salt column is a constant and the occupancy
+    // aggregation is skipped entirely — the historical plan, unchanged.
+    val salted =
+      if (maxBucket == Int.MaxValue) slim.withColumn("salt", lit(0L))
+      else {
+        val occ = slim.groupBy(col("t"), col("b")).agg(count(lit(1)).as("occ"))
+        slim.join(occ, Seq("t", "b"))
+          .withColumn("salt",
+            pmod(Text.hash60(col("id").cast("string")),
+              greatest(ceil(col("occ") / lit(maxBucket.toDouble)).cast("long"), lit(1L))))
+          .drop("occ")
+      }
     // A pair sharing buckets in SEVERAL tables surfaces once per table; no
     // pairwise distinct() is needed because TopKPairs dedups ids in-buffer
     // (same pair → same sim, so duplicates can't skew the ranking). That
@@ -157,9 +185,10 @@ object Similarity {
     // The vector-fetch joins below hash on id: Catalyst broadcasts `base`
     // while it fits and otherwise shuffles candidates by id — bounded by
     // candidate volume (bucket occupancy), never all-pairs.
-    val cand = slim.as("a")
-      .join(slim.as("b"),
-        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.id") =!= col("b.id"))
+    val cand = salted.as("a")
+      .join(salted.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.salt") === col("b.salt") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"))
     val sim = Summaries.r4(cosine(col("pv"), col("cv")))
     rankTopK(

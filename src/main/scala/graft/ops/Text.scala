@@ -251,6 +251,11 @@ object Text {
     * more differing bits are caught with high probability); verified by
     * Hamming distance on the full signature. Bit-exact cross-engine:
     * everything is integer arithmetic.
+    *
+    * `maxBucket` / `checkpointDir`: same hot-bucket star bound and index
+    * pinning as [[minhashNearDupPairs]] — a band bucket above `maxBucket`
+    * members pairs everyone with its minimum id only (O(d) rows instead of
+    * O(d²)), and the banded index is pinned once for its four consumers.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -259,28 +264,44 @@ object Text {
       nShingle: Int = 3,
       nBits: Int = 48,
       bands: Int = 3,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8,
+      maxBucket: Int = 500,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    require(maxBucket >= 1, "maxBucket must be positive")
     val bandWidth = nBits / bands
     val mask      = (1L << bandWidth) - 1
     val spread = docs.select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val sig = spread.select(col("id"),
       simhashOfSet(shinglesOf(col(textCol), nShingle), nBits).as("sig"))
-    // identical subplans on both sides of the band join → ReusedExchange
-    val ex = sig
+    val pin = Checkpoints.pinner(docs.sparkSession, checkpointDir, eager = false)
+    val ex = pin(sig
       .select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           p => call_function("shiftright", col("sig"), p * lit(bandWidth)).bitwiseAND(lit(mask))))
           .as(Seq("band", "bv")))
-      .repartition(col("band"), col("bv"))
+      .repartition(col("band"), col("bv")))
+    // Hot-bucket star bound (see minhashNearDupPairs): occupancy from a
+    // partial agg on the co-partitioned index; min_by carries the
+    // representative's full signature so the star branch never re-joins.
+    val hot = ex.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"),
+        min_by(col("sig"), col("id")).as("rep_sig"))
+      .filter(col("occ") > maxBucket)
+    val cold = ex.join(broadcast(hot.select(col("band"), col("bv"))), Seq("band", "bv"), "left_anti")
     val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
-    ex.as("a")
-      .join(ex.as("b"),
+    val candCold = cold.as("a")
+      .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("a.sig").as("sa"),
         col("b.id").as("doc_b"), col("b.sig").as("sb"))
+    val candHot = ex.join(broadcast(hot), Seq("band", "bv"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("rep_sig").as("sa"),
+        col("id").as("doc_b"), col("sig").as("sb"))
+    candCold.unionByName(candHot)
       .distinct()
       .filter(ham <= maxHamming)
       .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
@@ -322,6 +343,29 @@ object Text {
     *
     * Bands are r=1 (one signature row per band): candidate iff ANY of the k
     * minhashes collide, giving recall 1-(1-j)^k — ~1 for j≥0.5, k=16.
+    *
+    * Hot-bucket bound (`maxBucket`): a cluster of d near-identical documents
+    * collides in EVERY band, so the unguarded band self-join emits O(d²)
+    * candidate rows into one shuffle partition — at corpus scale a
+    * boilerplate flood (d ~ millions) melts those tasks. Buckets whose
+    * occupancy exceeds `maxBucket` switch from all-pairs to STAR pairing:
+    * every member pairs with the bucket's minimum id only — O(d) candidate
+    * rows, and a clone flood still resolves to ONE connected component in
+    * survivor resolution (all star pairs verify at Jaccard 1.0). Recall
+    * contract: a qualifying pair is missed only if EVERY band it collides
+    * in is hot AND neither side is that bucket's representative; duplicated
+    * documents always keep a verified path to their representative, so
+    * dedup OUTCOMES (which docs have a partner, which component they join)
+    * are preserved — q174 quantifies this on a 1000-clone flood. The
+    * default (500) mirrors [[jaccardNearDupPairs]]' `maxDf` and is far
+    * above any bucket occupancy in healthy data.
+    *
+    * `checkpointDir`: the banded index is pinned (it feeds the occupancy
+    * count, both self-join sides, and the star branch). `None` pins with
+    * `localCheckpoint` — executor-local, an executor loss fails the job
+    * loudly; set a reliable dir for long corpus-scale runs, exactly as
+    * [[graft.ops.Graph.pageRankInt]] and
+    * [[graft.ops.Dedup.connectedComponents]] accept.
     */
   def minhashNearDupPairs(
       docs: DataFrame,
@@ -330,7 +374,10 @@ object Text {
       nShingle: Int,
       k: Int,
       threshold: Double,
-      scopeCols: Seq[String] = Nil): DataFrame = {
+      scopeCols: Seq[String] = Nil,
+      maxBucket: Int = 500,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     // The signature pass is CPU-bound; a small parquet input arrives as ONE
     // split, which would serialize it. Spread the raw (id, text) rows across
     // the cluster before the heavy expression (at real scale the source has
@@ -348,17 +395,37 @@ object Text {
     // boundary AND every scope's postings land in separate buckets — the
     // standard per-language dedup of a multilingual corpus is the same
     // plan with smaller buckets, not a per-language driver loop.
-    val sig = sh
+    // The banded index now feeds FOUR consumers (occupancy count, both
+    // self-join sides, star branch); exchange reuse does not reliably unify
+    // that many (see pairOverlaps), so pin the narrow (id, band, hv) rows
+    // once — lazily, so the first consuming action materializes them.
+    val pin = Checkpoints.pinner(docs.sparkSession, checkpointDir, eager = false)
+    val sig = pin(sh
       .select(col("id") +: posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")) +: scope: _*)
-      .repartition(col("band") +: col("hv") +: scope: _*)
+      .repartition(col("band") +: col("hv") +: scope: _*))
+    // Per-bucket occupancy on the co-partitioned index (partial agg, no
+    // extra exchange); the hot set is tiny by definition → broadcast both
+    // the anti-join (cold side) and the star join (hot side). With healthy
+    // data `hot` is empty and AQE's empty-relation propagation collapses
+    // both branches to pass-throughs.
+    val keyNames = Seq("band", "hv") ++ scopeCols
+    val keys     = keyNames.map(col)
+    val hot = sig.groupBy(keys: _*)
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
+      .filter(col("occ") > maxBucket)
+    val cold = sig.join(broadcast(hot.select(keys: _*)), keyNames, "left_anti")
     val scopeEq = scopeCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(lit(true))(_ && _)
-    val cand = sig.as("a")
-      .join(sig.as("b"),
+    val candCold = cold.as("a")
+      .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
           scopeEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    // rep = min(id) in the bucket, so doc_a < doc_b holds by construction.
+    val candHot = sig.join(broadcast(hot), keyNames)
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("id").as("doc_b"))
+    val cand = candCold.unionByName(candHot).distinct()
     val j = jaccardOf(col("x.ss"), col("y.ss"))
     cand
       .join(sh.as("x"), col("doc_a") === col("x.id"))
@@ -480,7 +547,8 @@ object Text {
       idCol: String,
       textCol: String,
       nShingle: Int,
-      maxDf: Int): DataFrame = {
+      maxDf: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spread = docs.select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
     val sh  = spread.select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
@@ -488,12 +556,13 @@ object Text {
     // sides, both hot-overlap probes). Exchange reuse does not reliably
     // unify them (measured: 14 scans of the source in one run), so pin ONE
     // materialization: narrow (id, shingle) rows, cardinality = postings.
-    // localCheckpoint is local-executor storage — an executor loss fails
-    // the job loudly (recompute impossible); at cluster scale swap for a
-    // reliable checkpoint dir if that trade-off is wrong for the deploy.
-    val inv = sh.select(col("id"), explode(col("ss")).as("s"))
-      .repartition(col("s"))
-      .localCheckpoint(false)
+    // The default pin is localCheckpoint — executor block storage, so an
+    // executor loss fails the job loudly (recompute impossible); pass
+    // `checkpointDir` for a reliable filesystem checkpoint on long
+    // corpus-scale runs (same knob as Graph.pageRankInt).
+    val pin = Checkpoints.pinner(docs.sparkSession, checkpointDir, eager = false)
+    val inv = pin(sh.select(col("id"), explode(col("ss")).as("s"))
+      .repartition(col("s")))
     // Hot-shingle set via a partial-aggregated count on the co-partitioned
     // index (no extra exchange, no sort — a window over `s` would sort all
     // 750k index rows); the hot set is tiny by definition, so dropping it is
@@ -520,7 +589,7 @@ object Text {
     // Pinned: the pair graph is read twice (final assembly + the hot
     // correction's candidate list) and recomputing it would replay the
     // whole self-join — the single most expensive stage here.
-    val oRare = pairCounts(rare).localCheckpoint(false)
+    val oRare = pin(pairCounts(rare))
     // The rare-side count misses shared HOT shingles when the cutoff
     // binds; add their contribution back from the hot postings, which
     // join only against the (already-bounded) candidate pairs.
@@ -562,9 +631,10 @@ object Text {
       textCol: String,
       nShingle: Int,
       threshold: Double,
-      maxDf: Int = 500): DataFrame = {
+      maxDf: Int = 500,
+      checkpointDir: Option[String] = None): DataFrame = {
     val j = col("o") / (col("ma") + col("mb") - col("o"))
-    pairOverlaps(docs, idCol, textCol, nShingle, maxDf)
+    pairOverlaps(docs, idCol, textCol, nShingle, maxDf, checkpointDir)
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Summaries.r4(j).as("jacc"))
   }
@@ -586,10 +656,11 @@ object Text {
       textCol: String,
       nShingle: Int,
       threshold: Double,
-      maxDf: Int = 500): DataFrame = {
+      maxDf: Int = 500,
+      checkpointDir: Option[String] = None): DataFrame = {
     val ca = col("o") / col("ma")
     val cb = col("o") / col("mb")
-    pairOverlaps(docs, idCol, textCol, nShingle, maxDf)
+    pairOverlaps(docs, idCol, textCol, nShingle, maxDf, checkpointDir)
       .filter(greatest(ca, cb) >= threshold)
       .select(col("doc_a"), col("doc_b"), col("o"),
         Summaries.r4(ca).as("cont_a"), Summaries.r4(cb).as("cont_b"))

@@ -95,6 +95,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.get(2L).contains(3L) && out.get(3L).contains(2L))
   }
 
+  test("annTopK hot-bucket salt: clone flood still fills every probe's top-k at sim 1.0") {
+    // 60 near-identical vectors collide in every table's bucket; salting at
+    // maxBucket = 10 splits each hot bucket into ~6 groups, so candidate
+    // volume drops from O(d²) to O(d·maxBucket) — yet every probe still
+    // draws ≥ k groupmates with similarity 1.0
+    val vecs = (0L until 60L).map(i => (i, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(vecs, "vec_id", "embedding", 2, 2, nTables = 2, maxBucket = 10)
+      .select("probe_id", "sim").as[(Long, Double)].collect()
+    val perProbe = out.groupBy(_._1)
+    assert(perProbe.size == 60, s"every probe must keep neighbours, got ${perProbe.size}")
+    assert(out.forall(_._2 == 1.0), "clone groupmates must rank at similarity 1.0")
+    assert(perProbe.values.forall(_.length == 2), "top-k must stay full under the salt")
+  }
+
+  test("annTopK salt is inert when the cap does not bind (identical to unbounded)") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(-1f, 0f, 0f, 0f)), (3L, Seq(-0.98f, -0.02f, 0f, 0f))).toDF("vec_id", "embedding")
+    def rows(mb: Int) = Similarity.annTopK(vecs, "vec_id", "embedding", 2, 1, maxBucket = mb)
+      .select("probe_id", "neighbor_id", "sim", "rank").collect().toSet
+    assert(rows(100) == rows(Int.MaxValue))
+  }
+
   test("ivfAssign puts each vector in its most-similar seed cell") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),          // seeds (ids < 2)

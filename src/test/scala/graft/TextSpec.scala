@@ -74,6 +74,52 @@ class TextSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("minhash hot-bucket star bound: clone flood emits O(d) pairs, all linked to the representative") {
+    // 40 identical docs + 1 unrelated: unbounded banding would emit
+    // 40·39/2 = 780 candidate pairs; maxBucket = 10 switches the hot
+    // buckets to star pairing — exactly d−1 = 39 pairs, every one anchored
+    // at the min id, and the flood stays one connected component
+    val docs = ((1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again")) :+
+      (99L, "completely different words about spark catalyst tungsten execution")).toDF("doc_id", "text")
+    val pairs = Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5, maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (2L to 40L).map(i => (1L, i)).toSet)
+  }
+
+  test("minhash star bound is inert when the cap does not bind (bit-identical to unbounded)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away now"),
+      (3L, "completely different words about spark catalyst tungsten execution")).toDF("doc_id", "text")
+    val capped = Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5, maxBucket = 500)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val open = Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5, maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(capped == open && capped.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("simhash hot-bucket star bound: clone flood emits d−1 pairs at hamming 0") {
+    val docs = ((1L to 30L).map(i => (i, "repeated boilerplate text body shared by every clone in the flood")) :+
+      (99L, "some other entirely unrelated document text goes here instead")).toDF("doc_id", "text")
+    val pairs = Text.simhashNearDupPairs(docs, "doc_id", "text", maxBucket = 8)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == (2L to 30L).map(i => (1L, i, 0L)).toSet)
+  }
+
+  test("reliable-checkpoint path is bit-identical to the localCheckpoint path (minhash + jaccard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val docs = ((1L to 12L).map(i => (i, s"the quick brown fox jumps over the lazy dog variant $i")) :+
+      (99L, "completely different words about spark catalyst tungsten execution")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect().toSeq
+    assert(rows(Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5, checkpointDir = Some(dir))) ==
+      rows(Text.minhashNearDupPairs(docs, "doc_id", "text", 3, 16, 0.5)))
+    assert(rows(Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, checkpointDir = Some(dir))) ==
+      rows(Text.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)))
+    // the reliable run actually wrote checkpoint files
+    assert(new java.io.File(dir).listFiles != null && new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("jaccardNearDupPairs: hot-shingle correction keeps intersections exact when the cutoff binds") {
     // every doc opens with the corpus-wide phrase "hot hot hot" (df = 6 >
     // maxDf = 2); docs 2j and 2j+1 additionally share all their b_j
