@@ -71,6 +71,16 @@ object Bench {
     // stores only the final ~2 KB of output, so the summary must sit at the
     // end of the line to survive truncation of the per-query map.
     println(s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","metric":"total","value":${ms3(total)},"unit":"sec"}""")
+    // The driver's tail truncation drops the HEAD of the per-query map
+    // (q100+ timings were unreadable in BENCH_r07.json), so also persist
+    // the complete map to a committed artifact, and print the slowest-10
+    // AFTER the total so the heaviest queries survive any truncation.
+    val slow = ok.sortBy(-_._2).take(10)
+    println("slowest10 " + slow.map { case (k, v) => s"$k=${ms3(v)}" }.mkString(" "))
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","total_sec":${ms3(total)}}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -2567,8 +2567,12 @@ object SparkEntry {
     // the per-language scoped form (q93)
     "q93_scoped_neardup" -> minhashLshOracle(scoped = true),
     "q18_dedup_digest" ->
-      """SELECT event_id, props FROM events
-         QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1
+      """SELECT event_id, props FROM (
+           -- mirror dedupByDigest's NULL pass-through (NULL ≠ equal content)
+           SELECT event_id, props FROM events WHERE props IS NOT NULL
+           QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1
+           UNION ALL
+           SELECT event_id, props FROM events WHERE props IS NULL)
          ORDER BY event_id""",
     "q19_simhash" ->
       """SELECT doc_id,
@@ -4092,8 +4096,12 @@ object SparkEntry {
                   CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
            FROM documents),
          ex AS (
-           SELECT * FROM docs
-           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+           -- mirror dedupByDigest's NULL pass-through: NULL content is not
+           -- "equal content", so NULL-text rows all survive the exact stage
+           SELECT * FROM docs WHERE text IS NOT NULL
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+           UNION ALL
+           SELECT * FROM docs WHERE text IS NULL),
          sh AS (
            SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
            FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM ex)),

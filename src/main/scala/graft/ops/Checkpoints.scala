@@ -44,6 +44,16 @@ object Checkpoints {
     * checkpoints, whose data lives in files, not the block store). Callers
     * must guarantee the Dataset is never read again — a localCheckpoint
     * cannot recompute.
+    *
+    * Release walks the WHOLE analyzed plan and unpersists every pinned
+    * node it finds, so it also serves as the caller-side cleanup hook for
+    * lazy operators that pin internal artifacts (e.g. [[Dedup.upsert]]'s
+    * resolved increment, [[Graph.pageRankInt]]'s edge table, the triangle
+    * census's canonical edge set): after the terminal action on such an
+    * operator's result, `Checkpoints.release(result)` frees everything the
+    * plan still references. Long-lived sessions (a streaming foreachBatch
+    * loop calling upsert per batch) must do this or accumulate dead
+    * blocks until eviction churn sets in; one-shot jobs can skip it.
     */
   def release(ds: org.apache.spark.sql.Dataset[_]): Unit =
     CheckpointBridge.unpersistCheckpoint(ds)

@@ -70,19 +70,23 @@ object Dedup {
     * crafted colliding pair of documents must not silently merge.
     */
   def dedupByDigest(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    // NULL content is NOT "equal content": sha2(NULL) is NULL, and letting
+    // NULL DIGEST is NOT "equal content": sha2(NULL) is NULL, and letting
     // those rows share one digest group would silently collapse every
     // NULL-content row into a single survivor. They all pass instead —
     // consistent with [[dedupAgainstCorpus]], where a NULL digest never
-    // matches the corpus set.
+    // matches the corpus set. The drop guard and the restore union use the
+    // SAME digest expression: content that is non-null but casts to a null
+    // binary must take the pass-through path too, not silently vanish
+    // between a content-null restore and a digest-null drop.
+    val digest = sha2(col(contentCol).cast("binary"), 256)
     val winners = df
-      .select(sha2(col(contentCol).cast("binary"), 256).as("__digest"), col(idCol).as("__keep"))
+      .select(digest.as("__digest"), col(idCol).as("__keep"))
       .filter(col("__digest").isNotNull)
       .groupBy(col("__digest"))
       .agg(min(col("__keep")).as("__keep"))
       .select(col("__keep"))
     df.join(winners, col(idCol) === col("__keep"), "left_semi")
-      .unionByName(df.filter(col(contentCol).isNull))
+      .unionByName(df.filter(digest.isNull))
   }
 
   /** D3 final step — connected components over a candidate-pair graph by
@@ -94,8 +98,11 @@ object Dedup {
     * rounds. Near-dup graphs are dense clusters with tiny diameters, so this
     * typically fixpoints in 2–4 rounds; `maxIter` bounds adversarial chains.
     * Convergence is detected by the label sum — labels only ever decrease, so
-    * the (exact, decimal) sum is strictly decreasing until fixpoint — costing
-    * one cheap aggregate action per round, and `localCheckpoint` truncates
+    * the (exact, decimal) sum is strictly decreasing until fixpoint. The
+    * round's pin is LAZY: the signature aggregate is the round's ONE action,
+    * and materializing the pinned labels is its side effect — there is no
+    * separate convergence-probe job adding barrier latency per round
+    * (PlanSpec pins the per-round action count). `localCheckpoint` truncates
     * the growing lineage so round N's plan does not replay rounds 1..N-1.
     * (At extreme graph scale the alternating large-star/small-star variant
     * [Kiveris et al., CC in MapReduce] halves the round count; plain min
@@ -120,6 +127,12 @@ object Dedup {
       maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val pin = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
+    // Round pins are LAZY: the labelSum action below both materializes the
+    // pinned round AND returns the convergence signature — one action per
+    // round, not a checkpoint job followed by a probe job. (Lazy pins are
+    // safe to release here because every round IS materialized by its
+    // signature probe before the next round supersedes it.)
+    val pinLazy = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
     val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
@@ -130,7 +143,7 @@ object Dedup {
     // CHANGED labels is a ~2^-64 coincidence per round.
     def labelSum(df: DataFrame): String =
       String.valueOf(df.agg(sum(xxhash64(col("comp")).cast("decimal(38,0)"))).head().get(0))
-    var labels = pin(edges.select(col("src").as("id")).distinct()
+    var labels = pinLazy(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
     var sig       = labelSum(labels)
     var converged = false
@@ -138,7 +151,7 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"))
-      val next = pin(labels.union(prop)
+      val next = pinLazy(labels.union(prop)
         .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val nsig = labelSum(next)
       converged = nsig == sig
@@ -189,6 +202,13 @@ object Dedup {
     * hash — content-addressed, so the pick survives reruns and
     * repartitions (the keys themselves are constant inside the partition
     * and would leave the choice to physical row order).
+    *
+    * Block retention: the resolved increment is pinned (it feeds both the
+    * union and the anti-join probe) and stays pinned until the session
+    * drops it. A long-lived caller (e.g. a streaming foreachBatch loop
+    * upserting per batch) should call [[Checkpoints.release]] on the
+    * RESULT after its terminal action — release walks the plan and frees
+    * the internal pin.
     */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
       resolveBy: Option[String] = None): DataFrame = {

@@ -51,6 +51,14 @@ object Graph {
     * lazy — it is consumed exactly once by the caller's action, and an
     * eager checkpoint would materialize it twice.
     *
+    * Block retention: the pinned edge table and the last surviving pinned
+    * round remain referenced by the returned plan, so they stay in the
+    * block store until the session drops them. After the terminal action,
+    * call [[Checkpoints.release]] on the RESULT — it walks the plan and
+    * frees every pin still referenced (the edge table, the final pinned
+    * round, and — when `iterations <= pinEvery` ever left it live — the
+    * round-0 ranks).
+    *
     * @param checkpointDir reliable-checkpoint directory for cluster-scale
     *        runs (survives executor loss); None = localCheckpoint.
     * @param pinEvery checkpoint interval in rounds (1 = every round).
@@ -167,6 +175,11 @@ object Graph {
     * orientation is a total order, so exactly ONE of each wedge's two leg
     * orders has a closing edge — every triangle surfaces once, no /3
     * fixup. All legs are equi-joins on node ids; nothing driver-side.
+    *
+    * Block retention: `und` and `oriented` are lazily pinned and stay
+    * referenced by every consumer's plan — a long-lived caller frees them
+    * with [[Checkpoints.release]] on the consuming query's result after
+    * its terminal action (release walks the plan to these pins).
     */
   private def closedWedges(edges: DataFrame, srcCol: String, dstCol: String)
       : (DataFrame, DataFrame, DataFrame) = {

@@ -240,7 +240,12 @@ object Storage {
   def refreshIfChanged(spark: SparkSession, dir: String, stamp: String,
       alsoRequire: Seq[String] = Nil)(write: => Unit): Boolean = {
     val conf   = spark.sparkContext.hadoopConfiguration
-    val marker = new Path(dir + ".stamp")
+    // Path.suffix on the NORMALIZED path (Hadoop Path strips trailing
+    // separators): a raw `dir + ".stamp"` on "x/y/" would land the marker
+    // INSIDE the data dir, where the next mode-overwrite rebuild deletes
+    // it — the guard would then rebuild on every call (silent write
+    // amplification, not corruption).
+    val marker = new Path(dir).suffix(".stamp")
     val fs     = marker.getFileSystem(conf)
     val current =
       if (!fs.exists(marker)) None

@@ -39,6 +39,13 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(3L, 7L))
   }
 
+  test("dedupByDigest: NULL content rows ALL pass through (null digest ≠ equal content)") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])).toDF("id", "txt")
+    val out = Dedup.dedupByDigest(df, "txt", "id").select("id").as[Long].collect().toSet
+    assert(out == Set(3L, 7L, 8L))
+  }
+
   test("property: keepLatest ≤1 row/key, survivor has max recency + min tie-break, ⊆ input") {
     val gen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0, 5); d <- Gen.choose(0, 9); id <- Gen.choose(0, 1000)
@@ -79,6 +86,19 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.upsert(current, updates, Seq("k"), resolveBy = Some("v"))
       .orderBy("k").as[(Long, String, Int)].collect()
     assert(out.toSeq == Seq((1L, "v2", 2)))
+  }
+
+  test("upsert's internal pin is freed by Checkpoints.release on the result") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val current = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v")
+    val updates = Seq((2L, "b2", 21), (2L, "b3", 22)).toDF("k", "s", "v")
+    val out = Dedup.upsert(current, updates, Seq("k"), resolveBy = Some("v"))
+    out.count() // terminal action materializes the lazy pin
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "the resolved increment should be pinned after the action")
+    graft.ops.Checkpoints.release(out)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release(result) must walk the plan and free the internal pin")
   }
 
   test("dedupAgainstCorpus drops batch rows whose content the corpus already has") {

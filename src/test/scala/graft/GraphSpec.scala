@@ -29,6 +29,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("pageRankInt and triangleCounts pins are freed by Checkpoints.release on the result") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("s", "t")
+    val pr = Graph.pageRankInt(edges, "s", "t", iterations = 2) // < pinEvery sweep: setup pins stay live
+    pr.count()
+    val tc = Graph.triangleCounts(edges, "s", "t")
+    tc.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "setup artifacts should be pinned after the actions")
+    graft.ops.Checkpoints.release(pr)
+    graft.ops.Checkpoints.release(tc)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release(result) must free the edge-table / canonical-edge pins")
+  }
+
   test("triangleCounts: canonicalizes dup/reversed/self-loop edges, counts each triangle once") {
     // K4 on {1,2,3,4} (4 triangles) plus a pendant node 5 and noise:
     // duplicates, reversed duplicates, and a self-loop

@@ -149,6 +149,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("connectedComponents runs ONE action per round — no separate convergence-probe job") {
+    // The convergence signature is the round's materializing action (the
+    // round pin is lazy), so a round costs exactly the AQE stage jobs of the
+    // labelSum aggregate — measured 4 on this fixture — and NOT 4 + 1 for a
+    // standalone eager-checkpoint job (the pre-fold shape measured 5).
+    // Marginal counting (chain-6 minus chain-3 = exactly 3 extra rounds of
+    // identical plan shape) cancels the per-invocation setup jobs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      org.apache.spark.sql.graftbridge.ListenerBridge.flush(spark.sparkContext)
+      spark.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.sql.graftbridge.ListenerBridge.flush(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    def chain(n: Int) = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    graft.ops.Dedup.connectedComponents(chain(3), "a", "b").count() // codegen warm-up
+    val j3 = countJobs { graft.ops.Dedup.connectedComponents(chain(3), "a", "b").count() }
+    val j6 = countJobs { graft.ops.Dedup.connectedComponents(chain(6), "a", "b").count() }
+    // chain(n) converges in exactly n rounds (min label walks 1 hop/round,
+    // +1 round to observe the fixpoint), so chain-6 runs 3 more than chain-3
+    assert(j6 - j3 == 3 * 4,
+      s"expected 4 jobs per extra CC round (labelSum stages only), measured ${(j6 - j3) / 3.0}")
+  }
+
   test("q109 bm25: the postings filter runs beneath the tf aggregate's exchange") {
     val p = plan("q109_bm25")
     val lines = p.linesIterator.toVector
