@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Similarity, Summaries, Text}
+
+/** Dev utility: two-point scaling evidence for the nonlinear-risk operator
+  * families (LSH dedup, inverted-index Jaccard, exact quantiles, PageRank,
+  * sign-LSH ANN). sf0.1 correctness runs say nothing about how these bend
+  * as data grows; this measures each family at 1× and REPLICA× (default
+  * 10×) of the same sf dir and prints one JSON line per (family, factor),
+  * so a super-linear blow-up shows itself locally before a real cluster
+  * finds it. Results land in SCALING.md.
+  *
+  * Replication is NOT naive cloning: a 10× clone corpus would turn every
+  * document into a 10-way near-dup family and every embedding into a
+  * 10-way cosine clone — measuring the pathological-duplication path
+  * (q173's subject) instead of ordinary growth. Each replica instead gets
+  *  - text: a distinct rotation of a 10-consonant+vowel `translate`
+  *    alphabet, which rewrites nearly every shingle, so replicas are NOT
+  *    near-dups of their source and the pair/bucket statistics stay
+  *    corpus-like;
+  *  - embeddings: deterministic per-(id, lane) jitter of ±0.15 amplitude,
+  *    enough to break cosine cliques while keeping the value distribution;
+  *  - graph: disjoint id-offset copies (component count scales, degree
+  *    distribution is preserved);
+  *  - lineitem: id-offset copies (value distribution identical, so the
+  *    quantile domain stays fixed while row count scales).
+  *
+  * Usage: `runMain graft.ScaleBench [replicas]` with `SPARK_GRAFT_SF_DIR`
+  * (default sf0.1). The replicated corpora are written once under
+  * `target/scale/<table><f>` and reused, so both factors are read from
+  * parquet through identical scan paths.
+  */
+object ScaleBench {
+
+  private val alphabet = "aeiounstrl"
+
+  /** Replica i of the documents table: ids offset to a disjoint range, text
+    * rewritten by a per-replica character rotation (identity for i == 0).
+    */
+  private def docReplica(docs: DataFrame, i: Int): DataFrame = {
+    val rot = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
+    docs.select(
+      (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      (if (i == 0) col("text") else translate(col("text"), alphabet, rot)).as("text"))
+  }
+
+  private def embReplica(emb: DataFrame, i: Int): DataFrame = {
+    val jitter = transform(col("embedding"), (x, j) =>
+      x + ((pmod(hash(col("vec_id"), lit(i), j), lit(1000)) / lit(1000.0)) - 0.5) * 0.3)
+    emb.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      (if (i == 0) col("embedding")
+       else jitter.cast("array<float>")).as("embedding"))
+  }
+
+  private def replicate(df: DataFrame, n: Int, mk: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(mk(df, _)).reduce(_ unionByName _)
+
+  private def corpusDir(table: String, f: Int) =
+    s"/root/repo/target/scale/$table$f"
+
+  private def writeOnce(df: => DataFrame, path: String): Unit =
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(path)
+
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local()
+    import spark.implicits._
+
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val emb  = Tables.t(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val li   = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val ord  = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+
+    for (f <- Seq(1, replicas)) {
+      writeOnce(replicate(docs, f, docReplica), corpusDir("documents", f))
+      writeOnce(replicate(emb, f, embReplica), corpusDir("embeddings", f))
+      writeOnce(
+        replicate(li, f, (d, i) => d.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity"))),
+        corpusDir("lineitem", f))
+      // disjoint graph copies: same degree distribution, f x edges
+      writeOnce(
+        replicate(
+          ord.join(li, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct(),
+          f,
+          (d, i) => d.select(
+            (col("c") + lit(i * 10000000L)).as("c"),
+            (col("s") + lit(i * 10000000L)).as("s"))),
+        corpusDir("edges", f))
+    }
+
+    def read(table: String, f: Int) = spark.read.parquet(corpusDir(table, f))
+
+    def families(f: Int): Seq[(String, () => Long)] = Seq(
+      ("lsh_minhash", () =>
+        Text.minhashNearDupPairs(read("documents", f), "doc_id", "text", 3, 16, 0.5).count()),
+      ("lsh_simhash", () =>
+        Text.simhashNearDupPairs(read("documents", f), "doc_id", "text").count()),
+      ("jaccard_inverted", () =>
+        Text.jaccardNearDupPairs(read("documents", f), "doc_id", "text", 3, 0.5).count()),
+      ("exact_quantiles", () =>
+        Summaries.exactQuantileArrays(read("lineitem", f), Seq(
+          ("l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95), "price_q"),
+          ("l_quantity", Seq(0.25, 0.5, 0.75, 0.95), "qty_q"))).count()),
+      ("pagerank", () => {
+        val e0 = read("edges", f)
+        val e = e0.union(e0.select(col("s").as("c"), col("c").as("s")))
+        Graph.pageRankInt(e, "c", "s", iterations = 3, pinEvery = 3).count()
+      }),
+      ("ann_sign_lsh", () =>
+        Similarity.annTopK(read("embeddings", f), "vec_id", "embedding", 3, 3,
+          nTables = 12, maxBucket = 2000).count())
+    )
+
+    for (f <- Seq(1, replicas); (name, run) <- families(f)) {
+      // min of two runs: first pays codegen + scan warm-up, min is the
+      // steady-state figure a suite run would see
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = run()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val sec = times.map(_._1).min
+      println(f"""SCALE {"family":"$name","factor":$f,"sec":${sec}%.3f,"rows":${times.head._2}}""")
+      // release anything the family pinned so factors don't interfere
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}

@@ -1953,6 +1953,22 @@ object SparkEntry {
             .as("doc_recall"))
     }),
 
+    // Skew-join on REAL skew: a derived key collapses half of lineitem onto
+    // one supplier (q84 only proved salt ≡ plain on uniform keys). The
+    // salted join spreads the hot key's rows over 8 reducers; result
+    // identity with the plain DuckDB join IS the oracle, and PlanSpec pins
+    // the physical property (measured per-reducer row distribution + AQE
+    // skew-split engagement on the unsalted plan)
+    "q175_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("skew_key",
+        when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_suppkey")))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      Relational.saltedJoin(li, sup, "skew_key", "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Functional-dependency discovery: for candidate determinant →
     // dependent column pairs, count keys whose dependent value is not
     // unique — the schema-inference / data-contract profiling pass. One
@@ -3275,6 +3291,14 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q175_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+         FROM (SELECT l_quantity,
+                      CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS skew_key
+               FROM lineitem) li
+         JOIN supplier ON li.skew_key = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q85_profile" ->
       """SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

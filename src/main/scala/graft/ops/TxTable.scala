@@ -44,10 +44,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    still executes correctly while version N+1 commits (TxTableSpec pins
   *    this).
   *
-  * Single writer per root (the streaming sinks' natural shape — one query
-  * owns its state table); the log is one small file per commit, so a
-  * long-lived table should periodically [[compact]], which folds history
-  * into one `replace` commit the resolver can fold just as cheaply.
+  *  - **Concurrency**: commits are optimistic. A writer stages its data,
+  *    allocates the next version, and attempts the manifest rename; if
+  *    another writer claimed that version first, it re-lists the log,
+  *    re-allocates, and re-attempts — the staged data dirs carry a unique
+  *    writer token so they never collide and never need re-writing. The
+  *    version-claim check runs under a per-root JVM lock, so in-process
+  *    committers (the common shape: several sinks of one application) are
+  *    fully serialized at the claim point; across processes the claim is
+  *    exists-check + rename, which is safe wherever rename-to-existing
+  *    fails (HDFS and object-store committers — the deployment targets) and
+  *    best-effort on a raw posix local filesystem. Each manifest records
+  *    its `writer` token for audit. The log is one small file per commit,
+  *    so a long-lived table should periodically [[compact]], which folds
+  *    history into one `replace` commit the resolver can fold just as
+  *    cheaply.
   */
 object TxTable {
 
@@ -168,6 +179,7 @@ object TxTable {
         case Seq("guard", g)           => guard = g
         case Seq("batch", b)           =>
           batch = b.toLongOption.getOrElse(return None) // garbage batch = bad manifest, skip
+        case Seq("writer", _)          => () // audit-only writer token
         case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
         case _                         => return None
       }
@@ -175,8 +187,9 @@ object TxTable {
     Some(Commit(version, guard, batch, entries.result()))
   }
 
-  private def renderManifest(guard: String, batchId: Long, entries: Seq[Entry]): String = {
-    val head = Seq("graft-tx v1", s"guard $guard", s"batch $batchId")
+  private def renderManifest(guard: String, batchId: Long, entries: Seq[Entry],
+      writer: String = "-"): String = {
+    val head = Seq("graft-tx v1", s"guard $guard", s"batch $batchId", s"writer $writer")
     (head ++ entries.map(e => s"${e.mode} ${e.table} ${e.dir}")).mkString("\n")
   }
 
@@ -231,18 +244,30 @@ object TxTable {
   private def lastAppliedIn(commits: Seq[Commit], guard: String): Long =
     commits.filter(_.guard == guard).map(_.batchId).foldLeft(-1L)(math.max)
 
-  /** Stage one table's rows for version `v` (visible to nobody until the
-    * manifest commits). Deterministic dir name: a replay of a crashed
-    * attempt at the same version overwrites its own garbage instead of
-    * leaking a dir per retry.
+  /** Stage one table's rows (visible to nobody until a manifest referencing
+    * the dir commits). The dir name carries the version being attempted (for
+    * operator debuggability) and, when `token` is set, a unique writer token
+    * — so concurrent committers never collide on a staged dir, and a lost
+    * version race re-attempts with the SAME staged data (resolution follows
+    * manifest entries, not dir-name parsing). A crashed attempt's dir is
+    * unreferenced garbage that [[vacuum]] reclaims.
     */
   private[graft] def stage(root: String, v: Long, i: Int, table: String,
-      df: DataFrame): Entry = {
+      df: DataFrame, token: String = ""): Entry = {
     require(!table.contains(" ") && !table.contains("/"), s"bad table name: $table")
-    val rel = f"$v%020d-$i-$table"
+    val rel = if (token.isEmpty) f"$v%020d-$i-$table" else f"$v%020d-$i-$table-$token"
     df.write.mode("overwrite").parquet(new Path(new Path(root, "data"), rel).toString)
     Entry("stage", table, rel) // mode filled in by commit
   }
+
+  /** Per-root claim locks: in one JVM, the version-claim check-and-rename is
+    * serialized, so in-process concurrent committers can never replace each
+    * other's manifest (posix rename overwrites silently; HDFS/object-store
+    * renames fail on an existing target and need no lock).
+    */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: Path): Object =
+    rootLocks.computeIfAbsent(root.toString, _ => new Object)
 
   /** Atomically commit `writes` — each `(table, mode, rows)` with mode
     * `"replace"` or `"append"` — as one all-or-nothing version. Returns
@@ -251,38 +276,67 @@ object TxTable {
     * this table's current snapshot: they execute against the resolved dirs
     * while staging writes NEW dirs, and GC keeps the previous snapshot, so
     * there is no read-while-overwrite hazard.
+    *
+    * Optimistic concurrency: the data is staged ONCE (under a unique writer
+    * token), then up to `maxAttempts` version claims are attempted — each
+    * re-listing the log, re-allocating the next version, and re-attempting
+    * the manifest rename. Losing a claim costs one small manifest write,
+    * never a data re-write. Only after `maxAttempts` straight losses (a
+    * pathologically contended root) does the commit fail loudly — and the
+    * staged dir is removed so nothing leaks.
     */
   def commit(spark: SparkSession, root: String,
       writes: Seq[(String, String, DataFrame)],
-      guard: String = NoGuard, batchId: Long = -1L): Boolean = {
+      guard: String = NoGuard, batchId: Long = -1L, maxAttempts: Int = 8): Boolean = {
     require(writes.nonEmpty, "commit needs at least one write")
+    require(maxAttempts >= 1, "maxAttempts must be positive")
     writes.foreach { case (_, m, _) =>
       require(m == "replace" || m == "append", s"bad mode: $m") }
     val (fs, rp) = fsFor(spark, root)
-    val commits = listCommits(fs, rp)
-    if (batchId >= 0 && lastAppliedIn(commits, guard) >= batchId) return false
-    // allocate PAST any version a commit FILENAME claims, even unparseable
-    // ones listCommits skipped — reusing such a number would make the
-    // rename target exist forever and wedge the root
-    val v = math.max(commits.lastOption.map(_.version).getOrElse(0L),
-      maxClaimedVersion(fs, rp)) + 1
-    val target = commitPath(rp, v)
-    require(!fs.exists(target),
-      s"concurrent writer detected at $target — TxTable roots are single-writer")
-    val entries = writes.zipWithIndex.map { case ((table, mode, df), i) =>
-      stage(root, v, i, table, df).copy(mode = mode)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var entries: Seq[Entry] = null // staged lazily, exactly once
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val commits = listCommits(fs, rp)
+      if (batchId >= 0 && lastAppliedIn(commits, guard) >= batchId) {
+        // replayed batch lost the race to its twin: drop any staged garbage
+        if (entries != null)
+          entries.foreach(e => fs.delete(new Path(dataDir(rp), e.dir), true))
+        return false
+      }
+      // allocate PAST any version a commit FILENAME claims, even unparseable
+      // ones listCommits skipped — reusing such a number would make the
+      // rename target exist forever and wedge the root
+      val v = math.max(commits.lastOption.map(_.version).getOrElse(0L),
+        maxClaimedVersion(fs, rp)) + 1
+      if (entries == null)
+        entries = writes.zipWithIndex.map { case ((table, mode, df), i) =>
+          stage(root, v, i, table, df, token).copy(mode = mode)
+        }
+      // temp manifest + rename: the ONE atomic step. A reader lists the log
+      // before or after this rename; there is no in-between.
+      val target = commitPath(rp, v)
+      val tmp = new Path(logDir(rp), f".$v%020d-$token.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(renderManifest(guard, batchId, entries, token)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val claimed = lockFor(rp).synchronized {
+        !fs.exists(target) && fs.rename(tmp, target)
+      }
+      if (claimed) {
+        // re-list for GC: commits interleaved by OTHER writers since our
+        // listing must count as live references
+        gc(fs, rp, listCommits(fs, rp))
+        return true
+      }
+      fs.delete(tmp, false) // lost this version to a concurrent writer
+      attempt += 1
     }
-    // temp manifest + rename: the ONE atomic step. A reader lists the log
-    // before or after this rename; there is no in-between.
-    val tmp = new Path(logDir(rp), f".$v%020d.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(renderManifest(guard, batchId, entries)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
-    gc(fs, rp, commits :+ Commit(v, guard, batchId, entries))
-    true
+    entries.foreach(e => fs.delete(new Path(dataDir(rp), e.dir), true))
+    throw new java.io.IOException(
+      s"commit conflict at $root: lost the version claim $maxAttempts times " +
+        "to concurrent writers")
   }
 
   /** Replace `table` with `rows` in one commit (batch-job form). */

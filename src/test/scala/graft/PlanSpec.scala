@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, spark_partition_id, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions (SURVEY §4.2): the operators must not merely be
@@ -306,6 +306,90 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q157_charngram_langid")
     assert(p.contains("BroadcastHashJoin"),
       s"the 5x20-row model must broadcast to the trigram stream:\n$p")
+  }
+
+  /** The q175 fixture: half of lineitem collapses onto supplier 1 via a
+    * derived key — REAL skew, unlike q84's uniform l_orderkey. sf0.01 so the
+    * hot partition carries enough bytes to trip AQE's size thresholds.
+    */
+  private def skewFixture(d: String) = {
+    val li = Tables.t(spark, d, "lineitem").withColumn("skew_key",
+      when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_suppkey")))
+    val sup = Tables.t(spark, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    (li, sup)
+  }
+
+  /** Set SQL confs for the duration of `body`, restoring prior values after
+    * (unsetting keys that had no explicit value, falling back to defaults).
+    */
+  private def withSqlConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) =>
+      // get can throw (no default) OR return null (optional conf, unset)
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q175 skew: AQE splits the hot partition of the unsalted join (skew=true)") {
+    // the OTHER scale path: no salt at all — AQE detects the oversized
+    // shuffle partition at runtime and splits it. Three conditions this pin
+    // documents (each found the hard way): (1) broadcast disabled, so the
+    // 100-row supplier can't dodge the shuffle; (2) the shuffled rows carry
+    // an INCOMPRESSIBLE payload — skew detection is byte-based, and a
+    // constant hot key compresses ~7x better than mixed keys, flattening a
+    // 5x row skew into near-uniform bytes; (3) the map side has multiple
+    // tasks (repartition(16)) — a skewed reduce partition can only split at
+    // map-output granularity, so a single-map shuffle is unsplittable
+    withSqlConf(
+      "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"               -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "131072") {
+      val (li0, sup) = skewFixture("/root/testdata/sf0.01")
+      val li = li0.withColumn("payload",
+          org.apache.spark.sql.functions.sha2(
+            org.apache.spark.sql.functions.concat_ws(",",
+              col("l_orderkey"), col("l_linenumber")), 256))
+        .repartition(16)
+      val j = li.join(sup, col("skew_key") === col("s_suppkey"))
+        .select(col("skew_key"), col("s_nationkey"), col("l_quantity"), col("payload"))
+      j.collect() // execute THIS plan — a .count() finalizes a different one
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join did not engage on a 50%-hot key:\n$p")
+    }
+  }
+
+  test("q175 skew: saltedJoin spreads the hot key across reducers (measured rows)") {
+    // physical proof, not plan text: spark_partition_id() is evaluated in
+    // the join's reducer tasks, so the per-pid row histogram IS the reducer
+    // load distribution. AQE off so nothing coalesces/splits behind the
+    // measurement; 32 reducers so the two shapes separate crisply
+    withSqlConf(
+      "spark.sql.adaptive.enabled"           -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions"         -> "32") {
+      val (li, sup) = skewFixture("/root/testdata/sf0.01")
+      def reducerRows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.groupBy(spark_partition_id().as("pid")).count()
+          .collect().map(_.getLong(1)).toSeq
+      val plain  = reducerRows(li.join(sup, col("skew_key") === col("s_suppkey")))
+      val salted = reducerRows(graft.ops.Relational.saltedJoin(
+        li, sup, "skew_key", "s_suppkey", salts = 8))
+      val total = plain.sum
+      assert(salted.sum == total, "salted join changed the row count")
+      assert(plain.max.toDouble / total >= 0.5,
+        s"fixture is not actually skewed: max reducer share ${plain.max.toDouble / total}")
+      assert(salted.max.toDouble / total <= 0.25,
+        s"salt failed to spread the hot key: max reducer share ${salted.max.toDouble / total}")
+    }
   }
 
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {

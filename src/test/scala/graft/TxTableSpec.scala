@@ -65,13 +65,13 @@ class TxTableSpec extends AnyFunSuite {
     // dir is not referenced by any manifest
     assert(readSum(root) == 3L)
     assert(TxTable.lastApplied(spark, root, "q-A") == 0L)
-    // the replayed attempt overwrites its own garbage (same deterministic
-    // staging dir) and commits; state moves atomically to the new snapshot
+    // the replayed attempt stages afresh (unique writer token) and commits;
+    // state moves atomically to the new snapshot
     assert(TxTable.replace(spark, root, Seq(1L, 2L, 10L).toDF("v"), guard = "q-A", batchId = 1L))
     assert(readSum(root) == 13L)
-    // vacuum with no writer active removes nothing here (the retry reused
-    // the staged dir), and never touches referenced dirs
-    TxTable.vacuum(spark, root)
+    // vacuum with no writer active reclaims the crashed attempt's orphan
+    // staged dir and never touches referenced dirs
+    assert(TxTable.vacuum(spark, root) == 1)
     assert(readSum(root) == 13L)
   }
 
@@ -108,7 +108,43 @@ class TxTableSpec extends AnyFunSuite {
     assert(readSum(root) == 60L)
     val dataDirs = new java.io.File(s"$root/data").list().toSeq
     // only v2 (grace) and v3 (current) remain on disk
-    assert(dataDirs.count(_.endsWith("-t")) == 2, s"unexpected dirs: $dataDirs")
+    assert(dataDirs.size == 2, s"unexpected dirs: $dataDirs")
+  }
+
+  test("two interleaved committers both land; versions strictly ordered (optimistic retry)") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(0L).toDF("v"))
+    // two writers, 5 appends each, barrier-aligned per round so both list
+    // the same log head and race for the same version — the old contract
+    // wedged the loser with "concurrent writer detected"; the optimistic
+    // retry must land BOTH, the loser at the re-allocated next version
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool    = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val results = (1 to 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = (0 until 5).forall { i =>
+            barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+            TxTable.append(spark, root, Seq(w * 1000L + i).toDF("v"))
+          }
+        })
+      }
+      assert(results.forall(_.get(300, java.util.concurrent.TimeUnit.SECONDS)),
+        "every commit must eventually land — no wedge, no lost update")
+    } finally pool.shutdown()
+    // every one of the 10 interleaved appends is in the committed state
+    assert(readSum(root) == (0 until 5).map(i => 1000L + i + 2000L + i).sum)
+    // versions are strictly ordered AND contiguous: a lost claim re-allocates
+    // rather than burning a version number
+    val versions = new java.io.File(s"$root/_log").list().toSeq
+      .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit").toLong).sorted
+    assert(versions == (1L to 11L), s"unexpected versions: $versions")
+    // every manifest records its writer token for audit
+    val manifests = versions.map(v =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        f"$root/_log/$v%020d.commit")))
+    assert(manifests.forall(_.linesIterator.exists(_.startsWith("writer "))))
   }
 
   test("log checkpointing bounds manifest count and preserves state + replay marks") {
