@@ -154,10 +154,17 @@ object Similarity {
     * (`Int.MaxValue`) — the cap changes which approximate candidates are
     * seen, so enabling it is an explicit corpus-scale decision; ~8·k is a
     * reasonable setting (SimilaritySpec exercises a binding cap).
+    *
+    * `nPlanes` must GROW with the corpus: 2^nPlanes buckets per table means
+    * a FIXED plane count degrades to O(n²/2^nPlanes) candidate pairs as n
+    * grows — ScaleBench measured the fixed-3-plane form at 59× the cost for
+    * 10× the rows. Size planes with [[annPlanesFor]] (occupancy-constant)
+    * and spend `nTables` — not occupancy — on recall.
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
       nTables: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be positive")
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes in [1, 30]")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // all tables' buckets in ONE compiled pass (the inlined-literal Column
     // form generated >8 KB methods that the JIT refused — see SignLshBuckets)
@@ -196,6 +203,21 @@ object Similarity {
         .join(base.select(col("id"), col("v").as("pv")), col("probe_id") === col("id")).drop("id")
         .join(base.select(col("id"), col("v").as("cv")), col("neighbor_id") === col("id")).drop("id")
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
+  }
+
+  /** Occupancy-constant sign-LSH plane count for a corpus of `n` vectors:
+    * the smallest k with n / 2^k ≤ `targetBucket` (floor 3). Expected
+    * candidate volume per table is then O(n · targetBucket) — LINEAR in n —
+    * where any fixed k degrades to O(n² / 2^k) as the corpus grows
+    * (ScaleBench measured 59× cost for 10× rows at fixed k=3). Recall lost
+    * to the finer buckets is bought back with `nTables`, which scales cost
+    * linearly, never quadratically. `targetBucket` ~ 8·k of the intended
+    * top-k is a reasonable operating point.
+    */
+  def annPlanesFor(n: Long, targetBucket: Long = 250L): Int = {
+    require(n >= 0 && targetBucket >= 1, "need n >= 0 and a positive bucket target")
+    math.max(3, math.ceil(
+      math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt)
   }
 
   /** IVF-style cell assignment: the coarse quantizer is the `nCells`

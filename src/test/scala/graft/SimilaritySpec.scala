@@ -218,4 +218,18 @@ class SimilaritySpec extends AnyFunSuite {
     val b2 = vecs.select(Similarity.signLshBucket($"embedding", 4, dim = 3)).as[Long].head()
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
+
+  test("annPlanesFor holds expected bucket occupancy <= target as n grows") {
+    // the scaling contract: n / 2^planes <= targetBucket, with a floor of 3
+    assert(Similarity.annPlanesFor(0) == 3)
+    assert(Similarity.annPlanesFor(2000) == 3)
+    assert(Similarity.annPlanesFor(20000) == 7)     // 20000/2^7 = 156 <= 250
+    assert(Similarity.annPlanesFor(2000000) == 13)  // 2M/2^13 = 244 <= 250
+    for (n <- Seq(1000L, 50000L, 1000000L, 100000000L)) {
+      val k = Similarity.annPlanesFor(n)
+      assert(n.toDouble / math.pow(2, k) <= 250.0, s"occupancy bound broken at n=$n")
+      // and not overshooting: one plane fewer would break the bound (above the floor)
+      if (k > 3) assert(n.toDouble / math.pow(2, k - 1) > 250.0, s"overshoot at n=$n")
+    }
+  }
 }
