@@ -287,6 +287,21 @@ object Similarity {
     * scheme can beat that without structure to exploit; on real clustered
     * embeddings a small nProbe recovers high recall.
     */
+  /** Compute-balanced IVF cell count for a corpus of `n` vectors:
+    * assignment scans all centroids per vector (cost n·C) while search
+    * pulls each probe's nProbe cells (cost n·(n/C)·nProbe), so a FIXED C
+    * degrades to O(n²/C) search exactly like a fixed sign-LSH plane count
+    * ([[annPlanesFor]]); C = √(n·nProbe) balances the two at O(n^1.5)
+    * total — the classical IVF operating point. Floor 8. The centroid set
+    * is a driver-side artifact: √n stays bounded (10⁹ vectors → ~32k
+    * centroids ≈ 8 MB at 64 float dims), so the one deliberate collect in
+    * [[ivfAssign]] survives the scale-up.
+    */
+  def ivfCellsFor(n: Long, nProbe: Int = 1): Int = {
+    require(n >= 0 && nProbe >= 1, "need n >= 0 and a positive nProbe")
+    math.max(8, math.round(math.sqrt(n.toDouble * nProbe)).toInt)
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int, k: Int,
       nProbe: Int = 1, seedByHash: Boolean = false): DataFrame = {
     val assigned = ivfAssignN(df, idCol, vecCol, nCells, nProbe, seedByHash)

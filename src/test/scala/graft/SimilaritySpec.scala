@@ -219,6 +219,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 
+  test("ivfCellsFor balances assignment vs search at sqrt(n * nProbe)") {
+    assert(Similarity.ivfCellsFor(0) == 8)
+    assert(Similarity.ivfCellsFor(64) == 8)
+    assert(Similarity.ivfCellsFor(10000) == 100)
+    assert(Similarity.ivfCellsFor(1000000) == 1000)
+    assert(Similarity.ivfCellsFor(10000, nProbe = 4) == 200)
+  }
+
   test("annPlanesFor holds expected bucket occupancy <= target as n grows") {
     // the scaling contract: n / 2^planes <= targetBucket, with a floor of 3
     assert(Similarity.annPlanesFor(0) == 3)
