@@ -59,8 +59,14 @@ object ScaleBench {
   private def replicate(df: DataFrame, n: Int, mk: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(mk(df, _)).reduce(_ unionByName _)
 
-  private def corpusDir(table: String, f: Int) =
-    s"/root/repo/target/scale/$table$f"
+  /** Cache key includes the SOURCE sf dir: without it, switching
+    * SPARK_GRAFT_SF_DIR would silently reuse the previous run's replicas
+    * (writeOnce sees _SUCCESS) and publish wrong scaling numbers.
+    */
+  private def corpusDir(sfDir: String, table: String, f: Int) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/root/repo/target/scale/$tag/$table$f"
+  }
 
   private def writeOnce(df: => DataFrame, path: String): Unit =
     if (!new java.io.File(s"$path/_SUCCESS").exists())
@@ -78,15 +84,16 @@ object ScaleBench {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
     val ord  = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
 
-    for (f <- Seq(1, replicas)) {
-      writeOnce(replicate(docs, f, docReplica), corpusDir("documents", f))
-      writeOnce(replicate(emb, f, embReplica), corpusDir("embeddings", f))
+    val factors = Seq(1, replicas).distinct
+    for (f <- factors) {
+      writeOnce(replicate(docs, f, docReplica), corpusDir(sfDir, "documents", f))
+      writeOnce(replicate(emb, f, embReplica), corpusDir(sfDir, "embeddings", f))
       writeOnce(
         replicate(li, f, (d, i) => d.select(
           (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey"),
           col("l_extendedprice"), col("l_quantity"))),
-        corpusDir("lineitem", f))
+        corpusDir(sfDir, "lineitem", f))
       // disjoint graph copies: same degree distribution, f x edges
       writeOnce(
         replicate(
@@ -96,10 +103,16 @@ object ScaleBench {
           (d, i) => d.select(
             (col("c") + lit(i * 10000000L)).as("c"),
             (col("s") + lit(i * 10000000L)).as("s"))),
-        corpusDir("edges", f))
+        corpusDir(sfDir, "edges", f))
     }
 
-    def read(table: String, f: Int) = spark.read.parquet(corpusDir(table, f))
+    def read(table: String, f: Int) = spark.read.parquet(corpusDir(sfDir, table, f))
+
+    // corpus row counts per factor, resolved OUTSIDE the timed region so
+    // the tuned-ANN family is not charged a full scan the fixed family
+    // doesn't pay
+    val embCount: Map[Int, Long] =
+      factors.map(f => f -> read("embeddings", f).count()).toMap
 
     def families(f: Int): Seq[(String, () => Long)] = Seq(
       ("lsh_minhash", () =>
@@ -120,12 +133,10 @@ object ScaleBench {
       ("ann_sign_lsh_fixed3", () =>
         Similarity.annTopK(read("embeddings", f), "vec_id", "embedding", 3, 3,
           nTables = 12, maxBucket = 2000).count()),
-      ("ann_sign_lsh_tuned", () => {
-        val e = read("embeddings", f)
-        Similarity.annTopK(e, "vec_id", "embedding",
-          Similarity.annPlanesFor(e.count()), 3,
-          nTables = 12, maxBucket = 2000).count()
-      })
+      ("ann_sign_lsh_tuned", () =>
+        Similarity.annTopK(read("embeddings", f), "vec_id", "embedding",
+          Similarity.annPlanesFor(embCount(f)), 3,
+          nTables = 12, maxBucket = 2000).count())
     )
 
     // JIT/codegen/session warm-up outside the timed region, so factor 1
@@ -136,7 +147,7 @@ object ScaleBench {
       "vec_id", "embedding", 3, 3, nTables = 12).count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
-    for (f <- Seq(1, replicas); (name, run) <- families(f)) {
+    for (f <- factors; (name, run) <- families(f)) {
       // min of two runs: first pays codegen + scan warm-up, min is the
       // steady-state figure a suite run would see
       val times = (1 to 2).map { _ =>

@@ -179,9 +179,16 @@ object Similarity {
       if (maxBucket == Int.MaxValue) slim.withColumn("salt", lit(0L))
       else {
         val occ = slim.groupBy(col("t"), col("b")).agg(count(lit(1)).as("occ"))
+        // the salt hashes (id, t) — NOT id alone: with an id-only salt,
+        // hot buckets of equal occupancy would split into the SAME groups
+        // in every table, and a cross-group pair would be lost in all L
+        // tables at once; mixing the table index in decorrelates the
+        // grouping, so "the other tables recover cross-group neighbours"
+        // actually holds
         slim.join(occ, Seq("t", "b"))
           .withColumn("salt",
-            pmod(Text.hash60(col("id").cast("string")),
+            pmod(Text.hash60(concat(col("id").cast("string"), lit("#"),
+                col("t").cast("string"))),
               greatest(ceil(col("occ") / lit(maxBucket.toDouble)).cast("long"), lit(1L))))
           .drop("occ")
       }
@@ -216,8 +223,10 @@ object Similarity {
     */
   def annPlanesFor(n: Long, targetBucket: Long = 250L): Int = {
     require(n >= 0 && targetBucket >= 1, "need n >= 0 and a positive bucket target")
-    math.max(3, math.ceil(
-      math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt)
+    // clamped to annTopK's own nPlanes <= 30 bound so the advertised
+    // annTopK(..., annPlanesFor(n), ...) pairing never throws
+    math.min(30, math.max(3, math.ceil(
+      math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt))
   }
 
   /** IVF-style cell assignment: the coarse quantizer is the `nCells`

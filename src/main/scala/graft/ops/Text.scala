@@ -256,6 +256,9 @@ object Text {
     * pinning as [[minhashNearDupPairs]] — a band bucket above `maxBucket`
     * members pairs everyone with its minimum id only (O(d) rows instead of
     * O(d²)), and the banded index is pinned once for its four consumers.
+    * Default OFF (`Int.MaxValue`) for the same reason as there: the cap
+    * changes which pairs are emitted; the unbounded default matches the
+    * SQL oracles and skips the occupancy pass entirely.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -265,7 +268,7 @@ object Text {
       nBits: Int = 48,
       bands: Int = 3,
       maxHamming: Int = 8,
-      maxBucket: Int = 500,
+      maxBucket: Int = Int.MaxValue,
       checkpointDir: Option[String] = None): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     require(maxBucket >= 1, "maxBucket must be positive")
@@ -282,26 +285,33 @@ object Text {
           p => call_function("shiftright", col("sig"), p * lit(bandWidth)).bitwiseAND(lit(mask))))
           .as(Seq("band", "bv")))
       .repartition(col("band"), col("bv")))
-    // Hot-bucket star bound (see minhashNearDupPairs): occupancy from a
-    // partial agg on the co-partitioned index; min_by carries the
-    // representative's full signature so the star branch never re-joins.
-    val hot = ex.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"),
-        min_by(col("sig"), col("id")).as("rep_sig"))
-      .filter(col("occ") > maxBucket)
-    val cold = ex.join(broadcast(hot.select(col("band"), col("bv"))), Seq("band", "bv"), "left_anti")
     val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
-    val candCold = cold.as("a")
-      .join(cold.as("b"),
+    def allPairs(idx: DataFrame): DataFrame = idx.as("a")
+      .join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("a.sig").as("sa"),
         col("b.id").as("doc_b"), col("b.sig").as("sb"))
-    val candHot = ex.join(broadcast(hot), Seq("band", "bv"))
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("rep_sig").as("sa"),
-        col("id").as("doc_b"), col("sig").as("sb"))
-    candCold.unionByName(candHot)
+    val cand =
+      if (maxBucket == Int.MaxValue) allPairs(ex)
+      else {
+        // Hot-bucket star bound (see minhashNearDupPairs): occupancy from a
+        // partial agg on the co-partitioned index; min_by carries the
+        // representative's full signature so the star branch never re-joins.
+        // No broadcast hint — the hot set is unbounded on a templated
+        // corpus; AQE broadcasts it at runtime while it is actually small.
+        val hot = ex.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"),
+            min_by(col("sig"), col("id")).as("rep_sig"))
+          .filter(col("occ") > maxBucket)
+        val cold = ex.join(hot.select(col("band"), col("bv")), Seq("band", "bv"), "left_anti")
+        val candHot = ex.join(hot, Seq("band", "bv"))
+          .filter(col("id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("rep_sig").as("sa"),
+            col("id").as("doc_b"), col("sig").as("sb"))
+        allPairs(cold).unionByName(candHot)
+      }
+    cand
       .distinct()
       .filter(ham <= maxHamming)
       .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
@@ -356,9 +366,12 @@ object Text {
     * in is hot AND neither side is that bucket's representative; duplicated
     * documents always keep a verified path to their representative, so
     * dedup OUTCOMES (which docs have a partner, which component they join)
-    * are preserved — q174 quantifies this on a 1000-clone flood. The
-    * default (500) mirrors [[jaccardNearDupPairs]]' `maxDf` and is far
-    * above any bucket occupancy in healthy data.
+    * are preserved — q174 quantifies this on a 1000-clone flood. Default
+    * OFF (`Int.MaxValue`), matching [[graft.ops.Similarity.annTopK]]: the
+    * cap changes which pairs are emitted, so enabling it is an explicit
+    * corpus-scale decision — and the unbounded default is exactly what the
+    * SQL oracles model. With the cap off the occupancy pass is skipped
+    * entirely (the historical single self-join plan).
     *
     * `checkpointDir`: the banded index is pinned (it feeds the occupancy
     * count, both self-join sides, and the star branch). `None` pins with
@@ -375,7 +388,7 @@ object Text {
       k: Int,
       threshold: Double,
       scopeCols: Seq[String] = Nil,
-      maxBucket: Int = 500,
+      maxBucket: Int = Int.MaxValue,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be positive")
     // The signature pass is CPU-bound; a small parquet input arrives as ONE
@@ -403,29 +416,33 @@ object Text {
     val sig = pin(sh
       .select(col("id") +: posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")) +: scope: _*)
       .repartition(col("band") +: col("hv") +: scope: _*))
-    // Per-bucket occupancy on the co-partitioned index (partial agg, no
-    // extra exchange); the hot set is tiny by definition → broadcast both
-    // the anti-join (cold side) and the star join (hot side). With healthy
-    // data `hot` is empty and AQE's empty-relation propagation collapses
-    // both branches to pass-throughs.
     val keyNames = Seq("band", "hv") ++ scopeCols
-    val keys     = keyNames.map(col)
-    val hot = sig.groupBy(keys: _*)
-      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
-      .filter(col("occ") > maxBucket)
-    val cold = sig.join(broadcast(hot.select(keys: _*)), keyNames, "left_anti")
     val scopeEq = scopeCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(lit(true))(_ && _)
-    val candCold = cold.as("a")
-      .join(cold.as("b"),
+    def allPairs(idx: DataFrame): DataFrame = idx.as("a")
+      .join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
           scopeEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-    // rep = min(id) in the bucket, so doc_a < doc_b holds by construction.
-    val candHot = sig.join(broadcast(hot), keyNames)
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("id").as("doc_b"))
-    val cand = candCold.unionByName(candHot).distinct()
+    val cand = (if (maxBucket == Int.MaxValue) allPairs(sig)
+    else {
+      // Per-bucket occupancy on the co-partitioned index (partial agg, no
+      // extra exchange). No broadcast HINT on the hot set: its size is
+      // O(indexRows/maxBucket) — unbounded on a templated corpus — so a
+      // forced broadcast could OOM the driver; AQE broadcasts it at
+      // runtime while it is actually small, and with healthy data `hot`
+      // is empty and empty-relation propagation collapses both branches.
+      val keys = keyNames.map(col)
+      val hot = sig.groupBy(keys: _*)
+        .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
+        .filter(col("occ") > maxBucket)
+      val cold = sig.join(hot.select(keys: _*), keyNames, "left_anti")
+      // rep = min(id) in the bucket, so doc_a < doc_b holds by construction.
+      val candHot = sig.join(hot, keyNames)
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("id").as("doc_b"))
+      allPairs(cold).unionByName(candHot)
+    }).distinct()
     val j = jaccardOf(col("x.ss"), col("y.ss"))
     cand
       .join(sh.as("x"), col("doc_a") === col("x.id"))

@@ -433,14 +433,23 @@ object TxTable {
   }
 
   /** Delete data dirs referenced by NO commit — crashed-stage leftovers.
-    * Only safe when no writer is mid-commit on this root.
+    * Only dirs older than `olderThanMs` (by modification time, default 1 h)
+    * are touched: an unreferenced dir younger than that may be a LIVE
+    * writer's staging area (optimistic commits stage before they claim a
+    * version), and deleting it would let that writer commit a manifest
+    * whose data is gone — silent row loss, since readers skip missing
+    * dirs. Pass 0 only when no writer can be mid-commit on this root.
     */
-  def vacuum(spark: SparkSession, root: String): Int = {
+  def vacuum(spark: SparkSession, root: String, olderThanMs: Long = 3600000L): Int = {
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
     val (fs, rp) = fsFor(spark, root)
     val dd = dataDir(rp)
     if (!fs.exists(dd)) return 0
     val referenced = listCommits(fs, rp).flatMap(_.entries.map(_.dir)).toSet
-    val orphans = fs.listStatus(dd).map(_.getPath).filterNot(p => referenced(p.getName))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = fs.listStatus(dd).toSeq
+      .filter(st => !referenced(st.getPath.getName) && st.getModificationTime <= cutoff)
+      .map(_.getPath)
     orphans.foreach(fs.delete(_, true))
     orphans.length
   }

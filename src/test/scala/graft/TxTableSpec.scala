@@ -69,9 +69,12 @@ class TxTableSpec extends AnyFunSuite {
     // state moves atomically to the new snapshot
     assert(TxTable.replace(spark, root, Seq(1L, 2L, 10L).toDF("v"), guard = "q-A", batchId = 1L))
     assert(readSum(root) == 13L)
-    // vacuum with no writer active reclaims the crashed attempt's orphan
-    // staged dir and never touches referenced dirs
-    assert(TxTable.vacuum(spark, root) == 1)
+    // vacuum with no writer active (olderThanMs=0) reclaims the crashed
+    // attempt's orphan staged dir and never touches referenced dirs; at the
+    // default 1 h age threshold the same fresh orphan is PROTECTED (it
+    // could be a live writer's staging area)
+    assert(TxTable.vacuum(spark, root) == 0)
+    assert(TxTable.vacuum(spark, root, olderThanMs = 0L) == 1)
     assert(readSum(root) == 13L)
   }
 
