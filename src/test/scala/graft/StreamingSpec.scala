@@ -263,6 +263,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two concurrent streaming append sinks share one TxTable root (multi-writer)") {
+    // the end-to-end shape the optimistic commit exists for: two
+    // independent queries appending to ONE transactional log table.
+    // Appends commute (unlike state merges, which still need one writer
+    // per state table — aggStateSink's contract), so both sinks may land
+    // in any order; every row must surface exactly once and the version
+    // sequence must stay contiguous. The barrier-raced TxTableSpec case
+    // covers deliberate claim contention; this covers the streaming path.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"/root/repo/target/tmp/multisink_${System.nanoTime()}"
+    val in1  = MemoryStream[Long]
+    val in2  = MemoryStream[Long]
+    def sink(s: org.apache.spark.sql.DataFrame, ck: String, guard: String) =
+      s.writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.ops.TxTable.append(b.sparkSession, s"$base/root", b,
+            guard = guard, batchId = id)
+          ()
+        }.start()
+    val q1 = sink(in1.toDF().toDF("v"), s"$base/ck1", "w1")
+    val q2 = sink(in2.toDF().toDF("v"), s"$base/ck2", "w2")
+    try {
+      in1.addData(1L, 2L); in2.addData(10L, 20L)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      in1.addData(3L); in2.addData(30L)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val got = graft.ops.TxTable.read(spark, s"$base/root")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L, 10L, 20L, 30L))
+      val versions = new java.io.File(s"$base/root/_log").list().toSeq
+        .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit").toLong).sorted
+      assert(versions == (1L to versions.length), s"non-contiguous log: $versions")
+      // per-guard replay marks are independent
+      assert(graft.ops.TxTable.lastApplied(spark, s"$base/root", "w1") >= 0L)
+      assert(graft.ops.TxTable.lastApplied(spark, s"$base/root", "w2") >= 0L)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("sessionize merges cross-batch late events into their own session, not singletons") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
