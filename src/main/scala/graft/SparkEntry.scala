@@ -1029,6 +1029,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q100's 100 TB form: the corpus's LSH index persisted as bucketed
+    // tables (signatures by (band,hv), shingle sets by id), so the
+    // increment joins against the STORED index — no corpus re-scan,
+    // re-hash, or corpus-side exchange (PlanSpec pins the plan; TextSpec
+    // pins equivalence with the recompute form; same oracle as q100)
+    "q176_index_dedup" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val batch  = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, "q176_idx", buckets = 8)
+      Text.minhashDedupAgainstIndex(batch, "doc_id", "text", 3, 16, 0.5, "q176_idx")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-domain quota: at most k docs per source, content-addressed pick
     "q76_domain_cap" -> ((s, d) => {
       Curation.domainCap(t(s, d, "documents"), "source", "doc_id", "text", 10)
@@ -2463,6 +2478,8 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q17_minhash_lsh" -> minhashLshOracle(),
     "q100_fuzzy_incremental" -> minhashIncrementalOracle(),
+    // identical semantics to q100 — the stored-index plan must not change results
+    "q176_index_dedup" -> minhashIncrementalOracle(),
     "q104_heavy_hitters" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)

@@ -544,6 +544,98 @@ object Text {
     batch.join(dupIds, batch(idCol) === dupIds("bid"), "left_anti")
   }
 
+  /** Persist a corpus's MinHash index as two bucketed tables — the stored
+    * form [[minhashDedupAgainstCorpus]]'s scaladoc promises: after this
+    * one-time (per corpus build) shuffle, EVERY ingest increment
+    * deduplicates against the corpus with no corpus re-scan, no corpus
+    * re-hash, and no corpus-side exchange:
+    *
+    *  - `<prefix>_sig` — the banded signature index `(id, band, hv)`,
+    *    bucketed by `(band, hv)`: the candidate join's key, so the
+    *    increment's probe rows meet the index without moving it;
+    *  - `<prefix>_sh` — the shingle sets `(id, ss)`, bucketed by `id`:
+    *    the verify join's key, so only the candidates' shingle rows are
+    *    ever read and none are shuffled.
+    *
+    * `mode = "append"` admits NEW documents into both tables (Spark
+    * preserves the bucket spec on append) — the maintenance write a
+    * continuously-ingesting pipeline runs after each batch's survivors
+    * are admitted. Bucket count is a layout contract
+    * ([[graft.ops.Storage.writeBucketed]]): size it so bucket files land
+    * at O(100 MB–1 GB) at the target corpus scale.
+    */
+  def writeMinhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      k: Int,
+      tablePrefix: String,
+      buckets: Int,
+      mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    val sh = corpus
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    val sig = sh.select(col("id"),
+      posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
+    if (mode == "overwrite") {
+      Storage.writeBucketed(sig, s"${tablePrefix}_sig", Seq("band", "hv"), buckets)
+      Storage.writeBucketed(sh, s"${tablePrefix}_sh", Seq("id"), buckets)
+    } else {
+      sig.write.mode("append").format("parquet")
+        .bucketBy(buckets, "band", "hv").sortBy("band", "hv")
+        .saveAsTable(s"${tablePrefix}_sig")
+      sh.write.mode("append").format("parquet")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(s"${tablePrefix}_sh")
+    }
+  }
+
+  /** D3 incremental fuzzy dedup against a PERSISTED index (see
+    * [[writeMinhashIndex]]): drop batch documents with a MinHash
+    * near-duplicate already in the indexed corpus. Identical semantics to
+    * [[minhashDedupAgainstCorpus]] — TextSpec pins the equivalence — but
+    * the corpus costs are gone: the batch (small by contract) hashes
+    * fresh, candidates come from an equi-join on the bucketed `(band,hv)`
+    * index, and the verify reads only the candidates' rows of the
+    * bucketed-by-id shingle table. No broadcast hints: AQE broadcasts the
+    * batch-sized sides at runtime, and PlanSpec pins that no exchange
+    * carries the index's band/hv columns — the corpus side never
+    * shuffles.
+    */
+  def minhashDedupAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      k: Int,
+      threshold: Double,
+      tablePrefix: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bsh = batch
+      .select(col(idCol).as("id"), col(textCol))
+      .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+    val bsig = bsh.select(col("id"),
+      posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
+    val csig = spark.table(s"${tablePrefix}_sig")
+    val csh  = spark.table(s"${tablePrefix}_sh")
+    val cand = bsig.as("a")
+      .join(csig.as("b"),
+        col("a.band") === col("b.band") && col("a.hv") === col("b.hv"))
+      .select(col("a.id").as("bid"), col("b.id").as("cid"))
+      .distinct()
+    val j = jaccardOf(col("x.ss"), col("y.ss"))
+    val dupIds = cand
+      .join(bsh.as("x"), col("bid") === col("x.id"))
+      .join(csh.as("y"), col("cid") === col("y.id"))
+      .filter(j >= threshold)
+      .select(col("bid"))
+      .distinct()
+    batch.join(dupIds, batch(idCol) === dupIds("bid"), "left_anti")
+  }
+
   /** Exact pair-overlap core shared by [[jaccardNearDupPairs]] (symmetric
     * resemblance) and [[containmentPairs]] (asymmetric doc-in-doc): one row
     * per candidate pair with the exact intersection size and both set

@@ -392,6 +392,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q176 index dedup: the persisted corpus index is never exchanged") {
+    // broadcast disabled so the probe side MUST shuffle — the pin then
+    // separates the sides: exactly one band-keyed exchange (the batch
+    // probe), zero on the bucketed corpus index
+    withSqlConf(
+      "spark.sql.autoBroadcastJoinThreshold"          -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val docs = Tables.t(spark, sf, "documents")
+      graft.ops.Text.writeMinhashIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 16,
+        "planspec_idx", 4)
+      val df = graft.ops.Text.minhashDedupAgainstIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3, 16, 0.5,
+        "planspec_idx")
+      df.collect()
+      // the adaptive printout repeats the plan (Final + Initial sections) —
+      // pin on the executed Final section only
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val bandEx = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band#")).toSeq
+      assert(bandEx.size == 1,
+        s"only the batch probe may shuffle on (band,hv):\n${bandEx.mkString("\n")}")
+    }
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->

@@ -435,4 +435,39 @@ class TextSpec extends AnyFunSuite {
     assert(native == hof)
     assert(native.exists { case (id, bg, _) => id == 4L && bg == "hé" })
   }
+
+  test("minhashDedupAgainstIndex ≡ minhashDedupAgainstCorpus; append admits new docs") {
+    import spark.implicits._
+    def doc(i: Long, s: String) = (i, s)
+    val corpusA = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog tonight"),
+      doc(2, "a completely different sentence about spark physical plans"),
+      doc(3, "bucketed tables amortize the shuffle across later joins"))
+      .toDF("doc_id", "text")
+    val corpusB = Seq(
+      doc(4, "streaming sinks commit atomically through the table log"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      doc(100, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      doc(101, "statistics pruned scans never read the cold files"),   // novel
+      doc(102, "streaming sinks commit atomically through the table log")) // dup of 4
+      .toDF("doc_id", "text")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // index of corpus A only: batch doc 102's twin is not indexed yet
+    graft.ops.Text.writeMinhashIndex(corpusA, "doc_id", "text", 3, 16, "textspec_idx", 4)
+    val viaIndexA = survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, "textspec_idx"))
+    val viaCorpusA = survivors(graft.ops.Text.minhashDedupAgainstCorpus(
+      batch, corpusA, "doc_id", "text", 3, 16, 0.5))
+    assert(viaIndexA == viaCorpusA && viaIndexA == Seq(101L, 102L))
+    // append corpus B: the stored index now sees doc 4, so 102 is dropped too
+    graft.ops.Text.writeMinhashIndex(corpusB, "doc_id", "text", 3, 16, "textspec_idx", 4,
+      mode = "append")
+    val viaIndexAB = survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, "textspec_idx"))
+    val viaCorpusAB = survivors(graft.ops.Text.minhashDedupAgainstCorpus(
+      batch, corpusA.unionByName(corpusB), "doc_id", "text", 3, 16, 0.5))
+    assert(viaIndexAB == viaCorpusAB && viaIndexAB == Seq(101L))
+  }
 }
