@@ -1683,6 +1683,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Community detection: deterministic synchronous label propagation on
+    // the q147 customer–supplier graph — 3 fixed rounds, most-common
+    // neighbor label, smallest-label tie-break (exactly replayed by the
+    // oracle's unrolled per-round CTEs with row_number over the vote
+    // counts). Long node ids through every shuffle; public string ids
+    // reconstructed once at the end, like q147
+    "q177_label_communities" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      def nodeStr(c: Column) = concat(
+        when(c % 2 === 0, lit("c")).otherwise(lit("s")),
+        shiftright(c, 1).cast("string"))
+      Graph.labelPropagation(pairs, "a", "b", iterations = 3)
+        .select(nodeStr(col("v")).as("node"), nodeStr(col("label")).as("community"))
+        .orderBy(col("community"), col("node"))
+    }),
+
     // Longest consecutive-day activity streak per user, summarized as a
     // histogram — the gaps-and-islands pattern: day minus per-user rank is
     // constant within a run, so streaks fall out of two partitioned
@@ -3940,6 +3959,34 @@ object SparkEntry {
                    GROUP BY e.dst) i ON n.v = i.v)
          SELECT v, CAST(m AS BIGINT) AS rank_micro
          FROM it3 ORDER BY rank_micro DESC, v""",
+
+    "q177_label_communities" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+         l1 AS (SELECT dst AS v, label FROM (
+                  SELECT e.dst, l.label, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY e.dst
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                  FROM edges e JOIN l0 l ON e.src = l.v GROUP BY e.dst, l.label)
+                WHERE rn = 1),
+         l2 AS (SELECT dst AS v, label FROM (
+                  SELECT e.dst, l.label, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY e.dst
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                  FROM edges e JOIN l1 l ON e.src = l.v GROUP BY e.dst, l.label)
+                WHERE rn = 1),
+         l3 AS (SELECT dst AS v, label FROM (
+                  SELECT e.dst, l.label, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY e.dst
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                  FROM edges e JOIN l2 l ON e.src = l.v GROUP BY e.dst, l.label)
+                WHERE rn = 1)
+         SELECT CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END || CAST(v // 2 AS VARCHAR) AS node,
+                CASE WHEN label % 2 = 0 THEN 'c' ELSE 's' END || CAST(label // 2 AS VARCHAR) AS community
+         FROM l3 ORDER BY community, node""",
 
     "q148_weighted_topk" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,

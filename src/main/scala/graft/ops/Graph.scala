@@ -115,6 +115,52 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("v"))
   }
 
+  /** Deterministic synchronous label propagation — community detection on
+    * an undirected graph (the LPA family): every node starts labeled with
+    * its own id; each round, a node adopts the label held by the MOST of
+    * its neighbors, ties broken by the smallest label. The argmax is an
+    * in-aggregate `max(struct(cnt, -label))`, so the update is
+    * partition-order-exact and replayed term-for-term by the SQL oracle's
+    * `row_number() OVER (ORDER BY cnt DESC, label ASC)`. Fixed
+    * `iterations` (synchronous LPA may oscillate on bipartite structure —
+    * the fixed-round form is the deterministic, oracle-able contract;
+    * convergence is not claimed).
+    *
+    * Scale shape: per round one edge⋈labels join + two hash aggregates —
+    * the same Pregel-shaped plan as [[pageRankInt]], with per-round pins
+    * (lineage must not deepen per round) and superseded pins released.
+    * After the terminal action, call [[Checkpoints.release]] on the
+    * result to free the edge table and final round's pin.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
+    val lazyPin = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
+    val pin     = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
+    val p0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = lazyPin(
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    var lastPinned: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      val votes = edges.join(labels, col("src") === col("v"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = votes.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
+        .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+      if (i < iterations) {
+        val pinned = pin(next)
+        lastPinned.foreach(Checkpoints.release) // superseded round
+        lastPinned = Some(pinned)
+        labels = pinned
+      } else labels = next // final round stays lazy for the caller's plan
+    }
+    labels
+  }
+
   /** Exact triangle census of an undirected graph — the standard local-
     * clustering / community-density signal (e.g. grading how tightly a
     * near-duplicate or co-occurrence neighborhood is knit). Returns ONE row

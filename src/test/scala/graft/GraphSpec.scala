@@ -113,4 +113,28 @@ class GraphSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("labelPropagation matches an in-memory reference (sync rounds, min-label ties)") {
+    // two triangles joined by a bridge, plus a pendant — exercises ties,
+    // asymmetric degrees, and cross-community pull
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L), (12L, 20L))
+    def reference(iters: Int): Map[Long, Long] = {
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      var labels = adj.keys.map(v => v -> v).toMap
+      (1 to iters).foreach { _ =>
+        labels = adj.map { case (v, ns) =>
+          val votes = ns.groupBy(labels).view.mapValues(_.size)
+          v -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }
+      labels
+    }
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(pairs.toDF("a", "b"), "a", "b", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(iters), s"diverged at $iters iterations")
+    }
+  }
 }
