@@ -1697,7 +1697,7 @@ object SparkEntry {
       def nodeStr(c: Column) = concat(
         when(c % 2 === 0, lit("c")).otherwise(lit("s")),
         shiftright(c, 1).cast("string"))
-      Graph.labelPropagation(pairs, "a", "b", iterations = 3)
+      Graph.labelPropagation(pairs, "a", "b", iterations = 3, pinEvery = 3)
         .select(nodeStr(col("v")).as("node"), nodeStr(col("label")).as("community"))
         .orderBy(col("community"), col("node"))
     }),

@@ -133,8 +133,10 @@ object Graph {
     * result to free the edge table and final round's pin.
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-      iterations: Int, checkpointDir: Option[String] = None): DataFrame = {
+      iterations: Int, checkpointDir: Option[String] = None,
+      pinEvery: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
+    require(pinEvery >= 1 && pinEvery <= 5, "pinEvery in [1, 5]")
     val lazyPin = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
     val pin     = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
     val p0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -151,12 +153,16 @@ object Graph {
       val next = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
         .select(col("dst").as("v"), (-col("s.nl")).as("label"))
-      if (i < iterations) {
+      // pinEvery = cadence of lineage truncation, exactly as pageRankInt:
+      // a short unroll (iterations <= pinEvery) runs as ONE job with no
+      // mid-loop materialization barrier; lineage depth pinEvery is the
+      // documented recovery bound
+      if (i < iterations && i % pinEvery == 0) {
         val pinned = pin(next)
         lastPinned.foreach(Checkpoints.release) // superseded round
         lastPinned = Some(pinned)
         labels = pinned
-      } else labels = next // final round stays lazy for the caller's plan
+      } else labels = next // final round (and un-pinned rounds): lazy
     }
     labels
   }

@@ -131,10 +131,11 @@ class GraphSpec extends AnyFunSuite {
       }
       labels
     }
-    for (iters <- Seq(1, 2, 3)) {
-      val got = Graph.labelPropagation(pairs.toDF("a", "b"), "a", "b", iters)
+    for (iters <- Seq(1, 2, 3); pinEvery <- Seq(1, 3)) {
+      val got = Graph.labelPropagation(pairs.toDF("a", "b"), "a", "b", iters,
+          pinEvery = pinEvery)
         .as[(Long, Long)].collect().toMap
-      assert(got == reference(iters), s"diverged at $iters iterations")
+      assert(got == reference(iters), s"diverged at $iters iterations (pinEvery=$pinEvery)")
     }
   }
 }
