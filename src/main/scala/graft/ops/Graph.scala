@@ -124,7 +124,10 @@ object Graph {
     * `row_number() OVER (ORDER BY cnt DESC, label ASC)`. Fixed
     * `iterations` (synchronous LPA may oscillate on bipartite structure —
     * the fixed-round form is the deterministic, oracle-able contract;
-    * convergence is not claimed).
+    * convergence is not claimed). Self-loops are ignored for voting — a
+    * node whose only edges are self-loops is still a node, and keeps its
+    * own label through every round (it votes for nothing and nothing
+    * votes for it).
     *
     * Scale shape: per round one edge⋈labels join + two hash aggregates —
     * the same Pregel-shaped plan as [[pageRankInt]], with per-round pins
@@ -140,19 +143,25 @@ object Graph {
     val lazyPin = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
     val pin     = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
     val p0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // node set from EVERY endpoint (self-loops included) — the voting edge
+    // set drops self-loops, but that must not delete the node itself
+    val nodes = lazyPin(
+      p0.select(col("src").as("v")).union(p0.select(col("dst").as("v"))).distinct())
     val edges = lazyPin(
       p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
+    var labels = nodes.select(col("v"), col("v").as("label"))
     var lastPinned: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val votes = edges.join(labels, col("src") === col("v"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val next = votes.groupBy(col("dst"))
+      val won = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
-        .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+        .select(col("dst").as("v2"), (-col("s.nl")).as("wl"))
+      // a node with no proper neighbors receives no votes → keeps its label
+      val next = labels.join(won, col("v") === col("v2"), "left")
+        .select(col("v"), coalesce(col("wl"), col("label")).as("label"))
       // pinEvery = cadence of lineage truncation, exactly as pageRankInt:
       // a short unroll (iterations <= pinEvery) runs as ONE job with no
       // mid-loop materialization barrier; lineage depth pinEvery is the

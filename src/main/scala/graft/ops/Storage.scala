@@ -24,14 +24,31 @@ object Storage {
     * O(100 MB–1 GB) — resize means rewrite.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int, mode: String = "overwrite"): Unit = {
     require(keys.nonEmpty && buckets >= 1, "need at least one key and bucket")
     require(!table.contains("."), s"unqualified table name expected, got $table")
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     // True overwrite even across sessions: with a non-persistent catalog the
     // managed location can survive while the table entry does not, and the
     // CREATE path then refuses the non-empty directory.
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
+    if (mode == "append" && !spark.catalog.tableExists(table)) {
+      // The catalog entry is gone but the location may hold a previous
+      // session's data: appending would CREATE a fresh table over it
+      // (cryptic failure) or silently orphan the old rows. Fail with the
+      // real diagnosis — cross-session bucketed-table maintenance needs a
+      // persistent catalog (e.g. Hive metastore); within one session,
+      // append only after an overwrite created the table.
+      val loc = new Path(
+        org.apache.spark.sql.graftbridge.CatalogBridge.defaultTablePath(spark, table))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(loc),
+        s"append to $table: no catalog entry but $loc exists — a previous " +
+          "session's table survived the catalog; rebuild with mode=overwrite " +
+          "or use a persistent catalog for cross-session maintenance")
+      // location clean: fall through — append to a non-existent table creates it
+    }
+    if (mode == "overwrite" && !spark.catalog.tableExists(table)) {
       // Resolve the managed location via the CATALOG, not by re-deriving
       // the warehouse/<db>.db/<table> convention — bare warehouse/<table>
       // is only right for `default` (and would point at, and delete,
@@ -54,7 +71,7 @@ object Storage {
       }
     }
     df.write
-      .mode("overwrite")
+      .mode(mode)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

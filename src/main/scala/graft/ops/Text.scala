@@ -574,23 +574,23 @@ object Text {
       buckets: Int,
       mode: String = "overwrite"): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    val spark = corpus.sparkSession
     val sh = corpus
       .select(col(idCol).as("id"), col(textCol))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
-    val sig = sh.select(col("id"),
+    def sigOf(src: DataFrame) = src.select(col("id"),
       posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
-    if (mode == "overwrite") {
-      Storage.writeBucketed(sig, s"${tablePrefix}_sig", Seq("band", "hv"), buckets)
-      Storage.writeBucketed(sh, s"${tablePrefix}_sh", Seq("id"), buckets)
-    } else {
-      sig.write.mode("append").format("parquet")
-        .bucketBy(buckets, "band", "hv").sortBy("band", "hv")
-        .saveAsTable(s"${tablePrefix}_sig")
-      sh.write.mode("append").format("parquet")
-        .bucketBy(buckets, "id").sortBy("id")
-        .saveAsTable(s"${tablePrefix}_sh")
-    }
+    Storage.writeBucketed(sh, s"${tablePrefix}_sh", Seq("id"), buckets, mode)
+    // Derive signatures FROM THE WRITTEN shingle table on a full build, so
+    // the expensive pass (corpus scan + repartition + shingling) runs ONCE,
+    // not once per output table. On append the increment is small by
+    // contract, so recomputing its shingles is cheaper than pinning —
+    // but it must come from the batch, not the (corpus+batch) table.
+    val sigSrc =
+      if (mode == "overwrite") spark.table(s"${tablePrefix}_sh") else sh
+    Storage.writeBucketed(sigOf(sigSrc), s"${tablePrefix}_sig",
+      Seq("band", "hv"), buckets, mode)
   }
 
   /** D3 incremental fuzzy dedup against a PERSISTED index (see
@@ -616,6 +616,7 @@ object Text {
     val spark = batch.sparkSession
     val bsh = batch
       .select(col(idCol).as("id"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism) // see minhashNearDupPairs
       .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
     val bsig = bsh.select(col("id"),
       posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))

@@ -115,19 +115,25 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("labelPropagation matches an in-memory reference (sync rounds, min-label ties)") {
-    // two triangles joined by a bridge, plus a pendant — exercises ties,
-    // asymmetric degrees, and cross-community pull
+    // two triangles joined by a bridge, a pendant, and a self-loop-only
+    // node — exercises ties, asymmetric degrees, cross-community pull, and
+    // the keep-own-label contract for nodes with no proper neighbors
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
-      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L), (12L, 20L))
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L), (12L, 20L), (30L, 30L))
     def reference(iters: Int): Map[Long, Long] = {
-      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
-        .mapValues(_.map(_._2)).toMap
-      var labels = adj.keys.map(v => v -> v).toMap
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val adj = (pairs ++ pairs.map(_.swap)).filter(p => p._1 != p._2)
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels = nodes.map(v => v -> v).toMap
       (1 to iters).foreach { _ =>
-        labels = adj.map { case (v, ns) =>
-          val votes = ns.groupBy(labels).view.mapValues(_.size)
-          v -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
-        }
+        labels = nodes.map { v =>
+          adj.get(v) match {
+            case Some(ns) =>
+              val votes = ns.groupBy(labels).view.mapValues(_.size)
+              v -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+            case None => v -> labels(v) // self-loop-only: keeps its label
+          }
+        }.toMap
       }
       labels
     }
