@@ -595,6 +595,77 @@ object SparkEntry {
           (floor(col("e._3") * 1000000 + 0.5) / 1000000).as("cov"))
         .orderBy(col("i"), col("j"))
     }),
+
+    // Product quantization (2 subspaces × 4 codewords, 1 Lloyd round from
+    // the 4 smallest-id seeds): per vector its two codes and the cosine
+    // between the vector and its 2-byte reconstruction — the compression-
+    // quality readout. Training is one corpus pass (all subspaces in one
+    // groupBy); encode is expression-only
+    "q178_pq_encode" -> ((s, d) => {
+      val e  = t(s, d, "embeddings")
+      val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+      val recon = Clustering.pqReconstruct(col("codes"), cb)
+      Clustering.pqEncode(
+          e.filter(col("embedding").isNotNull && size(col("embedding")) === cb.dim),
+          "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("code0"),
+          element_at(col("codes"), 2).as("code1"),
+          Summaries.r4(Similarity.dot(col("embedding"), recon) /
+            (Similarity.norm(col("embedding")) * Similarity.norm(recon))).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Asymmetric-distance (ADC) top-3 over the PQ codes: probes stay exact,
+    // the corpus is scored purely from its 2-byte codes via literal-map
+    // codeword lookups — candidates never decompress in the join. Ranking
+    // is the bounded TopKPairs aggregate (k per group pre-exchange), not a
+    // window sort. (At corpus scale the candidate set composes with IVF
+    // cells — pqAdcDist scaladoc; here the oracle-checkable flat sweep.)
+    "q179_pq_adc" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+      val clean  = e.filter(size(col("embedding")) === cb.dim)
+      val enc    = Clustering.pqEncode(clean, "embedding", cb)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      val probes = clean.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val cand = enc.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5)
+            / 1000000).as("d6"))
+      Similarity.rankTopK(
+          cand.select(col("probe_id"), col("neighbor_id"), (-col("d6")).as("sim")), 3)
+        .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Supervised doc-quality model fit in-engine: logistic regression on
+    // standardized (ln length, space-ratio) features, label = lang == 'en',
+    // 3 full-batch GD steps — each step ONE partial-aggregated corpus pass
+    // (d+1 sums cross the exchange, never rows). Output: the scored sample
+    // with the final weights, every float rounded for cross-engine replay
+    "q180_logreg_quality" -> ((s, d) => {
+      def r6d(v: Double) = math.floor(v * 1000000 + 0.5) / 1000000
+      val docs = t(s, d, "documents").filter(length(col("text")) > 0)
+      val len  = length(col("text")).cast("double")
+      val x1   = log(lit(1.0) + len)
+      val x2   = (len - length(translate(col("text"), " ", "")).cast("double")) / len
+      val st = docs.agg(
+        avg(x1).as("m1"), stddev_pop(x1).as("s1"),
+        avg(x2).as("m2"), stddev_pop(x2).as("s2")).collect().head
+      val (m1, s1, m2, s2) =
+        (r6d(st.getDouble(0)), r6d(st.getDouble(1)), r6d(st.getDouble(2)), r6d(st.getDouble(3)))
+      val feats = Seq((x1 - lit(m1)) / lit(s1), (x2 - lit(m2)) / lit(s2))
+      val y     = (col("lang") === "en").cast("double")
+      val wts   = Clustering.logisticFit(docs, feats, y, iters = 3, lr = 1.0)
+      val sc4   = Summaries.r4(Clustering.logisticScore(feats, wts))
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), sc4.as("score4"), (sc4 >= 0.5).cast("int").as("pred"),
+          y.cast("int").as("is_en"),
+          lit(wts(0)).as("w0"), lit(wts(1)).as("w1"), lit(wts(2)).as("w2"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** SQL-closure / windows / JSON / composition surface: SURVEY §2.3
@@ -2964,7 +3035,106 @@ object SparkEntry {
                 floor(embedding[1]::DOUBLE * 10000 + 0.5)/10000 AS first_val,
                 floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)) * 10000 + 0.5)/10000 AS l2norm
          FROM embeddings ORDER BY vec_id""",
+
+    "q178_pq_encode" ->
+      s"""${pqTrainCtesSql()},
+         r AS (SELECT e2.vec_id, e2.v, k0.cid code0, k1.cid code1, list_concat(cc0.c, cc1.c) rv
+               FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
+                       JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid)
+         SELECT vec_id, code0, code1,
+                floor(list_reduce(list_prepend(0.0::DOUBLE, [v[i] * rv[i] for i in range(1, len(v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in rv]), (a, b) -> a + b)))
+                      * 10000 + 0.5)/10000 AS recon_cos
+         FROM r ORDER BY vec_id""",
+
+    "q179_pq_adc" ->
+      s"""${pqTrainCtesSql()},
+         enc AS (SELECT e2.vec_id, cc0.c w0, cc1.c w1
+                 FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
+                         JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid),
+         cand AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+                    floor((list_reduce(list_prepend(0.0::DOUBLE,
+                             [(p.v0[i] - c.w0[i]) * (p.v0[i] - c.w0[i]) for i in range(1, len(p.v0) + 1)]), (a, b) -> a + b)
+                           + list_reduce(list_prepend(0.0::DOUBLE,
+                             [(p.v1[i] - c.w1[i]) * (p.v1[i] - c.w1[i]) for i in range(1, len(p.v1) + 1)]), (a, b) -> a + b))
+                          * 1000000 + 0.5)/1000000 d6
+                  FROM e2 p JOIN enc c ON p.vec_id % 25 = 0 AND p.vec_id <> c.vec_id)
+         SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
+         WHERE rn <= 3 ORDER BY probe_id, rank""",
+
+    "q180_logreg_quality" ->
+      s"""WITH docs AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE y,
+                ln(1.0 + length(text)::DOUBLE) x1,
+                (length(text)::DOUBLE - length(replace(text, ' ', ''))::DOUBLE) / length(text)::DOUBLE x2
+              FROM documents WHERE length(text) > 0),
+         st AS (SELECT floor(avg(x1)*1000000+0.5)/1000000 m1, floor(stddev_pop(x1)*1000000+0.5)/1000000 s1,
+                       floor(avg(x2)*1000000+0.5)/1000000 m2, floor(stddev_pop(x2)*1000000+0.5)/1000000 s2 FROM docs),
+         f AS (SELECT doc_id, y, (x1 - m1) / s1 z1, (x2 - m2) / s2 z2 FROM docs, st),
+         g0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2),
+         ${gdStepSql("g1", "g0")},
+         ${gdStepSql("g2", "g1")},
+         ${gdStepSql("g3", "g2")},
+         sel AS (SELECT f.doc_id, f.y, 1.0/(1.0 + exp(-((g3.w0 + f.z1*g3.w1) + f.z2*g3.w2))) sc,
+                        g3.w0 w0, g3.w1 w1, g3.w2 w2
+                 FROM f, g3 WHERE f.doc_id % 20 = 0)
+         SELECT doc_id, floor(sc*10000+0.5)/10000 AS score4,
+                (floor(sc*10000+0.5)/10000 >= 0.5)::INT AS pred,
+                y::INT AS is_en, w0, w1, w2
+         FROM sel ORDER BY doc_id""",
   )
+
+  /** Shared PQ-training replay for q178/q179: nSub=2 subspaces × k=4
+    * codewords, one Lloyd round from the 4 smallest-id seeds — the
+    * [[graft.ops.Clustering.pqTrain]] contract (per-candidate distances
+    * rounded 1e-6 with ties to the lowest code, means rounded 1e-4).
+    * Yields CTEs `e2` (vec_id, v, v0, v1 half-slices), `c0`/`c1` (trained
+    * codebooks) and `k0`/`k1` (final per-vector codes).
+    */
+  private def pqTrainCtesSql(): String = {
+    def asg(out: String, book: String, vcol: String) =
+      s"""$out AS (SELECT vec_id, cid FROM (
+            SELECT e2.vec_id, $book.cid,
+                   row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                     floor(list_reduce(list_prepend(0.0::DOUBLE,
+                       [(e2.$vcol[i] - $book.c[i]) * (e2.$vcol[i] - $book.c[i]) for i in range(1, len(e2.$vcol) + 1)]),
+                       (a, b) -> a + b) * 1000000 + 0.5)/1000000, $book.cid) rn
+            FROM e2 CROSS JOIN $book) WHERE rn = 1)"""
+    def mean(out: String, asgn: String, vcol: String) =
+      s"""$out AS (SELECT cid, list(m ORDER BY i) c FROM (
+            SELECT $asgn.cid cid, i, floor(avg(x) * 10000 + 0.5)/10000 m
+            FROM (SELECT vec_id, unnest($vcol) x, generate_subscripts($vcol, 1) i FROM e2) t
+            JOIN $asgn ON t.vec_id = $asgn.vec_id GROUP BY $asgn.cid, i) GROUP BY cid)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(embedding) = (SELECT len(embedding) FROM embeddings
+                                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)),
+         e2 AS (SELECT vec_id, v, v[1:32] v0, v[33:64] v1 FROM e),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         s0 AS (SELECT cid, v[1:32] c FROM seeds),
+         s1 AS (SELECT cid, v[33:64] c FROM seeds),
+         ${asg("a0", "s0", "v0")},
+         ${asg("a1", "s1", "v1")},
+         ${mean("c0", "a0", "v0")},
+         ${mean("c1", "a1", "v1")},
+         ${asg("k0", "c0", "v0")},
+         ${asg("k1", "c1", "v1")}"""
+  }
+
+  /** One full-batch gradient step of the q180 logistic fit as a 1-row CTE:
+    * w ← round6(w + Σ(y − σ(w·x))·x / n) with the same association order
+    * as [[graft.ops.Clustering.logisticFit]]/[[graft.ops.Clustering.logisticScore]].
+    */
+  private def gdStepSql(out: String, prev: String): String = {
+    val sig = s"1.0/(1.0 + exp(-(($prev.w0 + f.z1*$prev.w1) + f.z2*$prev.w2)))"
+    s"""$out AS (SELECT
+          floor(($prev.w0 + sum(1.0  * (f.y - $sig)) / count(*))*1000000+0.5)/1000000 w0,
+          floor(($prev.w1 + sum(f.z1 * (f.y - $sig)) / count(*))*1000000+0.5)/1000000 w1,
+          floor(($prev.w2 + sum(f.z2 * (f.y - $sig)) / count(*))*1000000+0.5)/1000000 w2
+        FROM f, $prev GROUP BY $prev.w0, $prev.w1, $prev.w2)"""
+  }
 
   // `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as long nanos and
   // [[Tables.t]] truncates to µs; the oracle mirrors that exact truncation

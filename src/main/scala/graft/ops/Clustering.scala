@@ -37,14 +37,21 @@ object Clustering {
     * last-bit float noise.
     */
   def assignClusters(df: DataFrame, vecCol: String,
-      centroids: Seq[(Int, Seq[Double])], outCol: String = "cluster"): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])], outCol: String = "cluster"): DataFrame =
+    df.withColumn(outCol, nearestCode(col(vecCol), centroids))
+
+  /** The argmin itself as a Column — shared by [[assignClusters]] and the
+    * per-subspace product-quantization encode, where the input is a SLICE
+    * of the vector rather than a named column.
+    */
+  private def nearestCode(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
     val cands = array(centroids.map { case (cid, c) =>
       struct(
-        (floor(sqDist(col(vecCol), c) * 1000000 + 0.5) / 1000000).as("d"),
+        (floor(sqDist(v, c) * 1000000 + 0.5) / 1000000).as("d"),
         lit(cid).as("cid"))
     }: _*)
-    df.withColumn(outCol, array_min(cands).getField("cid"))
+    array_min(cands).getField("cid")
   }
 
   /** Lloyd's k-means over an embedding column: k deterministic seeds (the
@@ -329,6 +336,178 @@ object Clustering {
       Similarity.dot(v, typedLit(b.toSeq)) / math.sqrt(lambda)
     }: _*)
   }
+
+  // ---- product quantization -------------------------------------------------
+
+  /** Squared L2 distance between two array COLUMNS (the codeword is data,
+    * not a literal), accumulated in double left-to-right — the Column
+    * counterpart of [[sqDist]], same fold order, same replay contract.
+    */
+  def sqDistC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, z) => acc + z)
+
+  /** Trained product-quantization model: `books(s)` holds subspace `s`'s
+    * surviving codewords as (code, centroid-of-width-`width`) — codes keep
+    * their seed identity (a codeword that captures no rows vanishes, like
+    * [[kmeans]] clusters), so code values are stable across re-trains from
+    * the same corpus prefix.
+    */
+  case class PqCodebooks(dim: Int, nSub: Int, books: Seq[Seq[(Int, Seq[Double])]]) {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    def width: Int = dim / nSub
+    private[Clustering] def bookMap(s: Int): Column =
+      typedLit(books(s).toMap)
+  }
+
+  /** Train product-quantization codebooks: the d-dim space splits into
+    * `nSub` contiguous width-d/nSub subspaces and each runs Lloyd's k-means
+    * independently ([Jégou et al. 2011, "Product quantization for nearest
+    * neighbor search"]). Memory economics at 100 TB: a 64-dim float vector
+    * is 256 B; its PQ code is `nSub` bytes — the corpus index fits in RAM
+    * three orders of magnitude sooner, which is the difference between an
+    * in-memory ANN sweep and an I/O-bound one.
+    *
+    * ALL subspaces train in ONE corpus pass per iteration: each row explodes
+    * to `nSub` (sub, code, subvector) entries and a single
+    * `groupBy(sub, code)` recomputes every codebook's means — the explode
+    * never reaches the exchange because partial aggregation collapses it
+    * task-side to ≤ nSub·k mean buffers (the [[kmeans]] k-row-shuffle
+    * economics, multiplied only by nSub). Seeds are the k smallest-id
+    * vectors' slices ([[seedCentroids]] — content-addressed, replayable);
+    * per-candidate distances round at 1e-6 and means at 1e-4, the
+    * [[kmeans]] cross-engine replay contract.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, nSub: Int, k: Int,
+      iters: Int): PqCodebooks = {
+    require(nSub >= 1 && k >= 1 && iters >= 1, "nSub, k, iters must be positive")
+    val seeds = seedCentroids(df, idCol, vecCol, k)
+    require(seeds.nonEmpty, "pqTrain needs at least one non-null vector")
+    val dim = seeds.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val w = dim / nSub
+    val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    def sub(s: Int): Column = slice(col(vecCol), s * w + 1, w)
+    var books: Seq[Seq[(Int, Seq[Double])]] =
+      (0 until nSub).map(s => seeds.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * w, (s + 1) * w))
+      })
+    for (_ <- 1 to iters) {
+      val entries = array((0 until nSub).map { s =>
+        struct(lit(s).as("sub"), nearestCode(sub(s), books(s)).as("code"),
+          sub(s).as("sv"))
+      }: _*)
+      val stats = clean.select(explode(entries).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(Similarity.vectorMean(col("sv")).as("c"))
+        .select(col("sub"), col("code"),
+          transform(col("c"), x => floor(x * 10000 + 0.5) / 10000).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      books = (0 until nSub).map(s =>
+        stats.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    }
+    PqCodebooks(dim, nSub, books)
+  }
+
+  /** Encode each vector as `nSub` small codes — per subspace the argmin
+    * over that subspace's codebook, the same rounded-distance/lowest-code
+    * tie contract as [[assignClusters]]. Pure scan-stage expression work:
+    * no join, no shuffle, one compiled pass (ClusteringSpec pins the
+    * plan). Rows whose vector is NULL or off-dimension get NULL codes
+    * rather than silently joining codeword 0.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, cb: PqCodebooks,
+      outCol: String = "codes"): DataFrame = {
+    val w = cb.width
+    val codes = array((0 until cb.nSub).map { s =>
+      nearestCode(slice(col(vecCol), s * w + 1, w), cb.books(s))
+    }: _*)
+    df.withColumn(outCol,
+      when(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim, codes))
+  }
+
+  /** Reconstruct the quantized vector from its codes: the concatenation of
+    * each subspace's codeword — `element_at` on a broadcast literal map,
+    * expression-only like [[pqEncode]].
+    */
+  def pqReconstruct(codes: Column, cb: PqCodebooks): Column =
+    flatten(array((0 until cb.nSub).map { s =>
+      element_at(cb.bookMap(s), element_at(codes, s + 1))
+    }: _*))
+
+  /** Asymmetric-distance computation: approximate squared L2 between an
+    * EXACT probe vector and an ENCODED candidate — Σ over subspaces of
+    * ‖probe_s − codeword(code_s)‖². The probe side stays exact (that is
+    * the "asymmetric" in ADC — only the corpus is quantized), candidates
+    * never decompress to full vectors in the pairing join; the codeword
+    * lookup is a literal-map `element_at`. Compose with [[Similarity.ivfTopK]]
+    * cells to bound the candidate set: IVF prunes WHICH candidates are
+    * scored, PQ shrinks WHAT is stored and compared — together the
+    * standard IVF-PQ index layout.
+    */
+  def pqAdcDist(probe: Column, codes: Column, cb: PqCodebooks): Column = {
+    val w = cb.width
+    (0 until cb.nSub).map { s =>
+      sqDistC(slice(probe, s * w + 1, w), element_at(cb.bookMap(s), element_at(codes, s + 1)))
+    }.reduce(_ + _)
+  }
+
+  // ---- supervised: logistic regression by aggregate-driven gradient descent
+
+  /** Full-batch logistic regression fit, the model-as-driver-state pattern
+    * of [[kmeans]] applied to a supervised quality model (the fastText-style
+    * doc-quality classifier of a curation pipeline, fit in-engine): weights
+    * start at 0 and take `iters` gradient steps
+    * w ← w + lr·Σ(y − σ(w·x))·x / n, each step ONE corpus pass reduced by
+    * partial aggregation to d+1 sums — no row ever shuffles, the exchange
+    * carries one buffer per task at any corpus size. Features arrive as
+    * COLUMNS (standardize them first — raw scales make fixed-lr GD
+    * diverge); a bias term is prepended internally. Weights round at 1e-6
+    * after every step, so a replaying engine ([[graft.SparkEntry.oracleSql]]'s
+    * DuckDB twin) stays bit-aligned across iterations: the only
+    * cross-engine float hazard left is `exp` differing in its last ulp,
+    * which the per-step rounding absorbs.
+    *
+    * @return d+1 weights: bias first, then one per feature, in order.
+    */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+      iters: Int, lr: Double): Seq[Double] = {
+    require(features.nonEmpty && iters >= 1 && lr > 0, "need features, iters >= 1, lr > 0")
+    val d = features.length + 1
+    var wts: Seq[Double] = Seq.fill(d)(0.0)
+    val x = array((lit(1.0) +: features.map(_.cast("double"))): _*)
+    val y = label.cast("double")
+    for (_ <- 1 to iters) {
+      val resid = y - logisticScore(features, wts)
+      val aggs = (0 until d).map(i => sum(element_at(x, i + 1) * resid).as(s"g$i")) :+
+        count(lit(1)).as("n")
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      require(!row.isNullAt(0), "logisticFit: empty input")
+      val n = row.getLong(d).toDouble
+      wts = (0 until d).map(i => round6(wts(i) + lr * row.getDouble(i) / n))
+    }
+    wts
+  }
+
+  /** σ(w·x) as a scan-stage Column over feature columns — scoring is pure
+    * expression work (broadcast weights, no join); the dot product
+    * associates left-to-right from the bias so a replaying engine writes
+    * the same arithmetic: ((w0 + f1·w1) + f2·w2) + …
+    */
+  def logisticScore(features: Seq[Column], wts: Seq[Double]): Column = {
+    require(wts.length == features.length + 1,
+      s"expected ${features.length + 1} weights (bias first), got ${wts.length}")
+    val z = features.zip(wts.tail).foldLeft(lit(wts.head): Column) {
+      case (acc, (f, wi)) => acc + f.cast("double") * lit(wi)
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  private def round6(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000
 
   private def powerIterationDense(m: Array[Array[Double]], d: Int, steps: Int): Array[Double] = {
     // deterministic but NON-uniform start: the uniform vector is exactly

@@ -166,4 +166,74 @@ class ClusteringSpec extends AnyFunSuite {
       .as[Seq[Double]].head()
     assert(p == Seq(2.0, 4.0))
   }
+
+  // four blobs distinguishable per HALF of the vector: the first two dims
+  // separate {A,B}|{C,D}, the last two separate {A,C}|{B,D} — so a 2-subspace
+  // PQ must give each blob a distinct (code0, code1) pair
+  private def pqBlobs = (0 until 48).map { i =>
+    val a = if (i % 4 < 2) 10.0f else -10.0f
+    val b = if (i % 2 == 0) 10.0f else -10.0f
+    (i.toLong, Seq(a + (i % 3) * 0.1f, a, b, b - (i % 5) * 0.1f))
+  }.toDF("vec_id", "embedding")
+    .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  test("pq: blob structure survives the codes; reconstruction is near; encode never shuffles") {
+    val cb = Clustering.pqTrain(pqBlobs, "vec_id", "embedding", nSub = 2, k = 2, iters = 2)
+    assert(cb.dim == 4 && cb.width == 2 && cb.books.forall(_.nonEmpty))
+    val enc = Clustering.pqEncode(pqBlobs, "embedding", cb)
+    // expression-only encode: no exchange, no join anywhere in the plan
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"pqEncode must be scan-stage expression work:\n$plan")
+    val codes = enc.select(col("vec_id"),
+        element_at(col("codes"), 1), element_at(col("codes"), 2))
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // same blob → same code pair; the four blobs get four distinct pairs
+    assert((0 until 48).forall(i => codes(i.toLong) == codes((i % 4).toLong)))
+    assert(codes.values.toSet.size == 4)
+    // reconstruction lands near the original (blob radius ≪ blob separation)
+    val recon = enc.select(
+      Clustering.sqDistC(col("embedding"), Clustering.pqReconstruct(col("codes"), cb)))
+      .as[Double].collect()
+    assert(recon.forall(_ < 0.2), s"max recon sq-err ${recon.max}")
+  }
+
+  test("pq: ADC distance IS the distance to the reconstruction; null/off-dim rows get null codes") {
+    val cb = Clustering.pqTrain(pqBlobs, "vec_id", "embedding", nSub = 2, k = 2, iters = 1)
+    // identity that makes ADC trustworthy: scoring from codes must equal
+    // scoring against the decompressed vector (same math, no decompression
+    // in the join is purely an economics difference)
+    val probe = typedLit(Seq(9.5, 10.0, -10.0, -9.8))
+    val both = Clustering.pqEncode(pqBlobs, "embedding", cb)
+      .select(
+        Clustering.pqAdcDist(probe, col("codes"), cb).as("adc"),
+        Clustering.sqDistC(probe, Clustering.pqReconstruct(col("codes"), cb)).as("direct"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (adc, direct) => assert(math.abs(adc - direct) < 1e-9) }
+    val odd = Seq((1L, Some(Seq(1.0f, 2.0f, 3.0f, 4.0f))), (2L, None),
+      (3L, Some(Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    val oc = Clustering.pqEncode(odd, "embedding", cb)
+      .select(col("vec_id"), col("codes")).as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(oc(1L).isDefined && oc(2L).isEmpty && oc(3L).isEmpty)
+  }
+
+  test("logisticFit learns a separable rule, deterministically across layouts") {
+    val df = (0 until 200).map { i =>
+      val x = (i % 21).toDouble - 10.0 // -10..10
+      (i.toLong, x / 10.0, (i % 7).toDouble / 7.0, if (x > 0) 1.0 else 0.0)
+    }.toDF("id", "x1", "noise", "y")
+    val feats = Seq(col("x1"), col("noise"))
+    val w = Clustering.logisticFit(df, feats, col("y"), iters = 50, lr = 2.0)
+    assert(w.length == 3)
+    assert(w(1) > 1.0, s"separating weight should grow positive, got $w")
+    // the fitted rule classifies the training set correctly away from 0
+    val acc = df.filter(col("x1") =!= 0.0)
+      .select((Clustering.logisticScore(feats, w) >= 0.5).cast("int") === col("y").cast("int"))
+      .as[Boolean].collect()
+    assert(acc.count(identity).toDouble / acc.length > 0.95)
+    // per-step 1e-6 weight rounding absorbs partition-order float noise:
+    // same weights from a 1-partition and a 13-partition layout
+    val w2 = Clustering.logisticFit(df.repartition(13), feats, col("y"), 50, 2.0)
+    assert(w == w2)
+  }
 }
