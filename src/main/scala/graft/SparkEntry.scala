@@ -640,33 +640,87 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // IVF-PQ: cell-pruned candidates (probe the 6 nearest of 8 cells)
+    // scored straight from 2-byte PQ codes — the FAISS-style index layout
+    // where the stored side of the join carries codes, not vectors
+    "q181_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", cb, nCells = 8, k = 3, nProbe = 6)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Persisted IVF-PQ index: one-time build of the frozen model (cells +
+    // codebooks) and the bucketed code table, then a probe batch searches
+    // with the STORED model — the corpus is never re-scanned or re-encoded
+    // and its side of the join carries 2-byte codes, not vectors
+    "q183_pq_index_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val prefix = s"q183_pq_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx")) {
+        val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+        Similarity.writePqIndex(e, "vec_id", "embedding", cb, nCells = 8, prefix, buckets = 4)
+      }
+      Similarity.searchPqIndex(e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", prefix, k = 3, nProbe = 6)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Supervised doc-quality model fit in-engine: logistic regression on
     // standardized (ln length, space-ratio) features, label = lang == 'en',
     // 3 full-batch GD steps — each step ONE partial-aggregated corpus pass
     // (d+1 sums cross the exchange, never rows). Output: the scored sample
     // with the final weights, every float rounded for cross-engine replay
     "q180_logreg_quality" -> ((s, d) => {
-      def r6d(v: Double) = math.floor(v * 1000000 + 0.5) / 1000000
-      val docs = t(s, d, "documents").filter(length(col("text")) > 0)
-      val len  = length(col("text")).cast("double")
-      val x1   = log(lit(1.0) + len)
-      val x2   = (len - length(translate(col("text"), " ", "")).cast("double")) / len
-      val st = docs.agg(
-        avg(x1).as("m1"), stddev_pop(x1).as("s1"),
-        avg(x2).as("m2"), stddev_pop(x2).as("s2")).collect().head
-      val (m1, s1, m2, s2) =
-        (r6d(st.getDouble(0)), r6d(st.getDouble(1)), r6d(st.getDouble(2)), r6d(st.getDouble(3)))
-      val feats = Seq((x1 - lit(m1)) / lit(s1), (x2 - lit(m2)) / lit(s2))
-      val y     = (col("lang") === "en").cast("double")
-      val wts   = Clustering.logisticFit(docs, feats, y, iters = 3, lr = 1.0)
-      val sc4   = Summaries.r4(Clustering.logisticScore(feats, wts))
+      val (docs, feats, y, wts) = qualityModel(s, d)
+      val sc4 = Summaries.r4(Clustering.logisticScore(feats, wts))
       docs.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), sc4.as("score4"), (sc4 >= 0.5).cast("int").as("pred"),
           y.cast("int").as("is_en"),
           lit(wts(0)).as("w0"), lit(wts(1)).as("w1"), lit(wts(2)).as("w2"))
         .orderBy(col("doc_id"))
     }),
+
+    // Reliability diagram over the q180 model: fixed-width score bins,
+    // per-bin predicted-vs-observed rate — the calibration report a
+    // quality-filter rollout gates on before trusting the scores
+    "q182_calibration" -> ((s, d) => {
+      val (docs, feats, y, wts) = qualityModel(s, d)
+      val sc4 = Summaries.r4(Clustering.logisticScore(feats, wts))
+      docs.select(least(floor(sc4 * 10).cast("int"), lit(9)).as("bin"),
+          sc4.as("s4"), y.cast("int").as("yy"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("yy") === 1, 1)).as("n_pos"),
+          Summaries.exactAvg(col("s4"), 4).as("avg_score"))
+        .select(col("bin"), col("n"), col("n_pos"), col("avg_score"),
+          Summaries.r4(col("n_pos").cast("double") / col("n")).as("pos_rate"))
+        .orderBy(col("bin"))
+    }),
   )
+
+  /** The q180/q182 shared fit: standardized (ln length, space-ratio)
+    * features over non-empty documents, label = lang == 'en', 3 GD steps —
+    * stats and weights rounded 1e-6 (the [[graft.ops.Clustering.logisticFit]]
+    * replay contract).
+    */
+  private def qualityModel(s: SparkSession, d: String)
+      : (DataFrame, Seq[Column], Column, Seq[Double]) = {
+    def r6d(v: Double) = math.floor(v * 1000000 + 0.5) / 1000000
+    val docs = t(s, d, "documents").filter(length(col("text")) > 0)
+    val len  = length(col("text")).cast("double")
+    val x1   = log(lit(1.0) + len)
+    val x2   = (len - length(translate(col("text"), " ", "")).cast("double")) / len
+    val st = docs.agg(
+      avg(x1).as("m1"), stddev_pop(x1).as("s1"),
+      avg(x2).as("m2"), stddev_pop(x2).as("s2")).collect().head
+    val (m1, s1, m2, s2) =
+      (r6d(st.getDouble(0)), r6d(st.getDouble(1)), r6d(st.getDouble(2)), r6d(st.getDouble(3)))
+    val feats = Seq((x1 - lit(m1)) / lit(s1), (x2 - lit(m2)) / lit(s2))
+    val y     = (col("lang") === "en").cast("double")
+    val wts   = Clustering.logisticFit(docs, feats, y, iters = 3, lr = 1.0)
+    (docs, feats, y, wts)
+  }
 
   /** SQL-closure / windows / JSON / composition surface: SURVEY §2.3
     * F10/F11/F13/F16/F18, §2.4 U2, §2.7 A3/A7/A8, §2.8 O3, §2.9 W2/W3,
@@ -3064,18 +3118,65 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
          WHERE rn <= 3 ORDER BY probe_id, rank""",
 
+    "q181_ivfpq" ->
+      s"""${pqTrainCtesSql()},
+         ivfseeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, s_id AS cell, rn FROM (
+             SELECT e2.vec_id, e2.v, ivfseeds.s_id,
+                    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE, [e2.v[i] * ivfseeds.sv[i] for i in range(1, len(e2.v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e2.v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in ivfseeds.sv]), (a, b) -> a + b))) DESC,
+                      ivfseeds.s_id ASC) rn
+             FROM e2, ivfseeds)
+           WHERE rn <= 6),
+         enc AS (SELECT e2.vec_id, cc0.c w0, cc1.c w1
+                 FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
+                         JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid),
+         cand AS (SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+                    floor((list_reduce(list_prepend(0.0::DOUBLE,
+                             [(a.v[i] - w.w0[i]) * (a.v[i] - w.w0[i]) for i in range(1, 33)]), (x, y) -> x + y)
+                           + list_reduce(list_prepend(0.0::DOUBLE,
+                             [(a.v[i + 32] - w.w1[i]) * (a.v[i + 32] - w.w1[i]) for i in range(1, 33)]), (x, y) -> x + y))
+                          * 1000000 + 0.5)/1000000 d6
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id
+                       JOIN enc w ON w.vec_id = b.vec_id)
+         SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
+         WHERE rn <= 3 ORDER BY probe_id, rank""",
+
+    "q183_pq_index_search" ->
+      s"""${pqTrainCtesSql()},
+         ivfseeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, s_id AS cell, rn FROM (
+             SELECT e2.vec_id, e2.v, ivfseeds.s_id,
+                    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE, [e2.v[i] * ivfseeds.sv[i] for i in range(1, len(e2.v) + 1)]), (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e2.v]), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in ivfseeds.sv]), (a, b) -> a + b))) DESC,
+                      ivfseeds.s_id ASC) rn
+             FROM e2, ivfseeds)
+           WHERE rn <= 6),
+         enc AS (SELECT e2.vec_id, cc0.c w0, cc1.c w1
+                 FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
+                         JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid),
+         cand AS (SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+                    floor((list_reduce(list_prepend(0.0::DOUBLE,
+                             [(a.v[i] - w.w0[i]) * (a.v[i] - w.w0[i]) for i in range(1, 33)]), (x, y) -> x + y)
+                           + list_reduce(list_prepend(0.0::DOUBLE,
+                             [(a.v[i + 32] - w.w1[i]) * (a.v[i + 32] - w.w1[i]) for i in range(1, 33)]), (x, y) -> x + y))
+                          * 1000000 + 0.5)/1000000 d6
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id
+                       JOIN enc w ON w.vec_id = b.vec_id
+                  WHERE a.vec_id % 25 = 0)
+         SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
+         WHERE rn <= 3 ORDER BY probe_id, rank""",
+
     "q180_logreg_quality" ->
-      s"""WITH docs AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE y,
-                ln(1.0 + length(text)::DOUBLE) x1,
-                (length(text)::DOUBLE - length(replace(text, ' ', ''))::DOUBLE) / length(text)::DOUBLE x2
-              FROM documents WHERE length(text) > 0),
-         st AS (SELECT floor(avg(x1)*1000000+0.5)/1000000 m1, floor(stddev_pop(x1)*1000000+0.5)/1000000 s1,
-                       floor(avg(x2)*1000000+0.5)/1000000 m2, floor(stddev_pop(x2)*1000000+0.5)/1000000 s2 FROM docs),
-         f AS (SELECT doc_id, y, (x1 - m1) / s1 z1, (x2 - m2) / s2 z2 FROM docs, st),
-         g0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2),
-         ${gdStepSql("g1", "g0")},
-         ${gdStepSql("g2", "g1")},
-         ${gdStepSql("g3", "g2")},
+      s"""${logregCtesSql()},
          sel AS (SELECT f.doc_id, f.y, 1.0/(1.0 + exp(-((g3.w0 + f.z1*g3.w1) + f.z2*g3.w2))) sc,
                         g3.w0 w0, g3.w1 w1, g3.w2 w2
                  FROM f, g3 WHERE f.doc_id % 20 = 0)
@@ -3083,7 +3184,35 @@ object SparkEntry {
                 (floor(sc*10000+0.5)/10000 >= 0.5)::INT AS pred,
                 y::INT AS is_en, w0, w1, w2
          FROM sel ORDER BY doc_id""",
+
+    "q182_calibration" ->
+      s"""${logregCtesSql()},
+         sc AS (SELECT least(CAST(floor(s4 * 10) AS INT), 9) bin, s4, y::INT yy
+                FROM (SELECT f.y, floor(1.0/(1.0 + exp(-((g3.w0 + f.z1*g3.w1) + f.z2*g3.w2)))*10000+0.5)/10000 s4
+                      FROM f, g3))
+         SELECT bin, count(*) n, count(*) FILTER (WHERE yy = 1) n_pos,
+                CAST(SUM(CAST(s4 AS DECIMAL(27,4))) AS DOUBLE) / count(s4) AS avg_score,
+                floor(CAST(count(*) FILTER (WHERE yy = 1) AS DOUBLE) / count(*) * 10000 + 0.5)/10000 AS pos_rate
+         FROM sc GROUP BY bin ORDER BY bin""",
   )
+
+  /** The q180/q182 shared DuckDB replay of [[qualityModel]]: feature
+    * standardization stats rounded 1e-6, then three [[gdStepSql]] GD steps
+    * from zero weights. Yields CTEs `f` (doc_id, y, z1, z2) and `g3` (the
+    * final 1-row weight vector).
+    */
+  private def logregCtesSql(): String =
+    s"""WITH docs AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE y,
+              ln(1.0 + length(text)::DOUBLE) x1,
+              (length(text)::DOUBLE - length(replace(text, ' ', ''))::DOUBLE) / length(text)::DOUBLE x2
+            FROM documents WHERE length(text) > 0),
+       st AS (SELECT floor(avg(x1)*1000000+0.5)/1000000 m1, floor(stddev_pop(x1)*1000000+0.5)/1000000 s1,
+                     floor(avg(x2)*1000000+0.5)/1000000 m2, floor(stddev_pop(x2)*1000000+0.5)/1000000 s2 FROM docs),
+       f AS (SELECT doc_id, y, (x1 - m1) / s1 z1, (x2 - m2) / s2 z2 FROM docs, st),
+       g0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2),
+       ${gdStepSql("g1", "g0")},
+       ${gdStepSql("g2", "g1")},
+       ${gdStepSql("g3", "g2")}"""
 
   /** Shared PQ-training replay for q178/q179: nSub=2 subspaces × k=4
     * codewords, one Lloyd round from the 4 smallest-id seeds — the

@@ -98,3 +98,93 @@ case class NearestCells(
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Product-quantization asymmetric distance: Σ over subspaces of
+  * ‖probe_s − codeword(code_s)‖², with the codebooks riding as expression
+  * literals — the per-candidate-pair kernel of ADC search
+  * ([[graft.ops.Clustering.pqAdcDist]]).
+  *
+  * Exists for the same reason as [[CosineSimilarity]]: the
+  * `aggregate(zip_with(...))` HOF form it replaces is CodegenFallback and
+  * evaluates an interpreted lambda tree PER ELEMENT — measured 10×+ slower
+  * per pair, and ADC runs per CANDIDATE PAIR, the hottest loop of an index
+  * sweep. This is one virtual call into primitive loops.
+  *
+  * Arithmetic contract (bit-identical to the HOF form and the DuckDB
+  * `list_reduce` replay): per subspace the squared differences accumulate
+  * in double, sequentially in index order; subspace sums then add in
+  * subspace order. Probe may be array<float> or array<double> (an exact
+  * widening either way); codes are the array<int> of
+  * [[graft.ops.Clustering.pqEncode]].
+  */
+case class PqAdc(
+    left: Expression,
+    right: Expression,
+    books: Seq[Seq[(Int, Seq[Double])]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "pq_adc: empty codebooks")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val probeIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | org.apache.spark.sql.types.DoubleType, _),
+          ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (array<float|double> probe, array<int> codes), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  // codeword table indexed [subspace][code] — codes are the stable seed
+  // identities of pqTrain, so the table is dense up to the max surviving
+  // code; a vanished code's slot stays null and lookup fails loudly
+  @transient private lazy val table: Array[Array[Array[Double]]] = books.map { book =>
+    val t = new Array[Array[Double]](book.map(_._1).max + 1)
+    book.foreach { case (code, c) => t(code) = c.toArray }
+    t
+  }.toArray
+  @transient private lazy val width: Int = books.head.head._2.length
+
+  override protected def nullSafeEval(p: Any, c: Any): Any = {
+    val probe = p.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val nSub  = table.length
+    require(codes.numElements() == nSub,
+      s"pq_adc: ${codes.numElements()} codes for $nSub subspaces")
+    require(probe.numElements() == nSub * width,
+      s"pq_adc: probe dim ${probe.numElements()} != ${nSub * width}")
+    var total = 0.0
+    var s = 0
+    while (s < nSub) {
+      require(!codes.isNullAt(s), s"pq_adc: null code in subspace $s")
+      val code = codes.getInt(s)
+      require(code >= 0 && code < table(s).length && table(s)(code) != null,
+        s"pq_adc: unknown code $code in subspace $s")
+      val cw   = table(s)(code)
+      val base = s * width
+      var acc  = 0.0
+      var i    = 0
+      while (i < width) {
+        val x = if (probeIsFloat) probe.getFloat(base + i).toDouble
+                else probe.getDouble(base + i)
+        val d = x - cw(i)
+        acc += d * d
+        i += 1
+      }
+      total = if (s == 0) acc else total + acc
+      s += 1
+    }
+    total
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -443,17 +443,18 @@ object Clustering {
     * EXACT probe vector and an ENCODED candidate — Σ over subspaces of
     * ‖probe_s − codeword(code_s)‖². The probe side stays exact (that is
     * the "asymmetric" in ADC — only the corpus is quantized), candidates
-    * never decompress to full vectors in the pairing join; the codeword
-    * lookup is a literal-map `element_at`. Compose with [[Similarity.ivfTopK]]
-    * cells to bound the candidate set: IVF prunes WHICH candidates are
-    * scored, PQ shrinks WHAT is stored and compared — together the
-    * standard IVF-PQ index layout.
+    * never decompress to full vectors in the pairing join; the codebooks
+    * ride as literals inside the native [[graft.expr.PqAdc]] expression
+    * (the HOF form was interpreted per element — ScaleBench measured the
+    * flat sweep at 53 s for 4M pairs before the kernel went native).
+    * Compose with [[Similarity.ivfTopK]] cells to bound the candidate
+    * set: IVF prunes WHICH candidates are scored, PQ shrinks WHAT is
+    * stored and compared — together the standard IVF-PQ index layout.
     */
   def pqAdcDist(probe: Column, codes: Column, cb: PqCodebooks): Column = {
-    val w = cb.width
-    (0 until cb.nSub).map { s =>
-      sqDistC(slice(probe, s * w + 1, w), element_at(cb.bookMap(s), element_at(codes, s + 1)))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expr.PqAdc(
+      ColumnBridge.expression(probe), ColumnBridge.expression(codes), cb.books))
   }
 
   // ---- supervised: logistic regression by aggregate-driven gradient descent

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -259,6 +259,16 @@ object Similarity {
   private def ivfAssignN(
       df: DataFrame, idCol: String, vecCol: String, nCells: Int, nProbe: Int,
       seedByHash: Boolean = false): DataFrame = {
+    val (ids, vecs) = fetchCellSeeds(df, idCol, vecCol, nCells, seedByHash)
+    assignCellsWith(df, idCol, vecCol, ids, vecs, nProbe)
+  }
+
+  /** The codebook fetch of [[ivfAssignN]] as a reusable step: the nCells
+    * smallest-id (or hash-ordered) non-null vectors, returned driver-side —
+    * the bounded model artifact ([[ivfCellsFor]] keeps it √n-sized).
+    */
+  private def fetchCellSeeds(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seedByHash: Boolean): (Seq[Long], Seq[Seq[Float]]) = {
     val seedOrder =
       if (seedByHash) Seq(md5(concat(lit("seed:"), col("s_id").cast("string"))), col("s_id"))
       else Seq(col("s_id"))
@@ -272,12 +282,20 @@ object Similarity {
       .sortBy(_.getLong(0))
     require(seedRows.nonEmpty,
       s"ivfAssign: no rows with a non-null long $idCol and non-null $vecCol to seed the cells")
+    (seedRows.map(_.getLong(0)).toSeq, seedRows.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  /** Cell assignment against EXPLICIT seeds — shared by [[ivfAssignN]]
+    * (seeds fetched from the corpus) and the persisted-index search path
+    * (seeds replayed from the stored model, so an increment is routed by
+    * the SAME centroids the index was built with).
+    */
+  private def assignCellsWith(df: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], seedVecs: Seq[Seq[Float]], nProbe: Int): DataFrame = {
     val cells = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expr.NearestCells(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
-        seedRows.map(_.getLong(0)).toSeq,
-        seedRows.map(_.getSeq[Float](1)).toSeq,
-        nProbe))
+        seedIds, seedVecs, nProbe))
     // NULL embeddings cannot be assigned a cell; exclude them EXPLICITLY
     // (posexplode would drop them silently, which reads as data loss)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -321,6 +339,148 @@ object Similarity {
     rankTopK(
       a.join(b, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
+  }
+
+  /** T5 scale path #3 — IVF-PQ: the [[ivfTopK]] candidate pruning (probe
+    * `nProbe` nearest cells, store each vector in its home cell) composed
+    * with product-quantized scoring ([[Clustering.pqAdcDist]]): candidates
+    * are scored STRAIGHT FROM their nSub-byte codes — the stored corpus
+    * side of the join carries codes instead of full vectors, which at
+    * 100 TB is the difference between an index that fits executor memory
+    * and one that doesn't (256 B/vector → nSub bytes/vector). Probes stay
+    * exact (ADC), ranking is the bounded [[rankTopK]] aggregate, and cells
+    * bound the candidate count at O(n·nProbe·n/nCells) — [[ivfCellsFor]]
+    * sizes nCells so that stays O(n^1.5). Distances are rounded 1e-6 with
+    * ties to the lower neighbour id, the cross-engine replay contract.
+    *
+    * @return (probe_id, neighbor_id, adc_d6, rank) — rank 1..k per probe
+    *         by ascending approximate squared L2.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      cb: Clustering.PqCodebooks, nCells: Int, k: Int, nProbe: Int = 1,
+      seedByHash: Boolean = false): DataFrame = {
+    // rows PQ cannot encode (null / off-dimension) get NULL codes, which
+    // would surface as null distances mid-join — exclude them up front
+    val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
+    val assigned = ivfAssignN(clean, idCol, vecCol, nCells, nProbe, seedByHash)
+    val probes = assigned.select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
+    val enc = Clustering.pqEncode(
+        assigned.filter(col("rn") === 1)
+          .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("v")),
+        "v", cb)
+      .select(col("c2"), col("neighbor_id"), col("codes"))
+    val d6 = floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000
+    rankTopK(
+        probes.join(enc, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"), (-d6).as("sim")), k)
+      .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
+  }
+
+  /** Persist an IVF-PQ index: the stored, incrementally-maintainable form
+    * of [[ivfPqTopK]] — after this one-time build, every search or ingest
+    * increment routes against the SAME frozen model with no corpus
+    * re-scan, no corpus re-encode, and (bucketed `_idx`) no corpus-side
+    * exchange. Three tables under `tablePrefix`:
+    *
+    *  - `<prefix>_cells` — the coarse quantizer: (s_id, sv) seed
+    *    centroids, replayed as [[graft.expr.NearestCells]] literals at
+    *    search/append time;
+    *  - `<prefix>_books` — the PQ codebooks: (sub, code, c) codewords;
+    *  - `<prefix>_idx`   — the corpus: (cell, id, codes), bucketed by
+    *    `cell` (the search join's key) — nSub bytes of code per vector
+    *    instead of the vectors themselves, which is what lets a
+    *    10¹¹-vector index live on hot storage.
+    *
+    * The model tables are the FROZEN routing contract: [[appendPqIndex]]
+    * encodes new vectors with the stored codebooks and cells (a batch
+    * must never re-train — that would silently re-route the existing
+    * corpus), and [[searchPqIndex]] probes with them.
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Clustering.PqCodebooks, nCells: Int, tablePrefix: String,
+      buckets: Int, seedByHash: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val clean = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
+    val (ids, vecs) = fetchCellSeeds(clean, idCol, vecCol, nCells, seedByHash)
+    // cross-session rebuild: a previous session's model tables may have
+    // left warehouse locations behind ([[Storage.reclaimStaleLocation]])
+    Storage.reclaimStaleLocation(spark, s"${tablePrefix}_cells")
+    Storage.reclaimStaleLocation(spark, s"${tablePrefix}_books")
+    ids.zip(vecs).toDF("s_id", "sv")
+      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_cells")
+    cb.books.zipWithIndex
+      .flatMap { case (book, s) => book.map { case (code, c) => (s, code, c) } }
+      .toDF("sub", "code", "c")
+      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_books")
+    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "overwrite")
+  }
+
+  /** Admit an increment into a persisted index ([[writePqIndex]]): encode
+    * and route the batch with the STORED model, append to the bucketed
+    * `_idx` (Spark preserves the bucket spec on append). The maintenance
+    * write an ingesting pipeline runs after each batch's survivors land.
+    */
+  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      tablePrefix: String, buckets: Int): Unit = {
+    val (cb, ids, vecs) = readPqModel(batch.sparkSession, tablePrefix)
+    val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
+    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "append")
+  }
+
+  private def writeIdxRows(clean: DataFrame, idCol: String, vecCol: String,
+      cb: Clustering.PqCodebooks, ids: Seq[Long], vecs: Seq[Seq[Float]],
+      tablePrefix: String, buckets: Int, mode: String): Unit = {
+    val home = assignCellsWith(clean, idCol, vecCol, ids, vecs, 1)
+      .select(col("cell"), col("id"), col("v"))
+    Storage.writeBucketed(
+      Clustering.pqEncode(home, "v", cb).select(col("cell"), col("id"), col("codes")),
+      s"${tablePrefix}_idx", Seq("cell"), buckets, mode)
+  }
+
+  /** Rehydrate the frozen model of a persisted index: codebooks + coarse
+    * cells — bounded, driver-side by design (same economics as the
+    * [[ivfAssignN]] seed fetch).
+    */
+  def readPqModel(spark: SparkSession, tablePrefix: String)
+      : (Clustering.PqCodebooks, Seq[Long], Seq[Seq[Float]]) = {
+    val bookRows = spark.table(s"${tablePrefix}_books")
+      .select(col("sub"), col("code"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(bookRows.nonEmpty, s"empty PQ model at ${tablePrefix}_books")
+    val nSub  = bookRows.map(_._1).max + 1
+    val width = bookRows.head._3.length
+    val books = (0 until nSub).map(s =>
+      bookRows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    require(books.forall(_.nonEmpty), s"PQ model at $tablePrefix is missing a subspace")
+    val cellRows = spark.table(s"${tablePrefix}_cells")
+      .select(col("s_id"), col("sv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cellRows.nonEmpty, s"empty cell model at ${tablePrefix}_cells")
+    (Clustering.PqCodebooks(width * nSub, nSub, books),
+      cellRows.map(_._1).toSeq, cellRows.map(_._2).toSeq)
+  }
+
+  /** Search a persisted IVF-PQ index: probes route to their `nProbe`
+    * nearest STORED cells and score the bucketed code rows by ADC — the
+    * batch (small by contract) broadcasts at runtime via AQE, so the
+    * index side never shuffles. Semantics match [[ivfPqTopK]] over the
+    * same model (SimilaritySpec pins the equivalence).
+    */
+  def searchPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      tablePrefix: String, k: Int, nProbe: Int = 1): DataFrame = {
+    val spark = batch.sparkSession
+    val (cb, ids, vecs) = readPqModel(spark, tablePrefix)
+    val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
+    val probes = assignCellsWith(clean, idCol, vecCol, ids, vecs, nProbe)
+      .select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
+    val idx = spark.table(s"${tablePrefix}_idx")
+      .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("codes"))
+    val d6 = floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000
+    rankTopK(
+        probes.join(idx, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"), (-d6).as("sim")), k)
+      .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
   }
 
   /** SemDeDup-style semantic near-duplicate candidates: vectors are

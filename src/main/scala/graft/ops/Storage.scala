@@ -48,34 +48,43 @@ object Storage {
           "or use a persistent catalog for cross-session maintenance")
       // location clean: fall through — append to a non-existent table creates it
     }
-    if (mode == "overwrite" && !spark.catalog.tableExists(table)) {
-      // Resolve the managed location via the CATALOG, not by re-deriving
-      // the warehouse/<db>.db/<table> convention — bare warehouse/<table>
-      // is only right for `default` (and would point at, and delete,
-      // default's table from another db), and the convention itself breaks
-      // for databases created with a custom LOCATION.
-      val loc = new Path(
-        org.apache.spark.sql.graftbridge.CatalogBridge.defaultTablePath(spark, table))
-      val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) {
-        // Only reclaim a directory that is recognizably a previous Spark
-        // table write (part- files / _SUCCESS / spec files). An arbitrary
-        // same-named directory is NOT ours to rm -rf — fail loudly instead.
-        val names = fs.listStatus(loc).map(_.getPath.getName)
-        val sparkish = names.forall(n =>
-          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
-        require(sparkish,
-          s"$loc exists but does not look like a previous table write " +
-            s"(contents: ${names.take(5).mkString(", ")}); refusing to delete it")
-        fs.delete(loc, true)
-      }
-    }
+    if (mode == "overwrite") reclaimStaleLocation(spark, table)
     df.write
       .mode(mode)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Cross-session overwrite repair for managed tables: with a
+    * non-persistent catalog the table ENTRY dies with the session but its
+    * warehouse LOCATION survives, and the next `saveAsTable` overwrite
+    * fails with LOCATION_ALREADY_EXISTS. Reclaim the stray dir — but only
+    * when it is recognizably a previous Spark table write; an arbitrary
+    * same-named directory is NOT ours to rm -rf. Shared by
+    * [[writeBucketed]] and [[graft.ops.Similarity.writePqIndex]]'s model
+    * tables.
+    */
+  private[graft] def reclaimStaleLocation(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    // Resolve the managed location via the CATALOG, not by re-deriving
+    // the warehouse/<db>.db/<table> convention — bare warehouse/<table>
+    // is only right for `default` (and would point at, and delete,
+    // default's table from another db), and the convention itself breaks
+    // for databases created with a custom LOCATION.
+    val loc = new Path(
+      org.apache.spark.sql.graftbridge.CatalogBridge.defaultTablePath(spark, table))
+    val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) {
+      val names = fs.listStatus(loc).map(_.getPath.getName)
+      val sparkish = names.forall(n =>
+        n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+      require(sparkish,
+        s"$loc exists but does not look like a previous table write " +
+          s"(contents: ${names.take(5).mkString(", ")}); refusing to delete it")
+      fs.delete(loc, true)
+    }
   }
 
   /** Join two identically-bucketed tables on their bucket keys — planned as

@@ -231,6 +231,55 @@ object TxTable {
     r.parquet(files.map(_.toString): _*)
   }
 
+  /** Versions with committed entries still listed in the log, ascending —
+    * the candidates for [[readAsOf]]. History below the latest log
+    * checkpoint is folded into one synthetic version; whether a listed
+    * version's DATA is still present additionally depends on GC
+    * (keep-one-snapshot deletes dirs a later replace superseded), which
+    * [[readAsOf]] checks loudly at read time.
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    listCommits(fs, rp).filter(_.entries.nonEmpty).map(_.version).distinct.sorted
+  }
+
+  /** Time travel: the committed snapshot of `table` as of `version`
+    * (inclusive) — the standard table-format audit/debug read ("what did
+    * the gold table hold when batch N landed?"). Resolution replays the
+    * manifest fold stopping at `version`, so appends after it vanish and
+    * the snapshot is exactly what [[read]] returned then.
+    *
+    * Retention contract, enforced loudly instead of silently shrinking:
+    * (1) a version below the latest log checkpoint is gone from the log —
+    * the fold cannot reconstruct it, so the earliest listed version is
+    * required; (2) a dir superseded by a later replace may have been
+    * garbage-collected — every resolved dir must still exist, or this
+    * raises rather than returning a plausible partial snapshot.
+    */
+  def readAsOf(spark: SparkSession, root: String, version: Long,
+      table: String = SingleTable,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val commits = listCommits(fs, rp)
+    val dataVs = commits.filter(_.entries.nonEmpty).map(_.version)
+    require(dataVs.nonEmpty, s"no committed data under $root")
+    require(version >= dataVs.min,
+      s"version $version predates retained history under $root: the log " +
+        s"checkpoint folded everything below ${dataVs.min}")
+    val rel = resolveRel(commits.filter(_.version <= version), table)
+    require(rel.nonEmpty,
+      s"table '$table' has no data at or before version $version under $root")
+    val missing = rel.filterNot(d => fs.exists(new Path(dataDir(rp), d)))
+    require(missing.isEmpty,
+      s"version $version of '$table' is no longer readable: data dirs " +
+        s"${missing.mkString(", ")} were garbage-collected by a later replace")
+    val files = dataFiles(fs, rp, rel)
+    require(files.nonEmpty, s"no data files for '$table' at version $version under $root")
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(files.map(_.toString): _*)
+  }
+
   /** Max batch id committed under `guard` (-1 if none) — the replay
     * high-water mark. Per-guard max over the WHOLE log, not the last
     * commit's id: a compaction or a different checkpoint's commits in

@@ -166,6 +166,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == 3L && out(3L) == 0L)
   }
 
+  test("ivfPqTopK at nProbe = nCells equals the flat ADC sweep (cells prune, never re-rank)") {
+    // with every cell probed the candidate set is all-pairs, so IVF-PQ must
+    // reproduce the cell-free ADC ranking exactly — pins that cell routing
+    // only PRUNES candidates and the ADC arithmetic is shared
+    import graft.ops.Clustering
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+    val viaIvf = Similarity.ivfPqTopK(e, "vec_id", "embedding", cb, nCells = 4, k = 3, nProbe = 4)
+      .select("probe_id", "neighbor_id", "adc_d6", "rank")
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val enc = Clustering.pqEncode(e.filter(col("embedding").isNotNull), "embedding", cb)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val probes = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val d6 = floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000
+    val flat = Similarity.rankTopK(
+        enc.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"), (-d6).as("sim")), 3)
+      .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(viaIvf == flat)
+  }
+
+  test("persisted PQ index: search ≡ in-memory ivfPqTopK; append admits a batch under the frozen model") {
+    import graft.ops.Clustering
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+    val prefix = s"spec_pqidx_${System.nanoTime()}"
+    Similarity.writePqIndex(e, "vec_id", "embedding", cb, nCells = 4, prefix, buckets = 2)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "adc_d6", "rank")
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    // the stored model replays the in-memory composition exactly
+    val viaIndex = collect(Similarity.searchPqIndex(e, "vec_id", "embedding", prefix, 3, nProbe = 2))
+    val inMemory = collect(Similarity.ivfPqTopK(e, "vec_id", "embedding", cb, 4, 3, nProbe = 2))
+    assert(viaIndex == inMemory)
+    // model round-trip is lossless
+    val (cb2, ids2, _) = Similarity.readPqModel(spark, prefix)
+    assert(cb2 == cb && ids2 == ids2.sorted)
+    // append: new vectors (disjoint ids, same space) become findable
+    // WITHOUT touching the model or the existing rows
+    val extra = e.limit(5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.appendPqIndex(extra, "vec_id", "embedding", prefix, buckets = 2)
+    val after = Similarity.searchPqIndex(e.limit(5), "vec_id", "embedding", prefix, 50, nProbe = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(after.exists(_ >= 100000L),
+      "appended vectors must surface in index search")
+  }
+
   test("ANN recall@3 vs q24 brute-force ground truth is ≥ 0.9 (sf0.001)") {
     // Retrieval-quality gate: the bucketed paths are CORRECT against their
     // own oracles by construction; this pins that future bucket/cell tuning

@@ -173,6 +173,36 @@ class TxTableSpec extends AnyFunSuite {
     assert(readSum(root) == (0L until 35L).sum + (100L until 135L).sum + 1L)
   }
 
+  test("time travel: readAsOf replays the fold to a version; GC'd history fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val root = base()
+    TxTable.replace(spark, root, Seq(1L).toDF("v"), guard = "q-A", batchId = 0L)
+    TxTable.append(spark, root, Seq(10L).toDF("v"), guard = "q-A", batchId = 1L)
+    TxTable.append(spark, root, Seq(100L).toDF("v"), guard = "q-A", batchId = 2L)
+    def sumAsOf(v: Long) =
+      TxTable.readAsOf(spark, root, v).agg(sum("v")).as[Long].head()
+    val vs = TxTable.versions(spark, root)
+    assert(vs.length == 3 && vs == vs.sorted)
+    // appends accumulate: every historical version is still readable
+    assert(sumAsOf(vs(0)) == 1L && sumAsOf(vs(1)) == 11L && sumAsOf(vs(2)) == 111L)
+    // as-of past the head = the head snapshot (inclusive fold)
+    assert(sumAsOf(vs(2) + 100) == 111L)
+    // before retained history: loud failure, not an empty frame
+    intercept[IllegalArgumentException](sumAsOf(vs(0) - 1))
+    // GC keeps one superseded snapshot of grace: after ONE replace the
+    // append-era dirs survive and history still reads; after a SECOND
+    // replace they are reaped and the old versions must REFUSE loudly,
+    // not return a plausible partial snapshot
+    TxTable.replace(spark, root, Seq(7L).toDF("v"), guard = "q-A", batchId = 3L)
+    assert(sumAsOf(TxTable.versions(spark, root).last) == 7L)
+    assert(sumAsOf(vs(2)) == 111L)
+    TxTable.replace(spark, root, Seq(8L).toDF("v"), guard = "q-A", batchId = 4L)
+    assert(sumAsOf(TxTable.versions(spark, root).last) == 8L)
+    val ex = intercept[IllegalArgumentException](sumAsOf(vs(2)))
+    assert(ex.getMessage.contains("garbage-collected"))
+  }
+
   test("a foreign or corrupt log file is skipped, never wedges the root") {
     import spark.implicits._
     val root = base()
