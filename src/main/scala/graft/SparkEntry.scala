@@ -1828,6 +1828,11 @@ object SparkEntry {
       def nodeStr(c: Column) = concat(
         when(c % 2 === 0, lit("c")).otherwise(lit("s")),
         shiftright(c, 1).cast("string"))
+      // pinEvery=3: with the static-fallback round shape each round reads
+      // the previous labels once, so the 3-round unroll is linear and runs
+      // as ONE job with no mid-loop pin barriers (the earlier per-round
+      // LEFT-JOIN fallback form doubled each unpinned round's subplan —
+      // 6.5 s measured at sf0.1 vs ~4.8 s pinned per round)
       Graph.labelPropagation(pairs, "a", "b", iterations = 3, pinEvery = 3)
         .select(nodeStr(col("v")).as("node"), nodeStr(col("label")).as("community"))
         .orderBy(col("community"), col("node"))

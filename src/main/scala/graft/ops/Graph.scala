@@ -134,6 +134,18 @@ object Graph {
     * (lineage must not deepen per round) and superseded pins released.
     * After the terminal action, call [[Checkpoints.release]] on the
     * result to free the edge table and final round's pin.
+    *
+    * The no-vote fallback is a STATIC set, not a per-round join: edges
+    * are symmetrized, so every node with a proper edge receives at least
+    * one vote every round — the only nodes that ever keep a label by
+    * default are those with NO proper edges (isolated / self-loop-only),
+    * and their kept label is forever their own id. They are split off
+    * once and unioned back at the end, which lets each round read the
+    * previous labels exactly ONCE (the votes join). That single-reference
+    * shape is what makes `pinEvery > 1` safe here: an unpinned round's
+    * subplan appears once in the next round, so a short unroll is linear
+    * (the earlier per-round LEFT-JOIN fallback read labels twice and made
+    * an unpinned unroll double per round — measured 2.5× wall at sf0.1).
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int, checkpointDir: Option[String] = None,
@@ -151,17 +163,23 @@ object Graph {
       p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    var labels = nodes.select(col("v"), col("v").as("label"))
+    // the symmetrized edge set means "receives votes" == "has a proper
+    // edge" — a static property, so the keep-own-label fallback applies
+    // to a FIXED set of isolated nodes, resolved once (their label can
+    // only ever be their own id)
+    val voters = lazyPin(edges.select(col("dst").as("v")).distinct())
+    val isolated = nodes.join(voters, Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("label"))
+    var labels = voters.select(col("v"), col("v").as("label"))
     var lastPinned: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val votes = edges.join(labels, col("src") === col("v"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val won = votes.groupBy(col("dst"))
+      // every voter node receives >= 1 vote, so `won` covers all of them:
+      // the round reads `labels` exactly once and needs no fallback join
+      val next = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
-        .select(col("dst").as("v2"), (-col("s.nl")).as("wl"))
-      // a node with no proper neighbors receives no votes → keeps its label
-      val next = labels.join(won, col("v") === col("v2"), "left")
-        .select(col("v"), coalesce(col("wl"), col("label")).as("label"))
+        .select(col("dst").as("v"), (-col("s.nl")).as("label"))
       // pinEvery = cadence of lineage truncation, exactly as pageRankInt:
       // a short unroll (iterations <= pinEvery) runs as ONE job with no
       // mid-loop materialization barrier; lineage depth pinEvery is the
@@ -173,7 +191,7 @@ object Graph {
         labels = pinned
       } else labels = next // final round (and un-pinned rounds): lazy
     }
-    labels
+    labels.unionByName(isolated)
   }
 
   /** Exact triangle census of an undirected graph — the standard local-
