@@ -681,6 +681,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-survivor selection: near-dup clusters (SimHash pair graph
+    // → connected components) × the q180 quality model — per cluster keep
+    // the highest-scoring member (ties → lowest id). THE curation
+    // composition: dedup decides which docs are the same, the model
+    // decides which copy survives
+    "q184_canonical_survivors" -> ((s, d) => {
+      val (docs, feats, _, wts) = qualityModel(s, d)
+      val scored = docs.select(col("doc_id"),
+        Summaries.r4(Clustering.logisticScore(feats, wts)).as("s4"))
+      val pairs = Text.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .join(scored, col("id") === col("doc_id"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("s4"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("comp"), col("n_members"),
+          (-col("best.nid")).as("survivor_id"), col("best.s4").as("best_score4"))
+        .orderBy(col("comp"))
+    }),
+
+    // Population-stability index per language vs the 'en' reference over
+    // fixed-width length bins, Laplace-smoothed (+1 per bin) so the index
+    // is defined on empty bins and integer-count deterministic — the
+    // standard distribution-drift gate alongside the q136 KS statistic
+    "q185_psi_drift" -> ((s, d) => {
+      val bins = s.range(0, 20).select(col("id").cast("int").as("bin"))
+      val d0 = t(s, d, "documents")
+        .select(col("lang"), least(floor(col("n_chars") / 100).cast("int"), lit(19)).as("bin"))
+      val ref  = d0.filter(col("lang") === "en").groupBy(col("bin")).agg(count(lit(1)).as("rc"))
+      val refT = ref.agg(sum(col("rc")).as("rn"))
+      val rb = bins.join(ref, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("rc"), lit(0L)).as("rc"))
+        .crossJoin(broadcast(refT))
+      val oth  = d0.filter(col("lang") =!= "en")
+      val qc   = oth.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("qc"))
+      val qt   = oth.groupBy(col("lang")).agg(count(lit(1)).as("qn"))
+      val dense = qt.select(col("lang"), col("qn")).crossJoin(bins)
+        .join(qc, Seq("lang", "bin"), "left")
+        .select(col("lang"), col("qn"), col("bin"), coalesce(col("qc"), lit(0L)).as("qc"))
+      val p = (col("rc") + 1).cast("double") / (col("rn") + 20)
+      val q = (col("qc") + 1).cast("double") / (col("qn") + 20)
+      dense.join(broadcast(rb), Seq("bin"))
+        .select(col("lang"), col("qn"), ((p - q) * log(p / q)).as("term"))
+        .groupBy(col("lang"), col("qn"))
+        .agg(Summaries.r4(sum(col("term"))).as("psi4"))
+        .select(col("lang"), col("psi4"), col("qn").as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // Reliability diagram over the q180 model: fixed-width score bins,
     // per-bin predicted-vs-observed rate — the calibration report a
     // quality-filter rollout gates on before trusting the scores
@@ -3206,8 +3255,13 @@ object SparkEntry {
     * from zero weights. Yields CTEs `f` (doc_id, y, z1, z2) and `g3` (the
     * final 1-row weight vector).
     */
-  private def logregCtesSql(): String =
-    s"""WITH docs AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE y,
+  private def logregCtesSql(): String = s"WITH ${logregCteBody()}"
+
+  /** The same replay WITHOUT the WITH keyword, so it composes into a
+    * larger chain (q184 prefixes the simhash-CC recursive CTEs).
+    */
+  private def logregCteBody(): String =
+    s"""docs AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE y,
               ln(1.0 + length(text)::DOUBLE) x1,
               (length(text)::DOUBLE - length(replace(text, ' ', ''))::DOUBLE) / length(text)::DOUBLE x2
             FROM documents WHERE length(text) > 0),
@@ -3218,6 +3272,32 @@ object SparkEntry {
        ${gdStepSql("g1", "g0")},
        ${gdStepSql("g2", "g1")},
        ${gdStepSql("g3", "g2")}"""
+
+  /** The q158 SimHash near-dup pair graph + connected-component walk as a
+    * composable CTE body (caller writes `WITH RECURSIVE` — DuckDB accepts
+    * the keyword for a chain where only `walk` is recursive). Yields
+    * `pairs` (doc_a, doc_b), `edges`, and `walk(id, root)`; components
+    * resolve as `SELECT id, min(root) FROM walk GROUP BY id`.
+    */
+  private def simhashCcCteBody(): String =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+         shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
+                                                    for t in ss]) > 0
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                                 for b in range(0, 48)]) AS BIGINT) AS sig
+           FROM shl),
+         ex AS (SELECT doc_id, sig, p AS band, (sig >> (p*16)) & 65535 AS bv FROM sh, unnest([0,1,2]) t(p)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig sa, b.doc_id AS doc_b, b.sig sb
+                  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, root) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.id)"""
 
   /** Shared PQ-training replay for q178/q179: nSub=2 subspaces × k=4
     * codewords, one Lloyd round from the 4 smallest-id seeds — the
@@ -4688,29 +4768,42 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q158_cluster_sizes" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
-         shl AS (SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss FROM toks),
-         sh AS (
-           SELECT doc_id,
-                  CAST(list_sum([CASE WHEN list_sum([((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1
-                                                    for t in ss]) > 0
-                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                                 for b in range(0, 48)]) AS BIGINT) AS sig
-           FROM shl),
-         ex AS (SELECT doc_id, sig, p AS band, (sig >> (p*16)) & 65535 AS bv FROM sh, unnest([0,1,2]) t(p)),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig sa, b.doc_id AS doc_b, b.sig sb
-                  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
-         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-         walk(id, root) AS (
-           SELECT u, u FROM edges
-           UNION
-           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.id)
+      s"""WITH RECURSIVE ${simhashCcCteBody()}
          SELECT sz, count(*)::BIGINT AS n_clusters FROM (
            SELECT comp, count(*)::BIGINT AS sz FROM (
              SELECT id, min(root) AS comp FROM walk GROUP BY id)
            GROUP BY comp)
          GROUP BY sz ORDER BY sz""",
+
+    "q184_canonical_survivors" ->
+      s"""WITH RECURSIVE ${simhashCcCteBody()},
+         ${logregCteBody()},
+         comps AS (SELECT id, min(root) AS comp FROM walk GROUP BY id),
+         scq AS (SELECT f.doc_id, floor(1.0/(1.0 + exp(-((g3.w0 + f.z1*g3.w1) + f.z2*g3.w2)))*10000+0.5)/10000 s4
+                 FROM f, g3),
+         m AS (SELECT c.comp, c.id, scq.s4 FROM comps c JOIN scq ON scq.doc_id = c.id)
+         SELECT comp, n_members, id AS survivor_id, s4 AS best_score4 FROM (
+           SELECT comp, id, s4, count(*) OVER (PARTITION BY comp) AS n_members,
+                  row_number() OVER (PARTITION BY comp ORDER BY s4 DESC, id) AS rn
+           FROM m) WHERE rn = 1 ORDER BY comp""",
+
+    "q185_psi_drift" ->
+      """WITH b AS (SELECT unnest(range(0, 20)) AS bin),
+         d AS (SELECT lang, least(CAST(floor(n_chars / 100) AS INT), 19) AS bin FROM documents),
+         r AS (SELECT bin, count(*) rc FROM d WHERE lang = 'en' GROUP BY bin),
+         rt AS (SELECT sum(rc) rn FROM r),
+         rb AS (SELECT b.bin, coalesce(rc, 0) rc FROM b LEFT JOIN r USING (bin)),
+         l AS (SELECT DISTINCT lang FROM d WHERE lang <> 'en'),
+         q AS (SELECT lang, bin, count(*) qc FROM d WHERE lang <> 'en' GROUP BY lang, bin),
+         qt AS (SELECT lang, count(*) qn FROM d WHERE lang <> 'en' GROUP BY lang),
+         dense AS (SELECT l.lang, b.bin, coalesce(q.qc, 0) qc
+                   FROM l CROSS JOIN b LEFT JOIN q ON q.lang = l.lang AND q.bin = b.bin),
+         terms AS (SELECT dense.lang,
+                     ((rb.rc + 1)::DOUBLE / (rt.rn + 20) - (dense.qc + 1)::DOUBLE / (qt.qn + 20))
+                     * ln(((rb.rc + 1)::DOUBLE / (rt.rn + 20)) / ((dense.qc + 1)::DOUBLE / (qt.qn + 20))) AS term
+                   FROM dense JOIN rb USING (bin) JOIN qt ON qt.lang = dense.lang, rt)
+         SELECT lang, floor(sum(term)*10000+0.5)/10000 AS psi4, CAST(qn AS BIGINT) AS n
+         FROM terms JOIN qt USING (lang) GROUP BY lang, qn ORDER BY lang""",
 
     "q153_split_contamination" ->
       """WITH tk AS (
