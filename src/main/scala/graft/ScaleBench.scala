@@ -142,10 +142,13 @@ object ScaleBench {
       ("pq_adc_flat", () => {
         val e = read("embeddings", f)
         val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 16, 1)
-        val enc = graft.ops.Clustering.pqEncode(
-            e.filter(col("embedding").isNotNull), "embedding", cb)
+        // dim guard on BOTH sides (the q179/ivfPqTopK convention): an
+        // off-dimension probe would throw inside the PqAdc kernel
+        val clean = e.filter(col("embedding").isNotNull &&
+          org.apache.spark.sql.functions.size(col("embedding")) === cb.dim)
+        val enc = graft.ops.Clustering.pqEncode(clean, "embedding", cb)
           .select(col("vec_id").as("neighbor_id"), col("codes"))
-        val probes = e.filter(col("embedding").isNotNull)
+        val probes = clean
           .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
         val d6 = -floor(graft.ops.Clustering.pqAdcDist(
           col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000

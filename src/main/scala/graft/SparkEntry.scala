@@ -748,11 +748,17 @@ object SparkEntry {
     }),
   )
 
-  /** The q180/q182 shared fit: standardized (ln length, space-ratio)
+  /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
     * features over non-empty documents, label = lang == 'en', 3 GD steps —
     * stats and weights rounded 1e-6 (the [[graft.ops.Clustering.logisticFit]]
-    * replay contract).
+    * replay contract). The DRIVER-SIDE artifact (4 stats + 3 weights) is
+    * memoized per (session, dataset dir) — the q183 session-cache
+    * precedent — so a suite run pays the four training collects once, not
+    * once per consuming query; the fit is deterministic, so the memo
+    * cannot change any result.
     */
+  private val qualityModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Seq[Double], Seq[Double])]
   private def qualityModel(s: SparkSession, d: String)
       : (DataFrame, Seq[Column], Column, Seq[Double]) = {
     def r6d(v: Double) = math.floor(v * 1000000 + 0.5) / 1000000
@@ -760,15 +766,18 @@ object SparkEntry {
     val len  = length(col("text")).cast("double")
     val x1   = log(lit(1.0) + len)
     val x2   = (len - length(translate(col("text"), " ", "")).cast("double")) / len
-    val st = docs.agg(
-      avg(x1).as("m1"), stddev_pop(x1).as("s1"),
-      avg(x2).as("m2"), stddev_pop(x2).as("s2")).collect().head
-    val (m1, s1, m2, s2) =
-      (r6d(st.getDouble(0)), r6d(st.getDouble(1)), r6d(st.getDouble(2)), r6d(st.getDouble(3)))
-    val feats = Seq((x1 - lit(m1)) / lit(s1), (x2 - lit(m2)) / lit(s2))
-    val y     = (col("lang") === "en").cast("double")
-    val wts   = Clustering.logisticFit(docs, feats, y, iters = 3, lr = 1.0)
-    (docs, feats, y, wts)
+    val y    = (col("lang") === "en").cast("double")
+    def featsOf(ms: Seq[Double]) =
+      Seq((x1 - lit(ms(0))) / lit(ms(1)), (x2 - lit(ms(2))) / lit(ms(3)))
+    val (ms, wts) = qualityModelCache.computeIfAbsent(
+      (System.identityHashCode(s), d), _ => {
+        val st = docs.agg(
+          avg(x1).as("m1"), stddev_pop(x1).as("s1"),
+          avg(x2).as("m2"), stddev_pop(x2).as("s2")).collect().head
+        val stats = (0 to 3).map(i => r6d(st.getDouble(i)))
+        (stats, Clustering.logisticFit(docs, featsOf(stats), y, iters = 3, lr = 1.0))
+      })
+    (docs, featsOf(ms), y, wts)
   }
 
   /** SQL-closure / windows / JSON / composition surface: SURVEY §2.3

@@ -178,7 +178,9 @@ case class PqAdc(
         acc += d * d
         i += 1
       }
-      total = if (s == 0) acc else total + acc
+      // 0.0 + acc is bit-identical to acc (acc is a sum of squares, never
+      // -0.0), so plain accumulation keeps the subspace-order contract
+      total += acc
       s += 1
     }
     total

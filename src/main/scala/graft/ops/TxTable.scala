@@ -264,8 +264,9 @@ object TxTable {
     val dataVs = commits.filter(_.entries.nonEmpty).map(_.version)
     require(dataVs.nonEmpty, s"no committed data under $root")
     require(version >= dataVs.min,
-      s"version $version predates retained history under $root: the log " +
-        s"checkpoint folded everything below ${dataVs.min}")
+      s"version $version predates retained history under $root (earliest " +
+        s"listed version: ${dataVs.min} — either the table's first commit, " +
+        "or the floor a log checkpoint folded older manifests into)")
     val rel = resolveRel(commits.filter(_.version <= version), table)
     require(rel.nonEmpty,
       s"table '$table' has no data at or before version $version under $root")

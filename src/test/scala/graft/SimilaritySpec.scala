@@ -204,9 +204,16 @@ class SimilaritySpec extends AnyFunSuite {
     val viaIndex = collect(Similarity.searchPqIndex(e, "vec_id", "embedding", prefix, 3, nProbe = 2))
     val inMemory = collect(Similarity.ivfPqTopK(e, "vec_id", "embedding", cb, 4, 3, nProbe = 2))
     assert(viaIndex == inMemory)
-    // model round-trip is lossless
-    val (cb2, ids2, _) = Similarity.readPqModel(spark, prefix)
-    assert(cb2 == cb && ids2 == ids2.sorted)
+    // model round-trip is lossless: codebooks bit-equal, and the stored
+    // cells are exactly the 4 smallest-id corpus vectors the build
+    // fetched as seeds (values included — a dropped or corrupted seed
+    // row must fail here, not re-route the corpus silently)
+    val (cb2, ids2, vecs2) = Similarity.readPqModel(spark, prefix)
+    assert(cb2 == cb)
+    val seedRows = e.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    assert(ids2 == seedRows.map(_._1).toSeq)
+    assert(vecs2 == seedRows.map(_._2).toSeq)
     // append: new vectors (disjoint ids, same space) become findable
     // WITHOUT touching the model or the existing rows
     val extra = e.limit(5)
