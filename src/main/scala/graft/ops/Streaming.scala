@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -106,6 +106,37 @@ object Streaming {
         // dedup WITHIN the batch too: two copies in one micro-batch must land once
         TxTable.append(spark, corpusDir,
           Dedup.dedupByDigest(fresh, contentCol, idCol),
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
+      }
+      .start()
+
+  /** Streaming quality gate — the ONLINE half of the in-engine model fit
+    * ([[graft.ops.Clustering.logisticFit]], q180): each micro-batch is
+    * scored with a FROZEN weight vector (the model is a driver artifact
+    * trained offline — it must not drift batch-to-batch, or a replayed
+    * batch would route differently than its first run) and split into
+    * `accepted` / `rejected` tables of ONE [[TxTable]] root in ONE atomic
+    * multi-table commit: a reader never sees a batch half-routed, and
+    * at-least-once replays are skipped whole by the checkpoint guard.
+    * The score is rounded (1e-4) before the threshold cut so the routing
+    * decision is bit-deterministic under replay; rows whose features
+    * yield a NULL score are routed to `rejected` (a quality gate fails
+    * closed — an unscorable row must not vanish, and must not pass).
+    */
+  def qualityGateSink(stream: DataFrame, features: Seq[Column], wts: Seq[Double],
+      threshold: Double, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val scored = batch.withColumn("quality",
+          Summaries.r4(Clustering.logisticScore(features, wts)))
+        val pass = coalesce(col("quality") >= threshold, lit(false))
+        TxTable.commit(spark, root, Seq(
+          ("accepted", "append", scored.filter(pass)),
+          ("rejected", "append", scored.filter(!pass))),
           guard = guardFor(spark, checkpoint), batchId = batchId)
         ()
       }

@@ -193,6 +193,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityGateSink routes by frozen-model score atomically; null scores fail closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/qgate_${System.nanoTime()}"
+    val input = MemoryStream[(Long, Option[Double])]
+    // frozen model: sigma(4*x) -> x > 0 accepted at threshold 0.5; a NULL
+    // feature yields a NULL score and must land in rejected
+    val q = Streaming.qualityGateSink(
+      input.toDF().toDF("id", "x"), Seq(col("x")), Seq(0.0, 4.0),
+      threshold = 0.5, s"$base/gate", s"$base/ckpt")
+    try {
+      input.addData((1L, Some(2.0)), (2L, Some(-2.0)), (3L, None))
+      q.processAllAvailable()
+      input.addData((4L, Some(1.0)), (5L, Some(-1.0)))
+      q.processAllAvailable()
+      def ids(t: String) = TxTable.read(spark, s"$base/gate", t)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids("accepted") == Seq(1L, 4L))
+      assert(ids("rejected") == Seq(2L, 3L, 5L))
+      // both routes carry the rounded score column the cut was made on
+      val s1 = TxTable.read(spark, s"$base/gate", "accepted")
+        .filter(col("id") === 1L).select("quality").as[Double].head()
+      assert(s1 > 0.999 && s1 <= 1.0)
+    } finally q.stop()
+  }
+
   test("upsertSink merges micro-batches: replace, insert, in-batch version resolve") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
