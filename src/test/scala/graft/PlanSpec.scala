@@ -417,6 +417,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 PQ index search: the bucketed code table is never exchanged") {
+    // same separation pin as q176: with broadcast disabled the probe side
+    // must shuffle on the join key, so exactly one cell-keyed exchange may
+    // appear (the probe) and none on the bucketed _idx corpus side
+    withSqlConf(
+      "spark.sql.autoBroadcastJoinThreshold"          -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val e  = Tables.t(spark, sf, "embeddings")
+      val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 4, 1)
+      graft.ops.Similarity.writePqIndex(e, "vec_id", "embedding", cb,
+        nCells = 4, "planspec_pqidx", buckets = 2)
+      val df = graft.ops.Similarity.searchPqIndex(
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        "planspec_pqidx", k = 3, nProbe = 2)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val cellEx = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("cell#")).toSeq
+      assert(cellEx.size == 1,
+        s"only the probe batch may shuffle on cell:\n${cellEx.mkString("\n")}")
+    }
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
