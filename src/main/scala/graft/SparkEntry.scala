@@ -746,6 +746,34 @@ object SparkEntry {
           Summaries.r4(col("n_pos").cast("double") / col("n")).as("pos_rate"))
         .orderBy(col("bin"))
     }),
+
+    // CDC between two TxTable versions (time travel's batch companion):
+    // v1 = a narrowed orders snapshot, v2 = the next day's snapshot with
+    // deterministic inserts (keys%7==0 arrive), deletes (keys%7==3 leave)
+    // and updates (keys%5==0 repriced ×2). diff emits Delta-CDF-shaped
+    // rows — both images per update — via ONE full-outer key join.
+    "q186_txtable_cdc" -> ((s, d) => {
+      val (root, v1, v2) = cdcFixture(s, d)
+      TxTable.diff(s, root, v1, v2, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("change"))
+    }),
+
+    // Incremental view maintenance driven by the q186 change feed: the
+    // per-status (sum, count) aggregate of v1 is updated with O(changes)
+    // work — one signed aggregation over the CDC rows + one full-outer
+    // join on 3 group keys — and must equal a FULL recompute of v2
+    // bit-exactly (decimal carrier; the oracle IS that full recompute).
+    "q187_incremental_agg" -> ((s, d) => {
+      val (root, v1, v2) = cdcFixture(s, d)
+      val base = Summaries.sumCountAgg(TxTable.readAsOf(s, root, v1),
+        Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders")
+      val cdc = TxTable.diff(s, root, v1, v2, Seq("o_orderkey"))
+      Summaries.maintainSumCount(base, cdc, Seq("o_orderstatus"),
+          col("o_totalprice"), "sum_price", "n_orders")
+        .select(col("o_orderstatus"),
+          col("sum_price").cast("double").as("sum_price"), col("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -757,6 +785,38 @@ object SparkEntry {
     * once per consuming query; the fit is deterministic, so the memo
     * cannot change any result.
     */
+  /** The q186/q187 shared TxTable: two committed snapshots of a narrowed
+    * orders table with deterministic inserts/deletes/updates between them.
+    * Built ONCE per (session, dataset dir) — on first use any stale root
+    * from a previous session is deleted, then exactly two `replace`
+    * commits land, and the (root, v1, v2) triple is memoized. Re-running
+    * the builder per query invocation would append versions 3, 4, … and
+    * let keep-one-snapshot GC reap v1's data out from under [[TxTable.diff]];
+    * the memo pins the version pair instead (the q183 session-cache
+    * precedent). Prices are carried as DOUBLE: ×2 is exact in binary
+    * floating point, so the update image replays bit-identically in the
+    * DuckDB oracle.
+    */
+  private val cdcFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long, Long)]
+  private def cdcFixture(s: SparkSession, d: String): (String, Long, Long) =
+    cdcFixtureCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val root = "/root/repo/target/tmp/cdc_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) fs.delete(rp, true)
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+      val v1rows = base.filter(col("o_orderkey") % 7 =!= 0)
+      val v2rows = base.filter(col("o_orderkey") % 7 =!= 3)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      TxTable.replace(s, root, v1rows)
+      TxTable.replace(s, root, v2rows)
+      val vs = TxTable.versions(s, root)
+      (root, vs(vs.length - 2), vs.last)
+    })
+
   private val qualityModelCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (Seq[Double], Seq[Double])]
   private def qualityModel(s: SparkSession, d: String)
@@ -3257,7 +3317,48 @@ object SparkEntry {
                 CAST(SUM(CAST(s4 AS DECIMAL(27,4))) AS DOUBLE) / count(s4) AS avg_score,
                 floor(CAST(count(*) FILTER (WHERE yy = 1) AS DOUBLE) / count(*) * 10000 + 0.5)/10000 AS pos_rate
          FROM sc GROUP BY bin ORDER BY bin""",
+    // Replays the cdcFixture versions from the base table, then classifies
+    // by VALUE comparison (like the engine's struct compare) — not by the
+    // %5 reprice rule, so a price that doubles to itself would correctly
+    // read as unchanged in both engines.
+    "q186_txtable_cdc" ->
+      s"""$cdcVersionsSql,
+         pair AS (SELECT v1.o_orderkey,
+                         v1.o_custkey b_ck, v1.o_orderstatus b_st, v1.o_totalprice b_pr,
+                         v2.o_custkey a_ck, v2.o_orderstatus a_st, v2.o_totalprice a_pr
+                  FROM v1 JOIN v2 USING (o_orderkey)),
+         chg AS (SELECT * FROM pair
+                 WHERE b_ck IS DISTINCT FROM a_ck OR b_st IS DISTINCT FROM a_st
+                    OR b_pr IS DISTINCT FROM a_pr)
+         SELECT v2.*, 'insert' AS change FROM v2
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+         UNION ALL
+         SELECT v1.*, 'delete' FROM v1
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+         UNION ALL
+         SELECT o_orderkey, b_ck, b_st, b_pr, 'update_pre' FROM chg
+         UNION ALL
+         SELECT o_orderkey, a_ck, a_st, a_pr, 'update_post' FROM chg
+         ORDER BY o_orderkey, change""",
+    // Full recompute of the v2 snapshot — the maintained aggregate must
+    // match it bit-exactly (decimal carrier on both sides).
+    "q187_incremental_agg" ->
+      s"""$cdcVersionsSql
+         SELECT o_orderstatus,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+                count(*) AS n_orders
+         FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
+
+  /** DuckDB replay of [[cdcFixture]]'s two snapshots as CTEs `v1`, `v2`. */
+  private def cdcVersionsSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                            CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+         v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM base WHERE o_orderkey % 7 <> 3)"""
 
   /** The q180/q182 shared DuckDB replay of [[qualityModel]]: feature
     * standardization stats rounded 1e-6, then three [[gdStepSql]] GD steps

@@ -723,4 +723,52 @@ object Summaries {
           r4(col("__wv").cast("double") / col("__span").cast("double"))).as("twap"))
       .orderBy(col(keyCol))
   }
+
+  /** Per-group (sum, count) in the exact-decimal carrier type that
+    * [[maintainSumCount]] updates incrementally. The sum stays
+    * `decimal(27,scale)` — decimal addition is associative and exact, so
+    * base + delta later equals a full recompute BIT-exactly, which a
+    * double carrier cannot promise (fp addition is order-sensitive). Cast
+    * to double only at presentation time, once.
+    */
+  def sumCountAgg(df: DataFrame, keys: Seq[String], valueCol: Column,
+      sumName: String = "sum_v", cntName: String = "n", scale: Int = 4): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(valueCol.cast(s"decimal(27,$scale)")).as(sumName),
+           count(lit(1)).as(cntName))
+
+  /** Incremental view maintenance of a [[sumCountAgg]] aggregate from a
+    * [[TxTable.diff]] change feed — the O(changes) alternative to
+    * re-aggregating the whole table per increment. Sum and count are
+    * self-maintainable aggregates: each CDC row contributes its value and
+    * its row with a sign (+1 for `insert`/`update_post`, −1 for `delete`/
+    * `update_pre`), so an update nets to (new − old) and the maintained
+    * result equals a full recompute of the new snapshot exactly (decimal
+    * carrier, see [[sumCountAgg]]). Groups whose maintained count reaches
+    * zero are dropped — a full recompute has no empty groups either.
+    *
+    * Scale shape: ONE aggregation over the CDC rows (∝ changes, partial
+    * map-side combine) plus one full-outer join against the base aggregate
+    * on the group keys (∝ groups, AQE-broadcastable when the delta touches
+    * few groups). The base table's rows are never re-read. An unknown
+    * change kind raises at execution rather than skewing the signs.
+    */
+  def maintainSumCount(baseAgg: DataFrame, cdc: DataFrame, keys: Seq[String],
+      valueCol: Column, sumName: String = "sum_v", cntName: String = "n",
+      changeCol: String = "change", scale: Int = 4): DataFrame = {
+    val sign = when(col(changeCol).isin("insert", "update_post"), 1)
+      .when(col(changeCol).isin("delete", "update_pre"), -1)
+      .otherwise(raise_error(concat(lit("maintainSumCount: unknown change kind "),
+        col(changeCol))).cast("int"))
+    val delta = cdc.groupBy(keys.map(col): _*)
+      .agg(sum((valueCol * sign).cast(s"decimal(27,$scale)")).as("__dsum"),
+           sum(sign).as("__dn"))
+    val zero = lit(0).cast(s"decimal(27,$scale)")
+    baseAgg.join(delta, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col(sumName), zero) + coalesce(col("__dsum"), zero))
+          .cast(s"decimal(27,$scale)").as(sumName) :+
+        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(cntName): _*)
+      .filter(col(cntName) > 0)
+  }
 }

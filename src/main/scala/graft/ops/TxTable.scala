@@ -281,6 +281,73 @@ object TxTable {
     r.parquet(files.map(_.toString): _*)
   }
 
+  /** Change-data capture between two committed versions of `table`: one
+    * row per changed key in Delta-CDF shape — the table's own columns plus
+    * a `change` discriminator in {`insert`, `delete`, `update_pre`,
+    * `update_post`}. An updated key emits BOTH images (`update_pre` with
+    * the from-version values, `update_post` with the to-version values),
+    * so any downstream incremental maintenance is a signed union: add
+    * `insert`/`update_post` rows, subtract `delete`/`update_pre` rows —
+    * see [[Summaries.maintainSumCount]]. Unchanged keys emit nothing.
+    *
+    * This is the batch companion to [[readAsOf]] time travel: "what
+    * happened between batch N and batch M" without re-reading either full
+    * snapshot downstream. At 100 TB that asymmetry is the whole point —
+    * consumers of a slowly-changing gold table process O(changes), not
+    * O(table), per increment.
+    *
+    * Scale shape: ONE key-partitioned full-outer join between the two
+    * snapshot scans (AQE-sizable; both sides are plain parquet file scans
+    * of the resolved manifests), change classification by a null-safe
+    * struct comparison over the non-key columns, and a single generator
+    * projection that emits 0–2 rows per joined key — no second pass over
+    * the join, no driver actions, output ∝ changed rows.
+    *
+    * Contract: `keyCols` is a primary key in both snapshots (unique,
+    * non-null) — the usual CDC precondition. Duplicate keys surface as
+    * join-multiplied spurious update pairs, never silent drops. Both
+    * versions must still be readable ([[readAsOf]]'s retention contract:
+    * the from-version's data survives exactly one later `replace`, so
+    * diff against the immediately previous snapshot is always safe, and
+    * older history fails loudly rather than returning partial changes).
+    */
+  def diff(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long,
+      keyCols: Seq[String], table: String = SingleTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val before = readAsOf(spark, root, fromVersion, table)
+    val after  = readAsOf(spark, root, toVersion, table)
+    require(before.columns.sameElements(after.columns),
+      s"schema changed between versions $fromVersion and $toVersion of '$table': " +
+        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")} — " +
+        "diff requires a stable column set")
+    val missing = keyCols.filterNot(before.columns.contains)
+    require(missing.isEmpty, s"key columns not in '$table': ${missing.mkString(",")}")
+    val nonKey = before.columns.filterNot(keyCols.contains).toSeq
+    // A constant lead field keeps the image struct non-empty even for an
+    // all-key table; row absence is still tested on the struct itself
+    // (an absent side of the full-outer join is a NULL struct, which no
+    // present row can produce).
+    def image(cols: Seq[String]) = struct(lit(1).as("__p") +: cols.map(col): _*)
+    val b = before.select(keyCols.map(col) :+ image(nonKey).as("__before"): _*)
+    val a = after.select(keyCols.map(col) :+ image(nonKey).as("__after"): _*)
+    val j = b.join(a, keyCols, "full_outer")
+    val changed = col("__before").isNotNull && col("__after").isNotNull &&
+      !(col("__before") <=> col("__after"))
+    def tagged(tag: String, img: String) =
+      struct(lit(tag).as("change"), col(img).as("img"))
+    val events = array(
+      when(col("__before").isNull, tagged("insert", "__after")),
+      when(col("__after").isNull, tagged("delete", "__before")),
+      when(changed, tagged("update_pre", "__before")),
+      when(changed, tagged("update_post", "__after")))
+    j.select(keyCols.map(col) :+
+        explode(filter(events, e => e.isNotNull)).as("__e"): _*)
+      .select(keyCols.map(col) ++
+        nonKey.map(c => col("__e").getField("img").getField(c).as(c)) :+
+        col("__e").getField("change").as("change"): _*)
+  }
+
   /** Max batch id committed under `guard` (-1 if none) — the replay
     * high-water mark. Per-guard max over the WHOLE log, not the last
     * commit's id: a compaction or a different checkpoint's commits in

@@ -236,4 +236,67 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.append(spark, root, Seq(4L).toDF("v"), guard = "q-A", batchId = 3L))
     assert(readSum(root) == 10L)
   }
+
+  test("diff: CDC rows classify insert/delete/update with both images; null-safe compare") {
+    import spark.implicits._
+    val root = base()
+    // (k, payload, score) — k=1 unchanged, k=2 value update, k=3 deleted,
+    // k=4 null→value update, k=5 null<=>null unchanged, k=6 inserted
+    TxTable.replace(spark, root, Seq(
+      (1, "a", Some(10)), (2, "b", Some(20)), (3, "c", Some(30)),
+      (4, null.asInstanceOf[String], Some(40)), (5, "e", None)
+    ).toDF("k", "payload", "score"))
+    TxTable.replace(spark, root, Seq(
+      (1, "a", Some(10)), (2, "B", Some(20)),
+      (4, "d", Some(40)), (5, "e", None), (6, "f", Some(60))
+    ).toDF("k", "payload", "score"))
+    val Seq(v1, v2) = TxTable.versions(spark, root)
+    val d = TxTable.diff(spark, root, v1, v2, Seq("k"))
+    assert(d.columns.toSeq == Seq("k", "payload", "score", "change"))
+    val got = d.select($"k", $"payload", $"score", $"change")
+      .as[(Int, String, Option[Int], String)].collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == Seq(
+      (2, "B", Some(20), "update_post"), (2, "b", Some(20), "update_pre"),
+      (3, "c", Some(30), "delete"),
+      (4, "d", Some(40), "update_post"), (4, null, Some(40), "update_pre"),
+      (6, "f", Some(60), "insert")))
+    // ONE key join end to end — classification and both-image emission are
+    // a single generator projection over it, not a second pass
+    val joins = d.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.length == 1)
+    // a schema change between the versions refuses instead of mis-diffing
+    TxTable.replace(spark, root, Seq((1, "a")).toDF("k", "payload"))
+    val v3 = TxTable.versions(spark, root).last
+    val e = intercept[IllegalArgumentException](TxTable.diff(spark, root, v2, v3, Seq("k")))
+    assert(e.getMessage.contains("schema changed"))
+  }
+
+  test("maintainSumCount over a diff equals a full recompute, drops emptied groups") {
+    import spark.implicits._
+    val root = base()
+    // groups: g1 loses a row (update moves it to g2), g3 vanishes entirely,
+    // g4 is born; values carry nulls to pin count-vs-sum semantics
+    TxTable.replace(spark, root, Seq(
+      (1, "g1", Some(1.5)), (2, "g1", Some(2.5)), (3, "g2", None),
+      (4, "g3", Some(4.0))
+    ).toDF("k", "g", "v"))
+    TxTable.replace(spark, root, Seq(
+      (1, "g1", Some(1.5)), (2, "g2", Some(2.5)), (3, "g2", Some(3.0)),
+      (5, "g4", Some(5.0))
+    ).toDF("k", "g", "v"))
+    val Seq(v1, v2) = TxTable.versions(spark, root)
+    val base1 = graft.ops.Summaries.sumCountAgg(
+      TxTable.readAsOf(spark, root, v1), Seq("g"), $"v")
+    val cdc = TxTable.diff(spark, root, v1, v2, Seq("k"))
+    val maintained = graft.ops.Summaries.maintainSumCount(base1, cdc, Seq("g"), $"v")
+    val full = graft.ops.Summaries.sumCountAgg(
+      TxTable.readAsOf(spark, root, v2), Seq("g"), $"v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"sum_v".cast("double"), $"n")
+        .as[(String, Option[Double], Long)].collect().sortBy(_._1).toSeq
+    assert(norm(maintained) == norm(full))
+    assert(!norm(maintained).exists(_._1 == "g3")) // emptied group dropped
+    assert(norm(maintained).exists(_._1 == "g4"))  // born group present
+  }
 }
