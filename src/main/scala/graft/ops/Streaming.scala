@@ -238,6 +238,45 @@ object Streaming {
       }
       .start()
 
+  /** Streaming incremental view maintenance over a CHANGE feed — the
+    * retraction-capable sibling of [[aggStateSink]]. Each micro-batch is a
+    * Delta-CDF-shaped CDC stream ([[TxTable.diff]]'s output contract: a
+    * `change` column in {insert, delete, update_pre, update_post} plus the
+    * row's own columns), and the stored per-group (sum, count) view is
+    * updated by [[Summaries.maintainSumCount]]'s signed aggregation —
+    * deletes subtract, updates net to (new − old) — then committed as one
+    * atomic [[TxTable]] `replace`. [[aggStateSink]]'s merge can only ADD
+    * evidence; this sink keeps a view of a MUTATING upstream table exact
+    * without ever re-reading it.
+    *
+    * Per batch: one aggregation over the change rows (∝ changes) + one
+    * full-outer join against the current view (∝ groups) — never the
+    * upstream table. The replay guard is load-bearing (signed deltas are
+    * not idempotent); the decimal carrier makes the maintained view equal
+    * a full recompute of the upstream snapshot bit-exactly, which the spec
+    * asserts. Contract: the feed must be a consistent diff of real state —
+    * a delete for a row never inserted leaves a group at a negative count,
+    * which is dropped by the `n > 0` guard exactly as a recompute of that
+    * impossible history would be meaningless.
+    */
+  def cdcAggSink(stream: DataFrame, stateDir: String, keys: Seq[String],
+      valueCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base =
+          if (TxTable.exists(spark, stateDir)) TxTable.read(spark, stateDir)
+          else Summaries.sumCountAgg( // empty view with the carrier schema
+            batch.filter(lit(false)), keys, col(valueCol))
+        val next = Summaries.maintainSumCount(base, batch, keys, col(valueCol))
+        TxTable.replace(spark, stateDir, next,
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        ()
+      }
+      .start()
+
   /** Streaming mini-batch k-means — online topic/cluster maintenance over
     * an embedding stream: each micro-batch is assigned against the stored
     * centroids ([[Clustering.assignClusters]] — broadcast argmin, rows

@@ -296,6 +296,13 @@ object TxTable {
     * consumers of a slowly-changing gold table process O(changes), not
     * O(table), per increment.
     *
+    * Relationship to the neighbors: [[Relational.snapshotDiff]] compares
+    * two arbitrary DataFrames and emits ONE row per key with a
+    * `change_type` (a report shape); this operates on the commit log and
+    * emits the dual-image feed whose signed rows support RETRACTION —
+    * which [[Summaries.mergeAggStates]] (append-only partial-state merge)
+    * cannot express for deletes and updates.
+    *
     * Scale shape: ONE key-partitioned full-outer join between the two
     * snapshot scans (AQE-sizable; both sides are plain parquet file scans
     * of the resolved manifests), change classification by a null-safe

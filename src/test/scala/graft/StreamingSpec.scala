@@ -290,6 +290,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcAggSink retracts: the maintained view tracks a mutating upstream exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = s"/root/repo/target/tmp/cdcagg_${System.nanoTime()}"
+    val input = MemoryStream[(String, Double, String)]
+    val q = Streaming.cdcAggSink(
+      input.toDF().toDF("g", "v", "change"), s"$base/state", Seq("g"), "v", s"$base/ckpt")
+    try {
+      // batch 1: initial load of the upstream table as an insert-only feed
+      input.addData(("g1", 1.5, "insert"), ("g1", 2.5, "insert"),
+        ("g2", 4.0, "insert"), ("g4", 9.0, "insert"))
+      q.processAllAvailable()
+      // batch 2: upstream mutates — g2's row deleted, a g1 row MOVES to g2
+      // (dual update images), g3 born, g4 emptied entirely
+      input.addData(("g2", 4.0, "delete"),
+        ("g1", 2.5, "update_pre"), ("g2", 2.5, "update_post"),
+        ("g3", 7.0, "insert"), ("g4", 9.0, "delete"))
+      q.processAllAvailable()
+      val state = TxTable.read(spark, s"$base/state")
+        .select($"g", $"sum_v".cast("double"), $"n")
+        .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+      // equals a full recompute of the netted upstream: {g1:1.5, g2:2.5, g3:7.0}
+      assert(state == Seq(("g1", 1.5, 1L), ("g2", 2.5, 1L), ("g3", 7.0, 1L)))
+    } finally q.stop()
+  }
+
   test("two concurrent streaming append sinks share one TxTable root (multi-writer)") {
     // the end-to-end shape the optimistic commit exists for: two
     // independent queries appending to ONE transactional log table.
