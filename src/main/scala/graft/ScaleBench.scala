@@ -74,6 +74,9 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    // optional family-name filter (exact match) after the replica count —
+    // lets a new family be measured without re-running the whole sweep
+    val only = args.drop(1).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     import spark.implicits._
@@ -107,6 +110,20 @@ object ScaleBench {
     }
 
     def read(table: String, f: Int) = spark.read.parquet(corpusDir(sfDir, table, f))
+
+    // IVM fixture: the stored per-suppkey (sum, count) view of lineitem at
+    // each factor, plus ONE factor-independent ~10k-row change feed (half
+    // inserts, half deletes of real rows). The claim under test: applying
+    // the feed costs O(changes + groups) regardless of table size, while
+    // the recompute alternative pays the full f× scan every increment.
+    for (f <- factors)
+      writeOnce(Summaries.sumCountAgg(read("lineitem", f),
+        Seq("l_suppkey"), col("l_extendedprice")), corpusDir(sfDir, "liagg", f))
+    writeOnce(
+      read("lineitem", 1).filter(col("l_orderkey") % 59 === 0)
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          when(col("l_orderkey") % 118 === 0, "insert").otherwise("delete").as("change")),
+      corpusDir(sfDir, "cdcfeed", 1))
 
     // corpus row counts per factor, resolved OUTSIDE the timed region so
     // the tuned-ANN family is not charged a full scan the fixed family
@@ -163,7 +180,16 @@ object ScaleBench {
         val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 16, 1)
         Similarity.ivfPqTopK(e, "vec_id", "embedding", cb,
           Similarity.ivfCellsFor(embCount(f), 2), 3, nProbe = 2).count()
-      })
+      }),
+      // incremental view maintenance: apply the FIXED change feed to the
+      // stored view of the f× table — cost must not follow the table
+      ("ivm_maintain", () =>
+        Summaries.maintainSumCount(read("liagg", f), read("cdcfeed", 1),
+          Seq("l_suppkey"), col("l_extendedprice")).count()),
+      // the alternative every increment would otherwise pay
+      ("ivm_recompute", () =>
+        Summaries.sumCountAgg(read("lineitem", f),
+          Seq("l_suppkey"), col("l_extendedprice")).count())
     )
 
     // JIT/codegen/session warm-up outside the timed region, so factor 1
@@ -174,7 +200,8 @@ object ScaleBench {
       "vec_id", "embedding", 3, 3, nTables = 12).count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
-    for (f <- factors; (name, run) <- families(f)) {
+    for (f <- factors; (name, run) <- families(f)
+         if only.isEmpty || only.contains(name)) {
       // min of THREE runs: the first pays codegen + scan warm-up, and a
       // single extra run proved too little insulation against transient
       // session state (one sweep recorded a 61 s ivfpq_tuned at 1× whose
