@@ -72,11 +72,23 @@ object ScaleBench {
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       df.write.mode("overwrite").parquet(path)
 
+  private val familyNames = Set(
+    "lsh_minhash", "lsh_simhash", "jaccard_inverted", "exact_quantiles",
+    "pagerank", "ann_sign_lsh_fixed3", "ann_sign_lsh_tuned", "pq_adc_flat",
+    "ivfpq_tuned", "ivm_maintain", "ivm_recompute")
+
   def main(args: Array[String]): Unit = {
-    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val replicas = args.headOption.map(a => a.toIntOption.getOrElse(
+      sys.error(s"usage: ScaleBench [replicas] [family...] — got '$a' " +
+        "where the replica count goes"))).getOrElse(10)
     // optional family-name filter (exact match) after the replica count —
-    // lets a new family be measured without re-running the whole sweep
+    // lets a new family be measured without re-running the whole sweep.
+    // Validated against the static name set: a typo would otherwise build
+    // every fixture, measure NOTHING, and exit 0 looking like success.
     val only = args.drop(1).toSet
+    val unknown = only.diff(familyNames)
+    require(unknown.isEmpty,
+      s"unknown families: ${unknown.mkString(",")} (known: ${familyNames.toSeq.sorted.mkString(",")})")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     import spark.implicits._

@@ -724,18 +724,25 @@ object Summaries {
       .orderBy(col(keyCol))
   }
 
-  /** Per-group (sum, count) in the exact-decimal carrier type that
-    * [[maintainSumCount]] updates incrementally. The sum stays
+  /** Per-group (sum, count, non-null count) in the exact-decimal carrier
+    * type that [[maintainSumCount]] updates incrementally. The sum stays
     * `decimal(27,scale)` — decimal addition is associative and exact, so
     * base + delta later equals a full recompute BIT-exactly, which a
     * double carrier cannot promise (fp addition is order-sensitive). Cast
-    * to double only at presentation time, once.
+    * to double only at presentation time, once. The non-null count is
+    * load-bearing for that equivalence too: SQL `sum` over zero non-null
+    * values is NULL, not 0, and maintenance can only reproduce that
+    * (e.g. after deleting a group's last non-null row) by tracking how
+    * many non-null values remain — a sum alone cannot distinguish
+    * "nets to zero" from "nothing to sum".
     */
   def sumCountAgg(df: DataFrame, keys: Seq[String], valueCol: Column,
-      sumName: String = "sum_v", cntName: String = "n", scale: Int = 4): DataFrame =
+      sumName: String = "sum_v", cntName: String = "n", scale: Int = 4,
+      nvName: String = "n_vals"): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sum(valueCol.cast(s"decimal(27,$scale)")).as(sumName),
-           count(lit(1)).as(cntName))
+           count(lit(1)).as(cntName),
+           count(valueCol).as(nvName))
 
   /** Incremental view maintenance of a [[sumCountAgg]] aggregate from a
     * [[TxTable.diff]] change feed — the O(changes) alternative to
@@ -755,20 +762,26 @@ object Summaries {
     */
   def maintainSumCount(baseAgg: DataFrame, cdc: DataFrame, keys: Seq[String],
       valueCol: Column, sumName: String = "sum_v", cntName: String = "n",
-      changeCol: String = "change", scale: Int = 4): DataFrame = {
+      changeCol: String = "change", scale: Int = 4,
+      nvName: String = "n_vals"): DataFrame = {
     val sign = when(col(changeCol).isin("insert", "update_post"), 1)
       .when(col(changeCol).isin("delete", "update_pre"), -1)
       .otherwise(raise_error(concat(lit("maintainSumCount: unknown change kind "),
         col(changeCol))).cast("int"))
     val delta = cdc.groupBy(keys.map(col): _*)
       .agg(sum((valueCol * sign).cast(s"decimal(27,$scale)")).as("__dsum"),
-           sum(sign).as("__dn"))
+           sum(sign).as("__dn"),
+           sum(when(valueCol.isNotNull, sign).otherwise(0)).as("__dnv"))
     val zero = lit(0).cast(s"decimal(27,$scale)")
+    val nv = coalesce(col(nvName), lit(0L)) + coalesce(col("__dnv"), lit(0L))
     baseAgg.join(delta, keys, "full_outer")
       .select(keys.map(col) :+
-        (coalesce(col(sumName), zero) + coalesce(col("__dsum"), zero))
-          .cast(s"decimal(27,$scale)").as(sumName) :+
-        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(cntName): _*)
+        // a group with NO remaining non-null values must read sum = NULL,
+        // exactly as a full recompute's SQL sum would
+        when(nv > 0, (coalesce(col(sumName), zero) + coalesce(col("__dsum"), zero))
+          .cast(s"decimal(27,$scale)")).as(sumName) :+
+        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(cntName) :+
+        nv.as(nvName): _*)
       .filter(col(cntName) > 0)
   }
 }

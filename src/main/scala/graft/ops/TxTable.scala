@@ -330,6 +330,14 @@ object TxTable {
         "diff requires a stable column set")
     val missing = keyCols.filterNot(before.columns.contains)
     require(missing.isEmpty, s"key columns not in '$table': ${missing.mkString(",")}")
+    // the discriminator and join temporaries are reserved: a source column
+    // named `change` would silently duplicate in the output (ambiguous for
+    // every downstream col("change")), so refuse loudly up front — the
+    // jsonQuarantineStream `__corrupt` convention
+    val reserved = Seq("change", "__before", "__after", "__e").filter(before.columns.contains)
+    require(reserved.isEmpty,
+      s"table '$table' already has reserved column(s) ${reserved.mkString(",")} — " +
+        "rename them before diffing")
     val nonKey = before.columns.filterNot(keyCols.contains).toSeq
     // A constant lead field keeps the image struct non-empty even for an
     // all-key table; row absence is still tested on the struct itself

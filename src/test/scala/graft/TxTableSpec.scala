@@ -276,14 +276,16 @@ class TxTableSpec extends AnyFunSuite {
     import spark.implicits._
     val root = base()
     // groups: g1 loses a row (update moves it to g2), g3 vanishes entirely,
-    // g4 is born; values carry nulls to pin count-vs-sum semantics
+    // g4 is born; values carry nulls to pin count-vs-sum semantics; g5
+    // loses its LAST non-null value — its maintained sum must return to
+    // NULL (SQL sum over zero non-null values), not 0
     TxTable.replace(spark, root, Seq(
       (1, "g1", Some(1.5)), (2, "g1", Some(2.5)), (3, "g2", None),
-      (4, "g3", Some(4.0))
+      (4, "g3", Some(4.0)), (6, "g5", None), (7, "g5", Some(2.0))
     ).toDF("k", "g", "v"))
     TxTable.replace(spark, root, Seq(
       (1, "g1", Some(1.5)), (2, "g2", Some(2.5)), (3, "g2", Some(3.0)),
-      (5, "g4", Some(5.0))
+      (5, "g4", Some(5.0)), (6, "g5", None)
     ).toDF("k", "g", "v"))
     val Seq(v1, v2) = TxTable.versions(spark, root)
     val base1 = graft.ops.Summaries.sumCountAgg(
@@ -298,5 +300,17 @@ class TxTableSpec extends AnyFunSuite {
     assert(norm(maintained) == norm(full))
     assert(!norm(maintained).exists(_._1 == "g3")) // emptied group dropped
     assert(norm(maintained).exists(_._1 == "g4"))  // born group present
+    // all-null group: present with n=1 and sum NULL, same as the recompute
+    assert(norm(maintained).contains(("g5", None, 1L)))
+  }
+
+  test("diff refuses a table whose columns collide with the change discriminator") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq((1, "x")).toDF("k", "change"))
+    TxTable.replace(spark, root, Seq((1, "y")).toDF("k", "change"))
+    val Seq(v1, v2) = TxTable.versions(spark, root)
+    val e = intercept[IllegalArgumentException](TxTable.diff(spark, root, v1, v2, Seq("k")))
+    assert(e.getMessage.contains("reserved column"))
   }
 }
