@@ -774,6 +774,27 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"), col("n_orders"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Chained maintenance across TWO increments — replace-diff (updates +
+    // deletes + inserts) then append-diff (a second root whose after-side
+    // snapshot spans two data dirs) — with the composed view equal to a
+    // full recompute of the final state. The multi-increment composition
+    // proof: maintenance error cannot accumulate because there is none.
+    "q188_cdc_chain" -> ((s, d) => {
+      val (rootA, a1, a2) = cdcFixture(s, d)
+      val (rootB, b1, b2) = cdcChainFixture(s, d)
+      val base = Summaries.sumCountAgg(TxTable.readAsOf(s, rootA, a1),
+        Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders")
+      val m1 = Summaries.maintainSumCount(base,
+        TxTable.diff(s, rootA, a1, a2, Seq("o_orderkey")),
+        Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders")
+      val m2 = Summaries.maintainSumCount(m1,
+        TxTable.diff(s, rootB, b1, b2, Seq("o_orderkey")),
+        Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders")
+      m2.select(col("o_orderstatus"),
+          col("sum_price").cast("double").as("sum_price"), col("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -797,23 +818,61 @@ object SparkEntry {
     * floating point, so the update image replays bit-identically in the
     * DuckDB oracle.
     */
+  /** The three deterministic orders snapshots behind q186–q188: v1 =
+    * keys%7≠0; v2 = keys%7≠3 with keys%5==0 repriced ×2 (inserts, deletes
+    * AND updates vs v1); inc = the keys%7==3 rows, the appended third
+    * increment. Prices as DOUBLE (×2 is fp-exact, so the DuckDB oracle
+    * replays images bit-identically).
+    */
+  private def cdcRows(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+    val v1rows = base.filter(col("o_orderkey") % 7 =!= 0)
+    val v2rows = base.filter(col("o_orderkey") % 7 =!= 3)
+      .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+        col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    (v1rows, v2rows, base.filter(col("o_orderkey") % 7 === 3))
+  }
+
+  private def cdcRoot(s: SparkSession, d: String, tag: String,
+      build: String => Seq[Long]): (String, Seq[Long]) = {
+    val root = s"/root/repo/target/tmp/$tag" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+    (root, build(root))
+  }
+
   private val cdcFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long, Long)]
   private def cdcFixture(s: SparkSession, d: String): (String, Long, Long) =
     cdcFixtureCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
-      val root = "/root/repo/target/tmp/cdc_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-      val rp = new org.apache.hadoop.fs.Path(root)
-      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(rp)) fs.delete(rp, true)
-      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
-      val v1rows = base.filter(col("o_orderkey") % 7 =!= 0)
-      val v2rows = base.filter(col("o_orderkey") % 7 =!= 3)
-        .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
-          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
-      TxTable.replace(s, root, v1rows)
-      TxTable.replace(s, root, v2rows)
-      val vs = TxTable.versions(s, root)
+      val (v1rows, v2rows, _) = cdcRows(s, d)
+      val (root, vs) = cdcRoot(s, d, "cdc_", { r =>
+        TxTable.replace(s, r, v1rows)
+        TxTable.replace(s, r, v2rows)
+        TxTable.versions(s, r)
+      })
+      (root, vs(vs.length - 2), vs.last)
+    })
+
+  /** q188's second log: the v2 state re-based as its own root's first
+    * version, then the increment APPENDED — a separate root because
+    * keep-one-snapshot GC on the first root would reap v1's data the
+    * moment a third commit landed there, breaking q186's pinned pair.
+    * Covers diff across an append commit (the after-side snapshot spans
+    * two data dirs).
+    */
+  private val cdcChainCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long, Long)]
+  private def cdcChainFixture(s: SparkSession, d: String): (String, Long, Long) =
+    cdcChainCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val (_, v2rows, incRows) = cdcRows(s, d)
+      val (root, vs) = cdcRoot(s, d, "cdcchain_", { r =>
+        TxTable.replace(s, r, v2rows)
+        TxTable.append(s, r, incRows)
+        TxTable.versions(s, r)
+      })
       (root, vs(vs.length - 2), vs.last)
     })
 
@@ -3348,6 +3407,16 @@ object SparkEntry {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
                 count(*) AS n_orders
          FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Full recompute of the final chained state: v2 plus the appended
+    // keys%7==3 increment.
+    "q188_cdc_chain" ->
+      s"""$cdcVersionsSql,
+         v3 AS (SELECT * FROM v2
+                UNION ALL SELECT * FROM base WHERE o_orderkey % 7 = 3)
+         SELECT o_orderstatus,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+                count(*) AS n_orders
+         FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 
   /** DuckDB replay of [[cdcFixture]]'s two snapshots as CTEs `v1`, `v2`. */
