@@ -518,20 +518,35 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // T5 scale path — multi-table sign-LSH approximate top-3 (12 independent
-    // tables × 3 planes: measured recall@3 ≈ 0.93 vs q24 ground truth on the
-    // isotropic test embeddings; SimilaritySpec gates it at ≥ 0.9)
+    // T5 scale path — multi-table sign-LSH approximate top-3, sized by the
+    // occupancy-constant rule: nPlanes = annPlanesFor(n) so expected bucket
+    // occupancy stays ≤ 250 as the corpus grows (a FIXED plane count was
+    // measured at 59× cost for 10× rows in SCALING.md — this query now
+    // certifies the geometry a user should copy). The one-row count() is the
+    // sizing probe — the same driver action the IVF codebook fetch already
+    // makes. Recall spent via nTables (linear), never occupancy (quadratic);
+    // SimilaritySpec gates recall@3 ≥ 0.9 vs q24 ground truth.
     "q26_ann_lsh" -> ((s, d) => {
-      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, 3, nTables = 12)
+      val e = t(s, d, "embeddings")
+      val n = e.filter(col("embedding").isNotNull).count()
+      Similarity.annTopK(e, "vec_id", "embedding", Similarity.annPlanesFor(n), 3,
+          nTables = 12)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // T5 scale path #2 — IVF approximate top-3 (8 seed cells, nProbe=6:
-    // the testdata embeddings are structureless, so recall tracks the probed
-    // fraction — measured recall@3 ≈ 0.95; SimilaritySpec gates it at ≥ 0.9)
+    // T5 scale path #2 — IVF approximate top-3 with the compute-balanced
+    // cell count nCells = ivfCellsFor(n, nProbe) = √(n·nProbe): assignment
+    // (n·C) and search (n²·nProbe/C) meet at O(n^1.5), where the old fixed
+    // 8-cell form degraded to O(n²/8). On the isotropic testdata recall
+    // tracks cell-neighbourhood structure (~0.45 at sf0.001 — the
+    // information bound for structureless vectors; no sublinear index can
+    // beat the probed fraction there); SimilaritySpec carries the ≥ 0.9
+    // recall gate on CLUSTERED embeddings, the regime IVF exists for.
     "q58_ivf_ann" -> ((s, d) => {
-      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nCells = 8, k = 3,
-          nProbe = 6)
+      val e = t(s, d, "embeddings")
+      val n = e.filter(col("embedding").isNotNull).count()
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          nCells = Similarity.ivfCellsFor(n, nProbe = 6), k = 3, nProbe = 6)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -3188,7 +3203,10 @@ object SparkEntry {
          SELECT vec_a, vec_b, floor(c * 10000 + 0.5)/10000 AS sim
          FROM s WHERE floor(c * 10000 + 0.5)/10000 >= 0.4 ORDER BY vec_a, vec_b""",
     "q26_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH params AS (
+           SELECT least(30, greatest(3, CAST(ceil(ln(greatest(count(embedding)::DOUBLE / 250.0, 1.0)) / ln(2.0)) AS INT))) AS np
+           FROM embeddings),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          eb AS (
            SELECT vec_id, t,
                   CAST(list_sum([
@@ -3197,8 +3215,8 @@ object SparkEntry {
                                          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
                             for d in range(0, len(v))]), (a, b) -> a + b) > 0
                     THEN (1::BIGINT << p) ELSE 0::BIGINT END
-                    for p in range(0, 3)]) AS BIGINT) AS bucket
-           FROM e, unnest([0,1,2,3,4,5,6,7,8,9,10,11]) tt(t)),
+                    for p in range(0, np)]) AS BIGINT) AS bucket
+           FROM e, params, unnest([0,1,2,3,4,5,6,7,8,9,10,11]) tt(t)),
          cand AS (
            SELECT DISTINCT a.vec_id probe_id, b.vec_id neighbor_id
            FROM eb a JOIN eb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -3213,8 +3231,12 @@ object SparkEntry {
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",
     "q58_ivf_ann" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         seeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+      """WITH params AS (
+           SELECT greatest(8, CAST(round(sqrt(count(embedding)::DOUBLE * 6.0)) AS INT)) AS nc
+           FROM embeddings),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         seeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings
+                   WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT (SELECT nc FROM params)),
          asg AS (
            SELECT vec_id, v, s_id AS cell, rn FROM (
              SELECT e.vec_id, e.v, seeds.s_id,
