@@ -810,6 +810,17 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"), col("n_orders"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // CDC across a WIDENED retention window ([[TxTable.setRetention]](3)):
+    // v1 → v3 spans TWO intermediate replaces — the weekend-backlog replay
+    // that the default keep-2 window refuses loudly (TxTableSpec pins the
+    // refusal; this query certifies the widened read). ×0.5 reprice is
+    // fp-exact like q186's ×2, so the oracle replays images bit-identically.
+    "q189_cdc_retention" -> ((s, d) => {
+      val (root, v1, v3) = cdcRetentionFixture(s, d)
+      TxTable.diff(s, root, v1, v3, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("change"))
+    }),
   )
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -889,6 +900,32 @@ object SparkEntry {
         TxTable.versions(s, r)
       })
       (root, vs(vs.length - 2), vs.last)
+    })
+
+  /** q189's retention-3 log: three replace snapshots under
+    * [[graft.ops.TxTable.setRetention]](3), so the v1 → v3 diff — spanning
+    * two intermediate replaces — stays readable where the default keep-2
+    * window would have reaped v1's data at the third commit. v3 = keys%7≠5
+    * with keys%3==0 repriced ×0.5 (exact in binary fp, like q186's ×2).
+    */
+  private val cdcRetentionCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long, Long)]
+  private def cdcRetentionFixture(s: SparkSession, d: String): (String, Long, Long) =
+    cdcRetentionCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val (v1rows, v2rows, _) = cdcRows(s, d)
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+      val v3rows = base.filter(col("o_orderkey") % 7 =!= 5)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 3 === 0,
+          col("o_totalprice") * 0.5).otherwise(col("o_totalprice")))
+      val (root, vs) = cdcRoot(s, d, "cdcret_", { r =>
+        TxTable.setRetention(s, r, 3)
+        TxTable.replace(s, r, v1rows)
+        TxTable.replace(s, r, v2rows)
+        TxTable.replace(s, r, v3rows)
+        TxTable.versions(s, r)
+      })
+      (root, vs(vs.length - 3), vs.last)
     })
 
   private val qualityModelCache =
@@ -3439,6 +3476,33 @@ object SparkEntry {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
                 count(*) AS n_orders
          FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // The v1 → v3 window diff replayed directly from the snapshot
+    // definitions (the intermediate v2 replace is irrelevant to the
+    // endpoint diff — what the retention window buys is that v1 is still
+    // READABLE after two later replaces).
+    "q189_cdc_retention" ->
+      s"""$cdcVersionsSql,
+         v3 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
+                            ELSE o_totalprice END AS o_totalprice
+                FROM base WHERE o_orderkey % 7 <> 5),
+         pair AS (SELECT v1.o_orderkey,
+                         v1.o_custkey b_ck, v1.o_orderstatus b_st, v1.o_totalprice b_pr,
+                         v3.o_custkey a_ck, v3.o_orderstatus a_st, v3.o_totalprice a_pr
+                  FROM v1 JOIN v3 USING (o_orderkey)),
+         chg AS (SELECT * FROM pair
+                 WHERE b_ck IS DISTINCT FROM a_ck OR b_st IS DISTINCT FROM a_st
+                    OR b_pr IS DISTINCT FROM a_pr)
+         SELECT v3.*, 'insert' AS change FROM v3
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+         UNION ALL
+         SELECT v1.*, 'delete' FROM v1
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v3)
+         UNION ALL
+         SELECT o_orderkey, b_ck, b_st, b_pr, 'update_pre' FROM chg
+         UNION ALL
+         SELECT o_orderkey, a_ck, a_st, a_pr, 'update_post' FROM chg
+         ORDER BY o_orderkey, change""",
   )
 
   /** DuckDB replay of [[cdcFixture]]'s two snapshots as CTEs `v1`, `v2`. */

@@ -725,8 +725,9 @@ object Summaries {
   }
 
   /** Per-group (sum, count, non-null count) in the exact-decimal carrier
-    * type that [[maintainSumCount]] updates incrementally. The sum stays
-    * `decimal(27,scale)` — decimal addition is associative and exact, so
+    * type that [[maintainSumCount]] updates incrementally. Values enter as
+    * `decimal(27,scale)` and the sum carries Spark's widened
+    * `decimal(37,scale)` — decimal addition is associative and exact, so
     * base + delta later equals a full recompute BIT-exactly, which a
     * double carrier cannot promise (fp addition is order-sensitive). Cast
     * to double only at presentation time, once. The non-null count is
@@ -774,12 +775,23 @@ object Summaries {
            sum(when(valueCol.isNotNull, sign).otherwise(0)).as("__dnv"))
     val zero = lit(0).cast(s"decimal(27,$scale)")
     val nv = coalesce(col(nvName), lit(0L)) + coalesce(col("__dnv"), lit(0L))
+    // The running sum keeps [[sumCountAgg]]'s widened decimal(37,scale)
+    // carrier — 33 integer digits of headroom — rather than narrowing back
+    // to the 27-digit input type. Narrowing mattered: under non-ANSI Spark
+    // an overflowing cast yields NULL silently, and the NEXT increment's
+    // coalesce would have read that NULL as 0 — silent corruption. With
+    // the wide carrier kept, an overflow is beyond-physical; if one ever
+    // happens anyway the guard below raises instead of corrupting.
+    val combined = (coalesce(col(sumName), zero) + coalesce(col("__dsum"), zero))
+      .cast(s"decimal(37,$scale)")
     baseAgg.join(delta, keys, "full_outer")
       .select(keys.map(col) :+
         // a group with NO remaining non-null values must read sum = NULL,
         // exactly as a full recompute's SQL sum would
-        when(nv > 0, (coalesce(col(sumName), zero) + coalesce(col("__dsum"), zero))
-          .cast(s"decimal(27,$scale)")).as(sumName) :+
+        when(nv > 0, when(combined.isNotNull, combined)
+          .otherwise(raise_error(lit("maintainSumCount: decimal(37) sum overflow "
+            + "— the carrier cannot hold this total")).cast(s"decimal(37,$scale)")))
+          .as(sumName) :+
         (coalesce(col(cntName), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(cntName) :+
         nv.as(nvName): _*)
       .filter(col(cntName) > 0)

@@ -38,11 +38,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — so a recreated checkpoint (fresh guard, ids restart at 0) is never
   *    falsely skipped, and a non-batch commit in between (compaction,
   *    guard [[NoGuard]]) never disturbs the streaming high-water mark.
-  *  - **GC**: after a commit, dirs superseded before the PREVIOUS version
-  *    are deleted. Keeping exactly one superseded snapshot is the grace
-  *    window for concurrent readers: a plan resolved against version N
-  *    still executes correctly while version N+1 commits (TxTableSpec pins
-  *    this).
+  *  - **GC**: after a commit, dirs referenced by none of the last
+  *    `keepSnapshots` resolved states are deleted (default 2 — current
+  *    plus one superseded snapshot, the grace window for concurrent
+  *    readers: a plan resolved against version N still executes correctly
+  *    while version N+1 commits; TxTableSpec pins this). [[setRetention]]
+  *    widens the window durably — the knob a CDC consumer replaying a
+  *    multi-version backlog needs ([[diff]] requires its from-version
+  *    readable, so keep-2 supports only adjacent-version diffs).
   *
   *  - **Concurrency**: commits are optimistic. A writer stages its data,
   *    allocates the next version, and attempts the manifest rename; if
@@ -92,6 +95,67 @@ object TxTable {
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def retentionPath(root: Path) = new Path(logDir(root), "retention")
+
+  /** Durably set how many most-recent committed versions stay readable: the
+    * resolved snapshot of each of the last `keepSnapshots` versions
+    * survives GC, and the log checkpointer keeps their manifests raw, so
+    * [[readAsOf]] and [[diff]] reach `keepSnapshots − 1` versions back.
+    * Default (no file) is 2 — the historical keep-one-superseded-snapshot
+    * behavior. A table property, not a session setting: it lives in the
+    * log (`_log/retention`), so every writer process GCs by the same rule.
+    *
+    * Widening takes effect for versions committed AFTER the call (already
+    * collected dirs are gone); narrowing reaps on the next commit's GC.
+    * Set it before the history you need exists — the file swap is
+    * delete+rename, so a concurrent committer's GC in that window reads
+    * the default, which only matters if it lands a commit at that instant.
+    */
+  def setRetention(spark: SparkSession, root: String, keepSnapshots: Int): Unit = {
+    require(keepSnapshots >= 2,
+      s"keepSnapshots must be >= 2 (got $keepSnapshots): the current snapshot " +
+        "plus at least one superseded snapshot is the concurrent-reader grace " +
+        "window the commit protocol depends on")
+    val (fs, rp) = fsFor(spark, root)
+    fs.mkdirs(logDir(rp))
+    val tmp = new Path(logDir(rp),
+      s".retention-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"graft-txret v1\nkeep $keepSnapshots\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = retentionPath(rp)
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"retention write failed at $root")
+  }
+
+  /** The effective retention window of `root` (see [[setRetention]]). */
+  def retentionOf(spark: SparkSession, root: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    readRetention(fs, rp)
+  }
+
+  /** An unreadable/absent/foreign retention file degrades to the DEFAULT
+    * (2), never an error: retention tunes garbage collection, and a GC
+    * that cannot read its knob must fall back to the conservative historic
+    * behavior rather than poison every commit on the root.
+    */
+  private def readRetention(fs: FileSystem, root: Path): Int = {
+    val p = retentionPath(root)
+    try {
+      if (!fs.exists(p)) return 2
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = txt.split("\n").toSeq
+      if (!lines.headOption.contains("graft-txret v1")) 2
+      else lines.collectFirst { case l if l.startsWith("keep ") =>
+        l.stripPrefix("keep ").trim }
+        .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(2)
+    } catch { case _: java.io.IOException => 2 }
   }
 
   /** All committed manifests in version order. An unparseable file (torn by
@@ -235,8 +299,9 @@ object TxTable {
     * the candidates for [[readAsOf]]. History below the latest log
     * checkpoint is folded into one synthetic version; whether a listed
     * version's DATA is still present additionally depends on GC
-    * (keep-one-snapshot deletes dirs a later replace superseded), which
-    * [[readAsOf]] checks loudly at read time.
+    * (dirs outside the [[setRetention]] window are deleted once later
+    * replaces supersede them), which [[readAsOf]] checks loudly at read
+    * time.
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, rp) = fsFor(spark, root)
@@ -311,12 +376,18 @@ object TxTable {
     * the join, no driver actions, output ∝ changed rows.
     *
     * Contract: `keyCols` is a primary key in both snapshots (unique,
-    * non-null) — the usual CDC precondition. Duplicate keys surface as
-    * join-multiplied spurious update pairs, never silent drops. Both
-    * versions must still be readable ([[readAsOf]]'s retention contract:
-    * the from-version's data survives exactly one later `replace`, so
-    * diff against the immediately previous snapshot is always safe, and
-    * older history fails loudly rather than returning partial changes).
+    * non-null) — the usual CDC precondition. Under a VIOLATED precondition
+    * the output is undefined: duplicate keys usually surface as
+    * join-multiplied spurious update pairs, but can also cancel silently
+    * (deleting one of two identical duplicate rows joins equal images and
+    * emits nothing) — dedupe or re-key upstream; there is no in-band
+    * detection here because a uniqueness assertion would cost a full extra
+    * aggregation on every diff. Both versions must still be readable
+    * ([[readAsOf]]'s retention contract): with the default keep-2 window
+    * only the immediately previous snapshot is safe to diff against;
+    * [[setRetention]] widens the window so `diff(v − k, v)` holds for
+    * k ≤ keepSnapshots − 1, and anything older fails loudly rather than
+    * returning partial changes.
     */
   def diff(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long,
       keyCols: Seq[String], table: String = SingleTable): DataFrame = {
@@ -504,37 +575,45 @@ object TxTable {
     (files.length, after)
   }
 
-  /** Delete data dirs superseded before the previous version. A dir is
-    * kept while the current OR previous resolved state of any table
-    * references it — one snapshot of grace for in-flight readers. Staged
-    * dirs of versions above the log (a writer mid-stage) are never
-    * touched; use [[vacuum]] for crashed-stage garbage.
+  /** Delete data dirs referenced by NONE of the last `keepSnapshots`
+    * resolved states ([[setRetention]]; default 2 — current plus one
+    * superseded snapshot of grace for in-flight readers). Staged dirs of
+    * versions above the log (a writer mid-stage) are never touched; use
+    * [[vacuum]] for crashed-stage garbage.
     */
   private def gc(fs: FileSystem, root: Path, commits: Seq[Commit]): Unit = {
     if (commits.size < 2) return
+    val keep = readRetention(fs, root)
     val tables = commits.flatMap(_.entries.map(_.table)).distinct
-    val live = tables.flatMap { t =>
-      resolveRel(commits, t) ++ resolveRel(commits.dropRight(1), t)
+    // union of each retained version's resolved state — dropRight past the
+    // log's start resolves to nothing, so a young table retains everything
+    val live = (0 until keep).flatMap { i =>
+      val asOf = commits.dropRight(i)
+      tables.flatMap(t => resolveRel(asOf, t))
     }.toSet
     val referenced = commits.flatMap(_.entries.map(_.dir)).toSet
     (referenced -- live).foreach(d => fs.delete(new Path(dataDir(root), d), true))
-    checkpointLog(fs, root, commits)
+    checkpointLog(fs, root, commits, keep)
   }
 
   /** Fold the manifest prefix into one checkpoint file once enough raw
-    * manifests accumulate. The NEWEST commit stays a raw file — the fold
-    * captures the state one version back, so gc's one-superseded-snapshot
-    * grace window for concurrent readers survives checkpointing. Ordering
-    * is crash-safe: the checkpoint lands by atomic rename FIRST; the
-    * folded manifests are deleted after, and the reader tolerates both
-    * being present (it ignores manifests at or below the checkpoint).
+    * manifests accumulate. The newest `keep − 1` commits stay raw files —
+    * the fold captures the state `keep − 1` versions back, so gc's
+    * retained-snapshot grace window ([[setRetention]]) survives
+    * checkpointing and [[readAsOf]] can still resolve every retained
+    * version. Ordering is crash-safe: the checkpoint lands by atomic
+    * rename FIRST; the folded manifests are deleted after, and the reader
+    * tolerates both being present (it ignores manifests at or below the
+    * checkpoint).
     */
-  private def checkpointLog(fs: FileSystem, root: Path, commits: Seq[Commit]): Unit = {
+  private def checkpointLog(fs: FileSystem, root: Path, commits: Seq[Commit],
+      keep: Int): Unit = {
     val ld = logDir(root)
     val rawNames = fs.listStatus(ld).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".commit"))
-    if (rawNames.size < LogCheckpointEvery || commits.size < 2) return
-    val prefix = commits.dropRight(1)
+    if (rawNames.size < LogCheckpointEvery || commits.size < keep) return
+    val prefix = commits.dropRight(keep - 1)
+    if (prefix.isEmpty) return
     val v      = prefix.map(_.version).max
     val guardLines = prefix
       .filter(c => c.guard != NoGuard && c.batchId >= 0)

@@ -203,6 +203,66 @@ class TxTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("garbage-collected"))
   }
 
+  test("setRetention widens the CDC window: diff across two intermediate replaces") {
+    import spark.implicits._
+    val root = base()
+    TxTable.setRetention(spark, root, 4)
+    assert(TxTable.retentionOf(spark, root) == 4)
+    TxTable.replace(spark, root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    TxTable.replace(spark, root, Seq((1L, 10L), (2L, 25L)).toDF("k", "v"))
+    TxTable.replace(spark, root, Seq((1L, 10L), (2L, 25L), (3L, 30L)).toDF("k", "v"))
+    TxTable.replace(spark, root, Seq((2L, 25L), (3L, 30L)).toDF("k", "v"))
+    val vs = TxTable.versions(spark, root)
+    assert(vs.length == 4)
+    // diff THREE versions back — two intermediate replaces in between —
+    // classifies the net change (update, insert, delete) correctly
+    val d = TxTable.diff(spark, root, vs(0), vs(3), Seq("k"))
+      .select("k", "v", "change").as[(Long, Long, String)].collect().toSet
+    assert(d == Set((1L, 10L, "delete"), (2L, 20L, "update_pre"),
+      (2L, 25L, "update_post"), (3L, 30L, "insert")))
+    // the same 3-back diff under DEFAULT keep-2 refuses loudly
+    val root2 = base()
+    TxTable.replace(spark, root2, Seq((1L, 10L)).toDF("k", "v"))
+    TxTable.replace(spark, root2, Seq((1L, 11L)).toDF("k", "v"))
+    TxTable.replace(spark, root2, Seq((1L, 12L)).toDF("k", "v"))
+    val v2s = TxTable.versions(spark, root2)
+    val ex = intercept[IllegalArgumentException](
+      TxTable.diff(spark, root2, v2s(0), v2s(2), Seq("k")))
+    assert(ex.getMessage.contains("garbage-collected"))
+    // a fifth commit slides the keep-4 window: v1 reaped (loudly), v2 kept
+    TxTable.replace(spark, root, Seq((3L, 31L)).toDF("k", "v"))
+    val ex2 = intercept[IllegalArgumentException](TxTable.readAsOf(spark, root, vs(0)))
+    assert(ex2.getMessage.contains("garbage-collected"))
+    assert(TxTable.readAsOf(spark, root, vs(1)).count() == 2L)
+    // vacuum only reaps UNreferenced dirs — the retained window is not
+    // vacuum's to touch even at age 0
+    assert(TxTable.vacuum(spark, root, olderThanMs = 0L) == 0)
+    assert(TxTable.read(spark, root).count() == 1L)
+  }
+
+  test("log checkpointing keeps the whole retention window resolvable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val root = base()
+    TxTable.setRetention(spark, root, 3)
+    // 70 replaces trip the 64-manifest fold; with keep = 3 the newest TWO
+    // manifests stay raw and the fold captures the state 2 versions back
+    (1 to 70).foreach(i => TxTable.replace(spark, root, Seq(i.toLong).toDF("v")))
+    val logFiles = new java.io.File(s"$root/_log").list().toSeq
+    assert(logFiles.count(_.endsWith(".ckpt")) == 1)
+    def asOf(v: Long) = TxTable.readAsOf(spark, root, v).agg(sum("v")).as[Long].head()
+    val vs = TxTable.versions(spark, root)
+    // every retained version reads through the ckpt+raw fold...
+    assert(asOf(vs.last) == 70L)
+    assert(asOf(vs(vs.length - 2)) == 69L)
+    assert(asOf(vs(vs.length - 3)) == 68L)
+    // ...and one step past the window the data is gone, loudly
+    val ex = intercept[IllegalArgumentException](asOf(vs(vs.length - 4)))
+    assert(ex.getMessage.contains("garbage-collected"))
+    // GC holds exactly the retained snapshots on disk
+    assert(new java.io.File(s"$root/data").list().length == 3)
+  }
+
   test("a foreign or corrupt log file is skipped, never wedges the root") {
     import spark.implicits._
     val root = base()
