@@ -681,6 +681,26 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // q183's index after DELETION: stored vectors (vec_id % 9 == 0, seeds
+    // excluded) tombstoned out of the search with no `_idx` rewrite and no
+    // model change — the frozen cells/codebooks still route the survivors
+    // identically, so the oracle is q183's replay minus the deleted ids on
+    // the stored side only (probes keep searching)
+    "q192_pq_index_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val prefix = s"q192_pq_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx")) {
+        val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+        Similarity.writePqIndex(e, "vec_id", "embedding", cb, nCells = 8, prefix, buckets = 4)
+        Similarity.deleteFromPqIndex(s,
+          e.filter(col("vec_id") % 9 === 0 && col("vec_id") >= 8).select(col("vec_id")),
+          "vec_id", prefix)
+      }
+      Similarity.searchPqIndex(e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", prefix, k = 3, nProbe = 6)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Supervised doc-quality model fit in-engine: logistic regression on
     // standardized (ln length, space-ratio) features, label = lang == 'en',
     // 3 full-batch GD steps — each step ONE partial-aggregated corpus pass
@@ -1399,6 +1419,47 @@ object SparkEntry {
       val prefix = s"q176_idx_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
       if (!s.catalog.tableExists(s"${prefix}_sig"))
         Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, prefix, buckets = 8)
+      Text.minhashDedupAgainstIndex(batch, "doc_id", "text", 3, 16, 0.5, prefix)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The index lifecycle's missing half: corpus docs are DELETED from the
+    // persisted q176-shaped index (doc_id % 3 == 0 tombstoned — one
+    // O(deleted ids) append, no index rewrite) and the increment dedup
+    // must equal a recompute against the SHRUNKEN corpus — a batch doc
+    // whose only near-dup was deleted now survives
+    "q190_index_delete" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val batch  = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val prefix = s"q190_idx_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_sig")) {
+        Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, prefix, buckets = 8)
+        Text.deleteFromMinhashIndex(s,
+          corpus.filter(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id", prefix)
+      }
+      Text.minhashDedupAgainstIndex(batch, "doc_id", "text", 3, 16, 0.5, prefix)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q190 after COMPACTION: the tombstones folded into a physical rewrite
+    // of both bucketed tables (shingles minus deleted ids; signatures
+    // re-derived from the retained shingle rows — no corpus re-scan) and
+    // the tombstone table reset. Same oracle as q190 — the delete-vector
+    // fast path and the compacted slow path must agree exactly
+    "q191_index_compact" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val batch  = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val prefix = s"q191_idx_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_sig")) {
+        Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, prefix, buckets = 8)
+        Text.deleteFromMinhashIndex(s,
+          corpus.filter(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id", prefix)
+        Text.compactMinhashIndex(s, prefix, 16, buckets = 8)
+      }
       Text.minhashDedupAgainstIndex(batch, "doc_id", "text", 3, 16, 0.5, prefix)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -2732,9 +2793,11 @@ object SparkEntry {
 
   /** Batch-vs-corpus variant of [[minhashLshOracle]] for q100: candidates
     * pair a batch doc (doc_id % 10 = 0) with a corpus doc, and the batch
-    * survivors are those with no verified near-dup.
+    * survivors are those with no verified near-dup. `corpusPred` narrows
+    * the corpus side — q190/q191 replay index deletion by shrinking it.
     */
-  private def minhashIncrementalOracle(): String =
+  private def minhashIncrementalOracle(
+      corpusPred: String = "b.doc_id % 10 <> 0"): String =
     s"""WITH sh AS (
            SELECT doc_id, lang, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
            FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
@@ -2745,7 +2808,7 @@ object SparkEntry {
          cand AS (
            SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
            FROM ex a JOIN ex b ON a.band = b.band AND a.hv = b.hv
-           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+           WHERE a.doc_id % 10 = 0 AND $corpusPred),
          dup AS (
            SELECT DISTINCT bid FROM cand
            JOIN sh x ON bid = x.doc_id JOIN sh y ON cid = y.doc_id
@@ -2864,6 +2927,12 @@ object SparkEntry {
     "q100_fuzzy_incremental" -> minhashIncrementalOracle(),
     // identical semantics to q100 — the stored-index plan must not change results
     "q176_index_dedup" -> minhashIncrementalOracle(),
+    // index deletion ≡ recompute against the corpus minus the deleted docs
+    "q190_index_delete" ->
+      minhashIncrementalOracle("b.doc_id % 10 <> 0 AND b.doc_id % 3 <> 0"),
+    // compaction must not change what deletion already decided
+    "q191_index_compact" ->
+      minhashIncrementalOracle("b.doc_id % 10 <> 0 AND b.doc_id % 3 <> 0"),
     "q104_heavy_hitters" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
@@ -3387,34 +3456,11 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
          WHERE rn <= 3 ORDER BY probe_id, rank""",
 
-    "q183_pq_index_search" ->
-      s"""${pqTrainCtesSql()},
-         ivfseeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
-         asg AS (
-           SELECT vec_id, v, s_id AS cell, rn FROM (
-             SELECT e2.vec_id, e2.v, ivfseeds.s_id,
-                    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE, [e2.v[i] * ivfseeds.sv[i] for i in range(1, len(e2.v) + 1)]), (a, b) -> a + b)
-                      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e2.v]), (a, b) -> a + b))
-                         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in ivfseeds.sv]), (a, b) -> a + b))) DESC,
-                      ivfseeds.s_id ASC) rn
-             FROM e2, ivfseeds)
-           WHERE rn <= 6),
-         enc AS (SELECT e2.vec_id, cc0.c w0, cc1.c w1
-                 FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
-                         JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid),
-         cand AS (SELECT a.vec_id probe_id, b.vec_id neighbor_id,
-                    floor((list_reduce(list_prepend(0.0::DOUBLE,
-                             [(a.v[i] - w.w0[i]) * (a.v[i] - w.w0[i]) for i in range(1, 33)]), (x, y) -> x + y)
-                           + list_reduce(list_prepend(0.0::DOUBLE,
-                             [(a.v[i + 32] - w.w1[i]) * (a.v[i + 32] - w.w1[i]) for i in range(1, 33)]), (x, y) -> x + y))
-                          * 1000000 + 0.5)/1000000 d6
-                  FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id
-                       JOIN enc w ON w.vec_id = b.vec_id
-                  WHERE a.vec_id % 25 = 0)
-         SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
-         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
-         WHERE rn <= 3 ORDER BY probe_id, rank""",
+    "q183_pq_index_search" -> pqIndexSearchOracle(),
+    // q183's replay with the deleted ids excluded from the STORED side
+    // only — the frozen model still routes probes and survivors identically
+    "q192_pq_index_delete" ->
+      pqIndexSearchOracle("NOT (b.vec_id % 9 = 0 AND b.vec_id >= 8)"),
 
     "q180_logreg_quality" ->
       s"""${logregCtesSql()},
@@ -3504,6 +3550,40 @@ object SparkEntry {
          SELECT o_orderkey, a_ck, a_st, a_pr, 'update_post' FROM chg
          ORDER BY o_orderkey, change""",
   )
+
+  /** DuckDB replay of the q183 persisted-index search: PQ training CTEs +
+    * IVF seed routing + ADC scoring. `storedPred` narrows the stored
+    * (neighbor) side — q192 replays index deletion with it; probes always
+    * search.
+    */
+  private def pqIndexSearchOracle(storedPred: String = "TRUE"): String =
+    s"""${pqTrainCtesSql()},
+       ivfseeds AS (SELECT vec_id s_id, embedding::DOUBLE[] sv FROM embeddings WHERE vec_id < 8),
+       asg AS (
+         SELECT vec_id, v, s_id AS cell, rn FROM (
+           SELECT e2.vec_id, e2.v, ivfseeds.s_id,
+                  row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                    list_reduce(list_prepend(0.0::DOUBLE, [e2.v[i] * ivfseeds.sv[i] for i in range(1, len(e2.v) + 1)]), (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in e2.v]), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in ivfseeds.sv]), (a, b) -> a + b))) DESC,
+                    ivfseeds.s_id ASC) rn
+           FROM e2, ivfseeds)
+         WHERE rn <= 6),
+       enc AS (SELECT e2.vec_id, cc0.c w0, cc1.c w1
+               FROM e2 JOIN k0 ON e2.vec_id = k0.vec_id JOIN k1 ON e2.vec_id = k1.vec_id
+                       JOIN c0 cc0 ON cc0.cid = k0.cid JOIN c1 cc1 ON cc1.cid = k1.cid),
+       cand AS (SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+                  floor((list_reduce(list_prepend(0.0::DOUBLE,
+                           [(a.v[i] - w.w0[i]) * (a.v[i] - w.w0[i]) for i in range(1, 33)]), (x, y) -> x + y)
+                         + list_reduce(list_prepend(0.0::DOUBLE,
+                           [(a.v[i + 32] - w.w1[i]) * (a.v[i + 32] - w.w1[i]) for i in range(1, 33)]), (x, y) -> x + y))
+                        * 1000000 + 0.5)/1000000 d6
+                FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id
+                     JOIN enc w ON w.vec_id = b.vec_id
+                WHERE a.vec_id % 25 = 0 AND $storedPred)
+       SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
+       WHERE rn <= 3 ORDER BY probe_id, rank"""
 
   /** DuckDB replay of [[cdcFixture]]'s two snapshots as CTEs `v1`, `v2`. */
   private def cdcVersionsSql: String =

@@ -403,6 +403,9 @@ object Similarity {
     import spark.implicits._
     val clean = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
     val (ids, vecs) = fetchCellSeeds(clean, idCol, vecCol, nCells, seedByHash)
+    // a fresh build must not inherit the previous generation's tombstones
+    // (they would silently subtract new-corpus ids from every search)
+    Storage.clearTombstones(spark, s"${tablePrefix}_del")
     // cross-session rebuild: a previous session's model tables may have
     // left warehouse locations behind ([[Storage.reclaimStaleLocation]])
     Storage.reclaimStaleLocation(spark, s"${tablePrefix}_cells")
@@ -474,7 +477,12 @@ object Similarity {
     val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
     val probes = assignCellsWith(clean, idCol, vecCol, ids, vecs, nProbe)
       .select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
-    val idx = spark.table(s"${tablePrefix}_idx")
+    // pending deletes ([[deleteFromPqIndex]]) are subtracted before the
+    // cell join — tombstones are small by contract, so AQE broadcasts the
+    // anti-join and the bucketed `_idx` side still never shuffles
+    val idx0 = spark.table(s"${tablePrefix}_idx")
+    val idx = Storage.tombstonesOf(spark, s"${tablePrefix}_del")
+      .fold(idx0)(del => idx0.join(del, Seq("id"), "left_anti"))
       .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("codes"))
     val d6 = floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000
     rankTopK(
@@ -482,6 +490,37 @@ object Similarity {
           .select(col("probe_id"), col("neighbor_id"), (-d6).as("sim")), k)
       .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
   }
+
+  /** Delete vectors from a persisted IVF-PQ index ([[writePqIndex]]) without
+    * rewriting it: tombstone append + search-time anti-join, the same
+    * delete-vector shape as [[graft.ops.Text.deleteFromMinhashIndex]]
+    * (economics in [[graft.ops.Storage.appendTombstones]]). The frozen
+    * model (cells, codebooks) is untouched — deletion changes WHAT is
+    * stored, never how the survivors are routed.
+    */
+  def deleteFromPqIndex(spark: SparkSession, ids: DataFrame, idCol: String,
+      tablePrefix: String): Unit =
+    Storage.appendTombstones(spark, ids, idCol, s"${tablePrefix}_del")
+
+  /** Fold accumulated tombstones into the physical `_idx` table: rewrite it
+    * minus the deleted ids (bucketing preserved) and reset the tombstone
+    * table. The model tables are NOT touched — the remaining codes were
+    * encoded and routed under the frozen model and stay valid. Kept rows
+    * are pinned before the overwrite; `checkpointDir` selects a reliable
+    * pin ([[graft.ops.Checkpoints]]). A maintenance-window operation, not
+    * safe under concurrent searches of the same prefix. No-op when no
+    * deletes are pending.
+    */
+  def compactPqIndex(spark: SparkSession, tablePrefix: String, buckets: Int,
+      checkpointDir: Option[String] = None): Unit =
+    Storage.tombstonesOf(spark, s"${tablePrefix}_del").foreach { del =>
+      val pin = Checkpoints.pinner(spark, checkpointDir, eager = true)
+      val keep = pin(spark.table(s"${tablePrefix}_idx").join(del, Seq("id"), "left_anti"))
+      Storage.writeBucketed(keep.select(col("cell"), col("id"), col("codes")),
+        s"${tablePrefix}_idx", Seq("cell"), buckets, "overwrite")
+      Storage.clearTombstones(spark, s"${tablePrefix}_del")
+      Checkpoints.release(keep)
+    }
 
   /** SemDeDup-style semantic near-duplicate candidates: vectors are
     * bucketed into their IVF home cell (one compiled argmax pass, no

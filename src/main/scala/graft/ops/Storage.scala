@@ -95,6 +95,39 @@ object Storage {
       keys: Seq[String]): DataFrame =
     spark.table(tableA).hint("merge").join(spark.table(tableB), keys)
 
+  /** Append delete-vector TOMBSTONES for a persisted index prefix (see
+    * [[graft.ops.Text.deleteFromMinhashIndex]] /
+    * [[graft.ops.Similarity.deleteFromPqIndex]]). A physical delete from a
+    * bucketed index is a full-table rewrite — a document's signature rows
+    * spread across nearly every (band, hv) bucket, a vector's code row
+    * lives mid-bucket — so deletes LAND as an O(deleted ids) append to a
+    * small side table and searches subtract it, the Delta deletion-vector
+    * / Iceberg equality-delete economics. Compaction
+    * ([[graft.ops.Text.compactMinhashIndex]] etc.) folds tombstones into
+    * the physical tables and resets this one. Idempotent: re-deleting an
+    * id (or deleting one never indexed) cannot change anti-join results.
+    */
+  def appendTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+      table: String): Unit = {
+    if (!spark.catalog.tableExists(table)) reclaimStaleLocation(spark, table)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** The live tombstone set of `table` as a 1-column (`id`) frame, or None
+    * when no deletes are pending. Distinct on read: the same id may have
+    * been appended by several delete batches. Small by contract (compaction
+    * resets it), so consumers' anti-joins broadcast it at runtime.
+    */
+  def tombstonesOf(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table))
+      Some(spark.table(table).select(col("id")).distinct())
+    else None
+
+  /** Drop a tombstone table (compaction epilogue / fresh-rebuild prologue). */
+  def clearTombstones(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
   /** Morton (z-order) interleave of per-column bin ids: bit `b` of column
     * `i` lands at result bit `b·N + i`, so consecutive z-values walk a
     * space-filling curve — rows close in z are close in EVERY binned

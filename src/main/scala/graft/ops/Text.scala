@@ -575,6 +575,10 @@ object Text {
       mode: String = "overwrite"): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = corpus.sparkSession
+    // a fresh full build starts with a clean slate: stale tombstones from
+    // the previous index generation would silently subtract the NEW
+    // corpus's rows from every search
+    if (mode == "overwrite") Storage.clearTombstones(spark, s"${tablePrefix}_del")
     val sh = corpus
       .select(col(idCol).as("id"), col(textCol))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -620,7 +624,15 @@ object Text {
       .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
     val bsig = bsh.select(col("id"),
       posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
-    val csig = spark.table(s"${tablePrefix}_sig")
+    // Pending deletes ([[deleteFromMinhashIndex]]) are subtracted from the
+    // SIGNATURE side only — a candidate whose corpus id is tombstoned can
+    // then never form, so the shingle-side join never sees deleted ids.
+    // The tombstone set is small by contract (compaction resets it), so
+    // AQE broadcasts the anti-join — no index-side exchange appears and
+    // the PlanSpec never-shuffle-the-corpus pin is preserved.
+    val csig0 = spark.table(s"${tablePrefix}_sig")
+    val csig = Storage.tombstonesOf(spark, s"${tablePrefix}_del")
+      .fold(csig0)(del => csig0.join(del, Seq("id"), "left_anti"))
     val csh  = spark.table(s"${tablePrefix}_sh")
     val cand = bsig.as("a")
       .join(csig.as("b"),
@@ -636,6 +648,47 @@ object Text {
       .distinct()
     batch.join(dupIds, batch(idCol) === dupIds("bid"), "left_anti")
   }
+
+  /** Delete documents from a persisted MinHash index ([[writeMinhashIndex]])
+    * WITHOUT rewriting it: the ids land in the `<prefix>_del` tombstone
+    * table (one O(deleted ids) append — [[graft.ops.Storage.appendTombstones]]
+    * explains the delete-vector economics: a doc's signature rows spread
+    * across nearly every (band, hv) bucket, so a physical delete is a
+    * full-table rewrite), and [[minhashDedupAgainstIndex]] subtracts them
+    * before candidates form. [[compactMinhashIndex]] folds the tombstones
+    * in once their fraction makes the per-search anti-join noticeable —
+    * without it a 100 TB index that only ever grows eventually searches
+    * garbage.
+    */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, tablePrefix: String): Unit =
+    Storage.appendTombstones(spark, ids, idCol, s"${tablePrefix}_del")
+
+  /** Fold accumulated tombstones into the physical index: rewrite the
+    * bucketed shingle table minus the deleted ids, re-derive the signature
+    * table from the RETAINED shingle rows (the [[writeMinhashIndex]]
+    * full-build path — no corpus re-scan or re-shingling), and reset the
+    * tombstone table. `k` must match the index's band count. The kept rows
+    * are pinned before the overwrite (Spark refuses to overwrite a table
+    * its own input reads); pass `checkpointDir` for a reliable filesystem
+    * pin on corpus-scale runs ([[graft.ops.Checkpoints]]). Not safe under
+    * concurrent searches of the same prefix — a maintenance-window
+    * operation, like [[TxTable.compact]]. No pending tombstones → no-op.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, k: Int, buckets: Int,
+      checkpointDir: Option[String] = None): Unit =
+    Storage.tombstonesOf(spark, s"${tablePrefix}_del").foreach { del =>
+      val pin = Checkpoints.pinner(spark, checkpointDir, eager = true)
+      val keep = pin(spark.table(s"${tablePrefix}_sh").join(del, Seq("id"), "left_anti"))
+      Storage.writeBucketed(keep, s"${tablePrefix}_sh", Seq("id"), buckets, "overwrite")
+      Storage.writeBucketed(
+        keep.select(col("id"),
+          posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv"))),
+        s"${tablePrefix}_sig", Seq("band", "hv"), buckets, "overwrite")
+      Storage.clearTombstones(spark, s"${tablePrefix}_del")
+      Checkpoints.release(keep)
+    }
 
   /** Exact pair-overlap core shared by [[jaccardNearDupPairs]] (symmetric
     * resemblance) and [[containmentPairs]] (asymmetric doc-in-doc): one row

@@ -225,6 +225,36 @@ class SimilaritySpec extends AnyFunSuite {
       "appended vectors must surface in index search")
   }
 
+  test("deleteFromPqIndex + compactPqIndex ≡ search of an index built without the deleted ids") {
+    import graft.ops.Clustering
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+    val prefix  = s"spec_pqdel_${System.nanoTime()}"
+    val prefix2 = s"${prefix}_truth"
+    Similarity.writePqIndex(e, "vec_id", "embedding", cb, nCells = 4, prefix, buckets = 2)
+    // ground truth: an index built WITHOUT the deleted ids, under the SAME
+    // model (cells seed from the 4 smallest ids, none deleted — routing is
+    // identical, so results must be identical)
+    Similarity.writePqIndex(e.filter($"vec_id" % 7 =!= 0 || $"vec_id" < 4),
+      "vec_id", "embedding", cb, nCells = 4, prefix2, buckets = 2)
+    val probes = e.filter($"vec_id" % 25 === 0)
+    def collect(p: String) =
+      Similarity.searchPqIndex(probes, "vec_id", "embedding", p, 3, nProbe = 2)
+        .select("probe_id", "neighbor_id", "adc_d6", "rank")
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val del = e.filter($"vec_id" % 7 === 0 && $"vec_id" >= 4).select($"vec_id")
+    Similarity.deleteFromPqIndex(spark, del, "vec_id", prefix)
+    val truth = collect(prefix2)
+    assert(collect(prefix) == truth, "tombstone path must equal the shrunken index")
+    // compaction folds the tombstones physically: same answer, reset table
+    Similarity.compactPqIndex(spark, prefix, buckets = 2)
+    assert(!spark.catalog.tableExists(s"${prefix}_del"))
+    assert(collect(prefix) == truth, "compacted path must equal the shrunken index")
+    assert(spark.table(s"${prefix}_idx")
+      .filter($"id" % 7 === 0 && $"id" >= 4).count() == 0)
+  }
+
   test("ANN recall@3 vs q24 brute-force ground truth (sf0.001, tuned geometry)") {
     // Retrieval-quality gate: the bucketed paths are CORRECT against their
     // own oracles by construction; this pins that future bucket/cell tuning

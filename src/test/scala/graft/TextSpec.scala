@@ -470,4 +470,49 @@ class TextSpec extends AnyFunSuite {
       batch, corpusA.unionByName(corpusB), "doc_id", "text", 3, 16, 0.5))
     assert(viaIndexAB == viaCorpusAB && viaIndexAB == Seq(101L))
   }
+
+  test("deleteFromMinhashIndex + compactMinhashIndex ≡ recompute on the shrunken corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence about spark physical plans"),
+      (3L, "streaming sinks commit atomically through the table log"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (101L, "streaming sinks commit atomically through the table log")) // dup of 3
+      .toDF("doc_id", "text")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val prefix = "textspec_delidx"
+    graft.ops.Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, prefix, 4)
+    assert(survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, prefix)) == Seq.empty)
+    // tombstone doc 1: its twin (100) must now SURVIVE — identical to a
+    // recompute against the corpus minus the deleted doc
+    graft.ops.Text.deleteFromMinhashIndex(spark, Seq(1L).toDF("doc_id"), "doc_id", prefix)
+    val viaTombstone = survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, prefix))
+    val viaRecompute = survivors(graft.ops.Text.minhashDedupAgainstCorpus(
+      batch, corpus.filter($"doc_id" =!= 1L), "doc_id", "text", 3, 16, 0.5))
+    assert(viaTombstone == viaRecompute && viaTombstone == Seq(100L))
+    // deleting an id twice / an id never indexed is inert
+    graft.ops.Text.deleteFromMinhashIndex(spark,
+      Seq(1L, 999L).toDF("doc_id"), "doc_id", prefix)
+    assert(survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, prefix)) == Seq(100L))
+    // compaction physically folds the tombstones: same answer, tombstone
+    // table gone, and the index tables no longer hold the deleted id
+    graft.ops.Text.compactMinhashIndex(spark, prefix, 16, 4)
+    assert(!spark.catalog.tableExists(s"${prefix}_del"))
+    assert(survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, prefix)) == Seq(100L))
+    assert(spark.table(s"${prefix}_sh").filter($"id" === 1L).count() == 0)
+    assert(spark.table(s"${prefix}_sig").filter($"id" === 1L).count() == 0)
+    // a fresh full rebuild clears any pending tombstones with it
+    graft.ops.Text.deleteFromMinhashIndex(spark, Seq(3L).toDF("doc_id"), "doc_id", prefix)
+    graft.ops.Text.writeMinhashIndex(corpus, "doc_id", "text", 3, 16, prefix, 4)
+    assert(survivors(graft.ops.Text.minhashDedupAgainstIndex(
+      batch, "doc_id", "text", 3, 16, 0.5, prefix)) == Seq.empty)
+  }
 }
