@@ -122,9 +122,12 @@ object Graph {
     * in-aggregate `max(struct(cnt, -label))`, so the update is
     * partition-order-exact and replayed term-for-term by the SQL oracle's
     * `row_number() OVER (ORDER BY cnt DESC, label ASC)`. Fixed
-    * `iterations` (synchronous LPA may oscillate on bipartite structure —
-    * the fixed-round form is the deterministic, oracle-able contract;
-    * convergence is not claimed). Self-loops are ignored for voting — a
+    * `iterations` by default (synchronous LPA may oscillate on bipartite
+    * structure — the fixed-round form is the deterministic, oracle-able
+    * contract; convergence is not claimed); `converge = true` turns
+    * `iterations` into a ceiling with per-round fixpoint detection and a
+    * LOUD failure when no fixpoint exists (see
+    * [[labelPropagationWithRounds]]). Self-loops are ignored for voting — a
     * node whose only edges are self-loops is still a node, and keeps its
     * own label through every round (it votes for nothing and nothing
     * votes for it).
@@ -149,7 +152,34 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int, checkpointDir: Option[String] = None,
-      pinEvery: Int = 1): DataFrame = {
+      pinEvery: Int = 1, converge: Boolean = false): DataFrame =
+    labelPropagationWithRounds(pairs, aCol, bCol, iterations, checkpointDir,
+      pinEvery, converge)._1
+
+  /** [[labelPropagation]] plus the number of rounds actually run — the
+    * testable surface of `converge` (GraphSpec asserts early halt and the
+    * loud oscillation failure).
+    *
+    * `converge = false` (default): exactly `iterations` rounds, no
+    * per-round action — a short unroll with `pinEvery = iterations` runs
+    * as ONE job, the oracle-able fixed-round contract (q177). Convergence
+    * is not claimed; the caller owns the round count.
+    *
+    * `converge = true`: `iterations` becomes a CEILING — rounds run until
+    * the label fixpoint, detected by [[graft.ops.Dedup.connectedComponents]]'s
+    * hash-sum signature over `(v, label)` PAIRS (pairs, not bare labels: an
+    * oscillating 2-cycle SWAPS labels between nodes, which a label-multiset
+    * sum could not see). Each round lazily pins and the signature probe is
+    * the round's one action, so the cost is CC's per-round shape
+    * (`pinEvery` is ignored — every round is pinned). A graph that never
+    * fixpoints within the ceiling (synchronous LPA oscillates on bipartite
+    * structure) throws rather than returning a non-converged labeling the
+    * caller believed final — mirror of CC's refusal; fixed-round semantics
+    * remain available as `converge = false`.
+    */
+  private[graft] def labelPropagationWithRounds(pairs: DataFrame, aCol: String,
+      bCol: String, iterations: Int, checkpointDir: Option[String] = None,
+      pinEvery: Int = 1, converge: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
     require(pinEvery >= 1 && pinEvery <= 5, "pinEvery in [1, 5]")
     val lazyPin = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
@@ -170,9 +200,17 @@ object Graph {
     val voters = lazyPin(edges.select(col("dst").as("v")).distinct())
     val isolated = nodes.join(voters, Seq("v"), "left_anti")
       .select(col("v"), col("v").as("label"))
+    // fixpoint signature over (v, label) PAIRS — see the `converge` scaladoc
+    def labelSig(df: DataFrame): String = String.valueOf(
+      df.agg(sum(xxhash64(col("v"), col("label")).cast("decimal(38,0)")))
+        .head().get(0))
     var labels = voters.select(col("v"), col("v").as("label"))
     var lastPinned: Option[DataFrame] = None
-    for (i <- 1 to iterations) {
+    var sig    = if (converge) labelSig(labels) else ""
+    var rounds = 0
+    var fixed  = false
+    while (rounds < iterations && !fixed) {
+      val i = rounds + 1
       val votes = edges.join(labels, col("src") === col("v"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
       // every voter node receives >= 1 vote, so `won` covers all of them:
@@ -180,18 +218,34 @@ object Graph {
       val next = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
         .select(col("dst").as("v"), (-col("s.nl")).as("label"))
-      // pinEvery = cadence of lineage truncation, exactly as pageRankInt:
-      // a short unroll (iterations <= pinEvery) runs as ONE job with no
-      // mid-loop materialization barrier; lineage depth pinEvery is the
-      // documented recovery bound
-      if (i < iterations && i % pinEvery == 0) {
+      if (converge) {
+        // CC's round shape: lazy pin; the signature probe is the round's
+        // one action and materializes the pin as its side effect
+        val pinned = lazyPin(next)
+        val nsig   = labelSig(pinned)
+        fixed = nsig == sig
+        sig = nsig
+        lastPinned.foreach(Checkpoints.release)
+        lastPinned = Some(pinned)
+        labels = pinned
+      } else if (i < iterations && i % pinEvery == 0) {
+        // pinEvery = cadence of lineage truncation, exactly as pageRankInt:
+        // a short unroll (iterations <= pinEvery) runs as ONE job with no
+        // mid-loop materialization barrier; lineage depth pinEvery is the
+        // documented recovery bound
         val pinned = pin(next)
         lastPinned.foreach(Checkpoints.release) // superseded round
         lastPinned = Some(pinned)
         labels = pinned
       } else labels = next // final round (and un-pinned rounds): lazy
+      rounds = i
     }
-    labels.unionByName(isolated)
+    if (converge && !fixed)
+      throw new IllegalStateException(
+        s"labelPropagation did not reach a fixpoint in $iterations rounds — " +
+          "synchronous LPA oscillates on bipartite structure; raise the " +
+          "ceiling, or run with converge = false for fixed-round semantics")
+    (labels.unionByName(isolated), rounds)
   }
 
   /** Exact triangle census of an undirected graph — the standard local-

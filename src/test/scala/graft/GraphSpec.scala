@@ -144,4 +144,30 @@ class GraphSpec extends AnyFunSuite {
       assert(got == reference(iters), s"diverged at $iters iterations (pinEvery=$pinEvery)")
     }
   }
+
+  test("labelPropagation converge=true halts at the fixpoint round, loudly refuses oscillators") {
+    // A triangle fixpoints fast: round k's labels equal round k-1's, and
+    // the signature halts the loop there — NOT at the iteration ceiling.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val (labels, rounds) = Graph.labelPropagationWithRounds(
+      tri, "a", "b", iterations = 20, converge = true)
+    assert(labels.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(rounds < 20, s"must halt at the fixpoint, ran $rounds rounds")
+    // ...and the converged answer equals the fixed-round answer at any
+    // later round count (a fixpoint by definition)
+    val fixed = Graph.labelPropagation(tri, "a", "b", 6, pinEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // A 2-node path oscillates under synchronous LPA — the labels SWAP
+    // every round (which a label-multiset signature would miss; the
+    // (v, label) pair hash does not) — so converge must throw rather than
+    // return a labeling the caller believed final.
+    val osc = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      Graph.labelPropagation(osc, "a", "b", 6, converge = true).collect())
+    assert(e.getMessage.contains("did not reach a fixpoint"))
+    // fixed-round semantics stay available for the same graph
+    assert(Graph.labelPropagation(osc, "a", "b", 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
+  }
 }
