@@ -12,6 +12,39 @@ package graft
   * instead of being swallowed into a bogus timing.
   */
 object Bench {
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Host fingerprint, embedded in every bench artifact: cpu model, core
+    * count, and a fixed ~1 s single-thread xorshift calibration (millions
+    * of iterations per second). Same-host reruns vary by a few percent;
+    * across VMs the calibration moves with the machine — so a future
+    * reader can separate "slow VM" from "real regression" from the JSON
+    * alone (round-8 verdict: three same-round totals spread ~15% across
+    * hosts with no in-artifact way to tell).
+    */
+  private def hostFingerprint(): String = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val cpu = try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("model name") => l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Throwable => "unknown" }
+    var x = 0x9E3779B97F4A7C15L
+    var blocks = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 1000000000L) {
+      var j = 0
+      while (j < 1000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+      blocks += 1
+    }
+    // fold x into the output so the loop cannot be dead-code-eliminated
+    val nonce = (x & 1L).toInt
+    s"""{"cpu":${jstr(cpu)},"cores":$cores,"xorshift_mops":${blocks + nonce * 0}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -58,7 +91,6 @@ object Bench {
       }
       name -> attempt
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would print 1,234 — invalid JSON for the driver
     def ms3(t: Double)  = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
@@ -67,10 +99,13 @@ object Bench {
     val qs    = ok.map { case (k, v) => s"${jstr(k)}:${ms3(v)}" }.mkString("{", ",", "}")
     val es    = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // measured AFTER the suite (a concurrent calibration would perturb the
+    // timings it is meant to contextualize)
+    val host = hostFingerprint()
     // Timings rounded to ms and the headline metric placed LAST: the driver
     // stores only the final ~2 KB of output, so the summary must sit at the
     // end of the line to survive truncation of the per-query map.
-    println(s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","metric":"total","value":${ms3(total)},"unit":"sec"}""")
+    println(s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","host":$host,"metric":"total","value":${ms3(total)},"unit":"sec"}""")
     // The driver's tail truncation drops the HEAD of the per-query map
     // (q100+ timings were unreadable in BENCH_r07.json), so also persist
     // the complete map to a committed artifact, and print the slowest-10
@@ -79,7 +114,7 @@ object Bench {
     println("slowest10 " + slow.map { case (k, v) => s"$k=${ms3(v)}" }.mkString(" "))
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","total_sec":${ms3(total)}}""" + "\n")
+      s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","host":$host,"total_sec":${ms3(total)}}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

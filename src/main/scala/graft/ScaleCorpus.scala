@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: materialize a CONSISTENT ×N replication of the whole
+  * testdata directory, so the full 190-query suite can be benched at
+  * ~sf1 from an sf0.1 source (`BENCH_sfx10.json` / SCALING.md). The
+  * ScaleBench family probes scale one operator's input at a time; this
+  * scales every table AT ONCE with foreign keys kept valid, which is what
+  * the suite's join-shaped queries need:
+  *
+  *  - every replica offsets each key DOMAIN by the same stride
+  *    (`o_custkey` moves with `c_custkey`, `l_orderkey` with
+  *    `o_orderkey`, …), so FK joins land exactly as in the source;
+  *  - `region`/`nation` are copied once, not replicated — TPC-H dimension
+  *    tables are fixed-size at every SF, and replica rows keep pointing
+  *    at them;
+  *  - `documents.text` gets the per-replica alphabet rotation and
+  *    `embeddings.embedding` the deterministic jitter (both from
+  *    ScaleBench) so dedup/ANN statistics stay corpus-like instead of
+  *    measuring the pathological 10-way-clone path;
+  *  - replica 0 is the byte-identical source, so fixtures that rely on
+  *    canonical ids (IVF seeds `vec_id < 8`, the flood corpus `doc_id <
+  *    50`) still find them;
+  *  - outputs are written multi-file (the source is single-row-group
+  *    parquet, unsplittable — honest scan parallelism at 10× needs real
+  *    files).
+  *
+  * Usage: `runMain graft.ScaleCorpus [replicas] [outDir]` with
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1); then point Bench at the out dir.
+  */
+object ScaleCorpus {
+
+  private val alphabet = "aeiounstrl"
+  private val Stride   = 10000000L // all source key domains are < 10^7
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    require(n >= 1 && n <= 100, "replicas in [1, 100]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption.getOrElse {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      s"/root/repo/target/scale_suite/${tag}_x$n"
+    }
+    val spark = Sessions.local()
+
+    def off(c: String, i: Int): Column = col(c) + lit(i * Stride)
+    // per-table key columns that move together (the FK contract)
+    val keyCols: Map[String, Seq[String]] = Map(
+      "customer"   -> Seq("c_custkey"),
+      "supplier"   -> Seq("s_suppkey"),
+      "part"       -> Seq("p_partkey"),
+      "orders"     -> Seq("o_orderkey", "o_custkey"),
+      "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events"     -> Seq("event_id", "user_id"),
+      "documents"  -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    def replica(name: String, df: DataFrame, i: Int): DataFrame = {
+      val keyed = keyCols(name).foldLeft(df)((d, k) => d.withColumn(k, off(k, i)))
+      name match {
+        case "documents" if i > 0 =>
+          val rot = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
+          keyed.withColumn("text", translate(col("text"), alphabet, rot))
+        case "embeddings" if i > 0 =>
+          keyed.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              x + ((pmod(hash(col("vec_id"), lit(i), j), lit(1000)) / lit(1000.0)) - 0.5) * 0.3)
+              .cast("array<float>"))
+        case _ => keyed
+      }
+    }
+
+    def writeOnce(name: String, mk: => DataFrame, parts: Int): Unit = {
+      val path = s"$outDir/$name.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        mk.repartition(parts).write.mode("overwrite").parquet(path)
+        println(s"[scalecorpus] wrote $path")
+      } else println(s"[scalecorpus] reusing $path")
+    }
+
+    for (dim <- Seq("region", "nation"))
+      writeOnce(dim, Tables.t(spark, sfDir, dim), 1)
+    for (name <- keyCols.keys.toSeq.sorted) {
+      val src = Tables.t(spark, sfDir, name) // events: ns→µs ts conversion applied
+      writeOnce(name, (0 until n).map(replica(name, src, _)).reduce(_ unionByName _),
+        parts = 32)
+    }
+    println(s"[scalecorpus] done: $outDir (x$n of $sfDir)")
+    spark.stop()
+  }
+}
