@@ -60,6 +60,16 @@ object ScaleCorpus {
     def replica(name: String, df: DataFrame, i: Int): DataFrame = {
       val keyed = keyCols(name).foldLeft(df)((d, k) => d.withColumn(k, off(k, i)))
       name match {
+        // TPC-H names embed the key ("Customer#000000042"): regenerate them
+        // from the OFFSET key so replica names stay unique, as real sf1
+        // data's would — cloned names would flood q106's deletion-variant
+        // blocks with 10-way duplicates (the pathological path, not growth)
+        case "customer" if i > 0 =>
+          keyed.withColumn("c_name",
+            format_string("Customer#%09d", col("c_custkey")))
+        case "supplier" if i > 0 =>
+          keyed.withColumn("s_name",
+            format_string("Supplier#%09d", col("s_suppkey")))
         case "documents" if i > 0 =>
           val rot = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
           keyed.withColumn("text", translate(col("text"), alphabet, rot))

@@ -2375,6 +2375,17 @@ object SparkEntry {
     // flood still resolves around one representative. Constant-size by
     // construction (doc_id < 50 + 1000 synthesized clones), so this costs
     // the same at every SF
+    // The maxBucket PREFLIGHT: band-bucket occupancy over the documents
+    // table — the measurement that decides whether the (deliberately
+    // default-off) hot-bucket cap must be set before minhashNearDupPairs
+    // runs at a new corpus scale. Healthy corpora tail off early; a q173
+    // flood shows itself as one occ≈clones bucket carrying a quadratic
+    // cand_pairs spike
+    "q193_lsh_occupancy" -> ((s, d) => {
+      Text.lshBucketOccupancy(t(s, d, "documents"), "doc_id", "text", 3, 16)
+        .orderBy(col("occ"))
+    }),
+
     "q173_boilerplate_flood" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val base = docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
@@ -2863,6 +2874,22 @@ object SparkEntry {
            WHERE len(list_intersect(x.ss, y.ss))::DOUBLE / len(list_distinct(list_concat(x.ss, y.ss))) >= 0.5)"""
 
   private def textOracles: Map[String, String] = Map(
+    // the same (band, hv) buckets the pair join uses, folded to an
+    // occupancy histogram — cand_pairs is exact (occ·(occ−1) is even, so
+    // the /2 has no fractional part and both engines' double-div + cast
+    // agree bit-for-bit)
+    "q193_lsh_occupancy" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i+2), ' ') for i in range(1, len(tk)-1)]) ss
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk FROM documents)),
+         sig AS (
+           SELECT doc_id, ${minhashSigSqlTerms(16)} sg
+           FROM (SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in ss] hs FROM sh)),
+         ex AS (SELECT doc_id, generate_subscripts(sg, 1) - 1 AS band, unnest(sg) AS hv FROM sig),
+         buck AS (SELECT band, hv, count(*) AS occ FROM ex GROUP BY band, hv)
+         SELECT occ, count(*) AS n_buckets,
+                CAST(occ * (occ - 1) / 2 * count(*) AS BIGINT) AS cand_pairs
+         FROM buck GROUP BY occ ORDER BY occ""",
     "q173_boilerplate_flood" ->
       s"""WITH ${floodCorpusSql(1000)},
          ${cappedLshCtesSql(64)}

@@ -380,6 +380,42 @@ object Text {
     * [[graft.ops.Graph.pageRankInt]] and
     * [[graft.ops.Dedup.connectedComponents]] accept.
     */
+  /** LSH band-bucket occupancy preflight — the report that tells an
+    * operator whether [[minhashNearDupPairs]] needs its `maxBucket` bound
+    * BEFORE the pair join runs at a new corpus scale. `maxBucket` is
+    * deliberately default-off (a binding cap changes which candidates are
+    * seen, so enabling it is an explicit decision — see the
+    * minhashNearDupPairs scaladoc); this is the measurement that decision
+    * reads. One row per occupancy value over the SAME `(band, hv)` buckets
+    * the pair join would use: `(occ, n_buckets, cand_pairs)` where
+    * `cand_pairs = n_buckets · occ·(occ−1)/2` is the candidate mass those
+    * buckets inject into the join. A healthy corpus tails off by
+    * `occ ≈ tens`; a flood (q173's subject) shows a single bucket at
+    * `occ ≈ clones` carrying a quadratic `cand_pairs` spike — set
+    * `maxBucket` (≈ 8·k of the intended top-k, or the knee of this
+    * report) when the tail's candidate mass dominates the total. Same
+    * diagnose-before-tuning shape as [[Summaries.keySkewReport]] for
+    * shuffle keys. Cost: the signature pass plus two aggregations —
+    * O(corpus), no pair join.
+    */
+  def lshBucketOccupancy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int,
+      k: Int): DataFrame = {
+    val spread = docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sig = spread
+      .select(col("id"), shinglesOf(col(textCol), nShingle).as("ss"))
+      .select(col("id"), posexplode(minhashSignatureOf(col("ss"), k)).as(Seq("band", "hv")))
+    sig.groupBy(col("band"), col("hv")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("occ"), col("n_buckets"),
+        (col("occ") * (col("occ") - 1) / 2 * col("n_buckets")).cast("long").as("cand_pairs"))
+      .orderBy(col("occ"))
+  }
+
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,

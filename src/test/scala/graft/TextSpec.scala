@@ -471,6 +471,30 @@ class TextSpec extends AnyFunSuite {
     assert(viaIndexAB == viaCorpusAB && viaIndexAB == Seq(101L))
   }
 
+  test("lshBucketOccupancy preflight surfaces a clone flood as a quadratic cand_pairs spike") {
+    import spark.implicits._
+    val distinctDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence about spark physical plans"),
+      (3L, "bucketed tables amortize the shuffle across later joins"))
+      .toDF("doc_id", "text")
+    val cloneText = "this exact boilerplate paragraph appears on every single page"
+    val flood = spark.range(200)
+      .select(($"id" + 1000L).as("doc_id"), lit(cloneText).as("text"))
+    val report = graft.ops.Text.lshBucketOccupancy(
+        distinctDocs.unionByName(flood), "doc_id", "text", 3, 16)
+      .as[(Long, Long, Long)].collect()
+    // every one of the 16 bands hashes the 200 identical docs into ONE
+    // bucket: the report must show the occ=200 spike with its quadratic
+    // candidate mass — the signal that says "set maxBucket before joining"
+    val spike = report.filter(_._1 == 200L)
+    assert(spike.length == 1 && spike.head._2 == 16L)
+    assert(spike.head._3 == 16L * (200L * 199L / 2))
+    // and the spike dominates the total candidate mass (the decision rule)
+    val totalCand = report.map(_._3).sum
+    assert(spike.head._3.toDouble / totalCand > 0.99)
+  }
+
   test("deleteFromMinhashIndex + compactMinhashIndex ≡ recompute on the shrunken corpus") {
     import spark.implicits._
     val corpus = Seq(
