@@ -171,14 +171,28 @@ object Similarity {
     val buckets = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expr.SignLshBuckets(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), nTables, nPlanes))
-    val slim = base.select(col("id"), posexplode(buckets).as(Seq("t", "b")))
+    // The vectors RIDE THROUGH the bucket explode (unlike the MinHash
+    // pipeline, which fetches shingle sets per candidate): duplicating a
+    // 4·dim-byte vector nTables times through ONE exchange costs
+    // n·nTables·dim·4 bytes, while fetching it per candidate costs two
+    // hash-join probes over the candidate stream — occupancy·nTables rows
+    // per vector, occupancy ≈ 250 ≫ 1. The self-join output then streams
+    // (pv, cv) straight into the cosine + top-k partial aggregate in the
+    // SAME stage: no candidate materialization, no verify joins at all.
+    // Measured at the 20k×12-table point: 12.2 s (fetch-join form) →
+    // ~4 s. KB-sized payloads (shingle sets) invert the trade — that's
+    // why minhashNearDupPairs keeps the candidate-fetch shape.
+    val slim = base.select(col("id"), col("v"), posexplode(buckets).as(Seq("t", "b")))
       .repartition(col("t"), col("b")) // both self-join sides reuse this exchange
     // With the cap off the salt column is a constant and the occupancy
     // aggregation is skipped entirely — the historical plan, unchanged.
     val salted =
       if (maxBucket == Int.MaxValue) slim.withColumn("salt", lit(0L))
       else {
-        val occ = slim.groupBy(col("t"), col("b")).agg(count(lit(1)).as("occ"))
+        // occupancy over the slim (id, t, b) projection — the count does
+        // not pull vectors through its exchange
+        val occ = slim.select(col("t"), col("b"))
+          .groupBy(col("t"), col("b")).agg(count(lit(1)).as("occ"))
         // the salt hashes (id, t) — NOT id alone: with an id-only salt,
         // hot buckets of equal occupancy would split into the SAME groups
         // in every table, and a cross-group pair would be lost in all L
@@ -196,20 +210,14 @@ object Similarity {
     // pairwise distinct() is needed because TopKPairs dedups ids in-buffer
     // (same pair → same sim, so duplicates can't skew the ranking). That
     // distinct was a whole extra exchange+dedup of the candidate stream.
-    // The vector-fetch joins below hash on id: Catalyst broadcasts `base`
-    // while it fits and otherwise shuffles candidates by id — bounded by
-    // candidate volume (bucket occupancy), never all-pairs.
-    val cand = salted.as("a")
-      .join(salted.as("b"),
-        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
-          col("a.salt") === col("b.salt") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"))
-    val sim = Summaries.r4(cosine(col("pv"), col("cv")))
+    val sim = Summaries.r4(cosine(col("a.v"), col("b.v")))
     rankTopK(
-      cand
-        .join(base.select(col("id"), col("v").as("pv")), col("probe_id") === col("id")).drop("id")
-        .join(base.select(col("id"), col("v").as("cv")), col("neighbor_id") === col("id")).drop("id")
-        .select(col("probe_id"), col("neighbor_id"), sim.as("sim")), k)
+      salted.as("a")
+        .join(salted.as("b"),
+          col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+            col("a.salt") === col("b.salt") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("probe_id"), col("b.id").as("neighbor_id"),
+          sim.as("sim")), k)
   }
 
   /** Occupancy-constant sign-LSH plane count for a corpus of `n` vectors:
