@@ -111,6 +111,70 @@ object Streaming {
       }
       .start()
 
+  /** Streaming FUZZY corpus ingestion — [[incrementalDedupSink]]'s
+    * paraphrase-resistant sibling, and the full 100 TB continuous-ingest
+    * loop over the PERSISTED MinHash index
+    * ([[graft.ops.Text.writeMinhashIndex]]). Each micro-batch:
+    *
+    *  1. resolves near-dups WITHIN the batch (LSH pairs → connected
+    *     components → keep-min survivor — two paraphrases in one batch
+    *     must land once);
+    *  2. drops survivors with a near-dup already in the INDEX
+    *     ([[graft.ops.Text.minhashDedupAgainstIndex]] — probe-only, the
+    *     corpus side never re-scans or re-shuffles, pending tombstones
+    *     honored);
+    *  3. appends the fresh documents to the corpus [[TxTable]] — ONE
+    *     atomic, replay-guarded commit (the batch's commit point);
+    *  4. admits them into the index (bucketed append).
+    *
+    * Crash-recovery contract: steps 3 and 4 span two stores and cannot be
+    * one transaction, so step 4 runs on replays TOO — and is SELF-HEALING
+    * because step 2 re-derives the survivor set against the CURRENT
+    * index: if the original run's index append survived, every original
+    * survivor now self-matches in the index (Jaccard 1.0) and the replay
+    * admits an empty set; if the index append was lost to a crash, the
+    * replay re-derives exactly the original survivors (same index state
+    * as the first run) and re-admits exactly what was lost. Either way
+    * the corpus commit itself is skipped by the guard. Duplicate index
+    * rows — possible only for a crash INSIDE step 4 — are
+    * correctness-harmless (candidates are distinct'd before the verify
+    * join) and reclaimed by [[graft.ops.Text.compactMinhashIndex]].
+    *
+    * The survivor set is pinned once and released after both writes —
+    * without the pin, the TxTable stage and the index append would each
+    * replay the LSH self-join.
+    */
+  def fuzzyIngestSink(stream: DataFrame, corpusDir: String,
+      indexPrefix: String, idCol: String, textCol: String,
+      nShingle: Int, k: Int, threshold: Double, buckets: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pairs = Text.minhashNearDupPairs(
+          batch, idCol, textCol, nShingle, k, threshold)
+        val losers = Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")
+          .filter(!col("keep")).select(col("doc_id").as("__loser"))
+        val withinSurv = batch.join(losers,
+          batch(idCol) === col("__loser"), "left_anti")
+        val fresh = Checkpoints.pinner(spark, None)(
+          if (spark.catalog.tableExists(s"${indexPrefix}_sig"))
+            Text.minhashDedupAgainstIndex(
+              withinSurv, idCol, textCol, nShingle, k, threshold, indexPrefix)
+          else withinSurv)
+        TxTable.append(spark, corpusDir, fresh,
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        // runs on replays too — see the crash-recovery contract above
+        Text.writeMinhashIndex(fresh, idCol, textCol, nShingle, k, indexPrefix,
+          buckets,
+          mode = if (spark.catalog.tableExists(s"${indexPrefix}_sig")) "append"
+                 else "overwrite")
+        Checkpoints.release(fresh)
+        ()
+      }
+      .start()
+
   /** Streaming quality gate — the ONLINE half of the in-engine model fit
     * ([[graft.ops.Clustering.logisticFit]], q180): each micro-batch is
     * scored with a FROZEN weight vector (the model is a driver artifact

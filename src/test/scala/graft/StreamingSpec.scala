@@ -193,6 +193,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzzyIngestSink: near-dups blocked within and across batches; index grows with the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base   = s"/root/repo/target/tmp/fuzzying_${System.nanoTime()}"
+    val prefix = s"fuzzying_idx_${System.nanoTime()}"
+    val input  = MemoryStream[(Long, String)]
+    val doc1   = "the quick brown fox jumps over the lazy dog tonight again"
+    val doc1b  = "the quick brown fox jumps over the lazy dog tonight still" // near-dup of doc1
+    val doc2   = "a completely different sentence about spark physical plans"
+    val doc3   = "bucketed tables amortize the shuffle across later joins"
+    val q = Streaming.fuzzyIngestSink(
+      input.toDF().toDF("doc_id", "text"), s"$base/corpus", prefix,
+      "doc_id", "text", 3, 16, 0.5, buckets = 2, s"$base/ckpt")
+    try {
+      // in-batch: 1 and its paraphrase arrive together — keep-min survives
+      input.addData((1L, doc1), (2L, doc1b), (3L, doc2))
+      q.processAllAvailable()
+      def corpusIds() = TxTable.read(spark, s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(corpusIds() == Seq(1L, 3L))
+      // cross-batch: a later paraphrase of doc1 is blocked BY THE INDEX;
+      // the genuinely new doc lands — and is immediately admitted
+      input.addData((4L, doc1b), (5L, doc3))
+      q.processAllAvailable()
+      assert(corpusIds() == Seq(1L, 3L, 5L))
+      // the index saw both admissions: a batch probe of doc3 now self-blocks
+      input.addData((6L, doc3))
+      q.processAllAvailable()
+      assert(corpusIds() == Seq(1L, 3L, 5L))
+      // index tables hold exactly the corpus survivors
+      assert(spark.table(s"${prefix}_sh").select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L, 5L))
+    } finally q.stop()
+    // replay self-heal: re-running batch 1's work against the CURRENT index
+    // admits nothing (every original survivor self-matches at Jaccard 1.0),
+    // so a crash-replay cannot double-admit even before the guard check
+    val replaySurvivors = graft.ops.Text.minhashDedupAgainstIndex(
+      Seq((1L, doc1), (2L, doc1b), (3L, doc2)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 0.5, prefix)
+    assert(replaySurvivors.count() == 0L)
+  }
+
   test("qualityGateSink routes by frozen-model score atomically; null scores fail closed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
