@@ -44,6 +44,13 @@ object Sessions {
       // sort the bounded buffer exists to avoid. Per-task group counts in
       // the ranking paths are `probes`, far above 128 and far below memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Recursive CTEs (q194) abort at 1M ACCUMULATED rows by default — a
+      // safety valve sized for lookup tables, not data-scale recursion (an
+      // n-row hierarchy walk emits n·depth rows: ~3.6M at the ×30 suite
+      // point, where the default failed). 1e9 keeps the valve (a runaway
+      // recursion still dies) while clearing honest linear growth; the
+      // level limit (100) stays default — depth is the structural bound.
+      .config("spark.sql.cteRecursionRowLimit", "1000000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
