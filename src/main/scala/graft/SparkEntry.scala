@@ -2199,20 +2199,27 @@ object SparkEntry {
     // global ntile is a single-partition window over the CUSTOMER-GRAIN
     // aggregate (already reduced); at key counts where that single task
     // binds, swap quantile-cut binning (q94's machinery) for ntile
+    // RFM quartiles via IN-PLAN exact quantile cuts (quantileBins: one
+    // distributed cut-point job, broadcast back, per-row comparison) —
+    // replacing three GLOBAL ntile windows, each of which funneled every
+    // customer through ONE task (the unpartitioned-window anti-pattern;
+    // the three-point probe measured it 3.9× for 3× rows and it only gets
+    // worse). Tie semantics change with the plan shape and are part of
+    // the contract now: equal VALUES share a quartile (boundary ties →
+    // the higher bin), where rank-ntile split ties arbitrarily by key —
+    // the value-based read is also the defensible analytics answer.
     "q170_rfm_segments" -> ((s, d) => {
       val per = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("freq"),
           exactSum(col("o_totalprice")).as("monetary"))
-      def q4(c: Column) =
-        ntile(4).over(Window.orderBy(c, col("o_custkey")))
-      val seg = per
-        .withColumn("r", q4(col("last_order")))
-        .withColumn("f", q4(col("freq")))
-        .withColumn("m", q4(col("monetary")))
-        .select(concat(col("r"), col("f"), col("m")).as("segment"))
-      seg.groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+        .withColumn("rv", datediff(col("last_order"), lit("1970-01-01")).cast("double"))
+        .withColumn("fv", col("freq").cast("double"))
+        .withColumn("mv", col("monetary").cast("double"))
+      Summaries.quantileBins(per, Seq(("rv", 4, "r"), ("fv", 4, "f"), ("mv", 4, "m")))
+        .select(concat(col("r") + 1, col("f") + 1, col("m") + 1).as("segment"))
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
         .orderBy(col("segment"))
     }),
 
@@ -2680,16 +2687,24 @@ object SparkEntry {
       // domain price case)
       val dir = s"/root/repo/target/tmp/zorder_li_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
       val statsDir = dir + "_stats"
+      // file count derives from the table (≈500k rows/file, floor 16):
+      // with a FIXED file count, rows-per-file — and so the pruning
+      // granularity every skipped query depends on — degrades linearly
+      // with table growth (the three-point probe read 5.1× for 3× rows);
+      // sizing files to data keeps skipped-vs-scanned fractions stable.
+      // The stamp embeds the derived count so a layout change rebuilds.
+      val nFiles = math.max(16,
+        math.ceil(t(s, d, "lineitem").count() / 500000.0).toInt)
       // write-once/scan-many: the clustering rewrite and its stats index
       // refresh only when the SOURCE parquet changes (sourceStamp) — every
       // later call prices the pruned SCAN, which is the operator's
       // steady-state cost in any table format's OPTIMIZE economics
       val stamp = Storage.sourceStamp(s, Seq(s"$d/lineitem.parquet"),
-        "zorder:l_returnflag,l_quantity,l_discount:4:16:v1")
+        s"zorder:l_returnflag,l_quantity,l_discount:4:$nFiles:v1")
       Storage.refreshIfChanged(s, dir, stamp, alsoRequire = Seq(statsDir)) {
         Storage.zOrderWrite(
           t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"), col("l_discount")),
-          Seq("l_quantity", "l_discount"), 4, dir, 16)
+          Seq("l_quantity", "l_discount"), 4, dir, nFiles)
         Storage.fileStats(s, dir, Seq("l_quantity", "l_discount"))
           .coalesce(1).write.mode("overwrite").parquet(statsDir)
       }
@@ -4945,18 +4960,29 @@ object SparkEntry {
          SELECT CAST(best AS BIGINT) AS streak_days, count(*)::BIGINT AS n_users
          FROM b GROUP BY 1 ORDER BY 1""",
 
+    // quantile_cont replays exactQuantileArrays' interpolation bit-exactly
+    // (the q103 parity precedent); bin = count of cuts <= value
     "q170_rfm_segments" ->
       """WITH per AS (
            SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
                   CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS monetary
            FROM orders GROUP BY 1),
+         pv AS (
+           SELECT o_custkey,
+                  datediff('day', DATE '1970-01-01', last_order)::DOUBLE AS rv,
+                  freq::DOUBLE AS fv, monetary AS mv
+           FROM per),
+         cuts AS (
+           SELECT quantile_cont(rv, [0.25, 0.5, 0.75]) cr,
+                  quantile_cont(fv, [0.25, 0.5, 0.75]) cf,
+                  quantile_cont(mv, [0.25, 0.5, 0.75]) cm
+           FROM pv),
          seg AS (
-           SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
-                  ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
-                  ntile(4) OVER (ORDER BY monetary, o_custkey) AS m
-           FROM per)
-         SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
-                count(*)::BIGINT AS n_customers
+           SELECT (1 + len(list_filter(cr, c -> c <= rv)))::VARCHAR ||
+                  (1 + len(list_filter(cf, c -> c <= fv)))::VARCHAR ||
+                  (1 + len(list_filter(cm, c -> c <= mv)))::VARCHAR AS segment
+           FROM pv, cuts)
+         SELECT segment, count(*)::BIGINT AS n_customers
          FROM seg GROUP BY 1 ORDER BY 1""",
 
     "q171_sessions_per_user" ->
