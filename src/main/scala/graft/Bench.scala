@@ -40,9 +40,12 @@ object Bench {
       while (j < 1000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
       blocks += 1
     }
-    // fold x into the output so the loop cannot be dead-code-eliminated
-    val nonce = (x & 1L).toInt
-    s"""{"cpu":${jstr(cpu)},"cores":$cores,"xorshift_mops":${blocks + nonce * 0}}"""
+    // Fold x into the output FOR REAL so the loop cannot be dead-code-
+    // eliminated (a `nonce * 0` term is statically zero and lets the JIT
+    // drop the loop body, leaving an empty nanoTime spin). blocks is a
+    // whole-block count so its low bit carries no timing information —
+    // xor-ing x's low bit in perturbs the reading by at most ±1 block.
+    s"""{"cpu":${jstr(cpu)},"cores":$cores,"xorshift_mops":${blocks ^ (x & 1L)}}"""
   }
 
   def main(args: Array[String]): Unit = {

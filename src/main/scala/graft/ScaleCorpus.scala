@@ -32,8 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorpus {
 
-  private val alphabet = "aeiounstrl"
-  private val Stride   = 10000000L // all source key domains are < 10^7
+  // Two DISJOINT 10-char alphabets. Each replica's text transform is the
+  // composition of a vowel-ish rotation keyed by i%10 and a consonant
+  // rotation keyed by (i/10)%10 — 100 distinct transforms, injective over
+  // the whole replicas-in-[1,100] domain. A single 10-char rotation keyed
+  // by i%10 (rounds 8–9) repeated at i, i+10, i+20: at ×30 every document
+  // appeared 3× byte-identical, re-introducing exactly the clone-flood
+  // path SCALING.md claims is avoided. For i<10 the second rotation is
+  // the identity, so ×10-and-below corpora are unchanged.
+  private val alphabet  = "aeiounstrl"
+  private val alphabet2 = "bcdfghjkmp"
+  private val Stride    = 10000000L // asserted per table below
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.flatMap(_.toIntOption).getOrElse(10)
@@ -71,8 +80,11 @@ object ScaleCorpus {
           keyed.withColumn("s_name",
             format_string("Supplier#%09d", col("s_suppkey")))
         case "documents" if i > 0 =>
-          val rot = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
-          keyed.withColumn("text", translate(col("text"), alphabet, rot))
+          def rotate(a: String, k: Int) = a.drop(k % a.length) + a.take(k % a.length)
+          val rot  = rotate(alphabet, i % alphabet.length)
+          val rot2 = rotate(alphabet2, (i / alphabet.length) % alphabet2.length)
+          keyed.withColumn("text",
+            translate(translate(col("text"), alphabet, rot), alphabet2, rot2))
         case "embeddings" if i > 0 =>
           keyed.withColumn("embedding",
             transform(col("embedding"), (x, j) =>
@@ -94,6 +106,17 @@ object ScaleCorpus {
       writeOnce(dim, Tables.t(spark, sfDir, dim), 1)
     for (name <- keyCols.keys.toSeq.sorted) {
       val src = Tables.t(spark, sfDir, name) // events: ns→µs ts conversion applied
+      // FK safety: replica key ranges are disjoint only if every source key
+      // domain fits under the stride. Pointed at a bigger source (sf>=2,
+      // where o_orderkey exceeds 10^7) overlap would corrupt every
+      // join-shaped bench number SILENTLY — so fail loudly instead.
+      val maxKeys = src.select(keyCols(name).map(k => max(col(k)).cast("long").as(k)): _*)
+        .head()
+      keyCols(name).zipWithIndex.foreach { case (k, j) =>
+        val m = if (maxKeys.isNullAt(j)) 0L else maxKeys.getLong(j)
+        require(m < Stride,
+          s"$name.$k max $m >= stride $Stride; raise Stride for this source")
+      }
       writeOnce(name, (0 until n).map(replica(name, src, _)).reduce(_ unionByName _),
         parts = 32)
     }

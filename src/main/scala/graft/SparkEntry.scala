@@ -138,10 +138,19 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
-    // J5 — theta (non-equi) join: equi on brand + range on size
+    // J5 — theta (non-equi) join: equi on brand + range on size.
+    // DELIBERATELY-RAW pair materialization (O(Σ per-brand n²)) kept as the
+    // theta-join demo, BOUNDED to the canonical key slice `p_partkey <
+    // 2000`: the whole table at sf0.01 (correctness unchanged) and exactly
+    // the replica-0 source rows of any ScaleCorpus output, so the demo's
+    // cost is constant at every suite scale point instead of 11% of the
+    // ×30 suite (round-9 verdict). The full-corpus form a user should copy
+    // is q29_theta_agg, which joins the brand×size HISTOGRAM — O(brands ×
+    // sizes²) regardless of row count.
     "q12_join_theta" -> ((s, d) => {
-      val a = t(s, d, "part").select(col("p_brand"), col("p_size").as("size_a"))
-      val b = t(s, d, "part").select(col("p_brand").as("brand_b"), col("p_size").as("size_b"))
+      val p = t(s, d, "part").filter(col("p_partkey") < 2000)
+      val a = p.select(col("p_brand"), col("p_size").as("size_a"))
+      val b = p.select(col("p_brand").as("brand_b"), col("p_size").as("size_b"))
       a.join(b, col("p_brand") === col("brand_b") && col("size_a") < col("size_b"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -511,16 +520,26 @@ object SparkEntry {
     * similarity on the `embeddings` table.
     */
   private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // T5 — brute-force cosine top-3 for a probe subset (corpus never shuffles)
+    // T5 — brute-force cosine top-3 for a probe subset (corpus never
+    // shuffles). DELIBERATELY-RAW quadratic ground truth for the ANN recall
+    // gate, BOUNDED to the canonical slice `vec_id < 2000`: the whole table
+    // at sf0.01/sf0.1 (correctness and the sf0.1 recall gate unchanged) and
+    // exactly the replica-0 rows of any ScaleCorpus output, so the oracle's
+    // cost stays constant while the scale twins (q26 sign-LSH, q58 IVF)
+    // carry the full corpus.
     "q24_knn" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 2000)
       Similarity.knn(e.filter(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 3)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // J7 — cosine similarity self-join: all pairs ≥ 0.4
+    // J7 — cosine similarity self-join: all pairs ≥ 0.4. DELIBERATELY-RAW
+    // range cross-join demo, bounded to the same canonical `vec_id < 2000`
+    // slice as q24 (no-op at sf0.01/sf0.1, replica-0-only at scale); the
+    // full-corpus forms are q26/q111 (bucketed, never all-pairs).
     "q25_embed_neardup" -> ((s, d) => {
-      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -1045,11 +1064,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // A7 approx — HLL++; no oracle (approximate by design), rows-only check
+    // A7 approx — HLL++. The estimate itself has no DuckDB twin (different
+    // sketch, different bias tables), so the oracle instead replays the
+    // EXACT count and `true`: the Spark side emits exact alongside a
+    // boolean asserting the HLL++ estimate landed within 2× its configured
+    // rsd (0.05 → 10%). HLL is deterministic for a fixed dataset, so the
+    // boolean is stable and the hash comparison machine-checks the
+    // approx-accuracy contract instead of downgrading to rows-only
+    // (round-9 verdict item 6). SummariesSpec keeps the tighter 1-rsd gate.
     "q34_approx_distinct" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.10).as("hll_within_10pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -1130,6 +1161,55 @@ object SparkEntry {
         .select(col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"), col("user_id"), col("cnt"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ST4 batch twin — the watermark late-drop PREDICATE with DuckDB rows
+    // (round-9 verdict item 7; the runtime path is StreamingSpec-gated).
+    // Micro-batch ≙ the event_id/1000 arrival bucket; the watermark a batch
+    // runs under is max(event time) over all PRIOR batches minus the delay
+    // — exactly Spark's batch-boundary watermark update. Source events
+    // arrive in event-time order (nothing would drop), so every 50th event
+    // is deterministically shifted 3 days late. Scale shape: the prefix-max
+    // is a distributed scan — per-bucket max (parallel agg), a running max
+    // over the TINY bucket table (n/1000 rows, the only serial step), then
+    // a broadcast join back; no global per-row window.
+    "q195_watermark_drop" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("ts2",
+          when(col("event_id") % 50 === 0, col("ts") - expr("INTERVAL 3 DAYS"))
+            .otherwise(col("ts")))
+        .withColumn("bucket", floor(col("event_id") / 1000L))
+      val perBucket = e.groupBy(col("bucket")).agg(max(col("ts2")).as("bmax"))
+      val wPrior = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = perBucket
+        .withColumn("wm", max(col("bmax")).over(wPrior))
+        .select(col("bucket"), col("wm"))
+      e.join(broadcast(wm), "bucket")
+        .withColumn("kept",
+          col("wm").isNull || col("ts2") >= col("wm") - expr("INTERVAL 1 DAY"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("kept"), 1)).as("n_kept"),
+          count(when(!col("kept"), 1)).as("n_dropped"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ST5 batch twin — streaming exact-key dedup with DuckDB rows: an
+    // at-least-once source redelivers every 7th event; dropDuplicates on
+    // (event_id, ts) — the same key `Streaming.dedupEvents` uses — restores
+    // exactly-once. Redelivered rows are byte-identical, so the surviving
+    // set is deterministic; the aggregate proves no duplicate survived.
+    "q196_stream_dedup" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.unionByName(e.filter(col("event_id") % 7 === 0))
+        .dropDuplicates("event_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          exactSum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
     }),
 
     // A6/F14 — daily time series
@@ -2800,8 +2880,9 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
     "q12_join_theta" ->
-      """SELECT a.p_brand, count(*) AS n_pairs
-         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+      """WITH p AS (SELECT * FROM part WHERE p_partkey < 2000)
+         SELECT a.p_brand, count(*) AS n_pairs
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
          GROUP BY a.p_brand ORDER BY a.p_brand""",
     "q91_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -3376,7 +3457,7 @@ object SparkEntry {
                       * 10000 + 0.5)/10000 AS cos_q
          FROM qv ORDER BY vec_id""",
     "q24_knn" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 2000),
          s AS (
            SELECT p.vec_id probe_id, c.vec_id neighbor_id,
                   floor(list_reduce(list_prepend(0.0::DOUBLE, [p.v[i] * c.v[i] for i in range(1, len(p.v) + 1)]), (a, b) -> a + b)
@@ -3388,7 +3469,7 @@ object SparkEntry {
            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
          WHERE rank <= 3 ORDER BY probe_id, rank""",
     "q25_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 2000),
          s AS (
            SELECT a.vec_id vec_a, b.vec_id vec_b,
                   list_reduce(list_prepend(0.0::DOUBLE, [a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]), (x, y) -> x + y)
@@ -3821,6 +3902,13 @@ object SparkEntry {
     "q33_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The HLL++ estimate has no DuckDB twin; the oracle replays the exact
+    // count and asserts the Spark side's within-bound flag is true — the
+    // approx-accuracy contract, checked by hash.
+    "q34_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                true AS hll_within_10pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q35_lag_lead" ->
       """SELECT user_id, event_id, value,
                 value - lag(value, 1) OVER w AS delta_prev,
@@ -3876,6 +3964,27 @@ object SparkEntry {
          SELECT min(uts) AS session_start, max(uts) + INTERVAL '4 hours' AS session_end,
                 user_id, count(*) AS cnt
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q195_watermark_drop" ->
+      """WITH e AS (SELECT event_id, event_type,
+                CASE WHEN event_id % 50 = 0
+                     THEN make_timestamp(epoch_ns(ts)//1000) - INTERVAL '3 days'
+                     ELSE make_timestamp(epoch_ns(ts)//1000) END ts2,
+                event_id // 1000 AS b
+         FROM events),
+         bm AS (SELECT b, max(ts2) bmax FROM e GROUP BY b),
+         w AS (SELECT b, max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) wm
+               FROM bm)
+         SELECT event_type,
+                count(*) FILTER (WHERE wm IS NULL OR ts2 >= wm - INTERVAL '1 day') AS n_kept,
+                count(*) FILTER (WHERE wm IS NOT NULL AND ts2 < wm - INTERVAL '1 day') AS n_dropped
+         FROM e JOIN w USING (b) GROUP BY event_type ORDER BY event_type""",
+    "q196_stream_dedup" ->
+      """WITH u AS (SELECT * FROM events
+                    UNION ALL SELECT * FROM events WHERE event_id % 7 = 0),
+         d AS (SELECT DISTINCT * FROM u)
+         SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+         FROM d GROUP BY event_type ORDER BY event_type""",
     "q42_timeseries" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value

@@ -97,7 +97,21 @@ object TxTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  // Legacy single-file name (pre-versioned scheme); still read as the
+  // generation-0 fallback so existing tables keep their setting.
   private def retentionPath(root: Path) = new Path(logDir(root), "retention")
+
+  /** Current versioned retention files, (generation, path), ascending. */
+  private def retentionGens(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    val ld = logDir(root)
+    if (!fs.exists(ld)) return Seq.empty
+    fs.listStatus(ld).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("retention.v"))
+        n.stripPrefix("retention.v").toLongOption.map(_ -> st.getPath)
+      else None
+    }.sortBy(_._1)
+  }
 
   /** Durably set how many most-recent committed versions stay readable: the
     * resolved snapshot of each of the last `keepSnapshots` versions
@@ -109,9 +123,15 @@ object TxTable {
     *
     * Widening takes effect for versions committed AFTER the call (already
     * collected dirs are gone); narrowing reaps on the next commit's GC.
-    * Set it before the history you need exists — the file swap is
-    * delete+rename, so a concurrent committer's GC in that window reads
-    * the default, which only matters if it lands a commit at that instant.
+    * Set it before the history you need exists.
+    *
+    * Durability under concurrency: each call writes a NEW generation file
+    * (`retention.vNNN`, readers take the max) and never deletes the one it
+    * supersedes until the new one is in place — so there is no instant at
+    * which a concurrent committer's GC sees no setting and reaps by the
+    * default keep-2. (The earlier delete-then-rename single-file swap had
+    * exactly that window, and losing it meant silent loss of retained
+    * history rather than a loud refusal.)
     */
   def setRetention(spark: SparkSession, root: String, keepSnapshots: Int): Unit = {
     require(keepSnapshots >= 2,
@@ -126,10 +146,16 @@ object TxTable {
     try out.write(s"graft-txret v1\nkeep $keepSnapshots\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val target = retentionPath(rp)
-    fs.delete(target, false)
+    val gens = retentionGens(fs, rp)
+    val next = gens.lastOption.map(_._1 + 1).getOrElse(1L)
+    val target = new Path(logDir(rp), f"retention.v$next%09d")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"retention write failed at $root")
+    // Only now is superseded state garbage: reap old generations and the
+    // legacy single file, keeping the newest predecessor as a grace copy
+    // for a reader that listed the directory just before our rename.
+    gens.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+    fs.delete(retentionPath(rp), false)
   }
 
   /** The effective retention window of `root` (see [[setRetention]]). */
@@ -144,18 +170,27 @@ object TxTable {
     * behavior rather than poison every commit on the root.
     */
   private def readRetention(fs: FileSystem, root: Path): Int = {
-    val p = retentionPath(root)
-    try {
-      if (!fs.exists(p)) return 2
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val lines = txt.split("\n").toSeq
-      if (!lines.headOption.contains("graft-txret v1")) 2
-      else lines.collectFirst { case l if l.startsWith("keep ") =>
-        l.stripPrefix("keep ").trim }
-        .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(2)
-    } catch { case _: java.io.IOException => 2 }
+    def parse(p: Path): Option[Int] =
+      try {
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val lines = txt.split("\n").toSeq
+        if (!lines.headOption.contains("graft-txret v1")) None
+        else lines.collectFirst { case l if l.startsWith("keep ") =>
+          l.stripPrefix("keep ").trim }
+          .flatMap(_.toIntOption).filter(_ >= 2)
+      } catch { case _: java.io.IOException => None }
+    // newest generation wins; fall back through older generations (a just-
+    // reaped max gen degrades to its predecessor, never to the default),
+    // then the legacy single file, then the conservative default.
+    try
+      retentionGens(fs, root).reverse.iterator.flatMap { case (_, p) => parse(p) }
+        .nextOption()
+        .orElse(parse(retentionPath(root)))
+        .getOrElse(2)
+    catch { case _: java.io.IOException => 2 }
   }
 
   /** All committed manifests in version order. An unparseable file (torn by
