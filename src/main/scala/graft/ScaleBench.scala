@@ -36,6 +36,9 @@ import graft.ops.{Graph, Similarity, Summaries, Text}
 object ScaleBench {
 
   private val alphabet = "aeiounstrl"
+  // disjoint consonant alphabet, used ONLY by the steady-state batches so
+  // they can never collide with a rot1-keyed corpus replica
+  private val alphabet2 = "bcdfghjkmp"
 
   /** Replica i of the documents table: ids offset to a disjoint range, text
     * rewritten by a per-replica character rotation (identity for i == 0).
@@ -76,7 +79,7 @@ object ScaleBench {
     "lsh_minhash", "lsh_simhash", "jaccard_inverted", "exact_quantiles",
     "pagerank", "label_propagation", "containment", "ann_sign_lsh_fixed3",
     "ann_sign_lsh_tuned", "pq_adc_flat", "ivfpq_tuned", "ivm_maintain",
-    "ivm_recompute", "ivm_feed")
+    "ivm_recompute", "ivm_feed", "index_search_steady", "index_append_steady")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(a => a.toIntOption.getOrElse(
@@ -153,6 +156,37 @@ object ScaleBench {
     val embCount: Map[Int, Long] =
       factors.map(f => f -> read("embeddings", f).count()).toMap
 
+    // Steady-state persisted-index fixture (round-9 verdict item 5): the
+    // suite's ×N points rebuild indices per run, so they certify BUILD
+    // economics; a 100 TB ingest pipeline lives in the OTHER regime —
+    // index built once, every batch pays only search + append. Fixture:
+    // one MinHash index per factor over the f× documents, built untimed.
+    // The timed families then hold the INCREMENT fixed (one 1×-sized
+    // batch) while the indexed corpus grows f× — flat timings are the
+    // "cost ∝ increment, not corpus" claim. Batch texts compose a second
+    // disjoint-alphabet rotation no corpus replica uses (replicas are
+    // rot1-only), so the batch is near-dup-free against every factor and
+    // the search measures the steady-state miss path, not a dup flood.
+    val steadyTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    def steadyPrefix(f: Int) = s"steady_${steadyTag}_f$f"
+    def steadyBatch(j: Int): DataFrame = {
+      def rotate(a: String, kk: Int) = a.drop(kk % a.length) + a.take(kk % a.length)
+      val r1 = rotate(alphabet, j % alphabet.length)
+      val r2 = rotate(alphabet2, 1 + (j / alphabet.length) % (alphabet2.length - 1))
+      read("documents", 1).select(
+        (col("doc_id") + lit((1000L + j) * 10000000L)).as("doc_id"),
+        translate(translate(col("text"), alphabet, r1), alphabet2, r2).as("text"))
+    }
+    val steadyOn = only.isEmpty ||
+      only.contains("index_search_steady") || only.contains("index_append_steady")
+    if (steadyOn) for (f <- factors)
+      Text.writeMinhashIndex(read("documents", f), "doc_id", "text", 3, 16,
+        steadyPrefix(f), buckets = 32, mode = "overwrite")
+    // each timed append consumes a globally-fresh batch so no run re-appends
+    // ids the previous run admitted (a re-append would measure the dup-hit
+    // path and corrupt the growth the fixture assumes)
+    var steadySeq = 0
+
     def families(f: Int): Seq[(String, () => Long)] = Seq(
       ("lsh_minhash", () =>
         Text.minhashNearDupPairs(read("documents", f), "doc_id", "text", 3, 16, 0.5).count()),
@@ -228,7 +262,25 @@ object ScaleBench {
       // O(changes) claim read the other way (cost follows the feed)
       ("ivm_feed", () =>
         Summaries.maintainSumCount(read("liagg_g", 1), read("cdcfeed_g", f),
-          Seq("g"), col("l_extendedprice")).count())
+          Seq("g"), col("l_extendedprice")).count()),
+      // steady-state index SEARCH: a fixed 1×-sized batch probes the f×
+      // persisted index. Idempotent (read-only), so min-of-3 is honest.
+      // Claim: flat in f — candidates come from the bucketed (band,hv)
+      // equi-join and the index side never shuffles.
+      ("index_search_steady", () =>
+        Text.minhashDedupAgainstIndex(steadyBatch(0), "doc_id", "text",
+          3, 16, 0.5, steadyPrefix(f)).count()),
+      // steady-state index APPEND: admit a globally-fresh 1×-sized batch
+      // into the f× index. Claim: flat in f — shingle+sign the batch,
+      // bucketed appends, no corpus read. Mutates the fixture, so it runs
+      // AFTER the search family within each factor.
+      ("index_append_steady", () => {
+        steadySeq += 1
+        val b = steadyBatch(steadySeq)
+        Text.writeMinhashIndex(b, "doc_id", "text", 3, 16,
+          steadyPrefix(f), buckets = 32, mode = "append")
+        b.count()
+      })
     )
 
     // JIT/codegen/session warm-up outside the timed region, so factor 1
