@@ -662,13 +662,20 @@ object SparkEntry {
     // is the bounded TopKPairs aggregate (k per group pre-exchange), not a
     // window sort. (At corpus scale the candidate set composes with IVF
     // cells — pqAdcDist scaladoc; here the oracle-checkable flat sweep.)
+    // Training stays FULL-corpus (linear); the flat sweep itself is
+    // O(probes·n) by construction, so — like q24/q25 — it is bounded to
+    // the canonical `vec_id < 2000` slice (no-op at sf0.01/sf0.1,
+    // replica-0-only at suite scale; the ×100 curve measured the unbounded
+    // form at 9.7× for 3.3× rows). q181/q183 are the cell-pruned forms
+    // that carry the full corpus.
     "q179_pq_adc" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
       val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
       val clean  = e.filter(size(col("embedding")) === cb.dim)
-      val enc    = Clustering.pqEncode(clean, "embedding", cb)
+      val sliced = clean.filter(col("vec_id") < 2000)
+      val enc    = Clustering.pqEncode(sliced, "embedding", cb)
         .select(col("vec_id").as("neighbor_id"), col("codes"))
-      val probes = clean.filter(col("vec_id") % 25 === 0)
+      val probes = sliced.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val cand = enc.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
@@ -3597,7 +3604,8 @@ object SparkEntry {
                            + list_reduce(list_prepend(0.0::DOUBLE,
                              [(p.v1[i] - c.w1[i]) * (p.v1[i] - c.w1[i]) for i in range(1, len(p.v1) + 1)]), (a, b) -> a + b))
                           * 1000000 + 0.5)/1000000 d6
-                  FROM e2 p JOIN enc c ON p.vec_id % 25 = 0 AND p.vec_id <> c.vec_id)
+                  FROM e2 p JOIN enc c ON p.vec_id % 25 = 0 AND p.vec_id <> c.vec_id
+                   AND p.vec_id < 2000 AND c.vec_id < 2000)
          SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
          WHERE rn <= 3 ORDER BY probe_id, rank""",

@@ -240,6 +240,41 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, root).count() == 1L)
   }
 
+  test("retention updates are versioned: latest generation wins, no unset window") {
+    import spark.implicits._
+    val root = base()
+    // repeated settings land as new generations — last one wins
+    TxTable.setRetention(spark, root, 4)
+    TxTable.setRetention(spark, root, 3)
+    TxTable.setRetention(spark, root, 5)
+    assert(TxTable.retentionOf(spark, root) == 5)
+    // AT ALL TIMES at least one retention file exists under _log: the old
+    // delete-then-rename swap had a window where a concurrent committer's
+    // GC read the default keep-2 and reaped retained history silently
+    val logDir = new java.io.File(s"$root/_log")
+    val retFiles = logDir.listFiles().map(_.getName).filter(_.startsWith("retention"))
+    assert(retFiles.nonEmpty && retFiles.forall(_.matches("retention\\.v\\d+")),
+      retFiles.toSeq.toString)
+    // generations are reaped down to (current, one grace predecessor)
+    assert(retFiles.length <= 2, retFiles.toSeq.toString)
+    // a legacy single-file `retention` (pre-versioning table) still reads
+    val root2 = base()
+    new java.io.File(s"$root2/_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root2/_log/retention"), "graft-txret v1\nkeep 7\n")
+    assert(TxTable.retentionOf(spark, root2) == 7)
+    // and the next setRetention supersedes + removes it
+    TxTable.setRetention(spark, root2, 3)
+    assert(TxTable.retentionOf(spark, root2) == 3)
+    assert(!new java.io.File(s"$root2/_log/retention").exists())
+    // the setting still drives GC as before
+    TxTable.replace(spark, root, Seq(1L).toDF("v"))
+    TxTable.replace(spark, root, Seq(2L).toDF("v"))
+    TxTable.replace(spark, root, Seq(3L).toDF("v"))
+    val vs = TxTable.versions(spark, root)
+    assert(TxTable.readAsOf(spark, root, vs(0)).count() == 1L)
+  }
+
   test("log checkpointing keeps the whole retention window resolvable") {
     import spark.implicits._
     import org.apache.spark.sql.functions.sum
