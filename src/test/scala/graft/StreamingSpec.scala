@@ -82,6 +82,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST5 ≡ q196: runtime dedup over redelivered real events matches the batch twin") {
+    // The q196 oracle twin models an at-least-once source that redelivers
+    // every 7th event; this drives the REAL streaming runtime through the
+    // same scenario — batch 1 delivers everything, batch 2 redelivers the
+    // %7 slice — and asserts the runtime's surviving set is exactly the
+    // batch twin's (same key, (event_id, ts), real sf0.001 events table).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val all     = ev.as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    val replays = all.filter(_._1 % 7 == 0)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val dd = Streaming.dedupEvents(
+      input.toDF().toDF("event_id", "ts", "user_id"), "ts", "10 days",
+      Seq("event_id"))
+    val name = nextName()
+    val q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(all: _*)
+      q.processAllAvailable()
+      input.addData(replays: _*) // redelivery arrives in a LATER batch
+      q.processAllAvailable()
+      val streamed = spark.table(name).select("event_id").as[Long].collect().toSet
+      val batchTwin = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
+        .dropDuplicates("event_id", "ts")
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batchTwin)
+      assert(streamed.size == all.size) // every redelivery suppressed
+    } finally q.stop()
+  }
+
+  test("ST4 ≡ q195: the runtime watermark drops exactly the batch twin's late set") {
+    // q195 models micro-batch = the event_id/1000 bucket and claims its
+    // row-level predicate (drop iff ts2 < prior-buckets-max − 1 day) IS
+    // Spark's watermark semantics. This test proves it against the REAL
+    // runtime: the same late-shifted sf0.01 events are fed bucket-by-bucket
+    // (processAllAvailable between buckets pins the batch boundaries), the
+    // streaming dedup's late filter does the dropping (every key is unique,
+    // so dedup state never suppresses anything), and the emitted id set
+    // must equal an INDEPENDENT Scala-collection replay of the predicate —
+    // which must in turn aggregate to the registered q195's n_kept.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.01"
+    val shifted = Tables.t(spark, sf, "events")
+      .select(col("event_id"),
+        when(col("event_id") % 50 === 0, col("ts") - expr("INTERVAL 3 DAYS"))
+          .otherwise(col("ts")).as("ts2"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    // independent predicate replay (plain collections, no Spark)
+    val byBucket = shifted.groupBy(_._1 / 1000).toSeq.sortBy(_._1)
+    var priorMax = Long.MinValue
+    val dayMs = 86400000L
+    val keptIds = byBucket.flatMap { case (_, rows) =>
+      val wm = if (priorMax == Long.MinValue) Long.MinValue else priorMax - dayMs
+      priorMax = math.max(priorMax, rows.map(_._2.getTime).max)
+      rows.collect { case (id, t) if t.getTime >= wm => id }
+    }.toSet
+    // the real runtime
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val dd = Streaming.dedupEvents(
+      input.toDF().toDF("event_id", "ts2"), "ts2", "1 day", Seq("event_id"))
+    val name = nextName()
+    val q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      byBucket.foreach { case (_, rows) =>
+        input.addData(rows: _*)
+        q.processAllAvailable() // batch boundary == bucket boundary
+      }
+      val streamed = spark.table(name).select("event_id").as[Long].collect().toSet
+      assert(streamed == keptIds,
+        s"runtime kept ${streamed.size}, predicate kept ${keptIds.size}")
+      assert(keptIds.size < shifted.size) // the scenario really drops something
+      // and the registered q195 aggregates the same kept/dropped split
+      val q195 = SparkEntry.queries("q195_watermark_drop")(spark, sf)
+        .agg(sum("n_kept"), sum("n_dropped")).as[(Long, Long)].head()
+      assert(q195 == ((keptIds.size.toLong, (shifted.size - keptIds.size).toLong)))
+    } finally q.stop()
+  }
+
   test("ST6: flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
