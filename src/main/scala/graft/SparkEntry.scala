@@ -1171,15 +1171,20 @@ object SparkEntry {
     }),
 
     // ST4 batch twin — the watermark late-drop PREDICATE with DuckDB rows
-    // (round-9 verdict item 7; the runtime path is StreamingSpec-gated).
+    // (round-9 verdict item 7; StreamingSpec proves the real runtime's
+    // kept set equals this predicate's, micro-batch ≡ bucket).
     // Micro-batch ≙ the event_id/1000 arrival bucket; the watermark a batch
     // runs under is max(event time) over all PRIOR batches minus the delay
     // — exactly Spark's batch-boundary watermark update. Source events
     // arrive in event-time order (nothing would drop), so every 50th event
     // is deterministically shifted 3 days late. Scale shape: the prefix-max
-    // is a distributed scan — per-bucket max (parallel agg), a running max
-    // over the TINY bucket table (n/1000 rows, the only serial step), then
-    // a broadcast join back; no global per-row window.
+    // is a TWO-LEVEL distributed scan (the q170 lesson — no global window
+    // over anything that grows with the data): per-bucket max (parallel
+    // agg), then within 1024-bucket super-bucket groups a PARTITIONED
+    // running max, and only the super-bucket maxima (n/10^6 rows) pass
+    // through a global window; prior-overall max = greatest(prior within
+    // group, prior groups' max), broadcast back. The per-row side never
+    // sees a window at all.
     "q195_watermark_drop" -> ((s, d) => {
       val e = t(s, d, "events")
         .withColumn("ts2",
@@ -1187,10 +1192,19 @@ object SparkEntry {
             .otherwise(col("ts")))
         .withColumn("bucket", floor(col("event_id") / 1000L))
       val perBucket = e.groupBy(col("bucket")).agg(max(col("ts2")).as("bmax"))
-      val wPrior = Window.orderBy(col("bucket"))
+        .withColumn("sb", floor(col("bucket") / 1024L))
+      val wInGroup = Window.partitionBy(col("sb")).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wm = perBucket
-        .withColumn("wm", max(col("bmax")).over(wPrior))
+      val wGroups = Window.orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val groupPrior = perBucket.groupBy(col("sb")).agg(max(col("bmax")).as("sbmax"))
+        .withColumn("sb_prior", max(col("sbmax")).over(wGroups))
+        .select(col("sb"), col("sb_prior"))
+      // greatest() skips NULLs: null only when BOTH are null — the very
+      // first bucket overall, which is exactly the no-watermark case
+      val wm = perBucket.join(broadcast(groupPrior), "sb")
+        .withColumn("wm",
+          greatest(max(col("bmax")).over(wInGroup), col("sb_prior")))
         .select(col("bucket"), col("wm"))
       e.join(broadcast(wm), "bucket")
         .withColumn("kept",
