@@ -276,28 +276,30 @@ object Curation {
     * Groups with MAD = 0 (≥ half the group identical) flag nothing —
     * score undefined, not infinite. NULL values are excluded.
     *
-    * Scale shape: two per-group sort windows and two small joins, all on
-    * the same group key — AQE coalesces to ~3 exchanges of narrow rows;
-    * nothing global, no driver math.
+    * Scale shape: the group keys here are LOW-cardinality (event types,
+    * sources) — a `Window.partitionBy(key)` would sort n/|groups| rows in
+    * one task per group — so both medians rank through
+    * [[Summaries.runningSums]]' two-phase range partition on
+    * (key, value, id): no task holds more than its range slice regardless
+    * of |groups| vs cores. The deviation table is pinned before its
+    * ranking (it is a join; the range partitioner's sampling job would
+    * re-execute it). Two small broadcast joins glue medians back on.
     */
   def madOutliers(df: DataFrame, keyCol: String, value: Column, idCol: String,
       k: Double = 3.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = df.filter(value.isNotNull)
       .select(col(keyCol), col(idCol), value.cast("double").as("__v"))
-    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
-      val wk = Window.partitionBy(col(keyCol))
-      val wo = wk.orderBy(col(v), col(idCol))
-      in.withColumn("__rn", row_number().over(wo))
-        .withColumn("__n", count(lit(1)).over(wk))
+    def lowerMedian(in: DataFrame, v: String, out: String, pin: Boolean): DataFrame =
+      Summaries.runningSums(in, Seq(keyCol), Seq(col(v), col(idCol)),
+          Seq((lit(1L), "__rn", "__n")), pinInput = pin)
         .filter(col("__rn") === expr("(__n + 1) DIV 2"))
         .select(col(keyCol), col(v).as(out))
-    }
-    val med = lowerMedian(d, "__v", "__med")
-    val dev = d.join(med, Seq(keyCol))
+    val med = lowerMedian(d, "__v", "__med", pin = false)
+    val dev = d.join(broadcast(med), Seq(keyCol))
       .withColumn("__dev", abs(col("__v") - col("__med")))
-    val mad = lowerMedian(dev.select(col(keyCol), col(idCol), col("__dev")), "__dev", "__mad")
-    dev.join(mad, Seq(keyCol))
+    val mad = lowerMedian(dev.select(col(keyCol), col(idCol), col("__dev")),
+      "__dev", "__mad", pin = true)
+    dev.join(broadcast(mad), Seq(keyCol))
       .filter(col("__mad") > 0)
       .withColumn("__score", lit(0.6745) * (col("__v") - col("__med")) / col("__mad"))
       .filter(abs(col("__score")) > k)
@@ -318,30 +320,39 @@ object Curation {
     * engine-agnostic and rows keep exact input values. NULL values pass
     * through unclipped (`was_clipped` NULL), preserving row count.
     *
-    * Scale shape: one hash exchange on the group key; the ranked window and
-    * the two bound-extraction windows share it. Bounds travel inside the
-    * window partition — no second join.
+    * Scale shape: the cut points only need the order statistic, not a rank
+    * on every row — so the NON-NULL values rank through
+    * [[Summaries.runningSums]]' two-phase range partition on
+    * (key, value, id) (the group keys here are low-cardinality; a
+    * `Window.partitionBy(key)` would sort n/|groups| rows in one task per
+    * group), the two bound rows per group are picked out of the ranked
+    * table, and the per-group [lo, hi] bounds broadcast back onto the
+    * unmodified input. NULL handling falls out for free: NULL values never
+    * enter the ranking, and rows in a group with zero non-null values find
+    * no bounds row (left join) — both clip to NULL.
     */
   def winsorize(df: DataFrame, keyCol: String, value: Column, idCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo, $hi")
-    val wk = Window.partitionBy(col(keyCol))
-    // NULLs last so non-null rows rank 1..n (n counts non-nulls; a NULL-led
-    // ordering would shift every index)
-    val wo = wk.orderBy(col("__v").asc_nulls_last, col(idCol))
-    df.withColumn("__v", value.cast("double"))
-      .withColumn("__rn", when(col("__v").isNotNull, row_number().over(wo)))
-      .withColumn("__n", count(col("__v")).over(wk))
+    val nn = df.withColumn("__v", value.cast("double"))
+      .filter(col("__v").isNotNull)
+      .select(col(keyCol), col(idCol), col("__v"))
+    val bounds = Summaries.runningSums(nn, Seq(keyCol), Seq(col("__v"), col(idCol)),
+        Seq((lit(1L), "__rn", "__n")))
       .withColumn("__ilo", (floor((col("__n") - 1) * lit(lo)) + 1).cast("long"))
       .withColumn("__ihi", (floor((col("__n") - 1) * lit(hi)) + 1).cast("long"))
-      .withColumn("__vlo", max(when(col("__rn") === col("__ilo"), col("__v"))).over(wk))
-      .withColumn("__vhi", max(when(col("__rn") === col("__ihi"), col("__v"))).over(wk))
+      .filter(col("__rn") === col("__ilo") || col("__rn") === col("__ihi"))
+      .groupBy(col(keyCol).as("__bk"))
+      .agg(max(when(col("__rn") === col("__ilo"), col("__v"))).as("__vlo"),
+           max(when(col("__rn") === col("__ihi"), col("__v"))).as("__vhi"))
+    df.withColumn("__v", value.cast("double"))
+      // null-safe: a NULL group key is a real group with real bounds
+      .join(broadcast(bounds), col(keyCol) <=> col("__bk"), "left")
       // greatest/least IGNORE nulls (both engines), which would clip a NULL
       // value to the lower bound — guard explicitly
       .withColumn("clipped",
         when(col("__v").isNotNull, least(greatest(col("__v"), col("__vlo")), col("__vhi"))))
       .withColumn("was_clipped", col("clipped") =!= col("__v"))
-      .drop("__v", "__rn", "__n", "__ilo", "__ihi", "__vlo", "__vhi")
+      .drop("__v", "__bk", "__vlo", "__vhi")
   }
 }

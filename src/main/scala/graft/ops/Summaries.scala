@@ -342,6 +342,78 @@ object Summaries {
     perCol.groupBy().agg(outs.head, outs.tail: _*)
   }
 
+  /** Two-phase distributed running sums: every row gains, for each
+    * `(expr, runningName, totalName)` spec, its prefix sum of `expr` over
+    * `order` within `keys` (plus the per-key total) — [[exactQuantileArrays]]'
+    * range-partition pattern factored out so EVERY exact order statistic in
+    * the repo (global rank, per-group rank for low-cardinality keys,
+    * cumulative CDFs) shares one shape in which no task ever sorts more
+    * than its range slice.
+    *
+    * Phase 1 range-partitions on (keys ++ order) and runs the running sum
+    * WITHIN each partition; phase 2 aggregates one partial-sum row per
+    * (key, partition), turns those into broadcast per-partition offsets
+    * with a tiny window (≤ |key domain| · nPart rows), and adds them back.
+    * A global rank is the running sum of `lit(1L)` — callers must make
+    * `order` a total order (append a tiebreak id) or in-partition tie
+    * placement leaks into the "rank".
+    *
+    * Intended for GLOBAL (`keys = Nil`) or low-cardinality keys — the
+    * exact shapes where `Window.partitionBy(keys)` would funnel n or
+    * n/|keys| rows through one task. High-cardinality keys don't need
+    * this: a plain per-key window already spreads across the cluster, and
+    * the |keys|·nPart offsets table here would outgrow its broadcast.
+    *
+    * The range exchange is pinned (lazy localCheckpoint) because BOTH the
+    * running sums and the offsets aggregate must observe the SAME
+    * spark_partition_id per row — a re-executed range partitioner
+    * re-samples its boundaries and the pids silently desynchronize (the
+    * same hazard documented on [[exactQuantileArrays]]). `pinInput`
+    * additionally pins the INPUT, for callers whose child is itself
+    * expensive (an aggregate, a join): the range partitioner's sampling
+    * job re-executes its child once more, which is fine for a pruned
+    * column scan and wasteful for a computed table.
+    */
+  private[graft] def runningSums(df: DataFrame, keys: Seq[String],
+      order: Seq[Column], sums: Seq[(Column, String, String)],
+      pinInput: Boolean = false): DataFrame = {
+    require(order.nonEmpty && sums.nonEmpty, "need order and sum specs")
+    val in      = if (pinInput) df.localCheckpoint(false) else df
+    val nPart   = df.sparkSession.sparkContext.defaultParallelism
+    val keyCols = keys.map(col)
+    val ranged = in
+      .repartitionByRange(nPart, (keyCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLoc = Window.partitionBy((keyCols :+ col("__pid")): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(ranged) { case (acc, (e, run, _)) =>
+      acc.withColumn(run, sum(e).over(wLoc))
+    }
+    val wKey     = Window.partitionBy(keyCols: _*)
+    val partials = sums.zipWithIndex.map { case ((e, _, _), i) => sum(e).as(s"__ps$i") }
+    val offsets = sums.zipWithIndex.foldLeft(
+      ranged.groupBy((keyCols :+ col("__pid")): _*).agg(partials.head, partials.tail: _*)
+    ) { case (acc, ((_, _, tot), i)) =>
+      acc.withColumn(s"__off$i", coalesce(sum(col(s"__ps$i"))
+          .over(wKey.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn(tot, sum(col(s"__ps$i")).over(wKey))
+    }
+    val oKeys = keys.indices.map(i => s"__ok$i")
+    val off = offsets.select(keys.zip(oKeys).map { case (k, ok) => col(k).as(ok) } ++
+      Seq(col("__pid").as("__opid")) ++
+      sums.zipWithIndex.flatMap { case ((_, _, tot), i) => Seq(col(s"__off$i"), col(tot)) }: _*)
+    // null-safe on the keys: a NULL group key is a real group here
+    val cond = (keys.zip(oKeys).map { case (k, ok) => col(k) <=> col(ok) } :+
+      (col("__pid") === col("__opid"))).reduce(_ && _)
+    val joined = local.join(broadcast(off), cond)
+    val out = sums.zipWithIndex.foldLeft(joined) { case (acc, ((_, run, _), i)) =>
+      acc.withColumn(run, col(run) + col(s"__off$i"))
+    }
+    out.drop((oKeys :+ "__opid" :+ "__pid") ++ sums.indices.map(i => s"__off$i"): _*)
+  }
+
   /** One-pass column profiler: total rows, non-null count, exact distinct
     * count, min/max per named column — one output row per column. Everything
     * folds into a SINGLE aggregate over one scan (Catalyst plans the
@@ -528,13 +600,14 @@ object Summaries {
     *
     * Scale shape: both inputs collapse to per-distinct-value counts first
     * (partial-agg'd; shuffle bounded by distinct cardinality), so the
-    * cumulative window runs over the VALUE DOMAIN, not the rows. The final
-    * global-order window is single-partition by construction — acceptable
-    * because its input is the distinct-value table; for a continuous column
-    * at 100 TB, quantize first (e.g. `round(v, 3)` or [[quantileBin]]) to
-    * bound the domain, which biases D by at most one bin's mass.
-    * CDF ratios are exact (BIGINT cumulative counts ÷ total, one division
-    * per distinct value), so the max is order-free.
+    * cumulative CDFs run over the VALUE DOMAIN, not the rows — and that
+    * domain is itself range-partitioned through [[runningSums]]' two-phase
+    * pattern, so on a near-unique double column (domain ∝ rows) no task
+    * ever sorts more than its value-range slice. The per-value table is
+    * pinned (it is an aggregate; the range partitioner's sampling job
+    * would otherwise re-execute it). CDF ratios are exact (BIGINT
+    * cumulative counts ÷ total, one division per distinct value), so the
+    * max is order-free.
     */
   def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
     def side(df: DataFrame, tag: Int) =
@@ -544,12 +617,9 @@ object Summaries {
       .groupBy(col("v"))
       .agg(count(when(col("__src") === 0, 1)).as("ca"),
            count(when(col("__src") === 1, 1)).as("cb"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perValue
-      .select(sum(col("ca")).over(w).as("__cuma"), sum(col("cb")).over(w).as("__cumb"),
-              sum(col("ca")).over(wAll).as("__na"), sum(col("cb")).over(wAll).as("__nb"))
+    runningSums(perValue, Nil, Seq(col("v")),
+        Seq((col("ca"), "__cuma", "__na"), (col("cb"), "__cumb", "__nb")),
+        pinInput = true)
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         max(abs(col("__cuma").cast("double") / col("__na").cast("double") -
                 col("__cumb").cast("double") / col("__nb").cast("double"))).as("d_stat"))
@@ -665,20 +735,35 @@ object Summaries {
     * bin report size, positives, response rate, cumulative capture share,
     * and lift over the base rate.
     *
-    * The ntile is a GLOBAL sort — correct for what this is (a report over
-    * a scored evaluation sample, driver-bounded by construction); scoring
-    * a full 100 TB corpus into deciles would instead use
-    * [[quantileBin]]'s distributed cut points on the score. Ordering is
-    * (score desc, id) so ties are deterministic; rates are single
-    * divisions of exact counts.
+    * Equal-population binning needs each row's GLOBAL rank in
+    * (score desc, id) order — but not a global sort: the rank comes from
+    * [[runningSums]]' two-phase range partition (no task holds more than
+    * its score-range slice) and the `ntile` bucket is then pure rank
+    * arithmetic, reproducing Spark's/SQL's NTile contract exactly — with
+    * `q = n DIV nBins` and `r = n % nBins`, the first `r` buckets take
+    * `q + 1` rows and the rest `q` (rows ranked past `r·(q+1)` land in
+    * bucket `r + ⌈(rank − r·(q+1)) / q⌉`). Ordering is (score desc, id)
+    * so ties are deterministic; rates are single divisions of exact
+    * counts. The per-bin cumulative windows at the end run over ≤ nBins
+    * rows — bounded by construction.
     */
   def liftTable(df: DataFrame, label: Column, score: Column, idCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val d = df.filter(label.isNotNull && score.isNotNull)
       .select(label.cast("boolean").as("__y"), score.cast("double").as("__s"), col(idCol))
-    val w = Window.orderBy(col("__s").desc, col(idCol))
-    val binned = d.withColumn("bin", ntile(nBins).over(w))
+    val ranked = runningSums(d, Nil, Seq(col("__s").desc, col(idCol)),
+      Seq((lit(1L), "__rn", "__n")))
+    val binned = ranked
+      // CASE evaluates lazily per row, so the q = 0 division in the ELSE
+      // branch (possible only when n < nBins) is never reached
+      .withColumn("bin", expr(
+        s"""CASE WHEN __rn <= (__n % $nBins) * (__n DIV $nBins + 1)
+           |     THEN (__rn - 1) DIV (__n DIV $nBins + 1) + 1
+           |     ELSE (__n % $nBins)
+           |          + (__rn - 1 - (__n % $nBins) * (__n DIV $nBins + 1))
+           |            DIV (__n DIV $nBins) + 1
+           |END""".stripMargin).cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"))
     val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)

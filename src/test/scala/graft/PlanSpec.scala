@@ -214,6 +214,43 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative-rank window must partition by column id:\n$winLine")
   }
 
+  test("order statistics: no data-sized window runs unpartitioned or per-group-in-one-task") {
+    // The round-10 sweep: ksDrift's CDF, liftTable's rank, and the per-group
+    // median/winsorize ranks must all route through runningSums' two-phase
+    // range partition. A data-sized window would print windowspecdefinition
+    // with the DATA ordering first (unpartitioned) or with the low-card
+    // group key as its only partition column; the two-phase shape always
+    // partitions data-sized windows by (.., __pid). Windows WITHOUT data
+    // ordering columns (the ≤ nPart offsets window, liftTable's ≤ nBins bin
+    // windows) are bounded by construction and exempt.
+    val ev = Tables.t(spark, sf, "events")
+    def winLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+    val ks = winLines(graft.ops.Summaries.ksDrift(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), col("value")))
+    assert(ks.forall(!_.matches(".*windowspecdefinition\\(v#.*")),
+      s"ksDrift CDF window is a global domain sort:\n${ks.mkString("\n")}")
+    val lift = winLines(graft.ops.Summaries.liftTable(
+      ev, col("user_id") % 3 === 0, col("value"), "event_id", 10))
+    assert(lift.forall(!_.matches(".*windowspecdefinition\\(__s#.*")),
+      s"liftTable rank window is a global score sort:\n${lift.mkString("\n")}")
+    for ((name, df) <- Seq(
+        "madOutliers" -> graft.ops.Curation.madOutliers(ev, "event_type",
+          col("value"), "event_id"),
+        "winsorize" -> graft.ops.Curation.winsorize(ev, "event_type",
+          col("value"), "event_id"))) {
+      // the data-sized rank windows are exactly those ordering by the
+      // (value, id) tiebreak; the offsets windows aggregate __ps partials
+      // (≤ |groups|·nPart rows) and never mention the id column
+      val ls = winLines(df)
+      val dataSized = ls.filter(_.contains("event_id#"))
+      assert(dataSized.nonEmpty && dataSized.forall(_.contains("__pid")),
+        s"$name ranks n/|groups| rows in one task per group:\n${ls.mkString("\n")}")
+    }
+  }
+
   test("kmeans assignment plans zero joins and zero exchanges (broadcast argmin)") {
     val docs = graft.Tables.t(spark, sf, "embeddings")
     val p = graft.ops.Clustering.assignClusters(docs, "embedding",
