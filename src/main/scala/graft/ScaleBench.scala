@@ -42,8 +42,17 @@ object ScaleBench {
 
   /** Replica i of the documents table: ids offset to a disjoint range, text
     * rewritten by a per-replica character rotation (identity for i == 0).
+    * The single rotation is injective only for i < alphabet.length — replica
+    * i and i+10 would be byte-identical clones, silently rebuilding the
+    * dup-flood pathology ScaleCorpus's composed two-alphabet rotation was
+    * built to avoid. ScaleBench keeps rot1-only (the steady-state batches'
+    * disjointness depends on corpus replicas never touching alphabet2), so
+    * main() bounds the CLI replica count instead; past 10×, use ScaleCorpus.
     */
   private def docReplica(docs: DataFrame, i: Int): DataFrame = {
+    require(i < alphabet.length,
+      s"docReplica rotation is non-injective at replica $i (alphabet has " +
+        s"${alphabet.length} chars); use graft.ScaleCorpus for factors > ${alphabet.length}")
     val rot = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
     docs.select(
       (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -85,6 +94,12 @@ object ScaleBench {
     val replicas = args.headOption.map(a => a.toIntOption.getOrElse(
       sys.error(s"usage: ScaleBench [replicas] [family...] — got '$a' " +
         "where the replica count goes"))).getOrElse(10)
+    // docReplica's single rotation stops being injective past the alphabet
+    // length — refuse loudly rather than bench a byte-identical clone flood
+    require(replicas <= alphabet.length,
+      s"ScaleBench supports at most ${alphabet.length} replicas (text rotation " +
+        s"injectivity); for larger factors use graft.ScaleCorpus, whose composed " +
+        s"two-alphabet rotation is injective to ${alphabet.length * alphabet2.length}×")
     // optional family-name filter (exact match) after the replica count —
     // lets a new family be measured without re-running the whole sweep.
     // Validated against the static name set: a typo would otherwise build

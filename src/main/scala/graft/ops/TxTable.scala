@@ -127,11 +127,19 @@ object TxTable {
     *
     * Durability under concurrency: each call writes a NEW generation file
     * (`retention.vNNN`, readers take the max) and never deletes the one it
-    * supersedes until the new one is in place — so there is no instant at
-    * which a concurrent committer's GC sees no setting and reaps by the
-    * default keep-2. (The earlier delete-then-rename single-file swap had
-    * exactly that window, and losing it meant silent loss of retained
-    * history rather than a loud refusal.)
+    * supersedes until the new one is in place — a concurrent committer's
+    * GC that listed the directory a moment earlier still finds the grace
+    * predecessor. (The earlier delete-then-rename single-file swap had a
+    * window with NO file at all, and losing it meant silent loss of
+    * retained history rather than a loud refusal.) This narrows the race
+    * rather than closing it: TWO setRetention calls landing between a
+    * reader's listing and its read can reap both the listed generation and
+    * its grace predecessor, which is why [[readRetention]] re-lists once
+    * before degrading to the default. Concurrent setRetention writers can
+    * also compute the same next generation; the rename either fails (HDFS
+    * is loud, other filesystems vary) — retried here with a recomputed
+    * generation — or one writer's file wins whole (rename is atomic per
+    * file), which is the same outcome as serial last-writer-wins.
     */
   def setRetention(spark: SparkSession, root: String, keepSnapshots: Int): Unit = {
     require(keepSnapshots >= 2,
@@ -146,11 +154,17 @@ object TxTable {
     try out.write(s"graft-txret v1\nkeep $keepSnapshots\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val gens = retentionGens(fs, rp)
-    val next = gens.lastOption.map(_._1 + 1).getOrElse(1L)
-    val target = new Path(logDir(rp), f"retention.v$next%09d")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"retention write failed at $root")
+    // A racing setRetention can claim the same next generation; rename to
+    // an existing target fails on HDFS — recompute and retry rather than
+    // abort, since the other writer advancing the generation is progress,
+    // not failure. Bounded attempts: each loss means someone else renamed.
+    val gens = (1 to 5).iterator.map { _ =>
+      val g = retentionGens(fs, rp)
+      val next = g.lastOption.map(_._1 + 1).getOrElse(1L)
+      val target = new Path(logDir(rp), f"retention.v$next%09d")
+      if (fs.rename(tmp, target)) Some(g) else None
+    }.collectFirst { case Some(g) => g }
+      .getOrElse(throw new java.io.IOException(s"retention write failed at $root"))
     // Only now is superseded state garbage: reap old generations and the
     // legacy single file, keeping the newest predecessor as a grace copy
     // for a reader that listed the directory just before our rename.
@@ -184,12 +198,16 @@ object TxTable {
       } catch { case _: java.io.IOException => None }
     // newest generation wins; fall back through older generations (a just-
     // reaped max gen degrades to its predecessor, never to the default),
-    // then the legacy single file, then the conservative default.
-    try
+    // then the legacy single file. Before degrading all the way to the
+    // default, RE-LIST once: two setRetention calls landing between our
+    // listing and our reads can reap both the listed max and its grace
+    // predecessor, but the generation that replaced them is on disk — a
+    // second listing finds it. Only a genuinely unset table defaults.
+    def attempt(): Option[Int] =
       retentionGens(fs, root).reverse.iterator.flatMap { case (_, p) => parse(p) }
         .nextOption()
         .orElse(parse(retentionPath(root)))
-        .getOrElse(2)
+    try attempt().orElse(attempt()).getOrElse(2)
     catch { case _: java.io.IOException => 2 }
   }
 
