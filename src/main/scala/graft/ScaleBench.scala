@@ -84,22 +84,36 @@ object ScaleBench {
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       df.write.mode("overwrite").parquet(path)
 
-  private val familyNames = Set(
-    "lsh_minhash", "lsh_simhash", "jaccard_inverted", "exact_quantiles",
-    "pagerank", "label_propagation", "containment", "ann_sign_lsh_fixed3",
-    "ann_sign_lsh_tuned", "pq_adc_flat", "ivfpq_tuned", "ivm_maintain",
-    "ivm_recompute", "ivm_feed", "index_search_steady", "index_append_steady")
+  /** family → corpus tables it reads; corpora are built on demand from
+    * this map, so a filtered run only materializes (and only validates)
+    * what it measures — which is also what lets a documents-free family
+    * (exact_quantiles, ivm_*, graph) run past the text rotation's
+    * ×10 injectivity bound.
+    */
+  private val familyTables: Map[String, Set[String]] = Map(
+    "lsh_minhash"         -> Set("documents"),
+    "lsh_simhash"         -> Set("documents"),
+    "jaccard_inverted"    -> Set("documents"),
+    "containment"         -> Set("documents"),
+    "index_search_steady" -> Set("documents"),
+    "index_append_steady" -> Set("documents"),
+    "exact_quantiles"     -> Set("lineitem"),
+    "pagerank"            -> Set("edges"),
+    "label_propagation"   -> Set("edges"),
+    "ann_sign_lsh_fixed3" -> Set("embeddings"),
+    "ann_sign_lsh_tuned"  -> Set("embeddings"),
+    "pq_adc_flat"         -> Set("embeddings"),
+    "ivfpq_tuned"         -> Set("embeddings"),
+    "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
+    "ivm_recompute"       -> Set("lineitem"),
+    "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"))
+
+  private val familyNames = familyTables.keySet
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(a => a.toIntOption.getOrElse(
       sys.error(s"usage: ScaleBench [replicas] [family...] — got '$a' " +
         "where the replica count goes"))).getOrElse(10)
-    // docReplica's single rotation stops being injective past the alphabet
-    // length — refuse loudly rather than bench a byte-identical clone flood
-    require(replicas <= alphabet.length,
-      s"ScaleBench supports at most ${alphabet.length} replicas (text rotation " +
-        s"injectivity); for larger factors use graft.ScaleCorpus, whose composed " +
-        s"two-alphabet rotation is injective to ${alphabet.length * alphabet2.length}×")
     // optional family-name filter (exact match) after the replica count —
     // lets a new family be measured without re-running the whole sweep.
     // Validated against the static name set: a typo would otherwise build
@@ -109,6 +123,19 @@ object ScaleBench {
     require(unknown.isEmpty,
       s"unknown families: ${unknown.mkString(",")} (known: ${familyNames.toSeq.sorted.mkString(",")})")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // corpora this run actually reads (empty filter = every family)
+    val needed: Set[String] =
+      (if (only.isEmpty) familyNames else only).flatMap(familyTables)
+    // docReplica's single rotation stops being injective past the alphabet
+    // length — refuse loudly rather than bench a byte-identical clone
+    // flood. Only the DOCUMENT corpus has this bound (embedding jitter and
+    // id offsets are injective at any factor), so a documents-free family
+    // filter may scale further.
+    require(replicas <= alphabet.length || !needed("documents"),
+      s"document families support at most ${alphabet.length} replicas (text " +
+        s"rotation injectivity); for larger factors use graft.ScaleCorpus, whose " +
+        s"composed two-alphabet rotation is injective to " +
+        s"${alphabet.length * alphabet2.length}×, or filter to non-document families")
     val spark = Sessions.local()
     import spark.implicits._
 
@@ -118,18 +145,30 @@ object ScaleBench {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
     val ord  = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
 
+    // the lineitem corpus also feeds the liagg_g/cdcfeed_g fixtures
+    val needLineitem = Seq("lineitem", "liagg_g", "cdcfeed_g").exists(needed)
     val factors = Seq(1, replicas).distinct
     for (f <- factors) {
-      writeOnce(replicate(docs, f, docReplica), corpusDir(sfDir, "documents", f))
-      writeOnce(replicate(emb, f, embReplica), corpusDir(sfDir, "embeddings", f))
-      writeOnce(
+      if (needed("documents"))
+        writeOnce(replicate(docs, f, docReplica), corpusDir(sfDir, "documents", f))
+      if (needed("embeddings"))
+        writeOnce(replicate(emb, f, embReplica), corpusDir(sfDir, "embeddings", f))
+      if (needLineitem) writeOnce(
+        // l_extendedprice gets sub-cent deterministic jitter (replica 0
+        // identity) so the exact_quantiles family's distinct-value domain
+        // grows ∝ rows — identical-value replicas would probe the
+        // per-value collapse, the one axis a quantile CDF is insensitive to
         replicate(li, f, (d, i) => d.select(
           (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey"),
-          col("l_extendedprice"), col("l_quantity"))),
+          (if (i == 0) col("l_extendedprice")
+           else col("l_extendedprice") +
+             pmod(hash(col("l_orderkey"), col("l_quantity"), lit(i)), lit(1000003)) /
+               lit(1.0e9)).as("l_extendedprice"),
+          col("l_quantity"))),
         corpusDir(sfDir, "lineitem", f))
       // disjoint graph copies: same degree distribution, f x edges
-      writeOnce(
+      if (needed("edges")) writeOnce(
         replicate(
           ord.join(li, col("o_orderkey") === col("l_orderkey"))
             .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct(),
@@ -155,20 +194,22 @@ object ScaleBench {
     // against the fixed 1× view).
     def ivmGroup(df: DataFrame) =
       df.withColumn("g", pmod(col("l_suppkey"), lit(10000000L)))
-    for (f <- factors)
-      writeOnce(Summaries.sumCountAgg(ivmGroup(read("lineitem", f)),
-        Seq("g"), col("l_extendedprice")), corpusDir(sfDir, "liagg_g", f))
-    for (f <- factors)
-      writeOnce(
-        ivmGroup(read("lineitem", f)).filter(col("l_orderkey") % 59 === 0)
-          .select(col("g"), col("l_extendedprice"),
-            when(col("l_orderkey") % 118 === 0, "insert").otherwise("delete").as("change")),
-        corpusDir(sfDir, "cdcfeed_g", f))
+    if (Seq("liagg_g", "cdcfeed_g").exists(needed)) {
+      for (f <- factors)
+        writeOnce(Summaries.sumCountAgg(ivmGroup(read("lineitem", f)),
+          Seq("g"), col("l_extendedprice")), corpusDir(sfDir, "liagg_g", f))
+      for (f <- factors)
+        writeOnce(
+          ivmGroup(read("lineitem", f)).filter(col("l_orderkey") % 59 === 0)
+            .select(col("g"), col("l_extendedprice"),
+              when(col("l_orderkey") % 118 === 0, "insert").otherwise("delete").as("change")),
+          corpusDir(sfDir, "cdcfeed_g", f))
+    }
 
     // corpus row counts per factor, resolved OUTSIDE the timed region so
     // the tuned-ANN family is not charged a full scan the fixed family
-    // doesn't pay
-    val embCount: Map[Int, Long] =
+    // doesn't pay (lazy: only embedding families force it)
+    lazy val embCount: Map[Int, Long] =
       factors.map(f => f -> read("embeddings", f).count()).toMap
 
     // Steady-state persisted-index fixture (round-9 verdict item 5): the
@@ -300,10 +341,13 @@ object ScaleBench {
 
     // JIT/codegen/session warm-up outside the timed region, so factor 1
     // (which runs first) is not charged the whole JVM's cold start
-    Text.minhashNearDupPairs(read("documents", 1).limit(500),
-      "doc_id", "text", 3, 16, 0.5).count()
-    Similarity.annTopK(read("embeddings", 1).limit(500),
-      "vec_id", "embedding", 3, 3, nTables = 12).count()
+    if (needed("documents"))
+      Text.minhashNearDupPairs(read("documents", 1).limit(500),
+        "doc_id", "text", 3, 16, 0.5).count()
+    if (needed("embeddings"))
+      Similarity.annTopK(read("embeddings", 1).limit(500),
+        "vec_id", "embedding", 3, 3, nTables = 12).count()
+    else if (needLineitem) read("lineitem", 1).limit(500).count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     for (f <- factors; (name, run) <- families(f)
