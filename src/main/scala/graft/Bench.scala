@@ -105,17 +105,17 @@ object Bench {
     // measured AFTER the suite (a concurrent calibration would perturb the
     // timings it is meant to contextualize)
     val host = hostFingerprint()
-    // Timings rounded to ms and the headline metric placed LAST: the driver
-    // stores only the final ~2 KB of output, so the summary must sit at the
-    // end of the line to survive truncation of the per-query map.
-    println(s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","host":$host,"metric":"total","value":${ms3(total)},"unit":"sec"}""")
-    // The driver's tail truncation drops the HEAD of the per-query map
-    // (q100+ timings were unreadable in BENCH_r07.json), so also persist
-    // the complete map to a committed artifact, and print the slowest-10
-    // AFTER the total so the heaviest queries survive any truncation.
-    val slow = ok.sortBy(-_._2).take(10)
-    println("slowest10 " + slow.map { case (k, v) => s"$k=${ms3(v)}" }.mkString(" "))
+    // The driver stores only the final ~2 KB of output, so a line carrying
+    // all ~196 query timings (~5 KB) always arrived head-truncated and
+    // unparseable (BENCH_r07–r10 record `parsed: null`). The stdout line is
+    // therefore kept UNDER the window by construction: headline totals, any
+    // errors, and the slowest-40 queries (the ones a plan audit reads
+    // first), with the complete map persisted to the committed artifact the
+    // line points at.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val qsTop = ok.sortBy(-_._2).take(40)
+      .map { case (k, v) => s"${jstr(k)}:${ms3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_ok":${ok.size},"n_err":${errs.size},"errors":$es,"host":$host,"queries":$qsTop,"queries_note":"slowest 40 of ${ok.size}; complete map in $fullPath"}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","host":$host,"total_sec":${ms3(total)}}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: $e") }
