@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Graph, Similarity, Summaries, Text}
+import graft.ops.{Graph, Similarity, Summaries, Text, TxTable}
 
 /** Dev utility: two-point scaling evidence for the nonlinear-risk operator
   * families (LSH dedup, inverted-index Jaccard, exact quantiles, PageRank,
@@ -106,7 +106,8 @@ object ScaleBench {
     "ivfpq_tuned"         -> Set("embeddings"),
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
     "ivm_recompute"       -> Set("lineitem"),
-    "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"))
+    "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"),
+    "medallion_increment" -> Set("lineitem"))
 
   private val familyNames = familyTables.keySet
 
@@ -243,6 +244,32 @@ object ScaleBench {
     // path and corrupt the growth the fixture assumes)
     var steadySeq = 0
 
+    // Steady-state MEDALLION fixture (q167b's scale claim): one TxTable
+    // root per factor with bronze/silver/gold published whole from the f×
+    // lineitem corpus, built untimed. The timed family then runs one
+    // increment cycle with a fixed 1×-sized known batch — bronze append,
+    // silver append of the row-local transform, gold maintained via
+    // maintainSumCount, all in ONE atomic commit. Flat timings are the
+    // "publish costs O(changes + groups), not three table copies" claim
+    // (the group domain is pmod 100, fixed across factors because the
+    // replica stride vanishes mod 100). The feed is the KNOWN batch, not a
+    // TxTable.diff — diff is O(snapshot scan) by construction and belongs
+    // to the recovery path, not the steady-state loop.
+    def medRoot(f: Int) = s"/root/repo/target/scale_tx/${steadyTag}_f$f"
+    def medSilver(df: DataFrame) = df
+      .withColumn("gross", col("l_extendedprice") * col("l_quantity"))
+      .withColumn("g", pmod(col("l_suppkey"), lit(100L)))
+    val medOn = only.isEmpty || only.contains("medallion_increment")
+    if (medOn) for (f <- factors) if (!TxTable.exists(spark, medRoot(f))) {
+      val b = read("lineitem", f)
+      TxTable.commit(spark, medRoot(f), Seq(
+        ("bronze", "replace", b),
+        ("silver", "replace", medSilver(b)),
+        ("gold",   "replace",
+          Summaries.sumCountAgg(medSilver(b), Seq("g"), col("gross")))))
+    }
+    var medSeq = 0
+
     def families(f: Int): Seq[(String, () => Long)] = Seq(
       ("lsh_minhash", () =>
         Text.minhashNearDupPairs(read("documents", f), "doc_id", "text", 3, 16, 0.5).count()),
@@ -336,6 +363,26 @@ object ScaleBench {
         Text.writeMinhashIndex(b, "doc_id", "text", 3, 16,
           steadyPrefix(f), buckets = 32, mode = "append")
         b.count()
+      }),
+      // one whole medallion increment cycle against the f× base: batch keys
+      // globally fresh (5000+seq stride, disjoint from every corpus
+      // replica), silver+gold+bronze land in one atomic commit, and the
+      // re-read gold (≤ 100 groups) is the returned row count
+      ("medallion_increment", () => {
+        medSeq += 1
+        val root = medRoot(f)
+        val batch = read("lineitem", 1).select(
+          (col("l_orderkey") + lit((5000L + medSeq) * 100000000L)).as("l_orderkey"),
+          col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+        val maintained = Summaries.maintainSumCount(
+          TxTable.read(spark, root, "gold"),
+          medSilver(batch).withColumn("change", lit("insert")),
+          Seq("g"), col("gross"))
+        TxTable.commit(spark, root, Seq(
+          ("bronze", "append", batch),
+          ("silver", "append", medSilver(batch)),
+          ("gold",   "replace", maintained)))
+        TxTable.read(spark, root, "gold").count()
       })
     )
 

@@ -968,6 +968,37 @@ object SparkEntry {
       (root, vs(vs.length - 2), vs.last)
     })
 
+  /** q167b's silver transform — row-local, so its increment is exactly the
+    * bronze increment transformed.
+    */
+  private def silverizeOrders(df: DataFrame): DataFrame =
+    df.withColumn("o_orderstatus", upper(trim(col("o_orderstatus"))))
+
+  /** q167b's base publish: bronze/silver/gold of the keys%13≠0 orders slice
+    * in ONE atomic commit, retention widened to 3 so the increment loop can
+    * still read the pre-increment gold after its own two commits supersede
+    * it. Memoized per (session, dir) with stale-root delete (the cdcFixture
+    * precedent). Returns (root, baseVersion).
+    */
+  private val medallionIncCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long)]
+  private def medallionIncFixture(s: SparkSession, d: String): (String, Long) =
+    medallionIncCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .filter(col("o_orderkey") % 13 =!= 0)
+      val (root, vs) = cdcRoot(s, d, "medinc_", { r =>
+        TxTable.setRetention(s, r, 3)
+        TxTable.commit(s, r, Seq(
+          ("bronze", "replace", base),
+          ("silver", "replace", silverizeOrders(base)),
+          ("gold",   "replace", Summaries.sumCountAgg(silverizeOrders(base),
+            Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders"))))
+        TxTable.versions(s, r)
+      })
+      (root, vs.last)
+    })
+
   /** q189's retention-3 log: three replace snapshots under
     * [[graft.ops.TxTable.setRetention]](3), so the v1 → v3 diff — spanning
     * two intermediate replaces — stays readable where the default keep-2
@@ -2410,6 +2441,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("o_custkey")).as("n_customers"),
           exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // The medallion maintained INCREMENTALLY — q167's flow re-shaped so the
+    // publish costs O(changes), not three table copies (round-10 verdict
+    // item 5). The fixture publishes bronze/silver/gold whole once; this
+    // query then runs one increment cycle: append a known batch to bronze,
+    // derive its CDC with TxTable.diff (insert-only here by construction),
+    // silver-append the row-local normalize of exactly those rows, maintain
+    // gold (the per-status business aggregate) from the same feed via
+    // maintainSumCount in O(changes + groups), and land silver + gold in
+    // ONE atomic commit — no reader ever sees a gold that disagrees with
+    // its silver. Both commits carry guard/batchId replay protection, so
+    // re-invocation (bench pass 2) is a log no-op and the read stays
+    // deterministic. The re-read gold must equal a full recompute of the
+    // complete orders table — the oracle IS that recompute. The diff is the
+    // demo's CDC source (O(snapshot scan), shuffle on the key); a 100 TB
+    // loop feeds maintenance from the writer's known batch or the streaming
+    // CDC sink instead — ScaleBench's medallion_increment family measures
+    // that path flat in corpus size.
+    "q167b_medallion_incremental" -> ((s, d) => {
+      val (root, v1) = medallionIncFixture(s, d)
+      val inc = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .filter(col("o_orderkey") % 13 === 0)
+      TxTable.commit(s, root, Seq(("bronze", "append", inc)),
+        guard = "medinc", batchId = 0L)
+      val cdc = TxTable.diff(s, root, v1, v1 + 1, Seq("o_orderkey"), "bronze")
+      val silverFeed = silverizeOrders(cdc)
+      val maintained = Summaries.maintainSumCount(
+        TxTable.readAsOf(s, root, v1, "gold"), silverFeed,
+        Seq("o_orderstatus"), col("o_totalprice"), "sum_price", "n_orders")
+      TxTable.commit(s, root, Seq(
+        ("silver", "append",
+          silverFeed.filter(col("change") === "insert").drop("change")),
+        ("gold", "replace", maintained)),
+        guard = "medinc", batchId = 1L)
+      TxTable.read(s, root, "gold")
+        .select(col("o_orderstatus"),
+          col("sum_price").cast("double").as("sum_price"), col("n_orders"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -5180,6 +5251,19 @@ object SparkEntry {
          WHERE o_orderdate IS NOT NULL
            AND o_orderdate >= '1993-01-01' AND o_orderdate < '1998-01-01'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the full recompute the maintained gold must equal bit-exactly
+    // (decimal(27,4) carrier, the q187 parity precedent); base slice ∪
+    // increment = the whole table, so no slice predicate appears
+    "q167b_medallion_incremental" ->
+      """WITH silver AS (
+           SELECT upper(trim(o_orderstatus)) AS o_orderstatus,
+                  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+           FROM orders)
+         SELECT o_orderstatus,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+                count(*)::BIGINT AS n_orders
+         FROM silver GROUP BY 1 ORDER BY 1""",
 
     "q165_dedup_funnel" ->
       s"""WITH RECURSIVE docs AS (

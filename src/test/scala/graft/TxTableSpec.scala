@@ -408,4 +408,18 @@ class TxTableSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](TxTable.diff(spark, root, v1, v2, Seq("k")))
     assert(e.getMessage.contains("reserved column"))
   }
+
+  test("q167b's increment cycle is idempotent: re-invocation adds no versions, same rows") {
+    // The guarded commits (guard=medinc, batchId 0/1) make bench pass 2 a
+    // log no-op; a drift here would surface as a bench-only hash flake.
+    val q = SparkEntry.queries("q167b_medallion_incremental")
+    val sf = "/root/testdata/sf0.001"
+    val r1 = q(spark, sf).collect().toSeq
+    val root = s"/root/repo/target/tmp/medinc_" + sf.replaceAll("[^0-9a-zA-Z]", "_")
+    val vsAfterFirst = TxTable.versions(spark, root)
+    val r2 = q(spark, sf).collect().toSeq
+    assert(TxTable.versions(spark, root) == vsAfterFirst,
+      "second invocation must not append to the commit log")
+    assert(r1 == r2)
+  }
 }
