@@ -23,9 +23,22 @@ import org.apache.spark.sql.SparkSession
   *   coalescing partitions at runtime either way.
   */
 object Sessions {
+  /** Master override for multi-JVM certification: `SPARK_GRAFT_MASTER=
+    * local-cluster[4,8,4096]` runs the SAME session config against real
+    * separate executor processes (standalone workers in-process, executors
+    * forked), which is what actually exercises closure/Expression
+    * serialization and cross-process shuffle — `local[n]` cannot, by
+    * construction. Executor JVMs need the engine's classes on their own
+    * classpath (they are not launched by sbt), so the compiled class dirs
+    * are passed via extraClassPath; SPARK_HOME must point at the Spark
+    * dist (/opt/spark) for the executor launcher. Everything else —
+    * timestamps, timezone, AQE, codegen cache — is identical, so a green
+    * cluster run certifies the exact plans the local gates run.
+    */
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,7 +65,15 @@ object Sessions {
       // level limit (100) stays default — depth is the structural bound.
       .config("spark.sql.cteRecursionRowLimit", "1000000000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .filter(p => new java.io.File(p).isDirectory).mkString(":")
+      builder
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+        .config("spark.executor.extraClassPath", cp)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
     spark

@@ -1269,6 +1269,45 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ST6's event-time-timeout CLOSE semantics as a batch twin (the q195
+    // watermark-model precedent): per-user 30-min gap sessions over the
+    // real events, where a session is emitted iff the streaming runtime
+    // would have emitted it in Append mode — closed by GAP when a later
+    // session for the same user exists, or closed by TIMEOUT when the
+    // end-of-stream watermark (global max ts − 1 h lateness bound) has
+    // passed session_end + gap, which is exactly when
+    // GroupStateTimeout.EventTimeTimeout fires for a quiet key. The
+    // user's still-live trailing session (wm not yet past end + gap)
+    // appears in NEITHER. StreamingSpec proves the model against the real
+    // flatMapGroupsWithState runtime on the same corpus; the oracle
+    // replays the predicate in SQL. Scale shape: per-user windows
+    // (high-cardinality key) + one broadcast scalar — no global window.
+    "q197_timeout_sessions" -> ((s, d) => {
+      val gapMs = 1800L * 1000
+      val e = t(s, d, "events").select(col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sess = e
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", (col("__prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs).cast("long"))
+        .withColumn("__sid", sum(col("__new")).over(w))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+      val wm = e.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("__wm"))
+      sess
+        .withColumn("__last", max(col("__sid")).over(Window.partitionBy(col("user_id"))))
+        .crossJoin(broadcast(wm))
+        .withColumn("closed_by",
+          when(col("__sid") < col("__last"), lit("gap"))
+            .when(unix_millis(col("__wm")) > unix_millis(col("session_end")) + gapMs,
+              lit("timeout")))
+        .filter(col("closed_by").isNotNull)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("closed_by"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // A6/F14 — daily time series
     "q42_timeseries" -> ((s, d) => {
       Summaries.timeSeries(t(s, d, "events"), "ts", "day",
@@ -4083,6 +4122,30 @@ object SparkEntry {
          SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
                 CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
          FROM d GROUP BY event_type ORDER BY event_type""",
+    // (user_id, ts) is unique in the data, so the lag needs no tiebreak
+    "q197_timeout_sessions" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+         g AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS ns
+               FROM e),
+         s AS (SELECT user_id, ts,
+                      sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         sess AS (SELECT user_id, sid, min(ts) AS session_start,
+                         max(ts) AS session_end, count(*)::BIGINT AS n_events
+                  FROM s GROUP BY 1, 2),
+         wm AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM e)
+         SELECT user_id, session_start, session_end, n_events,
+                CASE WHEN sid < max(sid) OVER (PARTITION BY user_id) THEN 'gap'
+                     WHEN session_end + INTERVAL '30 minutes' < wm THEN 'timeout'
+                END AS closed_by
+         FROM sess, wm
+         QUALIFY closed_by IS NOT NULL
+         ORDER BY user_id, session_start""",
     "q42_timeseries" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value

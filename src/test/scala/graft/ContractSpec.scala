@@ -12,7 +12,10 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os.diff(qs)}")
-    assert(qs.forall(_.matches("q\\d+_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
+    // an optional letter suffix marks a variant of the same-numbered query
+    // (q167b = q167's increment-driven form)
+    val convention = "q\\d+[a-z]?_[a-z0-9_]+"
+    assert(qs.forall(_.matches(convention)), qs.filterNot(_.matches(convention)))
   }
 
   test("every query is oracle-checked — no rows-only rows remain") {

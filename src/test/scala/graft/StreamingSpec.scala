@@ -197,6 +197,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST6 ≡ q197: runtime sessionization emits exactly the batch twin's closed set") {
+    // q197 models ST6's Append-mode emission rule — closed by GAP (a later
+    // session exists) or by event-time TIMEOUT (end-of-stream watermark
+    // past end + gap) — and this drives the REAL flatMapGroupsWithState
+    // runtime over the same sf0.01 events: all events in batch 1, then a
+    // sentinel at the same max instant (its own key, excluded below) whose
+    // batch runs with the watermark advanced to max(ts) − 1 h and fires
+    // the timeouts. The emitted (user, start, end, n) set must equal the
+    // registered q197's rows exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.01"
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[Ev].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val input = MemoryStream[Ev]
+    val out = Streaming.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "1 hour")
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(-1L, new java.sql.Timestamp(maxTs), "probe"))
+      q.processAllAvailable()
+      val streamed = spark.table(name).as[Streaming.SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events.toLong)).toSet
+      val twin = SparkEntry.queries("q197_timeout_sessions")(spark, sf)
+      val twinRows = twin
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
+      assert(streamed == twinRows,
+        s"runtime emitted ${streamed.size}, twin has ${twinRows.size}; " +
+          s"only-runtime ${(streamed -- twinRows).take(3)}, " +
+          s"only-twin ${(twinRows -- streamed).take(3)}")
+      // the corpus must really exercise BOTH close paths
+      val byPath = twin.groupBy("closed_by").count()
+        .as[(String, Long)].collect().toMap
+      assert(byPath.getOrElse("gap", 0L) > 0 && byPath.getOrElse("timeout", 0L) > 0,
+        s"degenerate corpus: $byPath")
+    } finally q.stop()
+  }
+
   test("ST7: parquet file sink with checkpoint survives and is readable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

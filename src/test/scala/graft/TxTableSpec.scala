@@ -409,6 +409,66 @@ class TxTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved column"))
   }
 
+  test("cross-process committers: two real JVMs race one log, every commit lands") {
+    // The in-JVM race above still shares TxTable's intra-process claim
+    // lock; this one cannot — the child is a separate java process
+    // (graft.TxRaceChild) with its own SparkSession, so only the
+    // rename-based optimistic protocol orders the writers. Round-10
+    // verdict item 4: cross-process commit contention was untested by
+    // construction.
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq(0L).toDF("v"))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // carry this JVM's --add-opens pairs to the child (Spark 4 on JDK 17
+    // refuses to boot without them); they arrive as separate argv tokens
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val opens = (0 until inArgs.size).flatMap { i =>
+      val a = inArgs.get(i)
+      if (a == "--add-opens" || a == "--add-exports") Seq(a, inArgs.get(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
+      else Nil
+    }
+    val childRounds = 8
+    val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.TxRaceChild", root, "100000", childRounds.toString))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_MASTER", "local[2]") // never inherit local-cluster
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$root.child.log"))
+    val child = pb.start()
+    try {
+      // wait for the child's FIRST commit so the parent's appends genuinely
+      // overlap a live foreign writer rather than running before its boot
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (TxTable.versions(spark, root).size < 2 && child.isAlive
+             && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(TxTable.versions(spark, root).size >= 2,
+        s"child never committed; log:\n${scala.util.Try(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root.child.log"))
+            .takeRight(2000)).getOrElse("")}")
+      (0 until 5).foreach { i =>
+        assert(TxTable.append(spark, root, Seq(2000L + i).toDF("v")),
+          "parent commit must land despite the foreign writer")
+      }
+      assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(child.exitValue() == 0, s"child failed; log:\n${scala.util.Try(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root.child.log"))
+          .takeRight(2000)).getOrElse("")}")
+    } finally if (child.isAlive) child.destroyForcibly()
+    // no lost update in either direction
+    assert(readSum(root) ==
+      (0 until childRounds).map(100000L + _).sum + (0 until 5).map(2000L + _).sum)
+    // versions strictly contiguous: a lost rename re-allocates, never burns
+    val versions = new java.io.File(s"$root/_log").list().toSeq
+      .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit").toLong).sorted
+    assert(versions == (1L to (1 + childRounds + 5).toLong),
+      s"unexpected versions: $versions")
+  }
+
   test("q167b's increment cycle is idempotent: re-invocation adds no versions, same rows") {
     // The guarded commits (guard=medinc, batchId 0/1) make bench pass 2 a
     // log no-op; a drift here would surface as a bench-only hash flake.
