@@ -480,11 +480,16 @@ object Clustering {
     require(features.nonEmpty && iters >= 1 && lr > 0, "need features, iters >= 1, lr > 0")
     val d = features.length + 1
     var wts: Seq[Double] = Seq.fill(d)(0.0)
-    val x = array((lit(1.0) +: features.map(_.cast("double"))): _*)
+    // The design term x_i is element i of [1.0, f_1, …]; materializing that
+    // array per row and indexing it per gradient component would do O(d^2)
+    // expression work per row AND trips a Janino rvalue bug in the partial
+    // aggregate's generated code (whole-stage codegen silently falls back to
+    // interpreter mode). The direct column is the same value, null for null.
+    val x: Seq[Column] = lit(1.0) +: features.map(_.cast("double"))
     val y = label.cast("double")
     for (_ <- 1 to iters) {
       val resid = y - logisticScore(features, wts)
-      val aggs = (0 until d).map(i => sum(element_at(x, i + 1) * resid).as(s"g$i")) :+
+      val aggs = (0 until d).map(i => sum(x(i) * resid).as(s"g$i")) :+
         count(lit(1)).as("n")
       val row = df.agg(aggs.head, aggs.tail: _*).collect().head
       require(!row.isNullAt(0), "logisticFit: empty input")
