@@ -227,11 +227,23 @@ object Summaries {
     val cuts = exactQuantileArrays(df, specs.map { case (valCol, nBins, binName) =>
       (valCol, (1 until nBins).map(_.toDouble / nBins), s"__cuts_$binName")
     })
-    specs.foldLeft(df.crossJoin(broadcast(cuts))) { case (acc, (valCol, _, binName)) =>
+    specs.foldLeft(df.crossJoin(broadcast(cuts))) { case (acc, (valCol, nBins, binName)) =>
+      // "count of cut points <= value", unrolled to nBins-1 codegen'd
+      // comparisons against the broadcast cut array. The obvious HOF form —
+      // size(filter(cuts, c <= v)) — evaluates its lambda in interpreter
+      // mode on EVERY row (higher-order functions have no doGenCode), which
+      // measured as the dominant cost of the whole binning pass at sf0.1;
+      // element_at with a literal index stays inside whole-stage codegen.
+      val cutsCol = col(s"__cuts_$binName")
+      val rank = (1 until nBins)
+        .map(i => when(element_at(cutsCol, i) <= col(valCol), 1).otherwise(0))
+        .reduce(_ + _)
       acc.withColumn(binName,
-        // NULL value → NULL bin (the HOF filter would silently yield bin 0)
-        when(col(valCol).isNull, lit(null))
-          .otherwise(size(filter(col(s"__cuts_$binName"), c => c <= col(valCol))))
+        // NULL value → NULL bin (a count over comparisons would yield bin 0);
+        // NULL cut array (all-NULL input column) → NULL bin, as size(NULL)
+        // was under ansi-off semantics
+        when(col(valCol).isNull || cutsCol.isNull, lit(null))
+          .otherwise(rank)
           .cast("int"))
     }.drop(specs.map(s => s"__cuts_${s._3}"): _*)
   }
