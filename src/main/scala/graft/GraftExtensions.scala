@@ -86,6 +86,14 @@ object GraftExtensions {
     ("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingle set",
       (children: Seq[Expression]) => { val c = args(children, 2, "graft_shingles")
         graft.expr.WordNgrams(c(0), litInt(c(1), "graft_shingles", "n"), distinct = true) }),
+    ("graft_char_ngrams",
+      "graft_char_ngrams(text, n) - character n-grams of lower(text) (ordered, with dups)",
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_char_ngrams")
+        graft.expr.CharNgrams(c(0), litInt(c(1), "graft_char_ngrams", "n"), distinct = false) }),
+    ("graft_char_shingles",
+      "graft_char_shingles(text, n) - distinct character n-gram set of lower(text)",
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_char_shingles")
+        graft.expr.CharNgrams(c(0), litInt(c(1), "graft_char_shingles", "n"), distinct = true) }),
     ("graft_simhash", "graft_simhash(shingles, nBits) - SimHash of a string-array set",
       (children: Seq[Expression]) => { val c = args(children, 2, "graft_simhash")
         graft.expr.SimHashOfSet(c(0), litInt(c(1), "graft_simhash", "nBits")) }),

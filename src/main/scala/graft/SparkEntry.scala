@@ -2783,7 +2783,7 @@ object SparkEntry {
         .filter(col("rn") <= 20)
         .select(col("lang").as("plang"), col("g"))
       val hits = docs
-        .select(col("doc_id"), explode(array_distinct(Text.charNgrams(col("text"), 3))).as("g"))
+        .select(col("doc_id"), explode(Text.charNgramsDistinct(col("text"), 3)).as("g"))
         .join(broadcast(profile), Seq("g"))
         .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("cnt"))
       val best = hits

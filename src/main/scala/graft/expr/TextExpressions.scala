@@ -72,6 +72,54 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All overlapping character n-grams of `lower(text)` (no trim — mirrors
+  * the `lower → substr` HOF reference form in [[graft.ops.Text.charNgrams]],
+  * cited there), one entry per occurrence, in order; `distinct` keeps first
+  * occurrences only (matching `array_distinct`). Positions are CODEPOINTS
+  * (`substringSQL` semantics), so multi-byte scripts produce n codepoints
+  * per gram; texts shorter than n yield the empty array. The HOF form
+  * evaluates an interpreted substr lambda PER GRAM — one eval per character
+  * of every document — which profiling showed as the dominant cost of the
+  * char-trigram language-ID pipeline; this is one compiled pass per row.
+  */
+case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val lc  = input.asInstanceOf[UTF8String].toLowerCase
+    val len = lc.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out =
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var i = 0
+        while (i <= len - n) { seen.add(lc.substringSQL(i + 1, n)); i += 1 }
+        val arr = new Array[Any](seen.size)
+        val it  = seen.iterator()
+        var j   = 0
+        while (it.hasNext) { arr(j) = it.next(); j += 1 }
+        arr
+      } else {
+        val arr = new Array[Any](len - n + 1)
+        var i = 0
+        while (i <= len - n) { arr(i) = lc.substringSQL(i + 1, n); i += 1 }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Jaccard similarity |A∩B| / |A∪B| of two `array<string>` columns whose
   * elements are already de-duplicated (the shingle-set invariant). One hash
   * set and two counters per pair — replaces the interpreted

@@ -36,7 +36,22 @@ object Text {
     * like [[ngramsOf]]: Spark's `sequence(1, 0)` counts DOWN, so texts
     * shorter than n need the empty branch.
     */
-  def charNgrams(c: Column, n: Int): Column = {
+  def charNgrams(c: Column, n: Int): Column =
+    asCol(graft.expr.CharNgrams(asExpr(c), n, distinct = false))
+
+  /** [[charNgrams]] de-duplicated to first occurrences — same value as
+    * `array_distinct(charNgrams(c, n))` in ONE compiled pass (the wrapper
+    * form materializes the full gram array per row only to collapse it).
+    */
+  def charNgramsDistinct(c: Column, n: Int): Column =
+    asCol(graft.expr.CharNgrams(asExpr(c), n, distinct = true))
+
+  /** HOF reference form of [[graft.expr.CharNgrams]] (kept for the spec's
+    * equivalence proof): an interpreted substr lambda per gram — one eval
+    * per character of the document, which is why the native expression
+    * exists.
+    */
+  private[graft] def charNgramsHof(c: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
     val lc = lower(c)
     when(length(lc) >= n,

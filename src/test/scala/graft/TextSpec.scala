@@ -157,6 +157,26 @@ class TextSpec extends AnyFunSuite {
       assert(r.getSeq[String](2) == r.getSeq[String](3), "shingles")
       assert(r.getSeq[Any](4) == r.getSeq[Any](5), "minhash")
     }
+    // char n-grams: native vs HOF reference, plus the fused distinct vs the
+    // array_distinct wrapper — over empty, shorter-than-n, multi-byte, and
+    // repeated-gram inputs. NULL text is checked separately: the HOF's
+    // `when` guard falls through to [] on NULL where the native family's
+    // convention (WordNgrams alike) is NULL → NULL; both explode to zero
+    // rows, which is the property every caller relies on.
+    val cdf = Seq("", "ab", "AbCAbC", "日本語テキスト", "aaaa b  c").toDF("t")
+    val ccmp = cdf.select(
+      Text.charNgrams($"t", 3).as("fast"),
+      Text.charNgramsHof($"t", 3).as("hof"),
+      Text.charNgramsDistinct($"t", 3).as("fast_d"),
+      array_distinct(Text.charNgramsHof($"t", 3)).as("hof_d"))
+      .collect()
+    ccmp.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "char ngrams")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "char shingles")
+    }
+    val nulls = Seq[String](null).toDF("t")
+      .select(Text.charNgrams($"t", 3), Text.charNgramsDistinct($"t", 3)).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), "NULL text → NULL gram array")
   }
 
   test("repetition signals: dominated/repeated text scores high, varied text low") {
