@@ -489,4 +489,31 @@ class PlanSpec extends AnyFunSuite {
     assert(gens.head < vocabAgg && gens.last > vocabAgg,
       s"pair explode must run over the aggregated vocabulary:\n$p")
   }
+
+  test("per-row hot paths plan no interpreted HOF lambda") {
+    // Higher-order functions have no doGenCode: a lambda in a per-row path
+    // evaluates interpreted on EVERY row, invisibly (the plan still prints
+    // a WholeStageCodegen span around it). Round 11 removed the two that
+    // dominated their queries — quantile binning's filter(cuts, c <= v) and
+    // char n-grams' per-character substr — and this pins the class shut for
+    // every quantile-bin and char-gram consumer. (HOFs remain fine in
+    // bounded contexts, e.g. over a 16-element signature array; these
+    // queries have none at all, so the pin can be absolute.)
+    for (q <- Seq("q103_zorder_cells", "q94_quantile_bin", "q170_rfm_segments",
+        "q157_charngram_langid", "q21_langid")) {
+      val p = plan(q).toLowerCase
+      assert(!p.contains("lambdafunction"),
+        s"$q plans an interpreted HOF lambda in a per-row path")
+    }
+  }
+
+  test("q180 gradient/score expressions index no per-row array") {
+    // element_at(array(bias, f1, ...), i) per gradient component did O(d^2)
+    // per-row work AND tripped a Janino rvalue bug that dropped the whole
+    // training aggregate to interpreter mode (round-11 fix). The design
+    // terms must stay direct columns.
+    val p = plan("q180_logreg_quality").toLowerCase
+    assert(!p.contains("element_at(array("),
+      "q180 rebuilds a per-row design array to index one element")
+  }
 }

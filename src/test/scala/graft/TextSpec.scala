@@ -179,6 +179,27 @@ class TextSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1), "NULL text → NULL gram array")
   }
 
+  test("CharNgrams matches the HOF reference on randomized mixed-width inputs") {
+    // fixed seed: one-, two-, and three-byte codepoints, uppercase ASCII and
+    // non-ASCII (É, Ω — both lowercase through the same UTF8String path as
+    // lower()), whitespace, digits, and heavy repetition in short strings
+    val rnd      = new scala.util.Random(20260815L)
+    val alphabet = "aAbB ÉßΩ語テ.1"
+    val strs = (1 to 80).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (n <- 1 to 4) {
+      val rows = strs.toDF("t").select(
+        Text.charNgrams($"t", n).as("fast"),
+        Text.charNgramsHof($"t", n).as("hof"),
+        Text.charNgramsDistinct($"t", n).as("fast_d"),
+        array_distinct(Text.charNgramsHof($"t", n)).as("hof_d")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"ngrams n=$n")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"distinct n=$n")
+      }
+    }
+  }
+
   test("repetition signals: dominated/repeated text scores high, varied text low") {
     val df = Seq(
       "spam spam spam spam eggs",      // top token 4/5; bigram "spam spam" ×3 of 4 → dup 0.5
