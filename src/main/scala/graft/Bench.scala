@@ -69,7 +69,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       r
     }
+    // Optional comma-separated name-prefix filter (e.g. "q175,q112") for
+    // targeted re-measurement — two-run confirms of a single family without
+    // paying the whole suite. Unset = the full suite (the artifact of
+    // record); filtered runs are for investigation, and the stdout line
+    // carries the filter so a partial total can never pass as a suite total.
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
+    require(ordered.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${onlyPrefixes.fold("")(_.mkString(","))} matches no queries")
     // Between passes, release superseded localCheckpoint blocks: pinned
     // RDD blocks from the checkpointing operators are only freed when the
     // driver GCs their RDD references (ContextCleaner is weak-ref driven),
@@ -112,12 +123,22 @@ object Bench {
     // errors, and the slowest-40 queries (the ones a plan audit reads
     // first), with the complete map persisted to the committed artifact the
     // line points at.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // a filtered run must never overwrite the suite artifact of record
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (onlyPrefixes.isEmpty) "BENCH_full.json" else "BENCH_filtered.json")
     val qsTop = ok.sortBy(-_._2).take(40)
       .map { case (k, v) => s"${jstr(k)}:${ms3(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_ok":${ok.size},"n_err":${errs.size},"errors":$es,"host":$host,"queries":$qsTop,"queries_note":"slowest 40 of ${ok.size}; complete map in $fullPath"}""")
+    // The stdout errors payload is BOUNDED (full detail goes to fullPath):
+    // with head truncation at the driver, a run with several verbose errors
+    // would otherwise push the headline fields out of the kept window.
+    val esLine = errs.take(6)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
+    val filterTag = onlyPrefixes.fold("")(p => s""","filtered":${jstr(p.mkString(","))}""")
+    // headline fields lead the line AND repeat at its tail, so the metric
+    // survives truncation from either end of the stored window
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_ok":${ok.size},"n_err":${errs.size}$filterTag,"errors":$esLine,"host":$host,"queries":$qsTop,"queries_note":"slowest 40 of ${ok.size}; complete map in $fullPath","tail_metric":"total","tail_value":${ms3(total)},"tail_n_ok":${ok.size},"tail_n_err":${errs.size}}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir","host":$host,"total_sec":${ms3(total)}}""" + "\n")
+      s"""{"queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size}$filterTag,"sf":"$sfDir","host":$host,"total_sec":${ms3(total)}}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

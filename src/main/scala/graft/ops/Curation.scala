@@ -276,30 +276,60 @@ object Curation {
     * Groups with MAD = 0 (≥ half the group identical) flag nothing —
     * score undefined, not infinite. NULL values are excluded.
     *
-    * Scale shape: the group keys here are LOW-cardinality (event types,
-    * sources) — a `Window.partitionBy(key)` would sort n/|groups| rows in
-    * one task per group — so both medians rank through
-    * [[Summaries.runningSums]]' two-phase range partition on
-    * (key, value, id): no task holds more than its range slice regardless
-    * of |groups| vs cores. The deviation table is pinned before its
-    * ranking (it is a join; the range partitioner's sampling job would
-    * re-execute it). Two small broadcast joins glue medians back on.
+    * Scale shape — TWO regimes, picked by a bounded distinct-key probe
+    * (one narrow pre-pass; its shuffle carries at most `maxGroups + 1`
+    * keys per task):
+    *
+    *  - ≤ `maxGroups` distinct keys (event types, sources — the designed
+    *    use): a `Window.partitionBy(key)` would sort n/|groups| rows in
+    *    one task per group, so both medians rank through
+    *    [[Summaries.runningSums]]' two-phase range partition on
+    *    (key, value, id) — no task holds more than its range slice
+    *    regardless of |groups| vs cores. The deviation table is pinned
+    *    before its ranking (it is a join; the range partitioner's sampling
+    *    job would re-execute it). Two small broadcast joins glue medians
+    *    back on. This path broadcasts a |groups|·nPartitions offsets table
+    *    and a |groups|-row medians table — which is exactly why it is
+    *    GATED: on a high-cardinality key those broadcasts exceed driver /
+    *    broadcast limits.
+    *  - > `maxGroups` distinct keys: groups are numerous and therefore
+    *    small (n/|groups| rows each), so the classic per-key window form
+    *    degrades gracefully — per-group sorts are tiny, and the medians
+    *    glue back through plain shuffle joins, never a broadcast. Same
+    *    (value, id) order statistics, bit-identical output (CurationSpec
+    *    pins the two paths equal).
     */
   def madOutliers(df: DataFrame, keyCol: String, value: Column, idCol: String,
-      k: Double = 3.5): DataFrame = {
+      k: Double = 3.5, maxGroups: Int = 4096): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups must be positive, got $maxGroups")
     val d = df.filter(value.isNotNull)
       .select(col(keyCol), col(idCol), value.cast("double").as("__v"))
+    val wide = manyGroups(d, keyCol, maxGroups)
     def lowerMedian(in: DataFrame, v: String, out: String, pin: Boolean): DataFrame =
-      Summaries.runningSums(in, Seq(keyCol), Seq(col(v), col(idCol)),
-          Seq((lit(1L), "__rn", "__n")), pinInput = pin)
-        .filter(col("__rn") === expr("(__n + 1) DIV 2"))
-        .select(col(keyCol), col(v).as(out))
-    val med = lowerMedian(d, "__v", "__med", pin = false)
-    val dev = d.join(broadcast(med), Seq(keyCol))
+      if (wide) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(v), col(idCol))
+        in.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+          .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+          .select(col(keyCol), col(v).as(out))
+      } else
+        Summaries.runningSums(in, Seq(keyCol), Seq(col(v), col(idCol)),
+            Seq((lit(1L), "__rn", "__n")), pinInput = pin)
+          .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+          .select(col(keyCol), col(v).as(out))
+    def glue(medians: DataFrame) = if (wide) medians else broadcast(medians)
+    val med  = lowerMedian(d, "__v", "__med", pin = false)
+    val dev0 = d.join(glue(med), Seq(keyCol))
       .withColumn("__dev", abs(col("__v") - col("__med")))
+    // dev feeds two consumers (the MAD ranking and the final score join):
+    // the narrow path pins it inside runningSums (pinInput), the wide path
+    // pins it here — either way the med join runs once
+    val dev = if (wide) dev0.localCheckpoint(false) else dev0
     val mad = lowerMedian(dev.select(col(keyCol), col(idCol), col("__dev")),
-      "__dev", "__mad", pin = true)
-    dev.join(broadcast(mad), Seq(keyCol))
+      "__dev", "__mad", pin = !wide)
+    dev.join(glue(mad), Seq(keyCol))
       .filter(col("__mad") > 0)
       .withColumn("__score", lit(0.6745) * (col("__v") - col("__med")) / col("__mad"))
       .filter(abs(col("__score")) > k)
@@ -308,6 +338,14 @@ object Curation {
         Summaries.r4(col("__score")).as("score"))
       .orderBy(col(keyCol), col(idCol))
   }
+
+  /** Bounded distinct-key probe shared by [[madOutliers]]/[[winsorize]]:
+    * true when `keyCol` holds more than `maxGroups` distinct values.
+    * One narrow pre-pass; the partial distinct plus `limit(maxGroups + 1)`
+    * bounds what any task ships regardless of true cardinality.
+    */
+  private def manyGroups(df: DataFrame, keyCol: String, maxGroups: Int): Boolean =
+    df.select(col(keyCol)).distinct().limit(maxGroups + 1).count() > maxGroups
 
   /** Per-group winsorization: clip values to the group's [lo, hi] quantile
     * cut points — the standard tail-taming step before normalizing a
@@ -321,24 +359,41 @@ object Curation {
     * through unclipped (`was_clipped` NULL), preserving row count.
     *
     * Scale shape: the cut points only need the order statistic, not a rank
-    * on every row — so the NON-NULL values rank through
+    * on every row — and like [[madOutliers]] the ranking picks between two
+    * regimes via the bounded distinct-key probe. At ≤ `maxGroups` keys
+    * (the designed low-cardinality use) the NON-NULL values rank through
     * [[Summaries.runningSums]]' two-phase range partition on
-    * (key, value, id) (the group keys here are low-cardinality; a
-    * `Window.partitionBy(key)` would sort n/|groups| rows in one task per
-    * group), the two bound rows per group are picked out of the ranked
-    * table, and the per-group [lo, hi] bounds broadcast back onto the
-    * unmodified input. NULL handling falls out for free: NULL values never
+    * (key, value, id) — a `Window.partitionBy(key)` would sort n/|groups|
+    * rows in one task per group — and the per-group [lo, hi] bounds
+    * broadcast back onto the unmodified input. Past `maxGroups`, groups
+    * are numerous-therefore-small: the per-key window form ranks them
+    * (tiny per-group sorts) and the bounds glue back through a plain
+    * shuffle join — the runningSums offsets table and the bounds broadcast
+    * would both be |groups|-sized, which is exactly what the guard
+    * prevents. Identical order statistics either way (CurationSpec pins
+    * the paths equal). NULL handling falls out for free: NULL values never
     * enter the ranking, and rows in a group with zero non-null values find
     * no bounds row (left join) — both clip to NULL.
     */
   def winsorize(df: DataFrame, keyCol: String, value: Column, idCol: String,
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95, maxGroups: Int = 4096): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo, $hi")
+    require(maxGroups >= 1, s"maxGroups must be positive, got $maxGroups")
     val nn = df.withColumn("__v", value.cast("double"))
       .filter(col("__v").isNotNull)
       .select(col(keyCol), col(idCol), col("__v"))
-    val bounds = Summaries.runningSums(nn, Seq(keyCol), Seq(col("__v"), col(idCol)),
-        Seq((lit(1L), "__rn", "__n")))
+    val wide = manyGroups(nn, keyCol, maxGroups)
+    val ranked =
+      if (wide) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("__v"), col(idCol))
+        nn.withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      } else
+        Summaries.runningSums(nn, Seq(keyCol), Seq(col("__v"), col(idCol)),
+          Seq((lit(1L), "__rn", "__n")))
+    val bounds = ranked
       .withColumn("__ilo", (floor((col("__n") - 1) * lit(lo)) + 1).cast("long"))
       .withColumn("__ihi", (floor((col("__n") - 1) * lit(hi)) + 1).cast("long"))
       .filter(col("__rn") === col("__ilo") || col("__rn") === col("__ihi"))
@@ -347,7 +402,7 @@ object Curation {
            max(when(col("__rn") === col("__ihi"), col("__v"))).as("__vhi"))
     df.withColumn("__v", value.cast("double"))
       // null-safe: a NULL group key is a real group with real bounds
-      .join(broadcast(bounds), col(keyCol) <=> col("__bk"), "left")
+      .join(if (wide) bounds else broadcast(bounds), col(keyCol) <=> col("__bk"), "left")
       // greatest/least IGNORE nulls (both engines), which would clip a NULL
       // value to the lower bound — guard explicitly
       .withColumn("clipped",

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Ceiling on rows any model fetch may pull to the driver. The IVF/PQ
+    * model artifacts are bounded by design — [[ivfCellsFor]] keeps the cell
+    * count at √(n·nProbe), ≈ 0.9 M cells even for 10¹¹ vectors — but the
+    * fetches are public-API-reachable with a caller-supplied `nCells`, and
+    * an unguarded collect turns one bad argument into a driver OOM. 2²⁰
+    * rows (~270 MB at dim 64) sits safely above every legitimate geometry
+    * and far below collect-the-corpus territory.
+    */
+  val MaxModelRows: Int = 1 << 20
+
   /** Element-wise dot product, accumulated in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -277,6 +287,11 @@ object Similarity {
     */
   private def fetchCellSeeds(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seedByHash: Boolean): (Seq[Long], Seq[Seq[Float]]) = {
+    require(nCells >= 1 && nCells <= MaxModelRows,
+      s"ivfAssign: nCells = $nCells would collect that many seed vectors to " +
+        s"the driver (ceiling $MaxModelRows). Cell counts are meant to come " +
+        s"from ivfCellsFor(corpusRows, nProbe) = ceil(sqrt(n * nProbe)) — " +
+        s"$nCells implies a corpus beyond 10^12 vectors or a miscalled argument")
     val seedOrder =
       if (seedByHash) Seq(md5(concat(lit("seed:"), col("s_id").cast("string"))), col("s_id"))
       else Seq(col("s_id"))
@@ -455,18 +470,29 @@ object Similarity {
     */
   def readPqModel(spark: SparkSession, tablePrefix: String)
       : (Clustering.PqCodebooks, Seq[Long], Seq[Seq[Float]]) = {
-    val bookRows = spark.table(s"${tablePrefix}_books")
-      .select(col("sub"), col("code"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // Both collects are capped at MaxModelRows: a corrupted or mis-written
+    // model table (e.g. codes accidentally saved under the _books/_cells
+    // name) must refuse loudly instead of collecting a corpus to the driver.
+    // limit(cap + 1) bounds what the fetch can move even in the failure case.
+    def bounded(table: String) = {
+      val rows = spark.table(table).limit(MaxModelRows + 1).collect()
+      require(rows.length <= MaxModelRows,
+        s"model table $table holds more than $MaxModelRows rows — that is " +
+          s"corpus-sized, not a model artifact; refusing the driver fetch")
+      rows
+    }
+    val bookRows = bounded(s"${tablePrefix}_books")
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Double](r.fieldIndex("c"))))
     require(bookRows.nonEmpty, s"empty PQ model at ${tablePrefix}_books")
     val nSub  = bookRows.map(_._1).max + 1
     val width = bookRows.head._3.length
     val books = (0 until nSub).map(s =>
       bookRows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
     require(books.forall(_.nonEmpty), s"PQ model at $tablePrefix is missing a subspace")
-    val cellRows = spark.table(s"${tablePrefix}_cells")
-      .select(col("s_id"), col("sv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cellRows = bounded(s"${tablePrefix}_cells")
+      .map(r => (r.getLong(r.fieldIndex("s_id")), r.getSeq[Float](r.fieldIndex("sv"))))
+      .sortBy(_._1)
     require(cellRows.nonEmpty, s"empty cell model at ${tablePrefix}_cells")
     (Clustering.PqCodebooks(width * nSub, nSub, books),
       cellRows.map(_._1).toSeq, cellRows.map(_._2).toSeq)

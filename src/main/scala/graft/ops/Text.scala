@@ -32,9 +32,15 @@ object Text {
   /** Character n-grams of the lowercased text (one entry per occurrence) —
     * the substrate for profile-based language ID and other sub-word
     * signals. Character semantics (not bytes) on both engines, so
-    * multi-byte scripts produce n CODEPOINTS per gram. `sequence` guarded
-    * like [[ngramsOf]]: Spark's `sequence(1, 0)` counts DOWN, so texts
-    * shorter than n need the empty branch.
+    * multi-byte scripts produce n CODEPOINTS per gram; texts shorter than
+    * n yield the EMPTY array.
+    *
+    * NULL convention: NULL in → NULL out (the native-expression
+    * `nullSafeEval` convention), where the HOF reference form returned `[]`
+    * for NULL input. Every current caller explodes the result, so rows are
+    * identical either way — but a non-explode consumer (`size(...)`, array
+    * equality) sees NULL where the HOF form produced `[]`; coalesce at the
+    * call site if `[]` is required.
     */
   def charNgrams(c: Column, n: Int): Column =
     asCol(graft.expr.CharNgrams(asExpr(c), n, distinct = false))

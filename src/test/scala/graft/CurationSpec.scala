@@ -140,6 +140,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(99L) == ((None, None)))              // NULL passes through
   }
 
+  test("madOutliers/winsorize: high-cardinality window path ≡ runningSums path") {
+    // 50 groups of ~8 rows with per-group spikes and ties; maxGroups = 5
+    // forces the per-key-window fallback (the broadcast/offsets tables of
+    // the runningSums path are |groups|-sized — the guard's whole point),
+    // maxGroups = 10_000 keeps the designed low-cardinality path. The two
+    // regimes must produce identical rows.
+    val df = (0L until 400L)
+      .map(i => (s"g${i % 50}", i, if (i % 97 == 0) 900.0 + i else (i % 7).toDouble))
+      .toDF("g", "id", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "id").collect().map(_.toString).toSeq
+    assert(rows(Curation.madOutliers(df, "g", col("v"), "id", maxGroups = 5)) ==
+      rows(Curation.madOutliers(df, "g", col("v"), "id", maxGroups = 10000)))
+    val w = Seq("id", "g", "v", "clipped", "was_clipped").map(col)
+    assert(rows(Curation.winsorize(df, "g", col("v"), "id", 0.1, 0.9, maxGroups = 5).select(w: _*)) ==
+      rows(Curation.winsorize(df, "g", col("v"), "id", 0.1, 0.9, maxGroups = 10000).select(w: _*)))
+  }
+
   test("withGlobalId assigns dense ids in key order across many partitions") {
     val df  = spark.range(1000).select((col("id") * 37 % 1000).as("k")) // permuted keys
       .repartition(8)

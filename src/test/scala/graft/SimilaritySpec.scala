@@ -361,6 +361,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 
+  test("pathological nCells refuses instead of collecting to the driver") {
+    // the seed fetch is a driver-side collect bounded ONLY by nCells — a
+    // miscalled cell count must throw before any job runs, naming the
+    // ivfCellsFor geometry the argument should have come from
+    val vecs = Seq((0L, Seq(0.1f, 0.2f)), (1L, Seq(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, "vec_id", "embedding",
+        nCells = Similarity.MaxModelRows + 1)
+    }
+    assert(e.getMessage.contains("ivfCellsFor"))
+    assert(e.getMessage.contains((Similarity.MaxModelRows + 1).toString))
+  }
+
   test("ivfCellsFor balances assignment vs search at sqrt(n * nProbe)") {
     assert(Similarity.ivfCellsFor(0) == 8)
     assert(Similarity.ivfCellsFor(64) == 8)
