@@ -123,5 +123,21 @@ object GraftExtensions {
     ("graft_top_k",
       "graft_top_k(sim, id, k) - aggregate: best k (sim desc, id asc) pairs, partial map-side",
       (children: Seq[Expression]) => { val c = args(children, 3, "graft_top_k")
-        graft.expr.TopKPairs(c(0), c(1), litInt(c(2), "graft_top_k", "k")) }))
+        graft.expr.TopKPairs(c(0), c(1), litInt(c(2), "graft_top_k", "k")) }),
+    ("graft_masked_variants",
+      "graft_masked_variants(s) - all single-position chr(1)-masked variants of s",
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_masked_variants")
+        graft.expr.MaskedVariants(c(0), distinct = false) }),
+    ("graft_token_chunks",
+      "graft_token_chunks(text, width) - consecutive width-token space-joined chunks",
+      (children: Seq[Expression]) => { val c = args(children, 2, "graft_token_chunks")
+        graft.expr.TokenChunks(c(0), litInt(c(1), "graft_token_chunks", "width")) }),
+    ("graft_max_multiplicity",
+      "graft_max_multiplicity(arr) - occurrence count of the most frequent array element",
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_max_multiplicity")
+        graft.expr.MaxElementMultiplicity(c(0)) }),
+    ("graft_char_entropy",
+      "graft_char_entropy(s) - character-level Shannon entropy in bits/char",
+      (children: Seq[Expression]) => { val c = args(children, 1, "graft_char_entropy")
+        graft.expr.CharEntropyBits(c(0)) }))
 }

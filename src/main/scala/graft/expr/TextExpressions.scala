@@ -512,3 +512,208 @@ case class CharBigramCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
     copy(child = newChild)
 }
+
+/** All single-position masked variants of a string: entry i (0-based) is the
+  * input with codepoint i replaced by the reserved `\u0001` placeholder —
+  * the FastSS-style blocking index of
+  * [[graft.ops.Text.singleEditNearPairs]]. Bit-identical to the HOF
+  * reference form `transform(sequence(1, length(s)), i -> concat(
+  * substr(s,1,i-1), chr(1), substr(s,i+1,length(s))))`, which evaluates an
+  * interpreted 3-term concat lambda PER CHARACTER of every key (the q106
+  * ×100 hot path); this is one compiled pass per row. Codepoint semantics
+  * (`substr`), so multi-byte scripts mask whole characters; `distinct`
+  * keeps first variant-value occurrences only. Empty string →
+  * empty array; NULL → NULL (the HOF form returned `[]`, but every caller
+  * explodes, so rows are identical).
+  */
+case class MaskedVariants(child: Expression, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"masked_variants expects a string column, got ${child.dataType.simpleString}")
+
+  @transient private lazy val mask = UTF8String.fromString("\u0001")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s   = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val out =
+      if (distinct) {
+        // duplicate variant VALUES exist only for mask-char-bearing inputs
+        // (masking either position of a double-mask-char run yields the
+        // same string); de-duplicating them here is what the exactly-once
+        // pair emission in singleEditNearPairs is proved against
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var i = 0
+        while (i < len) { seen.add(variantAt(s, i, len)); i += 1 }
+        val arr = new Array[Any](seen.size)
+        val it  = seen.iterator()
+        var j = 0
+        while (it.hasNext) { arr(j) = it.next(); j += 1 }
+        arr
+      } else {
+        val arr = new Array[Any](len)
+        var i = 0
+        while (i < len) { arr(i) = variantAt(s, i, len); i += 1 }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  private def variantAt(s: UTF8String, i: Int, len: Int): UTF8String = {
+    // substringSQL is 1-based; length-0 prefix/suffix yield empty strings
+    val prefix = s.substringSQL(1, i)
+    val suffix = s.substringSQL(i + 2, len)
+    UTF8String.concat(prefix, mask, suffix)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Consecutive fixed-width token chunks of a text column: tokenize
+  * (trim → lower → split `\s+`, the [[WordNgrams]] tokenization) and emit
+  * ⌈n/width⌉ space-joined windows — the pseudo-line decomposition of
+  * [[graft.ops.Curation.tokenChunks]]. Bit-identical to the HOF form
+  * `transform(sequence(0, ceil(n/width)-1), i -> array_join(slice(tk,
+  * i*width+1, width), ' '))`, which evaluates an interpreted slice+join
+  * lambda per window of every document (the q77 hot path). Empty /
+  * whitespace-only text tokenizes to `[""]` (the split convention) and
+  * yields one empty chunk, exactly like the HOF form. NULL → NULL (the
+  * HOF form's NULL propagates the same way; all callers posexplode).
+  */
+case class TokenChunks(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, "width must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_chunks expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val t    = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val toks = t.split("\\s+") // never empty: "" splits to [""]
+    val n    = toks.length
+    val nChunks = (n + width - 1) / width
+    val out = new Array[Any](nChunks)
+    var j = 0
+    while (j < nChunks) {
+      val from = j * width
+      val to   = math.min(from + width, n)
+      val sb   = new java.lang.StringBuilder(toks(from))
+      var k = from + 1
+      while (k < to) { sb.append(' ').append(toks(k)); k += 1 }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multiplicity of the most frequent element of an `array<string>` — the
+  * numerator of the Gopher-style top-token dominance ratio
+  * ([[graft.ops.Text.topTokenRatio]]). Equals the max run length of the
+  * sorted array (the HOF reference form's sorted fold, which evaluates an
+  * interpreted struct-building lambda per token — the q74 hot path): same
+  * integer, one hash-count pass, no sort. Empty array → 0 (the fold's
+  * initial `best`).
+  */
+case class MaxElementMultiplicity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_element_multiplicity expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val prev = counts.get(k)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(k, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Character-level Shannon entropy in bits/char — the native form of
+  * [[graft.ops.Curation.charEntropy]]'s sorted-run fold (which evaluates an
+  * interpreted struct lambda per CHARACTER of every document — the q79
+  * hot path). Bit-identical accumulation: characters are the codepoint
+  * entries of `split(s, '')` (empty text → the single `[""]` entry → 0.0),
+  * runs close in sorted-codepoint order (UTF-8 byte order ≡ codepoint
+  * order), and each closure performs the identical double ops in the
+  * identical sequence — `ent − (run/n)·log2(run/n)` with
+  * `log2 = StrictMath.log(x)/StrictMath.log(2)`, exactly Spark's Log2
+  * (StrictMath, not Math — they differ by 1 ulp on some inputs, which the
+  * equivalence spec caught) — so the 4-decimal oracle round agrees exactly.
+  */
+case class CharEntropyBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects a string column, got ${child.dataType.simpleString}")
+
+  private def log2(x: Double): Double =
+    java.lang.StrictMath.log(x) / java.lang.StrictMath.log(2.0)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s   = input.asInstanceOf[UTF8String].toString
+    val len = s.length // UTF-16 units; codepoints counted below
+    if (len == 0) return 0.0 // split('') = [""]: one run, (1/1)*log2(1) = 0
+    // collect codepoints and sort — ascending codepoint order is exactly
+    // the UTF-8 binary order array_sort applies to the split entries
+    val cps = new Array[Int](s.codePointCount(0, len))
+    var i = 0
+    var j = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      cps(j) = cp; j += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    val n = cps.length.toDouble
+    var ent  = 0.0
+    var run  = 0.0
+    var prev = -1
+    var k = 0
+    while (k < cps.length) {
+      val c = cps(k)
+      if (run == 0.0 || c == prev) run += 1.0
+      else { ent = ent - (run / n) * log2(run / n); run = 1.0 }
+      prev = c
+      k += 1
+    }
+    if (run > 0.0) ent - (run / n) * log2(run / n) else ent
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -156,8 +156,11 @@ object Curation {
     val kept = lines.join(broadcast(hot), Seq(domainCol, "line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ps"))
+      // .getField on the array<struct> is stock codegen'd
+      // GetArrayStructFields — the transform-lambda form evaluated an
+      // interpreted extract per kept line of every document
       .select(col(idCol),
-        array_join(transform(col("__ps"), p => p("line")), "\n").as("clean_text"))
+        array_join(col("__ps").getField("line"), "\n").as("clean_text"))
     docs.select(col(idCol), col(domainCol))
       .join(kept, Seq(idCol), "left")
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
@@ -174,6 +177,20 @@ object Curation {
     * DuckDB oracle replays it exactly.
     */
   def tokenChunks(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, width: Int): DataFrame =
+    // native [[graft.expr.TokenChunks]] — the HOF reference form
+    // ([[tokenChunksHof]]) evaluated an interpreted slice+join lambda per
+    // window of every document, the q77 scan-stage hot path
+    docs.select(col(idCol), col(domainCol),
+      posexplode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expr.TokenChunks(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+          width))).as(Seq("pos", "line")))
+
+  /** HOF reference form of [[tokenChunks]] (kept for the spec's equivalence
+    * proof): one interpreted lambda eval per window.
+    */
+  private[graft] def tokenChunksHof(docs: DataFrame, idCol: String, domainCol: String,
       textCol: String, width: Int): DataFrame = {
     val tk = Text.tokens(col(textCol))
     docs.select(col(idCol), col(domainCol),
@@ -233,7 +250,19 @@ object Curation {
     * accumulation order is engine-independent — the DuckDB oracle sums the
     * identical sequence and the 4-decimal round then agrees exactly.
     */
-  def charEntropy(textCol: Column): Column = {
+  def charEntropy(textCol: Column): Column =
+    // native [[graft.expr.CharEntropyBits]]: the identical sorted-run
+    // accumulation in one compiled pass per row — the HOF reference form
+    // ([[charEntropyHof]]) evaluated an interpreted struct lambda per
+    // CHARACTER of every document, the q79 scan-stage hot path
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.CharEntropyBits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol)))
+
+  /** HOF reference form of [[charEntropy]] (kept for the spec's equivalence
+    * proof): one interpreted lambda eval per character.
+    */
+  private[graft] def charEntropyHof(textCol: Column): Column = {
     val cs = split(textCol, "")
     val n  = size(cs).cast("double")
     // run-length over the SORTED characters: one linear pass instead of the

@@ -346,8 +346,10 @@ object Summaries {
           .otherwise((ceil(q) - q) * col("__vlo") + (q - floor(q)) * col("__vhi"))
           .as("__cut"))
       .groupBy(col("__ci"))
-      .agg(transform(array_sort(collect_list(struct(col("__pi"), col("__cut")))),
-        x => x.getField("__cut")).as("__arr"))
+      // .getField on the array<struct> is codegen'd GetArrayStructFields
+      // (bounded context — a few quantile cuts per column — but free to fix)
+      .agg(array_sort(collect_list(struct(col("__pi"), col("__cut"))))
+        .getField("__cut").as("__arr"))
     val outs = specs.zipWithIndex.map { case ((_, _, name), i) =>
       max(when(col("__ci") === i, col("__arr"))).as(name)
     }

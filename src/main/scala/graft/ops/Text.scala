@@ -97,10 +97,11 @@ object Text {
     val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("nw"))
     vocab.filter(length(col("w")) >= 2)
-      // sequence(1, 0) counts DOWN (see ngrams) — the length filter guards it
-      .select(col("nw"),
-        explode(transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
+      // adjacent char pairs = native char 2-grams (vocab words come out of
+      // [[tokens]] already lowercased, so CharNgrams' case-fold is a no-op);
+      // the HOF substr-lambda form it replaces evaluated interpreted per
+      // character of every vocab word — the q119 hot path
+      .select(col("nw"), explode(charNgrams(col("w"), 2)).as("pair"))
       .groupBy(col("pair")).agg(sum(col("nw")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
@@ -167,8 +168,13 @@ object Text {
     require(n >= 1, "n must be positive")
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "gram")))
+    // windows come from the native [[ngramsOf]] straight off the text (the
+    // HOF `ngrams` form evaluates an interpreted slice+join lambda per
+    // token position — the q116/q121 scan-stage hot path); posexplode's
+    // 0-based index IS the token position, same as the tk-based form
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(ngramsOf(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
     (toks, wins)
   }
@@ -225,8 +231,11 @@ object Text {
       .join(clipped, Seq("doc_id", "tpos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          e => e.getField("tok"))).as("clean_text"))
+        // .getField on the array<struct> is stock codegen'd
+        // GetArrayStructFields — the transform-lambda form evaluated an
+        // interpreted extract per kept token of every document
+        concat_ws(" ", array_sort(collect_list(struct(col("tpos"), col("tok"))))
+          .getField("tok")).as("clean_text"))
     toks.select(col("doc_id"), col("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -261,6 +270,31 @@ object Text {
   /** SimHash of an element set (native expression). */
   def simhashOfSet(arr: Column, nBits: Int): Column =
     asCol(graft.expr.SimHashOfSet(asExpr(arr), nBits))
+
+  /** Single-position masked variants (native expression — the FastSS-style
+    * blocking index of [[singleEditNearPairs]]). NULL in → NULL out; the
+    * HOF reference form returns `[]` for NULL, identical after the explode
+    * every caller applies. `distinct = true` de-duplicates variant VALUES
+    * in-expression (they repeat only for mask-char-bearing inputs).
+    */
+  def maskedVariantsOf(s: Column, distinct: Boolean = false): Column =
+    asCol(graft.expr.MaskedVariants(asExpr(s), distinct))
+
+  /** HOF reference form of [[graft.expr.MaskedVariants]] (kept for the
+    * spec's equivalence proof): an interpreted concat lambda per character.
+    */
+  private[graft] def maskedVariantsHof(s: Column): Column =
+    when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), lit("\u0001"),
+          s.substr(i + 1, length(s)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent element (native expression —
+    * the numerator of [[topTokenRatio]]).
+    */
+  def maxMultiplicityOf(arr: Column): Column =
+    asCol(graft.expr.MaxElementMultiplicity(asExpr(arr)))
 
   /** D3 — SimHash-banded near-dup pairs: the third LSH family (after
     * MinHash-LSH and the inverted shingle index).
@@ -531,24 +565,48 @@ object Text {
   def singleEditNearPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism) // see minhashNearDupPairs
-    // sequence(1, 0) counts DOWN — empty strings need the guard. The index
-    // rows CARRY the source string: the key column is short by contract, so
-    // shipping it with each variant costs less than the two extra joins a
-    // verify-time name re-fetch would need.
-    val masked = base.selectExpr("id", "s",
-      """explode(CASE WHEN length(s) >= 1
-           THEN transform(sequence(1, length(s)),
-                  i -> concat(substr(s, 1, i-1), chr(1), substr(s, i+1, length(s))))
-           ELSE array() END) AS mk""")
+      .localCheckpoint(false) // two consumers: the masked index + the exact-dup pass
+    // The index rows CARRY the source string: the key column is short by
+    // contract, so shipping it with each variant costs less than the two
+    // extra joins a verify-time name re-fetch would need. Variants come
+    // from the native [[graft.expr.MaskedVariants]] — the HOF reference
+    // form ([[maskedVariantsHof]]) evaluates an interpreted 3-term concat
+    // lambda per CHARACTER of every key, which at ×100 was the q106 hot
+    // path; empty keys yield no variants, NULL keys drop at the explode.
+    val masked = base
+      .select(col("id"), col("s"),
+        explode(maskedVariantsOf(col("s"), distinct = true)).as("mk"))
       .repartition(col("mk")) // both self-join sides reuse this exchange
     val d = levenshtein(col("sa"), col("sb"))
-    masked.as("a")
+    // EXACTLY-ONCE emission, no candidate-stream dedup. With per-string
+    // variant values de-duplicated, a NON-IDENTICAL pair can share at most
+    // one variant value: sharing masks at two different positions p ≠ q
+    // means the strings agree outside p (from the p-mask) AND outside q
+    // (from the q-mask) — i.e. everywhere; and a same-VALUE collision from
+    // different mask positions requires the visible mask char to be a
+    // literal U+0001 in the other string, which forces edit distance ≥ 2
+    // and dies at the verify filter below. Identical pairs (which would
+    // collide on every variant) are excluded here and found by the
+    // exact-dup hash join instead. The previous `.distinct()` reshuffled
+    // the full candidate stream — at ×100, 40 M rows and the single
+    // largest term in the query — to remove duplicates that provably do
+    // not exist; the verify now runs map-side on the join output.
+    val subst = masked.as("a")
       .join(masked.as("b"), col("a.mk") === col("b.mk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("sa"), col("b.s").as("sb"))
-      .distinct() // one verify per pair, not one per shared variant
-      .filter(d <= 1) // equal variant lengths already force equal originals
-      .select(col("id_a"), col("id_b"), d.as("dist"))
+      .filter(col("sa") =!= col("sb") && d <= 1)
+      // survivors are non-identical at Levenshtein ≤ 1 over FORCED-equal
+      // lengths, so dist is identically 1 — a literal, not a second
+      // levenshtein eval per row (Filter and Project don't share subtrees)
+      .select(col("id_a"), col("id_b"), lit(1).as("dist"))
+    // dist-0 pairs: a plain equality self-join on the (short) key column —
+    // node-sized, shuffled once on s, quadratic only within true dup groups
+    // (which the OUTPUT is quadratic in regardless)
+    val exact = base.as("a")
+      .join(base.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("dist"))
+    subst.unionByName(exact)
   }
 
   /** D3 incremental fuzzy variant — drop batch documents that have a
@@ -967,7 +1025,10 @@ object Text {
     val toks = docs.select(tokens(col(textCol)).as("tk"))
     val uni  = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("nw"))
-    val bi = toks.select(explode(ngrams(col("tk"), 2)).as("bigram"))
+    // adjacent pairs via the native [[ngramsOf]] (one compiled pass per
+    // document) — the HOF `ngrams(tk, 2)` form evaluated an interpreted
+    // slice+join lambda per token of the corpus, the q108 ×100 hot path
+    val bi = docs.select(explode(ngramsOf(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("nxy"))
       .filter(col("nxy") >= minCount)
       .withColumn("__w1", split(col("bigram"), " ").getItem(0))
@@ -1066,10 +1127,18 @@ object Text {
     * prose stays low. Pure per-row array expressions — no shuffle, fused
     * into the scan stage like the rest of the quality battery.
     */
-  def topTokenRatio(toks: Column): Column = {
-    // run-length max over the SORTED tokens: one linear pass, not the
-    // O(distinct × length) count-per-distinct-token form (quadratic on
-    // high-vocabulary documents — a scan-stage quality score can't be)
+  def topTokenRatio(toks: Column): Column =
+    // max multiplicity via the native [[maxMultiplicityOf]] (one compiled
+    // hash-count pass per row) — the sorted-fold HOF reference form
+    // ([[topTokenRatioHof]]) evaluated an interpreted struct lambda per
+    // token of every document, the q74 hot path
+    maxMultiplicityOf(toks).cast("double") / size(toks).cast("double")
+
+  /** HOF reference form of [[topTokenRatio]] (kept for the spec's
+    * equivalence proof): run-length max over the SORTED tokens — one
+    * interpreted lambda eval per token.
+    */
+  private[graft] def topTokenRatioHof(toks: Column): Column = {
     val best = aggregate(
       array_sort(toks),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),

@@ -140,6 +140,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out(99L) == ((None, None)))              // NULL passes through
   }
 
+  test("tokenChunks native ≡ HOF reference on randomized docs, all widths") {
+    val rnd  = new scala.util.Random(7L)
+    val vocab = Seq("alpha", "B", "cc", "Ω語", "d.1")
+    val docs = (Seq("", "   ", "one") ++ (1 to 50).map(_ =>
+      (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, s"dom${i % 3}", t) }
+      .toDF("id", "dom", "txt")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id", "pos").collect().map(_.toString).toSeq
+    for (w <- Seq(1, 3, 5))
+      assert(rows(Curation.tokenChunks(docs, "id", "dom", "txt", w)) ==
+        rows(Curation.tokenChunksHof(docs, "id", "dom", "txt", w)), s"width $w")
+  }
+
+  test("charEntropy native ≡ sorted-fold HOF reference, bit-for-bit") {
+    val rnd      = new scala.util.Random(99L)
+    val alphabet = "aAb ÉΩ語テ.1\n"
+    val strs = Seq("", "aaaa", "mixed Ωcase") ++ (1 to 60).map(_ =>
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = strs.toDF("t").select(
+      Curation.charEntropy($"t").as("fast"),
+      Curation.charEntropyHof($"t").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("madOutliers/winsorize: high-cardinality window path ≡ runningSums path") {
     // 50 groups of ~8 rows with per-group spikes and ties; maxGroups = 5
     // forces the per-key-window fallback (the broadcast/offsets tables of

@@ -495,12 +495,17 @@ class PlanSpec extends AnyFunSuite {
     // evaluates interpreted on EVERY row, invisibly (the plan still prints
     // a WholeStageCodegen span around it). Round 11 removed the two that
     // dominated their queries — quantile binning's filter(cuts, c <= v) and
-    // char n-grams' per-character substr — and this pins the class shut for
-    // every quantile-bin and char-gram consumer. (HOFs remain fine in
-    // bounded contexts, e.g. over a 16-element signature array; these
-    // queries have none at all, so the pin can be absolute.)
+    // char n-grams' per-character substr — and round 12 the positional-gram
+    // tail (masked variants, adjacent pairs, token chunks, span windows,
+    // BPE pairs, sorted repetition/entropy folds); this pins the class shut
+    // for every consumer. (HOFs remain fine in bounded contexts, e.g. over
+    // a 16-element signature array; these queries have none at all, so the
+    // pin can be absolute.)
     for (q <- Seq("q103_zorder_cells", "q94_quantile_bin", "q170_rfm_segments",
-        "q157_charngram_langid", "q21_langid")) {
+        "q157_charngram_langid", "q21_langid",
+        "q74_repetition", "q77_boilerplate", "q79_entropy", "q106_name_match",
+        "q108_collocations", "q116_ngram_dup_spans", "q119_bpe_pairs",
+        "q121_clip_dup_spans")) {
       val p = plan(q).toLowerCase
       assert(!p.contains("lambdafunction"),
         s"$q plans an interpreted HOF lambda in a per-row path")

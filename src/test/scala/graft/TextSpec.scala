@@ -200,6 +200,67 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("MaskedVariants matches the HOF reference on randomized mixed-width inputs") {
+    // fixed seed; one-, two-, and three-byte codepoints, repeats, spaces,
+    // and a literal \u0001 (the mask char itself — the spurious-collision
+    // case the exact-Levenshtein verify downstream exists to absorb)
+    val rnd      = new scala.util.Random(20260815L)
+    val alphabet = "aAb ÉΩ語.1" + "\u0001"
+    val strs = "" +: (1 to 80).map(_ =>
+      (0 until rnd.nextInt(10)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = strs.toDF("t").select(
+      Text.maskedVariantsOf($"t").as("fast"),
+      Text.maskedVariantsHof($"t").as("hof"),
+      Text.maskedVariantsOf($"t", distinct = true).as("fast_d"),
+      array_distinct(Text.maskedVariantsHof($"t")).as("hof_d")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "distinct variants")
+    }
+    // NULL: native NULL vs HOF [] — identical after the explode all callers apply
+    val nullDf = Seq[String](null).toDF("t")
+    assert(nullDf.select(explode(Text.maskedVariantsOf($"t"))).count() == 0)
+    assert(nullDf.select(explode(Text.maskedVariantsHof($"t"))).count() == 0)
+  }
+
+  test("singleEditNearPairs ≡ brute-force reference on randomized mask-char-bearing keys") {
+    // The dedup-free exactly-once emission rests on a proof about shared
+    // variant values; this stresses it where the proof is least obvious —
+    // short strings over a tiny alphabet INCLUDING the reserved mask char
+    // (dup keys, double-mask runs, cross-length lookalikes). Reference:
+    // all equal-length pairs at Levenshtein ≤ 1 (same length forces the
+    // one edit to be a substitution), plus nothing else, each exactly once.
+    val rnd      = new scala.util.Random(1234L)
+    val alphabet = "ab" + "\u0001"
+    val strs = (0 until 120).map(i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val df  = strs.toDF("id", "s")
+    val out = Text.singleEditNearPairs(df, "id", "s")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSeq
+    assert(out.size == out.toSet.size, "a pair was emitted more than once")
+    val ref = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && sa.length == sb.length
+      d = sa.zip(sb).count { case (x, y) => x != y }
+      if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(out.toSet == ref)
+  }
+
+  test("topTokenRatio native ≡ sorted-fold HOF reference on randomized docs") {
+    val rnd  = new scala.util.Random(42L)
+    val vocab = Seq("a", "bb", "ccc", "Ωλ", "dd", "a") // skewed: 'a' twice
+    val strs = Seq("", "   ", "solo") ++ (1 to 60).map(_ =>
+      (0 until rnd.nextInt(14)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val rows = strs.toDF("t").select(
+      Text.topTokenRatio(Text.tokens($"t")).as("fast"),
+      Text.topTokenRatioHof(Text.tokens($"t")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("repetition signals: dominated/repeated text scores high, varied text low") {
     val df = Seq(
       "spam spam spam spam eggs",      // top token 4/5; bigram "spam spam" ×3 of 4 → dup 0.5
