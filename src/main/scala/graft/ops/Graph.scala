@@ -166,16 +166,21 @@ object Graph {
     * is not claimed; the caller owns the round count.
     *
     * `converge = true`: `iterations` becomes a CEILING — rounds run until
-    * the label fixpoint, detected by [[graft.ops.Dedup.connectedComponents]]'s
-    * hash-sum signature over `(v, label)` PAIRS (pairs, not bare labels: an
-    * oscillating 2-cycle SWAPS labels between nodes, which a label-multiset
-    * sum could not see). Each round lazily pins and the signature probe is
-    * the round's one action, so the cost is CC's per-round shape
-    * (`pinEvery` is ignored — every round is pinned). A graph that never
-    * fixpoints within the ceiling (synchronous LPA oscillates on bipartite
-    * structure) throws rather than returning a non-converged labeling the
-    * caller believed final — mirror of CC's refusal; fixed-round semantics
-    * remain available as `converge = false`.
+    * the label fixpoint, detected by the exact per-round CHANGED set (the
+    * co-partitioned diff of consecutive label tables; empty ⟺ fixed —
+    * per-node equality, so an oscillating 2-cycle that swaps labels
+    * between nodes is seen directly, with no hash-collision caveat). Each
+    * round lazily pins and the changed-count probe is the round's one
+    * action, so the cost is CC's per-round shape (`pinEvery` is ignored —
+    * every round is pinned). Once the changed set falls under 20% of the
+    * voters, rounds switch to DELTA propagation: only dsts adjacent to the
+    * changed set re-vote (against the full labels — bit-identical output,
+    * GraphSpec pins delta ≡ full), and the per-round exchange volume
+    * collapses with the frontier instead of staying edge-sized. A graph
+    * that never fixpoints within the ceiling (synchronous LPA oscillates
+    * on bipartite structure) throws rather than returning a non-converged
+    * labeling the caller believed final — mirror of CC's refusal;
+    * fixed-round semantics remain available as `converge = false`.
     */
   private[graft] def labelPropagationWithRounds(pairs: DataFrame, aCol: String,
       bCol: String, iterations: Int, checkpointDir: Option[String] = None,
@@ -189,10 +194,17 @@ object Graph {
     // set drops self-loops, but that must not delete the node itself
     val nodes = lazyPin(
       p0.select(col("src").as("v")).union(p0.select(col("dst").as("v"))).distinct())
+    // repartitioned on src BEFORE the pin: the distinct leaves the edge
+    // table hash-partitioned on (src, dst), which every round's votes join
+    // (on src) cannot reuse — each round would re-exchange the full edge
+    // set. localCheckpoint preserves the repartitioned layout in the plan,
+    // so the per-round join exchanges only the node-sized labels side —
+    // one edge-sized shuffle moved from every round to setup.
     val edges = lazyPin(
       p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(col("src")))
     // the symmetrized edge set means "receives votes" == "has a proper
     // edge" — a static property, so the keep-own-label fallback applies
     // to a FIXED set of isolated nodes, resolved once (their label can
@@ -200,32 +212,78 @@ object Graph {
     val voters = lazyPin(edges.select(col("dst").as("v")).distinct())
     val isolated = nodes.join(voters, Seq("v"), "left_anti")
       .select(col("v"), col("v").as("label"))
-    // fixpoint signature over (v, label) PAIRS — see the `converge` scaladoc
-    def labelSig(df: DataFrame): String = String.valueOf(
-      df.agg(sum(xxhash64(col("v"), col("label")).cast("decimal(38,0)")))
-        .head().get(0))
     var labels = voters.select(col("v"), col("v").as("label"))
     var lastPinned: Option[DataFrame] = None
-    var sig    = if (converge) labelSig(labels) else ""
+    // converge mode tracks the exact per-round CHANGED set (pinned): the
+    // diff IS the fixpoint test (empty ⟺ fixed — strictly stronger than
+    // the previous hash-sum signature, no collision caveat) and feeds the
+    // next round's delta propagation
+    val voterCount = if (converge) voters.count() else 0L
+    var changedPrev: Option[DataFrame] = None
+    var changedCount = -1L
     var rounds = 0
     var fixed  = false
     while (rounds < iterations && !fixed) {
       val i = rounds + 1
-      val votes = edges.join(labels, col("src") === col("v"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      // every voter node receives >= 1 vote, so `won` covers all of them:
-      // the round reads `labels` exactly once and needs no fallback join
-      val next = votes.groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
-        .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+      // DELTA round (converge mode, late rounds): a node's vote multiset is
+      // unchanged unless some neighbor changed label last round, and the
+      // argmax is deterministic — so only dsts adjacent to the changed set
+      // can move, and re-voting exactly those (against the FULL labels)
+      // reproduces the full round bit-for-bit. Engaged once the changed set
+      // is small (< 20% of voters): a delta round scans the pinned edge set
+      // but exchanges only the changed-neighborhood's votes, where a full
+      // round exchanges every vote — the late-round exchange volume on a
+      // converging graph collapses with the frontier.
+      val useDelta = converge && changedPrev.nonEmpty && changedCount * 5 < voterCount
+      var roundPin: Option[DataFrame] = None
+      val next =
+        if (useDelta) {
+          val affected = lazyPin(
+            edges.join(changedPrev.get, col("src") === col("cv"), "left_semi")
+              .select(col("dst")).distinct())
+          roundPin = Some(affected)
+          val updated = edges
+            .join(affected, Seq("dst"), "left_semi")
+            .join(labels, col("src") === col("v"))
+            .select(col("dst"), col("label"))
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
+            .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+          updated.unionByName(
+            labels.join(affected.select(col("dst").as("v")), Seq("v"), "left_anti"))
+        } else {
+          // Round-1 shortcut: labels are still the identity (label(v) = v
+          // for every voter, and every edge src IS a voter by
+          // symmetrization), so the votes join only exists to fetch what
+          // round 1 already knows — the src itself. A projection of the
+          // pinned edge table replaces a full edge⋈labels join;
+          // bit-identical votes.
+          val votes =
+            (if (i == 1) edges.select(col("dst"), col("src").as("label"))
+             else edges.join(labels, col("src") === col("v"))
+               .select(col("dst"), col("label")))
+              .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          // every voter node receives >= 1 vote, so `won` covers all of
+          // them: the round reads `labels` exactly once, no fallback join
+          votes.groupBy(col("dst"))
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
+            .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+        }
       if (converge) {
-        // CC's round shape: lazy pin; the signature probe is the round's
-        // one action and materializes the pin as its side effect
+        // CC's round shape: lazy pins; the changed-count probe is the
+        // round's one action and materializes both as its side effect
         val pinned = lazyPin(next)
-        val nsig   = labelSig(pinned)
-        fixed = nsig == sig
-        sig = nsig
+        val chg = lazyPin(pinned.as("n")
+          .join(labels.as("p"), col("n.v") === col("p.v"))
+          .filter(col("n.label") =!= col("p.label"))
+          .select(col("n.v").as("cv")))
+        changedCount = chg.count()
+        fixed = changedCount == 0L
         lastPinned.foreach(Checkpoints.release)
+        changedPrev.foreach(Checkpoints.release)
+        roundPin.foreach(Checkpoints.release)
+        changedPrev = Some(chg)
         lastPinned = Some(pinned)
         labels = pinned
       } else if (i < iterations && i % pinEvery == 0) {

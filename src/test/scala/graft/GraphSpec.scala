@@ -170,4 +170,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.labelPropagation(osc, "a", "b", 2)
       .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("converge-mode delta rounds ≡ full rounds (frontier under 20% of voters)") {
+    // K6 plus a pendant-free second clique: round 1 changes every node,
+    // round 2 changes exactly the two min-id nodes (2 of 12 voters = 17%
+    // < 20% — the delta threshold engages), round 3 runs as a DELTA round
+    // and detects the fixpoint. The delta path must reproduce the full
+    // fixed-round labeling bit-for-bit and still report the halt round.
+    val k6a = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val k6b = for (a <- 11L to 16L; b <- (a + 1) to 16L) yield (a, b)
+    val df  = (k6a ++ k6b ++ Seq((30L, 30L))).toDF("a", "b") // + self-loop-only node
+    val (labels, rounds) = Graph.labelPropagationWithRounds(
+      df, "a", "b", iterations = 20, converge = true)
+    val got = labels.as[(Long, Long)].collect().toMap
+    // cliques collapse to their min id; the self-loop node keeps its own
+    val expect = ((1L to 6L).map(_ -> 1L) ++ (11L to 16L).map(_ -> 11L) :+ (30L -> 30L)).toMap
+    assert(got == expect)
+    assert(rounds == 3, s"expected fixpoint detected at round 3, got $rounds")
+    // delta ≡ full: the fixed-round form at the same round count agrees
+    val full = Graph.labelPropagation(df, "a", "b", rounds, pinEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == got)
+  }
 }
