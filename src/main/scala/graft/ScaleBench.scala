@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Graph, Similarity, Summaries, Text, TxTable}
+import graft.ops.{Checkpoints, Dedup, Graph, Similarity, Summaries, Text, TxTable}
 
 /** Dev utility: two-point scaling evidence for the nonlinear-risk operator
   * families (LSH dedup, inverted-index Jaccard, exact quantiles, PageRank,
@@ -97,6 +97,7 @@ object ScaleBench {
     "containment"         -> Set("documents"),
     "index_search_steady" -> Set("documents"),
     "index_append_steady" -> Set("documents"),
+    "fuzzy_ingest_steady" -> Set("documents"),
     "exact_quantiles"     -> Set("lineitem"),
     "pagerank"            -> Set("edges"),
     "label_propagation"   -> Set("edges"),
@@ -280,6 +281,27 @@ object ScaleBench {
       else factors.map(f =>
         math.max(0, TxTable.versions(spark, medRoot(f)).size - 1)).sum
 
+    // Steady-state FUZZY-INGEST fixture (the full continuous-ingest loop of
+    // Streaming.fuzzyIngestSink, q-spec-gated until now): its OWN MinHash
+    // index per factor (the other steady families mutate steadyPrefix —
+    // sharing would order-couple the fixtures) plus a corpus TxTable root
+    // reset to an empty slice per run (corpus CONTENT never enters the
+    // loop's cost — the index does; an empty root keeps the append
+    // replay-clean across invocations with no seeding arithmetic).
+    def fuzzyPrefix(f: Int) = s"fuzzy_${steadyTag}_f$f"
+    def fuzzyRoot(f: Int)   = s"/root/repo/target/scale_tx/fuzzy_${steadyTag}_f$f"
+    val fuzzyOn = only.isEmpty || only.contains("fuzzy_ingest_steady")
+    if (fuzzyOn) for (f <- factors) {
+      Text.writeMinhashIndex(read("documents", f), "doc_id", "text", 3, 16,
+        fuzzyPrefix(f), buckets = 32, mode = "overwrite")
+      TxTable.commit(spark, fuzzyRoot(f),
+        Seq((TxTable.SingleTable, "replace", read("documents", 1).limit(0))))
+    }
+    // fuzzy batches draw from a j-range disjoint from the index families'
+    // (distinct rotation pairs → mutually non-near-dup, and non-near-dup
+    // against every rot1-keyed corpus replica)
+    var fuzzySeq = 0
+
     def families(f: Int): Seq[(String, () => Long)] = Seq(
       ("lsh_minhash", () =>
         Text.minhashNearDupPairs(read("documents", f), "doc_id", "text", 3, 16, 0.5).count()),
@@ -373,6 +395,29 @@ object ScaleBench {
         Text.writeMinhashIndex(b, "doc_id", "text", 3, 16,
           steadyPrefix(f), buckets = 32, mode = "append")
         b.count()
+      }),
+      // one whole fuzzy-ingest cycle (Streaming.fuzzyIngestSink's
+      // foreachBatch body) with a fixed 1×-sized batch against the f×
+      // persisted index: within-batch LSH dedup -> probe-only index dedup
+      // -> atomic corpus append -> bucketed index append. Claim: flat in f
+      // — every stage's exchanges are batch-sized; the index side never
+      // shuffles. Mutates its fixture, so batches are globally fresh.
+      ("fuzzy_ingest_steady", () => {
+        fuzzySeq += 1
+        val b = steadyBatch(50 + fuzzySeq)
+        val pairs = Text.minhashNearDupPairs(b, "doc_id", "text", 3, 16, 0.5)
+        val losers = Dedup.nearDupSurvivors(pairs, "doc_a", "doc_b")
+          .filter(!col("keep")).select(col("doc_id").as("__loser"))
+        val withinSurv = b.join(losers, b("doc_id") === col("__loser"), "left_anti")
+        val fresh = Checkpoints.pinner(spark, None)(
+          Text.minhashDedupAgainstIndex(withinSurv, "doc_id", "text",
+            3, 16, 0.5, fuzzyPrefix(f)))
+        TxTable.append(spark, fuzzyRoot(f), fresh)
+        Text.writeMinhashIndex(fresh, "doc_id", "text", 3, 16,
+          fuzzyPrefix(f), buckets = 32, mode = "append")
+        val n = fresh.count()
+        Checkpoints.release(fresh)
+        n
       }),
       // one whole medallion increment cycle against the f× base: batch keys
       // globally fresh (5000+seq stride, disjoint from every corpus
