@@ -194,17 +194,20 @@ object Graph {
     // set drops self-loops, but that must not delete the node itself
     val nodes = lazyPin(
       p0.select(col("src").as("v")).union(p0.select(col("dst").as("v"))).distinct())
-    // repartitioned on src BEFORE the pin: the distinct leaves the edge
-    // table hash-partitioned on (src, dst), which every round's votes join
-    // (on src) cannot reuse — each round would re-exchange the full edge
-    // set. localCheckpoint preserves the repartitioned layout in the plan,
-    // so the per-round join exchanges only the node-sized labels side —
-    // one edge-sized shuffle moved from every round to setup.
-    val edges = lazyPin(
-      p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .repartition(col("src")))
+    // CONVERGE mode re-pins the edge table hash-partitioned on src: its
+    // rounds are separate jobs (the changed-count probe is a per-round
+    // action), and exchange reuse cannot span jobs — without the layout,
+    // every round-job re-exchanges the full edge set for the votes join.
+    // localCheckpoint preserves the partitioning in the plan, so converge
+    // rounds exchange only the node-sized labels side. Fixed-round mode
+    // deliberately SKIPS the repartition: the whole unroll is ONE job and
+    // ReuseExchange already dedups the identical edge-shuffle subtrees, so
+    // the extra setup exchange would be pure overhead (measured +25% on
+    // q177 at sf0.1).
+    val edgesRaw = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val edges = lazyPin(if (converge) edgesRaw.repartition(col("src")) else edgesRaw)
     // the symmetrized edge set means "receives votes" == "has a proper
     // edge" — a static property, so the keep-own-label fallback applies
     // to a FIXED set of isolated nodes, resolved once (their label can
