@@ -62,6 +62,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(n.getString(1) == "Café")
       val w = s2.sql("SELECT graft_jaro_winkler('martha', 'marhta') j").head()
       assert(math.abs(w.getDouble(0) - 0.9611111111111111) < 1e-12)
+      // round-12 positional family
+      val pg = s2.sql(
+        """SELECT graft_masked_variants('ab') mv,
+                  graft_token_chunks('a b c d e', 2) tc,
+                  graft_max_multiplicity(array('x','y','x')) mm,
+                  graft_char_entropy('aabb') ce""").head()
+      assert(pg.getSeq[String](0) == Seq("\u0001b", "a\u0001"))
+      assert(pg.getSeq[String](1) == Seq("a b", "c d", "e"))
+      assert(pg.getInt(2) == 2)
+      assert(math.abs(pg.getDouble(3) - 1.0) < 1e-12) // two equiprobable chars = 1 bit
       // non-literal size arguments are rejected with a clear message
       val ex = intercept[Exception] {
         s2.sql("SELECT graft_minhash(array('x'), cast(rand()*4 AS INT))").head()
