@@ -887,6 +887,73 @@ object SparkEntry {
       TxTable.diff(s, root, v1, v3, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"), col("change"))
     }),
+
+    // Converge-mode integer PageRank on a DAG (k → k DIV 100 — the
+    // centesimal digit chain, depth = ⌈digits(max key)/2⌉): rounds run to the EXACT integer-mass
+    // fixpoint with frontier propagation — on a DAG nodes stabilize level
+    // by level, so the changed set collapses 10× per round and the late
+    // rounds exchange only the still-moving tail. The oracle unrolls a
+    // FIXED 9 rounds: every round past the fixpoint is the identity, so
+    // the unrolled table equals the converged one whenever the fixpoint
+    // lands at or before round 9 (depth+2 ≈ 5 at sf0.01, ≈ 6 at sf0.1 —
+    // and the ceiling guarantee is the loud throw, never a silent wrong
+    // answer). Scale story: rounds grow with log100(max key), not with rows.
+    "q198_pagerank_converge" -> ((s, d) => {
+      val e = t(s, d, "orders").filter(col("o_orderkey") >= 1)
+        .select(col("o_orderkey").as("a"), expr("o_orderkey DIV 100").as("b"))
+      Graph.pageRankIntWithRounds(e, "a", "b", iterations = 100, converge = true)._1
+    }),
+
+    // Converge-mode LPA on deterministic cliques ((nation, custkey DIV 100)
+    // buckets of >= 3 customers; pairs within a bucket): synchronous LPA on
+    // any clique of size >= 3 fixpoints at round 3 (round 1: everyone
+    // adopts the min — the min node the second-min; round 2: all min;
+    // round 3: identity, detected). The oracle unrolls 4 fixed rounds —
+    // identity past the fixpoint, same contract as q198. Size >= 3 matters:
+    // a 2-clique oscillates under synchronous LPA and converge would throw.
+    "q199_lpa_converge" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("n"),
+          expr("c_custkey DIV 100").as("bkt"))
+      val grp = c.groupBy(col("n"), col("bkt")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+      val cc = c.join(grp, Seq("n", "bkt"), "left_semi")
+      val pairs = cc.as("x").join(cc.as("y"),
+          col("x.n") === col("y.n") && col("x.bkt") === col("y.bkt") &&
+            col("x.k") < col("y.k"))
+        .select(col("x.k").as("a"), col("y.k").as("b"))
+      Graph.labelPropagation(pairs, "a", "b", iterations = 10, converge = true)
+        .orderBy(col("label"), col("v"))
+    }),
+
+    // Additive schema evolution, snapshot read: v1 commits the narrow
+    // orders slice, v2 APPENDS rows carrying a new o_flag column — the
+    // evolved read NULL-fills v1's files under the v2 schema (the
+    // reference's ragged union-by-name, app.py:325, as a lakehouse commit
+    // boundary). Grouping on the evolved column exercises the NULL-fill:
+    // the NULL-flag group is exactly the pre-evolution rows.
+    "q200_schema_evolution" -> ((s, d) => {
+      val (root, _, _) = evoFixture(s, d)
+      TxTable.read(s, root)
+        .groupBy(col("o_orderstatus"), col("o_flag"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"), col("o_flag"))
+    }),
+
+    // CDC across the evolution boundary: diff(v1, v2) NULL-fills the
+    // before-images' missing o_flag, so surviving rows (bit-equal after
+    // alignment) emit NOTHING — no spurious updates from the evolution
+    // itself — and the appended rows classify as inserts carrying the new
+    // column. Aggregated by (change, status) with the flag sum proving the
+    // inserts' flag values ride the feed.
+    "q201_evolution_diff" -> ((s, d) => {
+      val (root, v1, v2) = evoFixture(s, d)
+      TxTable.diff(s, root, v1, v2, Seq("o_orderkey"))
+        .groupBy(col("change"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_flag")).as("sum_flag"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("change"), col("o_orderstatus"))
+    }),
   )
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -943,6 +1010,29 @@ object SparkEntry {
       val (root, vs) = cdcRoot(s, d, "cdc_", { r =>
         TxTable.replace(s, r, v1rows)
         TxTable.replace(s, r, v2rows)
+        TxTable.versions(s, r)
+      })
+      (root, vs(vs.length - 2), vs.last)
+    })
+
+  /** q200/q201's evolution log: v1 = replace of the narrow orders slice
+    * (keys%7≠0, no flag column); v2 = APPEND of the keys%7==0 rows carrying
+    * the new `o_flag` column (key%3, deterministic) — the additive schema
+    * boundary. Memoized per (session, dir) with stale-root delete, exactly
+    * the cdcFixture pattern.
+    */
+  private val evoFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, Long, Long)]
+  private def evoFixture(s: SparkSession, d: String): (String, Long, Long) =
+    evoFixtureCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+      val v1rows = base.filter(col("o_orderkey") % 7 =!= 0)
+      val v2rows = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_flag", (col("o_orderkey") % 3).cast("int"))
+      val (root, vs) = cdcRoot(s, d, "evo_", { r =>
+        TxTable.replace(s, r, v1rows)
+        TxTable.append(s, r, v2rows)
         TxTable.versions(s, r)
       })
       (root, vs(vs.length - 2), vs.last)
@@ -3864,7 +3954,42 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey, a_ck, a_st, a_pr, 'update_post' FROM chg
          ORDER BY o_orderkey, change""",
+
+    // Replays the evoFixture union: v1 (no flag, NULL-filled) + the
+    // appended flagged rows — the evolved snapshot is exactly the ragged
+    // union-by-name of the two commits.
+    "q200_schema_evolution" ->
+      s"""$evoVersionsSql,
+         t AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         SELECT o_orderstatus, o_flag, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM t GROUP BY o_orderstatus, o_flag
+         ORDER BY o_orderstatus, o_flag NULLS FIRST""",
+
+    // diff(v1, v2) across the evolution boundary: the append introduces
+    // ONLY inserts (surviving rows NULL-fill to bit-equal images — no
+    // spurious updates), so the aggregated feed is the flagged rows alone.
+    "q201_evolution_diff" ->
+      s"""$evoVersionsSql
+         SELECT 'insert' AS change, o_orderstatus, count(*) AS n,
+                CAST(SUM(o_flag) AS BIGINT) AS sum_flag,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM v2 GROUP BY o_orderstatus
+         ORDER BY change, o_orderstatus""",
   )
+
+  /** The q200/q201 evolution snapshots replayed from the base table —
+    * v1 narrow (flag NULL), v2 the appended flagged increment.
+    */
+  private def evoVersionsSql: String =
+    """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                          CAST(NULL AS INT) AS o_flag
+                   FROM orders WHERE o_orderkey % 7 <> 0),
+       v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                     CAST(o_orderkey % 3 AS INT) AS o_flag
+              FROM orders WHERE o_orderkey % 7 = 0)"""
 
   /** DuckDB replay of the q183 persisted-index search: PQ training CTEs +
     * IVF seed routing + ADC scoring. `storedPred` narrows the stored
@@ -5104,6 +5229,56 @@ object SparkEntry {
          SELECT CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END || CAST(v // 2 AS VARCHAR) AS node,
                 CASE WHEN label % 2 = 0 THEN 'c' ELSE 's' END || CAST(label // 2 AS VARCHAR) AS community
          FROM l3 ORDER BY community, node""",
+
+    // Unrolls a FIXED 9 rounds of the digit-chain DAG PageRank: rounds
+    // past the integer-mass fixpoint are the identity, so this equals the
+    // engine's converge-mode result whenever convergence lands by round 9
+    // (depth(max o_orderkey)+2 ≈ 5 at sf0.01). A too-low unroll fails the
+    // hash loudly; it can never pass a non-converged answer.
+    "q198_pagerank_converge" -> {
+      val its = (1 to 9).map { k =>
+        val prev = if (k == 1) "m0" else s"it${k - 1}"
+        s"""it$k AS (SELECT n.v, 150000 + COALESCE(i.inc, 0) AS m
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS v, sum((r.m * 85) // (100 * g.d)) AS inc
+                   FROM edges e JOIN $prev r ON e.src = r.v JOIN deg g ON e.src = g.src
+                   GROUP BY e.dst) i ON n.v = i.v)"""
+      }.mkString(",\n         ")
+      s"""WITH edges AS (SELECT o_orderkey AS src, o_orderkey // 100 AS dst
+                         FROM orders WHERE o_orderkey >= 1),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         m0 AS (SELECT v, CAST(1000000 AS BIGINT) AS m FROM nodes),
+         $its
+         SELECT v, CAST(m AS BIGINT) AS rank_micro
+         FROM it9 ORDER BY rank_micro DESC, v"""
+    },
+
+    // Unrolls 4 fixed LPA rounds over the clique fixture: synchronous LPA
+    // on a clique of size >= 3 fixpoints at round 3, and identity rounds
+    // past the fixpoint keep the unroll equal to the converged labels.
+    "q199_lpa_converge" -> {
+      val rounds = (1 to 4).map { k =>
+        val prev = if (k == 1) "l0" else s"l${k - 1}"
+        s"""l$k AS (SELECT dst AS v, label FROM (
+                  SELECT e.dst, l.label, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY e.dst
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                  FROM edges e JOIN $prev l ON e.src = l.v GROUP BY e.dst, l.label)
+                WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS n, c_custkey // 100 AS bkt
+                     FROM customer),
+         g AS (SELECT n, bkt FROM c GROUP BY n, bkt HAVING count(*) >= 3),
+         cc AS (SELECT c.* FROM c JOIN g USING (n, bkt)),
+         pairs AS (SELECT x.k AS a, y.k AS b FROM cc x JOIN cc y
+                   ON x.n = y.n AND x.bkt = y.bkt AND x.k < y.k),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+         $rounds
+         SELECT v, label FROM l4 ORDER BY label, v"""
+    },
 
     "q148_weighted_topk" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * not kill the job.
   */
 case class ImageDims(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType)))
@@ -38,8 +38,21 @@ case class ImageDims(child: Expression)
   private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def le16(b: Array[Byte], i: Int): Int = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imageDims", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("dims")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
     val dims: (Int, Int) =
       if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
           // full signature (\r\n\x1a\n) AND the IHDR tag at offset 12 — a
@@ -81,7 +94,7 @@ case class ImageDims(child: Expression)
   * not always first). NULL for non-WAV or truncated input.
   */
 case class WavInfo(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
@@ -99,8 +112,21 @@ case class WavInfo(child: Expression)
   private def le32(b: Array[Byte], i: Int): Int =
     ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wavInfo", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("wav")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
     if (b.length < 36 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
     // walk in Long space: a crafted chunk size near Int.MaxValue must not

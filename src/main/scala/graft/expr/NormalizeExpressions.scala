@@ -4,7 +4,7 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * already in the requested form (the common case for ASCII-heavy corpora).
   */
 case class UnicodeNormalize(child: Expression, form: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val normalForm: Normalizer.Form = form.toUpperCase(java.util.Locale.ROOT) match {
     case "NFC"  => Normalizer.Form.NFC
@@ -40,8 +40,16 @@ case class UnicodeNormalize(child: Expression, form: String)
     else TypeCheckResult.TypeCheckFailure(
       s"unicode_normalize expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unicodeNormalize", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
     if (Normalizer.isNormalized(s, normalForm)) input
     else UTF8String.fromString(Normalizer.normalize(s, normalForm))
   }
@@ -57,7 +65,7 @@ case class UnicodeNormalize(child: Expression, form: String)
   * dominant cost is the scan, not this expression.
   */
 case class StripAccents(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -66,10 +74,17 @@ case class StripAccents(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"strip_accents expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stripAccents", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(u: UTF8String): UTF8String = {
     // pure-ASCII bytes can hold no marks and decompose to themselves
-    if (isAscii(u)) return input
+    if (isAscii(u)) return u
     val d  = Normalizer.normalize(u.toString, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i  = 0

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,6 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle, which made shingling alone cost ~10 s at sf0.1. These
   * expressions evaluate once per ROW in compiled JVM code; semantics are
   * bit-identical to the HOF forms and to the DuckDB oracle SQL.
+  *
+  * Each expression implements REAL `doGenCode` (not `CodegenFallback`): the
+  * generated code calls the expression's public `compute` method directly
+  * on the referenced instance with the unboxed child value. CodegenFallback
+  * would instead exclude the enclosing Project/Filter from whole-stage
+  * codegen entirely (`CollapseCodegenStages.supportCodegen` rejects any
+  * plan containing one), splitting the scan→project pipeline into separate
+  * row-materializing operators for EVERY query that shingles, hashes, or
+  * scores — the direct call keeps the stage fused and costs one virtual
+  * dispatch per row. `compute` runs on executor-task-private expression
+  * instances (task binaries deserialize per task), so per-instance caches
+  * are safe; the shared MessageDigest is ThreadLocal regardless.
   */
 
 /** Whitespace-tokenize (trim → lower → split `\s+`) and emit all n-token
@@ -24,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (matching `array_distinct`). Equivalent to the SURVEY T3 HOF form.
   */
 case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "n must be positive")
 
@@ -35,8 +47,16 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     else TypeCheckResult.TypeCheckFailure(
       s"word_ngrams expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val t    = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgrams", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val t    = input.toString.trim.toLowerCase(java.util.Locale.ROOT)
     val toks = t.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val out =
@@ -83,7 +103,7 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   * char-trigram language-ID pipeline; this is one compiled pass per row.
   */
 case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "n must be positive")
 
@@ -94,8 +114,16 @@ case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
     else TypeCheckResult.TypeCheckFailure(
       s"char_ngrams expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val lc  = input.asInstanceOf[UTF8String].toLowerCase
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgrams", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val lc  = input.toLowerCase
     val len = lc.numChars()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out =
@@ -127,7 +155,7 @@ case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
   * collections per candidate in the verify joins.
   */
 case class ArrayJaccard(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   // two empty sets yield NULL even when both children are non-nullable;
@@ -143,12 +171,25 @@ case class ArrayJaccard(left: Expression, right: Expression)
           s"(${l.simpleString}, ${r.simpleString})")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("arrayJaccard", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** null ⟺ both sets empty (0/0, matches SQL NULL division). */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val nx = x.numElements()
     val ny = y.numElements()
-    if (nx == 0 && ny == 0) return null // 0/0, matches SQL NULL division
+    if (nx == 0 && ny == 0) return null
     val set = new java.util.HashSet[UTF8String](nx * 2)
     var i = 0
     while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
@@ -169,7 +210,7 @@ case class ArrayJaccard(left: Expression, right: Expression)
   * list_sum). Empty array → 0 (every bit-sum is 0, no positive sign).
   */
 case class SimHashOfSet(child: Expression, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nBits >= 1 && nBits <= 60, "nBits must be in [1, 60]")
 
@@ -181,10 +222,17 @@ case class SimHashOfSet(child: Expression, nBits: Int)
       s"simhash expects array<string>, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val m   = arr.numElements()
-    val md  = MessageDigest.getInstance("MD5")
+    val md  = MinHashSignature.threadMd5()
     val sums = new Array[Int](nBits)
     var j = 0
     while (j < m) {
@@ -225,7 +273,7 @@ case class SimHashOfSet(child: Expression, nBits: Int)
   * convention of the HOF form).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "k must be positive")
 
@@ -242,12 +290,19 @@ case class MinHashSignature(child: Expression, k: Int)
   @transient private lazy val as = MinHashSignature.coeffA(k)
   @transient private lazy val bs = MinHashSignature.coeffB(k)
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     import MinHashSignature.P
-    val arr = input.asInstanceOf[ArrayData]
     val m   = arr.numElements()
     if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
-    val md   = MessageDigest.getInstance("MD5")
+    val md   = MinHashSignature.threadMd5()
     val best = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < m) {
@@ -282,7 +337,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * to the oracle's `list_reduce` form, so `> 0` signs agree exactly.
   */
 case class SignLshBuckets(child: Expression, nTables: Int, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nTables >= 1 && nPlanes >= 1 && nPlanes < 64, "bad table/plane counts")
 
@@ -316,11 +371,21 @@ case class SignLshBuckets(child: Expression, nTables: Int, nPlanes: Int)
     weights
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dim = arr.numElements()
-    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType ==
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLsh", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  // resolved once per instance, NOT per row: dataType walks the child tree
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType ==
       org.apache.spark.sql.types.FloatType
+
+  def compute(arr: ArrayData): ArrayData = {
+    val dim = arr.numElements()
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) {
@@ -351,6 +416,20 @@ case class SignLshBuckets(child: Expression, nTables: Int, nPlanes: Int)
 }
 
 object MinHashSignature {
+  // One MD5 instance per thread, reset per use: getInstance() walks the
+  // JCA provider registry and allocates per call — measurable at one call
+  // per ROW on the corpus-scan paths (minhash/simhash evaluate per
+  // document). Expressions may share a thread after task-thread reuse, so
+  // the cache is ThreadLocal rather than per-instance.
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private[expr] def threadMd5(): MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
   /** Mersenne prime 2^31−1: the permutation modulus. Small enough that
     * a·h + b < 2^62 (no 64-bit overflow in any engine), large enough that
     * hash collisions are negligible against shingle-set sizes.
@@ -391,7 +470,7 @@ object MinHashSignature {
   * never an unblocked cross join.
   */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
@@ -402,11 +481,13 @@ case class JaroWinkler(left: Expression, right: Expression)
         s"jaro_winkler expects (string, string), got (${l.simpleString}, ${r.simpleString})")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val s = a.asInstanceOf[UTF8String].getBytes
-    val t = b.asInstanceOf[UTF8String].getBytes
-    JaroWinkler.similarity(s, t)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.JaroWinkler$$.MODULE$$.similarity($a.getBytes(), $b.getBytes());")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -474,7 +555,7 @@ object JaroWinkler {
   * matches the HOF form exactly.
   */
 case class CharBigramCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.MapType(StringType, LongType, valueContainsNull = false)
@@ -484,8 +565,15 @@ case class CharBigramCounts(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"char_bigram_counts expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramCounts", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
     val n = s.numChars()
     val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 1
@@ -527,7 +615,7 @@ case class CharBigramCounts(child: Expression)
   * explodes, so rows are identical).
   */
 case class MaskedVariants(child: Expression, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -538,8 +626,15 @@ case class MaskedVariants(child: Expression, distinct: Boolean)
 
   @transient private lazy val mask = UTF8String.fromString("\u0001")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s   = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maskedVariants", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): ArrayData = {
     val len = s.numChars()
     if (len == 0) return new GenericArrayData(Array.empty[Any])
     val out =
@@ -587,7 +682,7 @@ case class MaskedVariants(child: Expression, distinct: Boolean)
   * HOF form's NULL propagates the same way; all callers posexplode).
   */
 case class TokenChunks(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(width >= 1, "width must be positive")
 
@@ -598,8 +693,16 @@ case class TokenChunks(child: Expression, width: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"token_chunks expects a string column, got ${child.dataType.simpleString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val t    = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenChunks", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val t    = input.toString.trim.toLowerCase(java.util.Locale.ROOT)
     val toks = t.split("\\s+") // never empty: "" splits to [""]
     val n    = toks.length
     val nChunks = (n + width - 1) / width
@@ -629,7 +732,7 @@ case class TokenChunks(child: Expression, width: Int)
   * initial `best`).
   */
 case class MaxElementMultiplicity(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
@@ -639,8 +742,15 @@ case class MaxElementMultiplicity(child: Expression)
       s"max_element_multiplicity expects array<string>, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxMult", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): Int = {
     val n   = arr.numElements()
     if (n == 0) return 0
     val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
@@ -673,7 +783,7 @@ case class MaxElementMultiplicity(child: Expression)
   * equivalence spec caught) — so the 4-decimal oracle round agrees exactly.
   */
 case class CharEntropyBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
@@ -685,8 +795,16 @@ case class CharEntropyBits(child: Expression)
   private def log2(x: Double): Double =
     java.lang.StrictMath.log(x) / java.lang.StrictMath.log(2.0)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s   = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): Double = {
+    val s   = input.toString
     val len = s.length // UTF-16 units; codepoints counted below
     if (len == 0) return 0.0 // split('') = [""]: one run, (1/1)*log2(1) = 0
     // collect codepoints and sort — ascending codepoint order is exactly

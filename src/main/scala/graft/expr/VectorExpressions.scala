@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -26,7 +26,7 @@ case class NearestCells(
     seedIds: Seq[Long],
     seedVecs: Seq[Seq[Float]],
     nProbe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(seedIds.nonEmpty && seedIds.length == seedVecs.length,
     "nearest_cells: seedIds and seedVecs must be same-length and non-empty")
@@ -48,8 +48,15 @@ case class NearestCells(
     math.sqrt(s)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr  = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val m    = ids.length
     // a truncated dot product against full seed norms would produce a
     // silently wrong hybrid "cosine" — dimension mismatch is a data bug
@@ -121,7 +128,7 @@ case class PqAdc(
     left: Expression,
     right: Expression,
     books: Seq[Seq[(Int, Seq[Double])]])
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   require(books.nonEmpty && books.forall(_.nonEmpty), "pq_adc: empty codebooks")
 
@@ -152,9 +159,15 @@ case class PqAdc(
   }.toArray
   @transient private lazy val width: Int = books.head.head._2.length
 
-  override protected def nullSafeEval(p: Any, c: Any): Any = {
-    val probe = p.asInstanceOf[ArrayData]
-    val codes = c.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(p: Any, c: Any): Any =
+    compute(p.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(probe: ArrayData, codes: ArrayData): Double = {
     val nSub  = table.length
     require(codes.numElements() == nSub,
       s"pq_adc: ${codes.numElements()} codes for $nSub subspaces")

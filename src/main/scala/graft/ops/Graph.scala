@@ -65,8 +65,42 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      checkpointDir: Option[String] = None, pinEvery: Int = 1): DataFrame = {
-    require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
+      checkpointDir: Option[String] = None, pinEvery: Int = 1): DataFrame =
+    pageRankIntWithRounds(edges, srcCol, dstCol, iterations, dampingPct,
+      checkpointDir, pinEvery)._1
+
+  /** [[pageRankInt]] plus the number of rounds actually run — the testable
+    * surface of `converge` (GraphSpec asserts early halt and delta ≡ full).
+    *
+    * `converge = false` (default): exactly `iterations` rounds as one lazy
+    * unroll — the oracle-able fixed-round contract (q147).
+    *
+    * `converge = true`: `iterations` becomes a CEILING — rounds run until
+    * the EXACT mass fixpoint (integer masses; the per-round changed set is
+    * the co-partitioned diff of consecutive rank tables, empty ⟺ fixed —
+    * no epsilon, no float drift caveat: quantized integer mass is what
+    * makes a true fixpoint exist at all, a float PageRank only ever
+    * oscillates in ulps). Each round lazily pins and the changed-count
+    * probe is the round's one action. Once the changed set falls under 20%
+    * of the nodes, rounds switch to FRONTIER propagation: a node's new
+    * mass is `base + Σ_in (m_u·damping) DIV (100·d_u)` — a pure function
+    * of its in-neighbors' masses — so only dsts adjacent to last round's
+    * changed set can move, and exactly those re-aggregate (against the
+    * full rank table; bit-identical output, GraphSpec pins delta ≡ full)
+    * while everyone else carries their mass forward without an exchange.
+    * On a converging graph the frontier collapses geometrically, so the
+    * late rounds exchange O(frontier·avg-degree) rows instead of O(E) —
+    * the round-12/13 verdicts' carried item (q177/q147 were ~104 s of the
+    * ×100 suite total, every round full-width). A graph that never
+    * fixpoints within the ceiling throws loudly rather than returning a
+    * mass table the caller believed final.
+    */
+  private[graft] def pageRankIntWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, dampingPct: Int = 85,
+      checkpointDir: Option[String] = None, pinEvery: Int = 1,
+      converge: Boolean = false): (DataFrame, Int) = {
+    require(iterations >= 1 && iterations <= (if (converge) 100 else 20),
+      "iterations in [1, 20] (fixed) / [1, 100] (converge ceiling)")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
     require(pinEvery >= 1 && pinEvery <= 5, "pinEvery in [1, 5]")
     val pin = Checkpoints.pinner(edges.sparkSession, checkpointDir)
@@ -75,7 +109,14 @@ object Graph {
     val lazyPin = Checkpoints.pinner(edges.sparkSession, checkpointDir, eager = false)
     val es  = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = es.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val e   = lazyPin(es.join(deg, Seq("src")))
+    // converge mode re-pins the edge table hash-partitioned on src: its
+    // rounds are separate jobs (the changed-count probe is a per-round
+    // action) and exchange reuse cannot span jobs — without the layout
+    // every round-job re-exchanges the edge set for the contribution join.
+    // Fixed-round mode skips the repartition: the unroll is ONE job and
+    // ReuseExchange dedups the identical edge subtrees (same as LPA).
+    val eRaw = es.join(deg, Seq("src"))
+    val e    = lazyPin(if (converge) eRaw.repartition(col("src")) else eRaw)
     val base = 1000000L * (100 - dampingPct) / 100
     // round-0 ranks IS the node set at uniform mass — one pinned artifact
     // (it feeds two consumers per round: the contribution join and the
@@ -85,24 +126,68 @@ object Graph {
       .distinct()
       .select(col("v"), lit(1000000L).as("m")))
     var lastPinnedRanks = ranks // only ever release a PINNED artifact
-    var iter = 0
-    while (iter < iterations) {
-      // Round 1 shortcut: ranks are still the uniform constant, so the
-      // per-edge term is (1 000 000 · damping) DIV (100 · d) — a plain
-      // projection of the edge table; the rank join only exists to fetch
-      // m, which round 1 already knows. Saves one full edge-sized join.
-      val contrib =
-        if (iter == 0)
-          e.select(col("dst").as("v"),
-            expr(s"(1000000 * $dampingPct) DIV (100 * d)").as("c"))
-        else
-          e.join(ranks, col("src") === col("v"))
-            .select(col("dst").as("v"),
-              expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
-      val next = contrib.union(ranks.select(col("v"), lit(base).as("c")))
-        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+    val nodeCount = if (converge) ranks.count() else 0L
+    var changedPrev: Option[DataFrame] = None
+    var changedCount = -1L
+    var iter  = 0
+    var fixed = false
+    while (iter < iterations && !fixed) {
+      // FRONTIER round (converge mode, late rounds): recompute exactly the
+      // dsts adjacent to last round's changed set; all other nodes carry
+      // their mass forward untouched. The recomputation aggregates ALL
+      // in-edges of an affected dst against the full rank table, so the
+      // value is bit-identical to a full round's.
+      val useDelta = converge && changedPrev.nonEmpty && changedCount * 5 < nodeCount
+      var roundPin: Option[DataFrame] = None
+      val next =
+        if (useDelta) {
+          val affected = lazyPin(
+            e.join(changedPrev.get, col("src") === col("cv"), "left_semi")
+              .select(col("dst")).distinct())
+          roundPin = Some(affected)
+          val updated = e
+            .join(affected, Seq("dst"), "left_semi")
+            .join(ranks, col("src") === col("v"))
+            .select(col("dst"), expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
+            .union(affected.select(col("dst"), lit(base).as("c")))
+            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+            .select(col("dst").as("v"), col("m"))
+          updated.unionByName(
+            ranks.join(affected.select(col("dst").as("v")), Seq("v"), "left_anti"))
+        } else {
+          // Round 1 shortcut: ranks are still the uniform constant, so the
+          // per-edge term is (1 000 000 · damping) DIV (100 · d) — a plain
+          // projection of the edge table; the rank join only exists to
+          // fetch m, which round 1 already knows. Saves one edge-sized join.
+          val contrib =
+            if (iter == 0)
+              e.select(col("dst").as("v"),
+                expr(s"(1000000 * $dampingPct) DIV (100 * d)").as("c"))
+            else
+              e.join(ranks, col("src") === col("v"))
+                .select(col("dst").as("v"),
+                  expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
+          contrib.union(ranks.select(col("v"), lit(base).as("c")))
+            .groupBy(col("v")).agg(sum(col("c")).as("m"))
+        }
       iter += 1
-      if (iter < iterations && iter % pinEvery == 0) {
+      if (converge) {
+        // CC's round shape: lazy pins; the changed-count probe is the
+        // round's one action and materializes both as its side effect
+        val pinned = lazyPin(next)
+        val chg = lazyPin(pinned.as("n")
+          .join(ranks.as("p"), col("n.v") === col("p.v"))
+          .filter(col("n.m") =!= col("p.m"))
+          .select(col("n.v").as("cv")))
+        changedCount = chg.count()
+        fixed = changedCount == 0L
+        if (lastPinnedRanks ne null) Checkpoints.release(lastPinnedRanks)
+        changedPrev.foreach(Checkpoints.release)
+        roundPin.foreach(Checkpoints.release)
+        changedPrev = Some(chg)
+        lastPinnedRanks = pinned
+        ranks = pinned
+      } else if (iter < iterations && iter % pinEvery == 0) {
         val pinned = pin(next)
         Checkpoints.release(lastPinnedRanks) // superseded — don't pin O(rounds) copies
         lastPinnedRanks = pinned
@@ -111,8 +196,13 @@ object Graph {
         ranks = next // final round (and un-pinned rounds): lazy
       }
     }
-    ranks.select(col("v"), col("m").as("rank_micro"))
-      .orderBy(col("rank_micro").desc, col("v"))
+    if (converge && !fixed)
+      throw new IllegalStateException(
+        s"pageRankInt did not reach its integer-mass fixpoint in $iterations " +
+          "rounds — raise the ceiling, or run with converge = false for " +
+          "fixed-round semantics")
+    (ranks.select(col("v"), col("m").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("v")), iter)
   }
 
   /** Deterministic synchronous label propagation — community detection on

@@ -76,7 +76,8 @@ object TxTable {
 
   private[graft] case class Entry(mode: String, table: String, dir: String)
   private[graft] case class Commit(version: Long, guard: String, batchId: Long,
-      entries: Seq[Entry])
+      entries: Seq[Entry],
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
 
   private def logDir(root: Path)  = new Path(root, "_log")
   private def dataDir(root: Path) = new Path(root, "data")
@@ -256,15 +257,21 @@ object TxTable {
     if (!lines.headOption.contains("graft-txck v1")) return None
     val guards  = Seq.newBuilder[Commit]
     val entries = Seq.newBuilder[Entry]
+    var schemas = Map.empty[String, org.apache.spark.sql.types.StructType]
     lines.drop(1).foreach { l =>
       l.split(" ").toSeq match {
         case Seq("guardmax", g, b) =>
           guards += Commit(version, g, b.toLongOption.getOrElse(return None), Seq.empty)
+        case Seq("schema", t, b64) =>
+          schemas += t -> decodeSchema(b64).getOrElse(return None)
         case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
         case _ => return None
       }
     }
-    Some(guards.result() :+ Commit(version, NoGuard, -1L, entries.result()))
+    // the synthetic entries commit leads with `replace` per table, so the
+    // folded schema re-enters the resolveSchema fold exactly like a real
+    // replace commit's recorded schema
+    Some(guards.result() :+ Commit(version, NoGuard, -1L, entries.result(), schemas))
   }
 
   /** Highest version any `.commit` FILENAME claims, parseable or not — the
@@ -285,29 +292,51 @@ object TxTable {
       .foldLeft(0L)(math.max)
   }
 
+  /** Schema line codec: `StructType.json` base64-encoded so the manifest
+    * stays a whitespace-split line format (the JSON itself holds spaces).
+    * A corrupt schema payload makes the whole manifest bad (skipped), the
+    * same contract as a garbage batch id.
+    */
+  private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def decodeSchema(b64: String): Option[org.apache.spark.sql.types.StructType] =
+    try org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+      case s: org.apache.spark.sql.types.StructType => Some(s)
+      case _                                        => None
+    } catch { case _: Exception => None }
+
   private def parseManifest(version: Long, txt: String): Option[Commit] = {
     val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
     if (!lines.headOption.contains("graft-tx v1")) return None
     var guard = NoGuard
     var batch = -1L
     val entries = Seq.newBuilder[Entry]
+    var schemas = Map.empty[String, org.apache.spark.sql.types.StructType]
     lines.drop(1).foreach { l =>
       l.split(" ").toSeq match {
         case Seq("guard", g)           => guard = g
         case Seq("batch", b)           =>
           batch = b.toLongOption.getOrElse(return None) // garbage batch = bad manifest, skip
         case Seq("writer", _)          => () // audit-only writer token
+        case Seq("schema", t, b64)     =>
+          schemas += t -> decodeSchema(b64).getOrElse(return None)
         case Seq(m @ ("replace" | "append"), t, d) => entries += Entry(m, t, d)
         case _                         => return None
       }
     }
-    Some(Commit(version, guard, batch, entries.result()))
+    Some(Commit(version, guard, batch, entries.result(), schemas))
   }
 
   private def renderManifest(guard: String, batchId: Long, entries: Seq[Entry],
-      writer: String = "-"): String = {
+      writer: String = "-",
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): String = {
     val head = Seq("graft-tx v1", s"guard $guard", s"batch $batchId", s"writer $writer")
-    (head ++ entries.map(e => s"${e.mode} ${e.table} ${e.dir}")).mkString("\n")
+    val schemaLines = schemas.toSeq.sortBy(_._1)
+      .map { case (t, s) => s"schema $t ${encodeSchema(s)}" }
+    (head ++ schemaLines ++ entries.map(e => s"${e.mode} ${e.table} ${e.dir}")).mkString("\n")
   }
 
   /** Fold the log into `table`'s current dir list (relative to `data/`). */
@@ -317,6 +346,54 @@ object TxTable {
         if (e.mode == "replace") Seq(e.dir) else d :+ e.dir
       }
     }
+
+  /** Additive merge: `base`'s fields in order (their types authoritative),
+    * then `next`'s NEW fields appended nullable — the union-by-name shape
+    * of the reference's ragged multi-file ingest (`app.py:325`). A shared
+    * name with a DIFFERENT type throws: a silent cast would corrupt every
+    * reader, and [[commit]] refuses such appends up front, so hitting this
+    * at read time means a foreign writer broke the contract.
+    */
+  private def mergeAdditive(base: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType, table: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val conflicts = next.flatMap(f => base.find(_.name == f.name)
+      .filter(_.dataType != f.dataType)
+      .map(b => s"${f.name}: ${b.dataType.simpleString} vs ${f.dataType.simpleString}"))
+    require(conflicts.isEmpty,
+      s"schema conflict in table '$table': ${conflicts.mkString(", ")} — " +
+        "only additive evolution (new columns) is supported across appends")
+    StructType(base.fields ++
+      next.filterNot(f => base.exists(_.name == f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Fold the log into `table`'s evolved read schema: a `replace` resets it
+    * to that commit's recorded schema, an `append` extends it additively
+    * ([[mergeAdditive]]) — so files staged before a column existed are read
+    * NULL-filled under the final schema, by name. Returns None (readers
+    * fall back to parquet footer inference, the pre-evolution behavior)
+    * whenever any contributing commit predates schema recording — a mixed
+    * log must not half-apply evolution.
+    */
+  private[graft] def resolveSchema(commits: Seq[Commit], table: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    var cur: Option[org.apache.spark.sql.types.StructType] = None
+    var known = true
+    commits.foreach { c =>
+      if (c.entries.exists(_.table == table)) {
+        val rec = c.schemas.get(table)
+        val isReplace = c.entries.filter(_.table == table).exists(_.mode == "replace")
+        if (isReplace) { cur = rec; known = rec.isDefined }
+        else (cur, rec) match {
+          case (Some(b), Some(n)) if known => cur = Some(mergeAdditive(b, n, table))
+          case (None, Some(n)) if known    => cur = Some(n) // append-created table
+          case _                           => known = false
+        }
+      }
+    }
+    if (known) cur else None
+  }
 
   private def dataFiles(fs: FileSystem, root: Path, rel: Seq[String]): Seq[Path] =
     rel.flatMap { d =>
@@ -341,10 +418,13 @@ object TxTable {
   def read(spark: SparkSession, root: String, table: String = SingleTable,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
-    val files = dataFiles(fs, rp, resolveRel(listCommits(fs, rp), table))
+    val commits = listCommits(fs, rp)
+    val files = dataFiles(fs, rp, resolveRel(commits, table))
     require(files.nonEmpty, s"no committed data for table '$table' under $root")
     val r = spark.read
-    schema.foreach(r.schema)
+    // caller override wins; otherwise the log's evolved schema NULL-fills
+    // columns added after a file was staged (additive evolution)
+    schema.orElse(resolveSchema(commits, table)).foreach(r.schema)
     r.parquet(files.map(_.toString): _*)
   }
 
@@ -395,7 +475,10 @@ object TxTable {
     val files = dataFiles(fs, rp, rel)
     require(files.nonEmpty, s"no data files for '$table' at version $version under $root")
     val r = spark.read
-    schema.foreach(r.schema)
+    // the schema AS OF the requested version — an evolution commit after
+    // `version` must not leak its columns into the historical snapshot
+    schema.orElse(resolveSchema(commits.filter(_.version <= version), table))
+      .foreach(r.schema)
     r.parquet(files.map(_.toString): _*)
   }
 
@@ -446,13 +529,31 @@ object TxTable {
       keyCols: Seq[String], table: String = SingleTable): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "diff needs at least one key column")
-    val before = readAsOf(spark, root, fromVersion, table)
-    val after  = readAsOf(spark, root, toVersion, table)
-    require(before.columns.sameElements(after.columns),
-      s"schema changed between versions $fromVersion and $toVersion of '$table': " +
-        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")} — " +
-        "diff requires a stable column set")
-    val missing = keyCols.filterNot(before.columns.contains)
+    val beforeRaw = readAsOf(spark, root, fromVersion, table)
+    val after     = readAsOf(spark, root, toVersion, table)
+    // Additive evolution boundary: columns added between the two versions
+    // NULL-fill the before-image (an old row whose added column is now
+    // populated therefore classifies as an update — the correct CDC
+    // reading of "this row gained data"). A VANISHED column still refuses:
+    // its change classification would be undefined.
+    val dropped = beforeRaw.columns.filterNot(after.columns.contains)
+    require(dropped.isEmpty,
+      s"column(s) ${dropped.mkString(",")} of '$table' vanished between " +
+        s"versions $fromVersion and $toVersion — diff supports only " +
+        "additive schema evolution")
+    val before =
+      if (beforeRaw.columns.sameElements(after.columns)) beforeRaw
+      else {
+        val have = beforeRaw.columns.toSet
+        beforeRaw.select(after.columns.toSeq.map { c =>
+          if (have(c)) col(c)
+          else lit(null).cast(after.schema(c).dataType).as(c)
+        }: _*)
+      }
+    // keys must exist in the FROM version too: a key column added by the
+    // evolution would be all-NULL in every before-image, violating the
+    // unique-non-null key precondition for the whole from-side
+    val missing = keyCols.filterNot(beforeRaw.columns.contains)
     require(missing.isEmpty, s"key columns not in '$table': ${missing.mkString(",")}")
     // the discriminator and join temporaries are reserved: a source column
     // named `change` would silently duplicate in the output (ambiguous for
@@ -551,6 +652,16 @@ object TxTable {
     val (fs, rp) = fsFor(spark, root)
     val token = java.util.UUID.randomUUID().toString.take(8)
     var entries: Seq[Entry] = null // staged lazily, exactly once
+    // every write records its schema; the fold of these lines IS the
+    // table's evolved read schema (same-table double writes: last wins,
+    // matching resolveRel's entry order)
+    val writeSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+      writes.map { case (t, _, df) =>
+        // recorded nullable: an evolved read NULL-fills old files' missing
+        // columns, so the read schema can never promise non-null
+        t -> org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(_.copy(nullable = true)))
+      }.toMap
     var attempt = 0
     while (attempt < maxAttempts) {
       val commits = listCommits(fs, rp)
@@ -559,6 +670,24 @@ object TxTable {
         if (entries != null)
           entries.foreach(e => fs.delete(new Path(dataDir(rp), e.dir), true))
         return false
+      }
+      // Additive-evolution gate, re-checked per attempt against the FRESH
+      // log (a concurrent writer may have evolved the table between
+      // claims), and only after the replay skip — a replayed batch must
+      // skip quietly, not fail its twin's gate. An append may add columns
+      // but never change a shared column's type: readers NULL-fill by
+      // name, and a type flip would corrupt every historical file's read.
+      // Replace resets the schema, so it needs no check.
+      try writes.foreach { case (table, mode, df) =>
+        if (mode == "append") resolveSchema(commits, table).foreach { cur =>
+          mergeAdditive(cur, df.schema, table) // throws on a type conflict
+        }
+      } catch { case e: Throwable =>
+        // a later attempt may already have staged (a concurrent writer can
+        // evolve the table between claims) — don't leak the staged dirs
+        if (entries != null)
+          entries.foreach(e2 => fs.delete(new Path(dataDir(rp), e2.dir), true))
+        throw e
       }
       // allocate PAST any version a commit FILENAME claims, even unparseable
       // ones listCommits skipped — reusing such a number would make the
@@ -574,7 +703,7 @@ object TxTable {
       val target = commitPath(rp, v)
       val tmp = new Path(logDir(rp), f".$v%020d-$token.tmp")
       val out = fs.create(tmp, true)
-      try out.write(renderManifest(guard, batchId, entries, token)
+      try out.write(renderManifest(guard, batchId, entries, token, writeSchemas)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val claimed = lockFor(rp).synchronized {
@@ -619,7 +748,9 @@ object TxTable {
     require(files.nonEmpty, s"no committed data for table '$table' under $root")
     val totalBytes = files.map(fs.getFileStatus(_).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val compacted = spark.read.parquet(files.map(_.toString): _*).repartition(nOut)
+    // read() (not a raw file scan): mixed-schema dirs from additive
+    // evolution must compact under the evolved schema, NULL-filled
+    val compacted = read(spark, root, table).repartition(nOut)
     replace(spark, root, compacted, table)
     val after = {
       val (fs2, rp2) = fsFor(spark, root)
@@ -679,7 +810,13 @@ object TxTable {
         case first +: rest  => s"replace $t $first" +: rest.map(d => s"append $t $d")
       }
     }
-    val body = (Seq("graft-txck v1") ++ guardLines ++ entryLines).mkString("\n")
+    // the fold must not lose evolution state: each table's prefix-resolved
+    // schema rides the checkpoint (the synthetic replace re-seeds the
+    // resolveSchema fold); an unknown (legacy) schema emits nothing and
+    // the table keeps its footer-inference behavior
+    val schemaLines = tables.flatMap(t =>
+      resolveSchema(prefix, t).map(s => s"schema $t ${encodeSchema(s)}"))
+    val body = (Seq("graft-txck v1") ++ guardLines ++ schemaLines ++ entryLines).mkString("\n")
     val tmp = new Path(ld, f".$v%020d.ckpt.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

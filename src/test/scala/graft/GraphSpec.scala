@@ -171,6 +171,44 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("pageRankInt converge=true halts at the integer-mass fixpoint; result ≡ fixed-round") {
+    // A DAG (k -> k/10 digit chain over 1..300) stabilizes level by level:
+    // depth(300) = 3, so the exact fixpoint lands within a handful of
+    // rounds — far below the ceiling — and frontier rounds engage once the
+    // changed set collapses under 20% of the nodes.
+    val edges = (1L to 300L).map(k => (k, k / 10)).toDF("s", "t")
+    val (ranks, rounds) = Graph.pageRankIntWithRounds(
+      edges, "s", "t", iterations = 100, converge = true)
+    val got = ranks.as[(Long, Long)].collect().toSeq
+    assert(rounds < 100 && rounds >= 3, s"expected an early fixpoint halt, ran $rounds")
+    // converged masses ≡ the fixed-round unroll at the same round count
+    // (and at any LATER count — a fixpoint by definition)
+    val fixedSame = Graph.pageRankInt(edges, "s", "t", iterations = rounds, pinEvery = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == fixedSame, "converge (delta rounds included) must equal the full unroll")
+    val fixedLater = Graph.pageRankInt(edges, "s", "t",
+        iterations = math.min(rounds + 3, 20), pinEvery = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == fixedLater, "rounds past the fixpoint must be the identity")
+    // ... and the fixpoint property holds pointwise: one more hand round
+    // from the converged masses reproduces them (spot-check the root chain)
+    val m = got.toMap
+    assert(m(0L) == 150000L + (1L to 9L).map(k => m.getOrElse(k, 0L) * 85 / 100).sum)
+  }
+
+  test("pageRankInt converge=true throws loudly at the ceiling on a non-quantizing graph") {
+    // An ASYMMETRIC cycle (a->b->c->a plus a->c): the uniform start is far
+    // from the fixpoint and the transient decays at 0.85/round — dozens of
+    // rounds before the integer masses quantize, so a ceiling of 3 must
+    // throw, never return non-converged. (A symmetric 2-cycle would NOT
+    // do: uniform mass is already its exact fixpoint.)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("s", "t")
+    val e = intercept[IllegalStateException](
+      Graph.pageRankIntWithRounds(edges, "s", "t", iterations = 3, converge = true)
+        ._1.collect())
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("converge-mode delta rounds ≡ full rounds (frontier under 20% of voters)") {
     // K6 plus a pendant-free second clique: round 1 changes every node,
     // round 2 changes exactly the two min-id nodes (2 of 12 voters = 17%

@@ -360,11 +360,12 @@ class TxTableSpec extends AnyFunSuite {
     val joins = d.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.length == 1)
-    // a schema change between the versions refuses instead of mis-diffing
+    // a NON-additive schema change (a column vanished) refuses instead of
+    // mis-diffing; added columns instead NULL-fill (the evolution tests)
     TxTable.replace(spark, root, Seq((1, "a")).toDF("k", "payload"))
     val v3 = TxTable.versions(spark, root).last
     val e = intercept[IllegalArgumentException](TxTable.diff(spark, root, v2, v3, Seq("k")))
-    assert(e.getMessage.contains("schema changed"))
+    assert(e.getMessage.contains("vanished"))
   }
 
   test("maintainSumCount over a diff equals a full recompute, drops emptied groups") {
@@ -481,5 +482,110 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.versions(spark, root) == vsAfterFirst,
       "second invocation must not append to the commit log")
     assert(r1 == r2)
+  }
+
+  test("additive schema evolution: appended column NULL-fills history, as-of reads stay narrow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = base()
+    TxTable.replace(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TxTable.append(spark, root, Seq((3L, "c", 30), (4L, "d", 40)).toDF("k", "s", "extra"))
+    // evolved snapshot: the old files read NULL-filled under the new schema
+    val snap = TxTable.read(spark, root).orderBy("k")
+    assert(snap.columns.toSeq == Seq("k", "s", "extra"))
+    assert(snap.select("k", "extra").as[(Long, Option[Int])].collect().toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some(30)), (4L, Some(40))))
+    // time travel BELOW the evolution commit keeps the pre-evolution schema
+    val vs = TxTable.versions(spark, root)
+    val old = TxTable.readAsOf(spark, root, vs.head)
+    assert(old.columns.toSeq == Seq("k", "s"), "as-of read must not leak the later column")
+    // an append that adds ANOTHER column keeps folding additively
+    TxTable.append(spark, root, Seq((5L, "e", 50, 5.5)).toDF("k", "s", "extra", "score"))
+    assert(TxTable.read(spark, root).columns.toSeq == Seq("k", "s", "extra", "score"))
+    assert(TxTable.read(spark, root).where(col("k") === 3L)
+      .select("score").as[Option[Double]].head().isEmpty)
+  }
+
+  test("schema evolution refuses a type change; replace resets the schema") {
+    import spark.implicits._
+    val root = base()
+    TxTable.replace(spark, root, Seq((1L, 10)).toDF("k", "x"))
+    // append with x re-typed string must fail LOUDLY, not corrupt reads
+    val e = intercept[IllegalArgumentException](
+      TxTable.append(spark, root, Seq((2L, "oops")).toDF("k", "x")))
+    assert(e.getMessage.contains("schema conflict") && e.getMessage.contains("x"))
+    // ...and the failed attempt leaked no staged data: snapshot unchanged
+    assert(TxTable.read(spark, root).count() == 1L)
+    // replace RESETS the schema — a full rewrite may re-type freely
+    TxTable.replace(spark, root, Seq((1L, "now-a-string")).toDF("k", "x"))
+    assert(TxTable.read(spark, root).schema("x").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("diff + IVM across the evolution boundary: no spurious updates, maintained ≡ recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = base()
+    // v1: narrow; v2: REPLACE re-writing the survivors with a new column
+    // populated — surviving unchanged-value rows must classify as updates
+    // ONLY because the flag moved NULL -> value; rows whose values and
+    // (NULL) flag are identical post-alignment emit nothing
+    TxTable.replace(spark, root,
+      Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "h", 30.0)).toDF("k", "grp", "v"))
+    TxTable.append(spark, root, Seq((4L, "h", 40.0, 4)).toDF("k", "grp", "v", "flag"))
+    val vs = TxTable.versions(spark, root)
+    val cdc = TxTable.diff(spark, root, vs.head, vs.last, Seq("k"))
+    // appended row 4 is the only change: surviving rows align bit-equal
+    // (flag NULL on both sides), so NO update pair appears
+    val events = cdc.select("k", "change").as[(Long, String)].collect().toSeq.sorted
+    assert(events == Seq((4L, "insert")))
+    // IVM across the boundary: maintain v1's (sum, count) with the cdc and
+    // match a full recompute of the evolved snapshot bit-exactly
+    val base1 = graft.ops.Summaries.sumCountAgg(
+      TxTable.readAsOf(spark, root, vs.head), Seq("grp"), col("v"), "sv", "n")
+    val maintained = graft.ops.Summaries.maintainSumCount(
+        base1, cdc, Seq("grp"), col("v"), "sv", "n")
+      .select(col("grp"), col("sv").cast("double").as("sv"), col("n"))
+      .orderBy("grp").as[(String, Double, Long)].collect().toSeq
+    val recomputed = graft.ops.Summaries.sumCountAgg(
+        TxTable.read(spark, root), Seq("grp"), col("v"), "sv", "n")
+      .select(col("grp"), col("sv").cast("double").as("sv"), col("n"))
+      .orderBy("grp").as[(String, Double, Long)].collect().toSeq
+    assert(maintained == recomputed)
+    // a genuine NULL -> value flag transition IS an update (both images)
+    TxTable.replace(spark, root,
+      Seq((1L, "g", 10.0, 1), (2L, "g", 20.0, 2), (3L, "h", 30.0, 3),
+        (4L, "h", 40.0, 4)).toDF("k", "grp", "v", "flag"))
+    val vs2 = TxTable.versions(spark, root)
+    val cdc2 = TxTable.diff(spark, root, vs2(vs2.length - 2), vs2.last, Seq("k"))
+    val byChange = cdc2.groupBy("change").count()
+      .as[(String, Long)].collect().toMap
+    // rows 1-3 gained a flag (update), row 4 is bit-identical (nothing)
+    assert(byChange == Map("update_pre" -> 3L, "update_post" -> 3L))
+    assert(cdc2.where(col("change") === "update_pre").select("flag")
+      .as[Option[Int]].collect().forall(_.isEmpty),
+      "pre-images must carry the NULL-filled flag")
+  }
+
+  test("evolved schema survives the log checkpoint fold") {
+    import spark.implicits._
+    // drive past LogCheckpointEvery so the log folds, with the evolution
+    // commit in the FOLDED prefix — the checkpoint must re-seed the
+    // resolveSchema fold or history would silently lose the column
+    val root = base()
+    TxTable.replace(spark, root, Seq((0L, "s")).toDF("k", "s"))
+    TxTable.append(spark, root, Seq((1L, "s", 1)).toDF("k", "s", "extra"))
+    (2 to 70).foreach(i => TxTable.append(spark, root, Seq((i.toLong, "s", i)).toDF("k", "s", "extra")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_log"))
+      .map(_.getPath.getName)
+    assert(names.exists(_.endsWith(".ckpt")), "log should have checkpointed")
+    val snap = TxTable.read(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "s", "extra"))
+    assert(snap.where(org.apache.spark.sql.functions.col("k") === 0L)
+      .select("extra").as[Option[Int]].head().isEmpty,
+      "the pre-evolution row must stay NULL-filled after the fold")
+    assert(snap.count() == 71L)
   }
 }
