@@ -954,6 +954,49 @@ object SparkEntry {
           exactSum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("change"), col("o_orderstatus"))
     }),
+
+    // Multimodal near-dup: REAL in-plan WAV synthesis and byte-level PCM
+    // decode (the q56 machinery), perceptual dHash over the decoded lane
+    // embedding, Hamming-banded LSH pairs (pigeonhole recall 1.0 — the
+    // oracle replays the hash formula and filters ALL pairs, which the
+    // banded plan must reproduce exactly). Docs come in groups of 4 on one
+    // base signal: members r = 0,1,2 differ by a constant sample offset —
+    // gradient-sign-invariant, so they dHash (near-)identically — while
+    // r = 3 is an unrelated signal. Sample counts are multiples of the 32
+    // lanes so a constant offset shifts equal-count lanes equally.
+    "q202_audio_neardup" -> ((s, d) => {
+      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+      val g = expr("doc_id DIV 4")
+      val r = col("doc_id") % 4
+      val n = ((g % 4 + 4) * 32).cast("int")
+      val sampleHex = array_join(
+        transform(sequence(lit(0), n - 1), i => {
+          // square-mixed generative formula: the g² / i² products decorrelate
+          // lane gradients ACROSS groups (a linear g·a + i·b form left lane
+          // orderings correlated over g — measured 10,141 hamming<=2 pairs on
+          // 500 docs vs the 375 true within-group ones; this form yields
+          // exactly the 375) while the +r offset stays gradient-invariant
+          val sv = when(r === 3,
+            pmod((col("doc_id") * col("doc_id") + 7) * (i * i + 31), lit(65536)) - 32768)
+            .otherwise(
+              pmod((g * g * 131 + 7) * (i * i * 17 + i + 31) + r, lit(65536)) - 32768)
+          val tc = pmod(sv, lit(65536)) // two's-complement 16-bit image
+          concat(lpad(hex(pmod(tc, lit(256))), 2, "0"), lpad(hex(shiftright(tc, 8)), 2, "0"))
+        }), "")
+      val payload = concat(
+        lit("RIFF").cast("binary"), le(n * 2 + 36, 4), lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), unhex(lit("10000000")),
+        le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data").cast("binary"), le(n * 2, 4),
+        unhex(sampleHex))
+      val src = t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+      Multimodal.audioNearDupPairs(Tables.spread(src), "doc_id", "payload",
+          lanes = 32, maxHamming = 2)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
   )
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -3976,6 +4019,33 @@ object SparkEntry {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
          FROM v2 GROUP BY o_orderstatus
          ORDER BY change, o_orderstatus""",
+
+    // Replays the WAV payloads' generative formula (lane sums straight
+    // from the sample arithmetic — the engine instead decodes the actual
+    // bytes), builds the same dHash, and filters ALL pairs by Hamming
+    // distance: the banded-LSH plan has pigeonhole recall 1.0, so it must
+    // reproduce the quadratic filter exactly.
+    "q202_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+         s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
+         v AS (SELECT doc_id, CAST(i % 32 AS INT) AS lane,
+                      CASE WHEN r = 3
+                           THEN (((doc_id * doc_id + 7) * (i * i + 31)) % 65536) - 32768
+                           ELSE (((g * g * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768
+                      END AS sv
+               FROM s),
+         lanes AS (SELECT doc_id, lane, SUM(sv) AS ls FROM v GROUP BY doc_id, lane),
+         hx AS (SELECT a.doc_id,
+                       CAST(SUM(CASE WHEN b.ls > a.ls THEN (1::BIGINT << a.lane)
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM lanes a JOIN lanes b
+                  ON a.doc_id = b.doc_id AND b.lane = a.lane + 1
+                GROUP BY a.doc_id)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM hx x JOIN hx y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 2
+         ORDER BY a, b""",
   )
 
   /** The q200/q201 evolution snapshots replayed from the base table —

@@ -173,4 +173,74 @@ object Multimodal {
       .toDF(idCol, "format", "byte_len", "sample_rate", "channels", "bits",
         "n_samples", "sum_s", "sum_sq", "peak", "zero_cross", "features")
   }
+
+  /** Perceptual difference-hash (dHash) over a decoded signal's `lanes`
+    * per-lane sums: bit j (j = 0 .. lanes−2) is set iff
+    * `lane[j+1] > lane[j]` — the sign of the local gradient, the classic
+    * dHash construction applied to the exact-integer lane embedding
+    * [[decodeFeatures]] produces from REAL byte decode. Gradient signs are
+    * invariant to uniform gain/offset (a constant shift moves equal-count
+    * lanes equally), which is what makes it a NEAR-dup hash rather than an
+    * exact digest. Built from `lanes − 1` literal-index comparisons —
+    * whole-stage codegen, no HOF lambda, no per-row allocation.
+    */
+  def audioDHash(features: Column, lanes: Int): Column = {
+    require(lanes >= 2 && lanes <= 61, "lanes in [2, 61]")
+    (0 until lanes - 1).map { j =>
+      when(element_at(features, j + 2) > element_at(features, j + 1),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _) // disjoint bits: + ≡ bitwise or
+  }
+
+  /** Multimodal near-duplicate pairs: decode each payload's PCM for real
+    * ([[decodeFeatures]] — byte-level WAV parse, the q56 pattern), dHash
+    * the lane embedding, then find all id pairs within `maxHamming` bits —
+    * EXACTLY, via Hamming-banded LSH, never an all-pairs join.
+    *
+    * Banding is the pigeonhole construction: the `lanes − 1` hash bits
+    * split into `maxHamming + 1` contiguous bands; two hashes within
+    * `maxHamming` bits differ in at most `maxHamming` bands, so AT LEAST
+    * ONE band matches exactly — candidate recall is 1.0 by construction
+    * (not probabilistic), and the exact `bit_count(a ^ b) <= maxHamming`
+    * verify on candidates reproduces the all-pairs answer bit-for-bit.
+    * That equivalence is what lets the DuckDB oracle replay the operator
+    * as a plain quadratic filter at test scale while the engine runs the
+    * banded plan at any scale: per-band equi-join on ~(lanes−1)/(maxH+1)
+    * bit keys, exchange volume ∝ matching-bucket occupancy.
+    *
+    * Undecodable payloads (not 16-bit PCM WAV) are excluded — a corrupt
+    * blob cannot be "similar" to anything.
+    *
+    * Output: `(a, b, hamming)` with `a < b`, one row per qualifying pair.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int = 32, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    val nBits = lanes - 1
+    val bands = maxHamming + 1
+    val width = (nBits + bands - 1) / bands
+    val hashed = decodeFeatures(df, idCol, payloadCol, lanes)
+      .filter(col("features").isNotNull)
+      .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
+      // two consumers (both sides of the band join + the verify joins):
+      // pin the decoded hashes instead of re-decoding per consumer
+      .localCheckpoint(false)
+    val bandStructs = (0 until bands).map { b =>
+      val mask = (1L << math.min(width, nBits - b * width)) - 1
+      struct(lit(b).as("band"),
+        (shiftright(col("h"), b * width).bitwiseAND(lit(mask))).as("key"))
+    }
+    val banded = hashed.select(col("id"), col("h"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct() // a pair may collide in several bands — emit once
+    cand.select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -139,6 +139,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(eightBit, 2).isEmpty)
   }
 
+  test("audioDHash: gradient signs are invariant to a constant sample offset") {
+    // equal-count lanes shift equally under +c, so every lane[j+1] > lane[j]
+    // comparison — hence the hash — is unchanged; an unrelated signal hashes
+    // differently
+    val base   = (0 until 64).map(i => (i * 104729 % 60000) - 30000) // headroom for +2
+    val bumped = base.map(_ + 2) // UNIFORM offset — every lane shifts equally
+    val other = (0 until 64).map(i => (i * 31 + 7) % 200 - 100)
+    val df = Seq((1L, wavBytes(8000, base)), (2L, wavBytes(8000, bumped)),
+      (3L, wavBytes(8000, other))).toDF("id", "payload")
+    val hs = Multimodal.decodeFeatures(df, "id", "payload", dim = 32)
+      .select($"id", Multimodal.audioDHash($"features", 32).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L), "a uniform offset must not move the dHash")
+    assert(hs(1L) != hs(3L), "an unrelated signal must hash differently")
+  }
+
+  test("audio near-dup: banded pairs ≡ brute-force all-pairs; CC survivors keep group min") {
+    // 12 docs in 3 groups of 4 on the q202 generative formula: r = 0,1,2
+    // share a base signal (constant offset apart), r = 3 is unrelated
+    def sample(doc: Long, i: Int): Int = {
+      val g = doc / 4; val r = doc % 4
+      val il = i.toLong
+      val raw = if (r == 3) (doc * doc + 7) * (il * il + 31)
+                else (g * g * 131 + 7) * (il * il * 17 + il + 31) + r
+      (Math.floorMod(raw, 65536L) - 32768L).toInt
+    }
+    val docs = (0L until 12L).map { doc =>
+      val n = ((doc / 4 % 4) + 4).toInt * 32
+      (doc, wavBytes(8000, (0 until n).map(i => sample(doc, i))))
+    }
+    val df = docs.toDF("doc_id", "payload")
+    val got = Multimodal.audioNearDupPairs(df, "doc_id", "payload",
+        lanes = 32, maxHamming = 2)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over the same decoded hashes
+    val hs = Multimodal.decodeFeatures(df, "doc_id", "payload", 32)
+      .select($"doc_id", Multimodal.audioDHash($"features", 32).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      ham = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if ham <= 2
+    } yield (a, b, ham)).toSet
+    assert(got == brute, "pigeonhole banding must reproduce the all-pairs filter exactly")
+    // the offset triples pair up within each group
+    for (g <- 0L until 3L)
+      assert(got.contains((g * 4, g * 4 + 1, 0)) && got.contains((g * 4, g * 4 + 2, 0)),
+        s"group $g's offset variants must pair")
+    // CC survivors over the pairs: each group collapses to its min id
+    val surv = graft.ops.Dedup.nearDupSurvivors(
+        Multimodal.audioNearDupPairs(df, "doc_id", "payload", 32, 2)
+          .select($"a", $"b"), "a", "b")
+      .as[(Long, Long, Boolean)].collect()
+    assert(surv.filter(_._3).map(_._1).toSet.subsetOf(Set(0L, 4L, 8L) ++ (0L until 12L).filter(_ % 4 == 3)),
+      "only group minima (and unpaired docs, absent here) may survive")
+    for (g <- Seq(0L, 4L, 8L))
+      assert(surv.filter(r => r._1 / 4 == g / 4 && r._1 % 4 != 3).forall(_._2 == g),
+        s"group starting at $g must share component $g")
+  }
+
   test("decodeFeatures preserves partitioning (no shuffle in the plan)") {
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload").repartition(3)
     val out = Multimodal.decodeFeatures(df, "id", "payload", 2)
