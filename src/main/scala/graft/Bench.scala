@@ -82,7 +82,35 @@ object Bench {
     // drop the loop body, leaving an empty nanoTime spin). blocks is a
     // whole-block count so its low bit carries no timing information —
     // xor-ing x's low bit in perturbs the reading by at most ±1 block.
-    s"""{"cpu":${jstr(cpu)},"cores":$cores,"xorshift_mops":${blocks ^ (x & 1L)}}"""
+    s"""{"cpu":${jstr(cpu)},"cores":$cores,"xorshift_mops":${blocks ^ (x & 1L)},"disk_w_mbps":${diskWriteMbps()}}"""
+  }
+
+  /** Buffered-write throughput probe (128 MB, plain FileOutputStream +
+    * fsync, MB/s) — the second axis of the host fingerprint. The round-14
+    * session caught this box's writeback throttled to ~14 MB/s while its
+    * CPU fingerprint read healthy (448 Mops): every shuffle-heavy query
+    * inflated 5-10× with cpu/gc/plan all normal, which the CPU fingerprint
+    * alone cannot explain (q147 at ×100: 347 s with 11.8 GB of shuffle —
+    * the disk WAS the time). A reading here under ~50 MB/s marks the whole
+    * artifact as IO-throttled; shuffle-volume × this rate bounds any
+    * shuffle-heavy query's floor. Runs once, after the suite.
+    */
+  private def diskWriteMbps(): Long = {
+    val f = java.io.File.createTempFile("graft_bench_io", ".bin")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 128) { out.write(buf); i += 1 }
+        out.getFD.sync() // writeback included — buffered-only would time memcpy
+      } finally out.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      math.round(128.0 / sec)
+    } catch { case _: Throwable => -1L }
+    finally { f.delete(); () }
   }
 
   def main(args: Array[String]): Unit = {
