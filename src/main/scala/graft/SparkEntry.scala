@@ -976,11 +976,18 @@ object SparkEntry {
           // lane gradients ACROSS groups (a linear g·a + i·b form left lane
           // orderings correlated over g — measured 10,141 hamming<=2 pairs on
           // 500 docs vs the 375 true within-group ones; this form yields
-          // exactly the 375) while the +r offset stays gradient-invariant
+          // exactly the 375) while the +r offset stays gradient-invariant.
+          // Ids reduce mod 2^16 BEFORE squaring: raw doc_id² overflowed long
+          // at the ×30 replica id range (caught by the ×30 cluster sweep —
+          // ANSI mode threw, a correct loud failure); the reduction is the
+          // identity at every oracle scale (doc_id < 65536) and keeps every
+          // intermediate under 2^60 at any scale.
+          val g16 = pmod(g, lit(65536))
+          val d16 = pmod(col("doc_id"), lit(65536))
           val sv = when(r === 3,
-            pmod((col("doc_id") * col("doc_id") + 7) * (i * i + 31), lit(65536)) - 32768)
+            pmod((d16 * d16 + 7) * (i * i + 31), lit(65536)) - 32768)
             .otherwise(
-              pmod((g * g * 131 + 7) * (i * i * 17 + i + 31) + r, lit(65536)) - 32768)
+              pmod((g16 * g16 * 131 + 7) * (i * i * 17 + i + 31) + r, lit(65536)) - 32768)
           val tc = pmod(sv, lit(65536)) // two's-complement 16-bit image
           concat(lpad(hex(pmod(tc, lit(256))), 2, "0"), lpad(hex(shiftright(tc, 8)), 2, "0"))
         }), "")
@@ -4030,8 +4037,8 @@ object SparkEntry {
          s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
          v AS (SELECT doc_id, CAST(i % 32 AS INT) AS lane,
                       CASE WHEN r = 3
-                           THEN (((doc_id * doc_id + 7) * (i * i + 31)) % 65536) - 32768
-                           ELSE (((g * g * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768
+                           THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (i * i + 31)) % 65536) - 32768
+                           ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768
                       END AS sv
                FROM s),
          lanes AS (SELECT doc_id, lane, SUM(sv) AS ls FROM v GROUP BY doc_id, lane),

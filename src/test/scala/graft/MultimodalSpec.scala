@@ -161,8 +161,9 @@ class MultimodalSpec extends AnyFunSuite {
     def sample(doc: Long, i: Int): Int = {
       val g = doc / 4; val r = doc % 4
       val il = i.toLong
-      val raw = if (r == 3) (doc * doc + 7) * (il * il + 31)
-                else (g * g * 131 + 7) * (il * il * 17 + il + 31) + r
+      val g16 = g % 65536; val d16 = doc % 65536 // overflow guard (q202 form)
+      val raw = if (r == 3) (d16 * d16 + 7) * (il * il + 31)
+                else (g16 * g16 * 131 + 7) * (il * il * 17 + il + 31) + r
       (Math.floorMod(raw, 65536L) - 32768L).toInt
     }
     val docs = (0L until 12L).map { doc =>
