@@ -514,6 +514,24 @@ object SparkEntry {
       Text.nameSimilarityPairs(t(s, d, "part"), "p_name", 0.85)
         .orderBy(col("name_a"), col("name_b"))
     }),
+
+    // The full BPE tokenizer-TRAINING loop (q119 is just round one's
+    // counting step): 8 rounds of count-pairs / argmax / merge-everywhere
+    // over the persisted word-frequency vocabulary; the oracle unrolls the
+    // same 8 rounds with the same spaced-symbol replace device
+    "q203_bpe_train" -> ((s, d) => {
+      Text.bpeTrain(Tables.spread(t(s, d, "documents")), "text", 8)
+        .orderBy(col("merge_rank"))
+    }),
+
+    // Tokenizer APPLICATION — encode the corpus with the 8 trained merges:
+    // rules collected to the driver (k rows), compiled to a replace chain
+    // over the DISTINCT-word encode vocabulary, then a fact×dimension join
+    // back (AQE broadcast-converts the vocab side) + per-doc aggregate
+    "q204_bpe_encode" -> ((s, d) => {
+      Text.bpeEncode(Tables.spread(t(s, d, "documents")), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** SURVEY §2.10 T4/T5, §2.5 J7, §2.7 A9, §2.3 F17 — embedding-vector
@@ -3668,7 +3686,82 @@ object SparkEntry {
          FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
          WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 10000 + 0.5)/10000 >= 0.85
          ORDER BY name_a, name_b""",
+    "q203_bpe_train" -> bpeTrainOracle(8),
+    "q204_bpe_encode" -> bpeEncodeOracle(8),
   )
+
+  /** q203's oracle: `Text.bpeTrain`'s k merge rounds unrolled as chained
+    * CTEs — each round's top pair from the previous round's spaced-symbol
+    * vocabulary, then the SAME single-`replace` greedy-merge device the
+    * Spark side uses (see the [[graft.ops.Text.bpeTrain]] scaladoc for why
+    * one left-to-right `replace` over double-space separators IS the BPE
+    * merge). Data-dependent loops cannot be written in one static SQL
+    * string, so the round count is fixed and unrolled — the q198/q199
+    * converge-oracle trick, minus the fixpoint (BPE never converges, it
+    * just stops at k).
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val sel = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt FROM t$r")
+      .mkString("\n         UNION ALL ")
+    s"${bpeRoundsCte(k)}\n         $sel\n         ORDER BY merge_rank"
+  }
+
+  /** q204's oracle: the same k training rounds, then the encode vocabulary
+    * (1-char words kept — merges never touch them), the k merges applied as
+    * one nested replace chain, and the per-document word→symbol-count join.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val chain = (1 to k).foldLeft("s") { (acc, r) =>
+      s"replace($acc, ' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ', ' ' || (SELECT a || b FROM t$r) || ' ')"
+    }
+    s"""${bpeRoundsCte(k)},
+         enc AS MATERIALIZED (
+                SELECT w, len(string_split(trim($chain), '  ')) n_syms
+                FROM (SELECT w, ' ' || array_to_string([substr(w, i, 1) for i in range(1, len(w) + 1)], '  ') || ' ' s
+                      FROM v WHERE len(w) >= 1)),
+         dw AS (SELECT doc_id, w FROM (
+                  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) w
+                  FROM documents) WHERE len(w) >= 1),
+         cnts AS (SELECT doc_id, count(*) n_words, CAST(sum(n_syms) AS BIGINT) n_bpe_tokens
+                  FROM dw JOIN enc USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+                CAST(coalesce(c.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         FROM documents d LEFT JOIN cnts c USING (doc_id)
+         ORDER BY d.doc_id"""
+  }
+
+  /** Shared CTE chain for q203/q204: word-frequency vocabulary, then k
+    * unrolled (pair-count → argmax `t_r` → merge-applied `w_r`) rounds.
+    *
+    * AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    * every round references its predecessor several times (t_r three times
+    * in w_r alone) — inlined, the unrolled chain re-expands w0 ~4^k times
+    * and exhausts file handles before it exhausts patience.
+    */
+  private def bpeRoundsCte(k: Int): String = {
+    val head =
+      """WITH v AS MATERIALIZED (SELECT w, count(*) nw FROM (
+                      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) w
+                      FROM documents) GROUP BY w),
+         w0 AS MATERIALIZED (SELECT ' ' || array_to_string([substr(w, i, 1) for i in range(1, len(w) + 1)], '  ') || ' ' s,
+                       nw
+                FROM v WHERE len(w) >= 2)"""
+    val rounds = (1 to k).map { r =>
+      s""",
+         t$r AS MATERIALIZED (
+                 SELECT a, b, CAST(sum(nw) AS BIGINT) cnt
+                 FROM (SELECT unnest(l[1:len(l)-1]) a, unnest(l[2:len(l)]) b, nw
+                       FROM (SELECT string_split(trim(s), '  ') l, nw FROM w${r - 1}))
+                 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+         w$r AS MATERIALIZED (
+                 SELECT replace(s,
+                   ' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ',
+                   ' ' || (SELECT a || b FROM t$r) || ' ') s, nw FROM w${r - 1})"""
+    }.mkString
+    head + rounds
+  }
 
   private def similarityOracles: Map[String, String] = Map(
     "q117_kmeans" ->

@@ -107,6 +107,173 @@ object Text {
       .limit(k)
   }
 
+  /** The FULL byte-pair-encoding tokenizer-training loop — `merges` rounds
+    * of (count adjacent symbol pairs, merge the argmax pair everywhere) —
+    * where [[bpePairCounts]] is only round one's counting step. Returns the
+    * merge table `(merge_rank, sym_a, sym_b, merged, cnt)` in training
+    * order, i.e. the tokenizer itself.
+    *
+    * Scale shape: the corpus reduces to the word-frequency VOCABULARY once
+    * (the only corpus-sized exchange — the classic BPE-training move: every
+    * round after it runs over distinct words, which are bounded by language,
+    * not by corpus size). The vocabulary is persisted and COUNTED (a bounded
+    * probe): at or under [[MaxDriverVocab]] entries the k sequential merge
+    * rounds run driver-side on the collected table — the loop is inherently
+    * sequential, so 2k distributed round trips over an in-memory-sized
+    * table is pure overhead — and above it they run distributed, each round
+    * one small (pair, count) aggregate plus a ONE-ROW driver fetch.
+    *
+    * Merge-application device (shared verbatim with the SQL oracle): each
+    * word is held as a spaced-symbol string — single boundary spaces,
+    * DOUBLE-space separators, `" l  o  w "`. Replacing `" a  b "` with
+    * `" ab "` is then exactly BPE's left-to-right non-overlapping greedy
+    * merge: both engines' `replace` scans left to right, the double
+    * separators stop a match from consuming the boundary space of the next
+    * candidate (`" a  a  a "` → `" aa  a "`, never `" a  aa "`), and
+    * symbols can never collide with the delimiters because they come from
+    * whitespace-split tokens. Ties in the argmax break on (sym_a, sym_b)
+    * binary order — identical in Spark and DuckDB on lowercased text.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeTrainImpl(docs, textCol, merges, MaxDriverVocab)
+
+  /** Vocabularies at or under this row count train DRIVER-SIDE after the
+    * corpus-shaped aggregate: the k-round merge loop is sequential by
+    * construction (each argmax depends on the previous merge), so the
+    * distributed form pays 2k tiny-job round trips to aggregate a table
+    * that fits in memory with room to spare — every production BPE trainer
+    * collects the word-count table at exactly this point. 2^20 entries
+    * bounds the fetch at tens of MB (the `Curation.madOutliers` bounded-
+    * probe pattern); natural-language vocabularies under a
+    * frequency-floored regime sit well under it, and anything larger falls
+    * back to the distributed loop rather than refusing.
+    */
+  private[graft] val MaxDriverVocab: Long = 1L << 20
+
+  private[graft] def bpeTrainImpl(
+      docs: DataFrame, textCol: String, merges: Int, maxDriverVocab: Long): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      .filter(length(col("w")) >= 2) // single-char words never pair or merge
+      .select(
+        concat(lit(" "), array_join(charNgrams(col("w"), 1), "  "), lit(" ")).as("s"),
+        col("nw"))
+      .persist()
+    val nVocab = vocab.count() // bounded probe AND the persist materializer
+
+    val merged =
+      if (nVocab <= maxDriverVocab) bpeTrainLocal(vocab, merges)
+      else bpeTrainDistributed(vocab, merges)
+    vocab.unpersist()
+    import spark.implicits._
+    merged.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt")
+  }
+
+  /** In-memory merge loop over the collected (spaced-word, count) table.
+    * Same algorithm, same tie-break, same left-to-right `String.replace`
+    * greedy-merge semantics as the distributed form (TextSpec pins the
+    * two paths equal); the boundary spaces the spaced form carries are
+    * stripped positionally, never by trim, so exotic control characters
+    * inside tokens cannot skew the local path.
+    */
+  private def bpeTrainLocal(
+      vocab: DataFrame, merges: Int): Seq[(Int, String, String, String, Long)] = {
+    var cur = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= merges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, nw) <- cur) {
+        val syms = s.substring(1, s.length - 1).split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + nw
+          i += 1
+        }
+      }
+      if (counts.isEmpty) r = merges + 1
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merged += ((r, a, b, a + b, c))
+        val (pat, rep) = (" " + a + "  " + b + " ", " " + a + b + " ")
+        cur = cur.map { case (s, nw) => (s.replace(pat, rep), nw) }
+        r += 1
+      }
+    }
+    merged.toSeq
+  }
+
+  /** Distributed merge loop: per round, one small (pair, count) exchange
+    * over the persisted vocabulary plus a ONE-ROW driver fetch (the argmax
+    * — the merge decision, not data); the merge application is a chained
+    * codegen'd `replace` with no exchange at all.
+    */
+  private def bpeTrainDistributed(
+      vocab: DataFrame, merges: Int): Seq[(Int, String, String, String, Long)] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var cur: Column = col("s")
+    for (r <- 1 to merges) {
+      val syms = split(trim(cur), "  ")
+      val top = vocab
+        .select(col("nw"), col("s"), posexplode(syms).as(Seq("i", "a")))
+        .filter(col("i") < size(syms) - 1)
+        .select(col("a"), element_at(syms, col("i") + 2).as("b"), col("nw"))
+        .groupBy(col("a"), col("b")).agg(sum(col("nw")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // bounded: exactly one row — the round's argmax
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merged += ((r, a, b, a + b, c))
+        cur = replace(cur, lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
+      }
+    }
+    merged.toSeq
+  }
+
+  /** Tokenizer APPLICATION — the corpus-shaped half of BPE ([[bpeTrain]] is
+    * the vocab-shaped half): encode every document with the first `merges`
+    * trained merge rules and report its BPE token count.
+    *
+    * Scale shape: training runs first (vocab-bounded, see [[bpeTrain]]);
+    * the merge RULES come to the driver (k rows) and are compiled into a
+    * chain of k `replace` calls applied once per DISTINCT word — never per
+    * occurrence — on an encode vocabulary that keeps 1-char words (they
+    * encode as themselves; [[bpeTrain]] drops them only because they can
+    * never pair). The corpus then joins words→symbol-counts and partially
+    * aggregates per document: the join side is the vocabulary (bounded by
+    * language), which AQE broadcast-converts when it fits — the classic
+    * fact×dimension shape, so encoding 100 TB never shuffles the corpus
+    * beyond the explode's own partial aggregate.
+    *
+    * @return (id, n_words, n_bpe_tokens) per document; empty/whitespace-only
+    *         documents count zero of both (the `[""]` token is dropped).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val rules = bpeTrain(docs, textCol, merges).collect() // bounded: k merge rows
+    var s: Column = col("s")
+    for (r <- rules) {
+      val (a, b) = (r.getString(1), r.getString(2))
+      s = replace(s, lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
+    }
+    val vocabEnc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1).distinct()
+      .select(col("w"),
+        concat(lit(" "), array_join(charNgrams(col("w"), 1), "  "), lit(" ")).as("s"))
+      .select(col("w"), size(split(trim(s), "  ")).as("n_syms"))
+    val counts = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(vocabEnc, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Substring-level duplication census: for each document, how much of it
     * is covered by token n-gram windows that occur MORE THAN ONCE in the
     * corpus (any document, including elsewhere in the same one) — the

@@ -464,6 +464,56 @@ class TextSpec extends AnyFunSuite {
     assert(out == out.sortBy(p => (-p._2, p._1))) // (cnt desc, pair) order
   }
 
+  test("bpeTrain: multi-round merges, greedy left-to-right, lexicographic ties") {
+    // aaab ×3, aab ×2: round 1 counts (a,a) = 3·2 + 2·1 = 8 (GREEDY pair
+    // counting inside 'aaa' sees positions 1-2 and 2-3 — both count, but
+    // the MERGE consumes left-to-right: aaa -> (aa)a, never a(aa));
+    // (a,b) = 5 loses. After merging (a,a): aaab -> aa,a,b; aab -> aa,b.
+    val docs = Seq(
+      (1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val out = Text.bpeTrain(docs, "text", 3)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(out.head == ((1, "a", "a", "aa", 8L)))
+    // round 2: pairs now (aa,a)=3, (a,b)=3, (aa,b)=2 — tie 3 vs 3 breaks
+    // lexicographically: ("a","b") < ("aa","a") by sym_a binary order
+    assert(out(1) == ((2, "a", "b", "ab", 3L)))
+    // round 3: aaab is now aa,ab (the merged 'ab' blocked (aa,a)); aab is aa,b
+    // pairs: (aa,ab)=3, (aa,b)=2
+    assert(out(2) == ((3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = Text.bpeTrain(docs, "text", 5)
+      .as[(Int, String, String, String, Long)].collect().toList
+    // one merge exhausts every word; rounds 2-5 find nothing and emit nothing
+    assert(out == List((1, "a", "b", "ab", 2L)))
+  }
+
+  test("bpeTrain local and distributed paths produce identical merge tables") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab aab aab low lower lowest low low"),
+      (2L, "newer newest wider wide new ab x")).toDF("doc_id", "text")
+    val local = Text.bpeTrainImpl(docs, "text", 6, maxDriverVocab = Long.MaxValue)
+      .as[(Int, String, String, String, Long)].collect().toList
+    val dist = Text.bpeTrainImpl(docs, "text", 6, maxDriverVocab = 0L)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(local == dist)
+    assert(local.length == 6)
+  }
+
+  test("bpeEncode: trained merges shrink token counts; 1-char and empty docs") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab aab aab"), // merges (a,a), (a,b), (aa,ab) — see bpeTrain spec
+      (2L, "a b"),                    // 1-char words: encode as themselves
+      (3L, "  ")).toDF("doc_id", "text") // whitespace-only: zero of both
+    val out = Text.bpeEncode(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    // doc 1: aaab -> one merged symbol (3 words × 1) + aab -> (aa, b) (2 × 2) = 7
+    assert(out == List((1L, 5L, 7L), (2L, 2L, 2L), (3L, 0L, 0L)))
+  }
+
   test("vocabCoverage: counts, deterministic order, cumulative share reaches 1") {
     val docs = Seq(
       (1L, "a a a b"),
