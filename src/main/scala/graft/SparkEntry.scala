@@ -2126,6 +2126,23 @@ object SparkEntry {
         .orderBy(col("z"))
     }),
 
+    // q103's layout census on the HILBERT curve: equal-population 16×16
+    // quantile cells (over events — a different fact table than q103's, so
+    // the suite doesn't pay the same census twice), indexed by the
+    // jump-free walk (consecutive indices are grid-adjacent where Morton
+    // teleports at quadrant boundaries); the oracle replays the
+    // quadrant-rotation arithmetic as four unrolled CTE steps
+    "q205_hilbert_cells" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val binned = Summaries.quantileBins(ev,
+        Seq(("value", 16, "bx"), ("user_id", 16, "by")))
+      binned
+        .withColumn("h", Storage.hilbertValue(col("bx"), col("by"), 4))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    }),
+
     // statistical aggregates: correlation, sample stddev (r4 masks the
     // partition-order jitter of streaming co-moments)
     "q64_stats" -> ((s, d) => {
@@ -3763,6 +3780,38 @@ object SparkEntry {
     head + rounds
   }
 
+  /** q205's oracle: q103's equal-population binning (at 2^bits cells per
+    * axis), then `Storage.hilbertValue`'s quadrant-rotation arithmetic
+    * unrolled as one CTE step per bit level — integer-exact, replayed
+    * verbatim (reflection within the FULL grid at every level).
+    */
+  private def hilbertCellsOracle(bits: Int): String = {
+    val n  = 1L << bits
+    val n1 = n - 1
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, j) =>
+      val s = 1L << i
+      s""",
+         h${j + 1} AS (
+           SELECT CASE WHEN (y & $s) = 0
+                       THEN CASE WHEN (x & $s) > 0 THEN $n1 - y ELSE y END
+                       ELSE x END AS x,
+                  CASE WHEN (y & $s) = 0
+                       THEN CASE WHEN (x & $s) > 0 THEN $n1 - x ELSE x END
+                       ELSE y END AS y,
+                  d + ${s * s} * xor(CASE WHEN (x & $s) > 0 THEN 3 ELSE 0 END,
+                                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+           FROM h$j)"""
+    }.mkString
+    s"""WITH cx AS (SELECT quantile_cont(value, [x / $n.0 for x in range(1, ${n.toInt})]) AS cs FROM events),
+         cy AS (SELECT quantile_cont(user_id, [x / $n.0 for x in range(1, ${n.toInt})]) AS cs FROM events),
+         b AS (
+           SELECT len(list_filter((SELECT cs FROM cx), c -> c <= value)) AS bx,
+                  len(list_filter((SELECT cs FROM cy), c -> c <= user_id)) AS qb
+           FROM events),
+         h0 AS (SELECT CAST(bx AS BIGINT) AS x, CAST(qb AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM b)$steps
+         SELECT d AS h, count(*) AS n FROM h$bits GROUP BY d ORDER BY d"""
+  }
+
   private def similarityOracles: Map[String, String] = Map(
     "q117_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
@@ -4871,6 +4920,7 @@ object SparkEntry {
                                  for p in range(0, 4)]) AS BIGINT) AS z
            FROM b)
          SELECT z, count(*) AS n FROM zz GROUP BY z ORDER BY z""",
+    "q205_hilbert_cells" -> hilbertCellsOracle(4),
     "q64_stats" ->
       """SELECT l_returnflag,
                 floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)/10000 AS corr_qty_price,

@@ -28,6 +28,45 @@ class StorageSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("hilbertValue matches the reference walk and never jumps") {
+    // reference xy2d (quadrant-rotation form, reflection in the full grid)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n1 = (1L << bits) - 1
+      var (x, y, d) = (x0, y0, 0L)
+      for (i <- (bits - 1) to 0 by -1) {
+        val s = 1L << i
+        val (rx, ry) = (if ((x & s) > 0) 1L else 0L, if ((y & s) > 0) 1L else 0L)
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          val (fx, fy) = if (rx == 1) (n1 - x, n1 - y) else (x, y)
+          x = fy; y = fx
+        }
+      }
+      d
+    }
+    val bits = 4
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Storage.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .as[(Int, Int, Long)].collect()
+    for ((x, y, h) <- got) assert(h == xy2d(bits, x, y), s"($x,$y)")
+    // the curve property Morton lacks: consecutive indices are always
+    // grid-adjacent (Manhattan distance exactly 1), and the 256 indices
+    // are a permutation of [0, 256)
+    val byH = got.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byH.keySet == (0L until 256L).toSet)
+    for (h <- 0L until 255L) {
+      val ((x1, y1), (x2, y2)) = (byH(h), byH(h + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at $h")
+    }
+    // NULL bin -> NULL index
+    val nulls = Seq((Some(1), Option.empty[Int])).toDF("x", "y")
+      .select(Storage.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("zOrderWrite bounds per-file spans on BOTH columns; a plain sort does not") {
     val sf  = "/root/testdata/sf0.001"
     val li  = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -58,6 +97,13 @@ class StorageSpec extends AnyFunSuite {
     assert(avgSpanFrac(s"$tmp/z", "l_extendedprice") < 0.65)
     assert(avgSpanFrac(s"$tmp/z", "l_quantity") < 0.65)
     assert(avgSpanFrac(s"$tmp/x", "l_quantity") > 0.8, "x-sort should NOT bound y")
+
+    // the Hilbert layout gives the same both-column bound (same cells,
+    // jump-free visit order)
+    Storage.hilbertOrderWrite(li, "l_extendedprice", "l_quantity", bits = 4,
+      s"$tmp/h", nFiles = 8)
+    assert(avgSpanFrac(s"$tmp/h", "l_extendedprice") < 0.65)
+    assert(avgSpanFrac(s"$tmp/h", "l_quantity") < 0.65)
   }
 
   test("prunedRead opens a strict file subset on a z-ordered layout, same rows") {
