@@ -82,8 +82,9 @@ object Text {
   /** First counting round of byte-pair-encoding tokenizer training: the
     * frequency of each adjacent CHARACTER pair, weighted by word frequency
     * — the argmax is BPE's first merge. Iterating (merge, recount) yields
-    * the full merge table; one round is the expensive, corpus-shaped step
-    * (the rest operate on the compressed vocab).
+    * the full merge table — [[bpeTrain]] runs that loop; one round is the
+    * expensive, corpus-shaped step (the rest operate on the compressed
+    * vocab).
     *
     * Scale shape: the corpus reduces to the word-frequency VOCABULARY
     * first (one (word, count) hash aggregate — the classic BPE-training
