@@ -983,46 +983,88 @@ object SparkEntry {
     // r = 3 is an unrelated signal. Sample counts are multiples of the 32
     // lanes so a constant offset shifts equal-count lanes equally.
     "q202_audio_neardup" -> ((s, d) => {
-      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
-        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
-      val g = expr("doc_id DIV 4")
-      val r = col("doc_id") % 4
-      val n = ((g % 4 + 4) * 32).cast("int")
-      val sampleHex = array_join(
-        transform(sequence(lit(0), n - 1), i => {
-          // square-mixed generative formula: the g² / i² products decorrelate
-          // lane gradients ACROSS groups (a linear g·a + i·b form left lane
-          // orderings correlated over g — measured 10,141 hamming<=2 pairs on
-          // 500 docs vs the 375 true within-group ones; this form yields
-          // exactly the 375) while the +r offset stays gradient-invariant.
-          // Ids reduce mod 2^16 BEFORE squaring: raw doc_id² overflowed long
-          // at the ×30 replica id range (caught by the ×30 cluster sweep —
-          // ANSI mode threw, a correct loud failure); the reduction is the
-          // identity at every oracle scale (doc_id < 65536) and keeps every
-          // intermediate under 2^60 at any scale.
-          val g16 = pmod(g, lit(65536))
-          val d16 = pmod(col("doc_id"), lit(65536))
-          val sv = when(r === 3,
-            pmod((d16 * d16 + 7) * (i * i + 31), lit(65536)) - 32768)
-            .otherwise(
-              pmod((g16 * g16 * 131 + 7) * (i * i * 17 + i + 31) + r, lit(65536)) - 32768)
-          val tc = pmod(sv, lit(65536)) // two's-complement 16-bit image
-          concat(lpad(hex(pmod(tc, lit(256))), 2, "0"), lpad(hex(shiftright(tc, 8)), 2, "0"))
-        }), "")
-      val payload = concat(
-        lit("RIFF").cast("binary"), le(n * 2 + 36, 4), lit("WAVE").cast("binary"),
-        lit("fmt ").cast("binary"), unhex(lit("10000000")),
-        le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
-        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-        lit("data").cast("binary"), le(n * 2, 4),
-        unhex(sampleHex))
-      val src = t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+      val src = t(s, d, "documents").select(col("doc_id"), wavPayloadCol.as("payload"))
       Multimodal.audioNearDupPairs(Tables.spread(src), "doc_id", "payload",
           lanes = 32, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     }),
+
+    // The q173 boilerplate flood replayed in the MULTIMODAL lane: 300
+    // byte-identical clones of doc 0's WAV land a 301-member bucket in
+    // every Hamming band, so the unbounded band join would be quadratic in
+    // the flood; `maxBucket = 16` switches those buckets to star pairing
+    // (every clone against rep 0 — O(flood) rows), while cold buckets keep
+    // exact all-pairs semantics. The oracle replays the cap: same band
+    // keys, same occ threshold, same min-id representative.
+    "q206_audio_flood" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      val p0 = base.filter(col("doc_id") === 0).select(col("payload").as("p0"))
+      val clones = s.range(300).crossJoin(p0)
+        .select((col("id") + 1000000L).as("doc_id"), col("p0").as("payload"))
+      Multimodal.audioNearDupPairs(Tables.spread(base.unionByName(clones)),
+          "doc_id", "payload", lanes = 32, maxHamming = 2, maxBucket = 16)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // The maxBucket PREFLIGHT for the audio lane (q193's twin): Hamming
+    // band-bucket occupancy over the SAME (band, key) buckets the q202
+    // pair join uses — the measurement that decides whether the
+    // (deliberately default-off) hot-bucket cap must be set before
+    // audioNearDupPairs runs at a new corpus scale.
+    "q207_audio_occupancy" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), wavPayloadCol.as("payload"))
+      Multimodal.audioBandOccupancy(Tables.spread(src), "doc_id", "payload",
+          lanes = 32, maxHamming = 2)
+        .orderBy(col("occ"))
+    }),
   )
+
+  /** The q202-family WAV payload: a complete 16-bit mono PCM RIFF file
+    * synthesized in-plan from `doc_id`. Docs come in groups of 4 on one
+    * base signal: members r = 0,1,2 differ by a constant sample offset —
+    * gradient-sign-invariant, so they dHash (near-)identically — while
+    * r = 3 is an unrelated signal. Sample counts are multiples of the 32
+    * lanes so a constant offset shifts equal-count lanes equally.
+    *
+    * Square-mixed generative formula: the g² / i² products decorrelate
+    * lane gradients ACROSS groups (a linear g·a + i·b form left lane
+    * orderings correlated over g — measured 10,141 hamming<=2 pairs on
+    * 500 docs vs the 375 true within-group ones; this form yields
+    * exactly the 375) while the +r offset stays gradient-invariant.
+    * Ids reduce mod 2^16 BEFORE squaring: raw doc_id² overflowed long
+    * at the ×30 replica id range (caught by the ×30 cluster sweep —
+    * ANSI mode threw, a correct loud failure); the reduction is the
+    * identity at every oracle scale (doc_id < 65536) and keeps every
+    * intermediate under 2^60 at any scale.
+    */
+  private def wavPayloadCol: Column = {
+    def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
+      lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+    val g = expr("doc_id DIV 4")
+    val r = col("doc_id") % 4
+    val n = ((g % 4 + 4) * 32).cast("int")
+    val sampleHex = array_join(
+      transform(sequence(lit(0), n - 1), i => {
+        val g16 = pmod(g, lit(65536))
+        val d16 = pmod(col("doc_id"), lit(65536))
+        val sv = when(r === 3,
+          pmod((d16 * d16 + 7) * (i * i + 31), lit(65536)) - 32768)
+          .otherwise(
+            pmod((g16 * g16 * 131 + 7) * (i * i * 17 + i + 31) + r, lit(65536)) - 32768)
+        val tc = pmod(sv, lit(65536)) // two's-complement 16-bit image
+        concat(lpad(hex(pmod(tc, lit(256))), 2, "0"), lpad(hex(shiftright(tc, 8)), 2, "0"))
+      }), "")
+    concat(
+      lit("RIFF").cast("binary"), le(n * 2 + 36, 4), lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), unhex(lit("10000000")),
+      le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+      le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+      lit("data").cast("binary"), le(n * 2, 4),
+      unhex(sampleHex))
+  }
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
     * features over non-empty documents, label = lang == 'en', 3 GD steps —
@@ -4175,27 +4217,90 @@ object SparkEntry {
     // distance: the banded-LSH plan has pigeonhole recall 1.0, so it must
     // reproduce the quadratic filter exactly.
     "q202_audio_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
-         s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
-         v AS (SELECT doc_id, CAST(i % 32 AS INT) AS lane,
-                      CASE WHEN r = 3
-                           THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (i * i + 31)) % 65536) - 32768
-                           ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768
-                      END AS sv
-               FROM s),
-         lanes AS (SELECT doc_id, lane, SUM(sv) AS ls FROM v GROUP BY doc_id, lane),
-         hx AS (SELECT a.doc_id,
-                       CAST(SUM(CASE WHEN b.ls > a.ls THEN (1::BIGINT << a.lane)
-                                     ELSE 0 END) AS BIGINT) AS h
-                FROM lanes a JOIN lanes b
-                  ON a.doc_id = b.doc_id AND b.lane = a.lane + 1
-                GROUP BY a.doc_id)
+      s"""WITH ${audioHashCtesSql()}
          SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
+
+    // Capped audio flood: the dHash of doc 0 repeated 300×, then the
+    // hot-bucket star bound replayed over the SAME band keys the engine
+    // uses (31 bits → bands of 11/11/9 bits): buckets above 16 members
+    // pair everyone with the bucket's min id only; cold buckets keep
+    // exact all-pairs. DISTINCT over the union mirrors the engine's
+    // capped-branch dedup; the Hamming verify then reproduces the
+    // engine's map-side filter.
+    "q206_audio_flood" ->
+      s"""WITH ${audioHashCtesSql("doc_id < 200")},
+         allh AS (
+           SELECT doc_id, h FROM hx
+           UNION ALL
+           SELECT 1000000 + i AS doc_id, (SELECT h FROM hx WHERE doc_id = 0) AS h
+           FROM range(300) t(i)),
+         ${audioBandCtesSql},
+         occ AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+                 FROM ex GROUP BY band, key),
+         coldex AS (
+           SELECT e.doc_id, e.h, e.band, e.key
+           FROM ex e JOIN occ o ON e.band = o.band AND e.key = o.key AND o.n <= 16),
+         cand AS (
+           SELECT DISTINCT a, b, ha, hb FROM (
+             SELECT x.doc_id AS a, y.doc_id AS b, x.h AS ha, y.h AS hb
+             FROM coldex x JOIN coldex y
+               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+             UNION ALL
+             SELECT o.rep AS a, e.doc_id AS b, r.h AS ha, e.h AS hb
+             FROM ex e JOIN occ o ON e.band = o.band AND e.key = o.key
+                       JOIN allh r ON r.doc_id = o.rep
+             WHERE o.n > 16 AND e.doc_id <> o.rep))
+         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+         ORDER BY a, b""",
+
+    // The same (band, key) buckets the q202 pair join uses, folded to an
+    // occupancy histogram (q193's construction — occ·(occ−1) is even, so
+    // the /2 is exact in both engines).
+    "q207_audio_occupancy" ->
+      s"""WITH ${audioHashCtesSql()},
+         allh AS (SELECT doc_id, h FROM hx),
+         ${audioBandCtesSql},
+         buck AS (SELECT band, key, count(*) AS occ FROM ex GROUP BY band, key)
+         SELECT occ, count(*) AS n_buckets,
+                CAST(occ * (occ - 1) / 2 * count(*) AS BIGINT) AS cand_pairs
+         FROM buck GROUP BY occ ORDER BY occ""",
   )
+
+  /** DuckDB replay of the q202-family dHash: the generative sample formula
+    * folded to per-lane sums, then gradient-sign bits. `pred` narrows the
+    * documents driving the synthesis (q206's flood base).
+    */
+  private def audioHashCtesSql(pred: String = "TRUE"): String =
+    s"""d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE $pred),
+       s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
+       v AS (SELECT doc_id, CAST(i % 32 AS INT) AS lane,
+                    CASE WHEN r = 3
+                         THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (i * i + 31)) % 65536) - 32768
+                         ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768
+                    END AS sv
+             FROM s),
+       lanes AS (SELECT doc_id, lane, SUM(sv) AS ls FROM v GROUP BY doc_id, lane),
+       hx AS (SELECT a.doc_id,
+                     CAST(SUM(CASE WHEN b.ls > a.ls THEN (1::BIGINT << a.lane)
+                                   ELSE 0 END) AS BIGINT) AS h
+              FROM lanes a JOIN lanes b
+                ON a.doc_id = b.doc_id AND b.lane = a.lane + 1
+              GROUP BY a.doc_id)"""
+
+  /** Hamming-band index over `allh (doc_id, h)`: lanes = 32 → 31 hash bits
+    * split into 3 bands of 11/11/9 bits — the exact `Multimodal.bandKey`
+    * layout for (lanes 32, maxHamming 2).
+    */
+  private def audioBandCtesSql: String =
+    """ex AS (
+         SELECT doc_id, h, b.band,
+                (h >> (b.band * 11)) & (CASE WHEN b.band = 2 THEN 511 ELSE 2047 END) AS key
+         FROM allh, (VALUES (0), (1), (2)) b(band))"""
 
   /** The q200/q201 evolution snapshots replayed from the base table —
     * v1 narrow (flag NULL), v2 the appended flagged increment.

@@ -192,6 +192,63 @@ object Multimodal {
     }.reduce(_ + _) // disjoint bits: + ≡ bitwise or
   }
 
+  /** Per-band key of a Hamming-banded dHash: bits `[b·width, b·width+width)`
+    * of `h` (the last band takes the remainder). Shared by the pair join,
+    * its exactly-once filter, and the occupancy preflight so all three see
+    * the SAME buckets.
+    */
+  private def bandKey(h: Column, b: Int, nBits: Int, width: Int): Column = {
+    val mask = (1L << math.min(width, nBits - b * width)) - 1
+    shiftright(h, b * width).bitwiseAND(lit(mask))
+  }
+
+  /** The banded dHash index behind [[audioNearDupPairs]] /
+    * [[audioBandOccupancy]]: one `(id, h, band, key)` row per payload per
+    * band, decoded once ([[decodeFeatures]]), shuffled on the LSH join key,
+    * and pinned — the index feeds up to four consumers (occupancy count,
+    * both self-join sides, star branch) and exchange reuse does not
+    * reliably unify that many (the [[graft.ops.Text.minhashNearDupPairs]]
+    * precedent).
+    */
+  private def bandedIndex(df: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int, maxHamming: Int): DataFrame = {
+    val nBits = lanes - 1
+    val bands = maxHamming + 1
+    val width = (nBits + bands - 1) / bands
+    val hashed = decodeFeatures(df, idCol, payloadCol, lanes)
+      .filter(col("features").isNotNull)
+      .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("h"), b, nBits, width).as("key"))
+    }
+    hashed.select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+      .localCheckpoint(false)
+  }
+
+  /** Hamming-band bucket occupancy preflight — the measurement that decides
+    * whether [[audioNearDupPairs]] needs its (deliberately default-off)
+    * `maxBucket` bound BEFORE the pair join runs at a new corpus scale: the
+    * audio twin of [[graft.ops.Text.lshBucketOccupancy]] (q193). One row
+    * per occupancy value over the SAME `(band, key)` buckets the pair join
+    * uses: `(occ, n_buckets, cand_pairs)` where
+    * `cand_pairs = n_buckets · occ·(occ−1)/2` is the candidate mass those
+    * buckets inject. A healthy corpus tails off by `occ ≈ tens`; a clone
+    * flood shows one `occ ≈ clones` bucket per band carrying a quadratic
+    * spike. Cost: the decode pass plus two aggregations — no pair join.
+    */
+  def audioBandOccupancy(df: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int = 32, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    bandedIndex(df, idCol, payloadCol, lanes, maxHamming)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("occ"), col("n_buckets"),
+        (col("occ") * (col("occ") - 1) / 2 * col("n_buckets")).cast("long").as("cand_pairs"))
+      .orderBy(col("occ"))
+  }
+
   /** Multimodal near-duplicate pairs: decode each payload's PCM for real
     * ([[decodeFeatures]] — byte-level WAV parse, the q56 pattern), dHash
     * the lane embedding, then find all id pairs within `maxHamming` bits —
@@ -208,39 +265,78 @@ object Multimodal {
     * banded plan at any scale: per-band equi-join on ~(lanes−1)/(maxH+1)
     * bit keys, exchange volume ∝ matching-bucket occupancy.
     *
+    * EXACTLY-ONCE emission (unbounded path): a pair may collide in several
+    * bands, but both hashes ride the index rows, so the join emits a pair
+    * only from the FIRST band whose keys agree — every earlier band's keys
+    * provably differ, checked map-side on the join output. No candidate
+    * `.distinct()`, no re-shuffle of the candidate stream (the
+    * [[graft.ops.Text.singleEditNearPairs]] device).
+    *
+    * Hot-bucket bound (`maxBucket`): a flood of d byte-identical clips
+    * lands one d-sized bucket in EVERY band, so the unguarded self-join
+    * emits O(d²) candidates into one shuffle partition — the same failure
+    * [[graft.ops.Text.minhashNearDupPairs]] bounds for text. Buckets above
+    * `maxBucket` switch to STAR pairing (every member against the bucket's
+    * minimum id only — O(d) rows; all star pairs verify at Hamming 0 for
+    * true clones, so survivor resolution still collapses the flood to one
+    * component). Recall contract: a qualifying pair is missed only if
+    * EVERY band it collides in is hot AND neither side is that bucket's
+    * representative — duplicated clips always keep a verified path to
+    * their representative. Default OFF (`Int.MaxValue`): the cap changes
+    * which pairs are emitted, so enabling it is an explicit corpus-scale
+    * decision read off [[audioBandOccupancy]]. The capped union keeps a
+    * `.distinct()` (a pair can be star-emitted from several hot bands AND
+    * cold-emitted; first-shared-band logic cannot see other bands'
+    * hotness map-side) — bounded cost, since the cap itself limits the
+    * candidate stream to O(n·maxBucket).
+    *
     * Undecodable payloads (not 16-bit PCM WAV) are excluded — a corrupt
     * blob cannot be "similar" to anything.
     *
     * Output: `(a, b, hamming)` with `a < b`, one row per qualifying pair.
     */
   def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
-      lanes: Int = 32, maxHamming: Int = 2): DataFrame = {
+      lanes: Int = 32, maxHamming: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    require(maxBucket >= 1, "maxBucket must be positive")
     val nBits = lanes - 1
     val bands = maxHamming + 1
     val width = (nBits + bands - 1) / bands
-    val hashed = decodeFeatures(df, idCol, payloadCol, lanes)
-      .filter(col("features").isNotNull)
-      .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
-      // two consumers (both sides of the band join + the verify joins):
-      // pin the decoded hashes instead of re-decoding per consumer
-      .localCheckpoint(false)
-    val bandStructs = (0 until bands).map { b =>
-      val mask = (1L << math.min(width, nBits - b * width)) - 1
-      struct(lit(b).as("band"),
-        (shiftright(col("h"), b * width).bitwiseAND(lit(mask))).as("key"))
-    }
-    val banded = hashed.select(col("id"), col("h"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val banded = bandedIndex(df, idCol, payloadCol, lanes, maxHamming)
+    def pairs(idx: DataFrame, extra: Column): DataFrame = idx.as("x")
+      .join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
+      .filter(extra)
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.h").as("ha"), col("y.h").as("hb"))
-      .distinct() // a pair may collide in several bands — emit once
-    cand.select(col("a"), col("b"),
+    def verify(cand: DataFrame): DataFrame = cand
+      .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    if (maxBucket == Int.MaxValue) {
+      // first-shared-band: no band before this one may have equal keys
+      val noEarlierShared = (0 until bands).map { bp =>
+        when(lit(bp) < col("x.band"),
+          bandKey(col("x.h"), bp, nBits, width) =!=
+            bandKey(col("y.h"), bp, nBits, width))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      verify(pairs(banded, noEarlierShared))
+    } else {
+      // min(struct(id, h)) orders by id first — the representative and its
+      // hash in one partial-aggregated pass on the co-partitioned index
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"), min(struct(col("id"), col("h"))).as("rep"))
+        .filter(col("occ") > maxBucket)
+      val cold = banded.join(hot.select(col("band"), col("key")),
+        Seq("band", "key"), "left_anti")
+      val candHot = banded.join(hot, Seq("band", "key"))
+        .filter(col("id") =!= col("rep.id"))
+        .select(col("rep.id").as("a"), col("id").as("b"),
+          col("rep.h").as("ha"), col("h").as("hb"))
+      verify(pairs(cold, lit(true)).unionByName(candHot).distinct())
+    }
   }
 }

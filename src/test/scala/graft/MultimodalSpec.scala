@@ -200,6 +200,56 @@ class MultimodalSpec extends AnyFunSuite {
         s"group starting at $g must share component $g")
   }
 
+  test("audio flood: maxBucket star-bounds the band join; doc recall stays 1.0") {
+    // 1 base clip + 60 byte-identical clones + 3 unrelated clips: every band
+    // bucket the flood touches holds 61 members, so the unbounded join is
+    // quadratic in the flood while the capped join emits O(flood) star pairs
+    val base  = (0 until 64).map(i => (i * 104729 % 60000) - 30000)
+    val other = (0 until 64).map(i => (i * 31 + 7) % 200 - 100)
+    val clones = (1L to 60L).map(i => (i, wavBytes(8000, base)))
+    val rest = Seq(100L, 101L, 102L).map(i =>
+      (i, wavBytes(8000, other.map(_ + i.toInt)))) // uniform offsets: mutual near-dups
+    val df = ((0L, wavBytes(8000, base)) +: (clones ++ rest)).toDF("doc_id", "payload")
+    val capped = Multimodal.audioNearDupPairs(df, "doc_id", "payload",
+        lanes = 32, maxHamming = 2, maxBucket = 16)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    // flood pairs collapse to the star: clone i pairs with rep 0 only
+    val floodPairs = capped.filter { case (a, b, _) => b <= 60 || a <= 60 }
+    assert(floodPairs == (1L to 60L).map(i => (0L, i, 0)).toSet,
+      s"flood must star-pair with doc 0 only, got ${floodPairs.size} pairs")
+    // the cold group is untouched by the cap: all 3 pairs survive
+    val coldPairs = capped.filter(_._1 >= 100)
+    assert(coldPairs.map(p => (p._1, p._2)) ==
+      Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    // doc recall 1.0: every doc with an unbounded partner still has one
+    val unbounded = Multimodal.audioNearDupPairs(df, "doc_id", "payload", 32, 2)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    def dupDocs(p: Set[(Long, Long)]) = p.flatMap(t => Set(t._1, t._2))
+    assert(dupDocs(capped.map(p => (p._1, p._2))) == dupDocs(unbounded))
+  }
+
+  test("audioBandOccupancy: flood shows one occ=d bucket per band; cand_pairs quadratic") {
+    val base  = (0 until 64).map(i => (i * 104729 % 60000) - 30000)
+    val df = (0L to 20L).map(i => (i, wavBytes(8000, base))).toDF("doc_id", "payload")
+    val occ = Multimodal.audioBandOccupancy(df, "doc_id", "payload", 32, 2)
+      .as[(Long, Long, Long)].collect()
+    // 21 identical hashes → every one of the 3 bands has exactly one
+    // 21-member bucket: occupancy histogram is the single row (21, 3, 630)
+    assert(occ.toSeq == Seq((21L, 3L, 3L * 21 * 20 / 2)))
+  }
+
+  test("audio near-dup unbounded plan: exactly-once emission, no candidate distinct") {
+    val base = (0 until 64).map(i => (i * 104729 % 60000) - 30000)
+    val df = Seq((1L, wavBytes(8000, base)), (2L, wavBytes(8000, base.map(_ + 2))))
+      .toDF("doc_id", "payload")
+    val plan = Multimodal.audioNearDupPairs(df, "doc_id", "payload", 32, 2)
+      .queryExecution.executedPlan.toString
+    // the candidate stream goes join → map-side filter → output: a distinct
+    // would show as a HashAggregate pair over (a, b, ha, hb)
+    assert(!plan.contains("HashAggregate"),
+      s"unbounded path must not aggregate (distinct) the candidate stream:\n$plan")
+  }
+
   test("decodeFeatures preserves partitioning (no shuffle in the plan)") {
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload").repartition(3)
     val out = Multimodal.decodeFeatures(df, "id", "payload", 2)
