@@ -105,6 +105,7 @@ object ScaleBench {
     "ann_sign_lsh_tuned"  -> Set("embeddings"),
     "pq_adc_flat"         -> Set("embeddings"),
     "ivfpq_tuned"         -> Set("embeddings"),
+    "bpe_train"           -> Set.empty,
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
     "ivm_recompute"       -> Set("lineitem"),
     "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"),
@@ -362,6 +363,15 @@ object ScaleBench {
         Similarity.ivfPqTopK(e, "vec_id", "embedding", cb,
           Similarity.ivfCellsFor(embCount(f), 2), 3, nProbe = 2).count()
       }),
+      // BPE training with the ROUND COUNT as the scale axis (fixed 1×
+      // corpus read straight from the sf dir — no replica fixture): the
+      // delta-maintained distributed trainer's claim is per-round cost
+      // flat in the round number, so total time must grow ∝ k (8·f
+      // merges); the replace-chain form it replaced grew ∝ k². Forced
+      // distributed (maxDriverVocab = 0) — the driver-side path is not
+      // the 100 TB shape under test.
+      ("bpe_train", () =>
+        Text.bpeTrainImpl(docs, "text", merges = 8 * f, maxDriverVocab = 0L).count()),
       // incremental view maintenance: apply the FIXED change feed to the
       // stored view of the f× table — with the group domain held fixed,
       // cost must not follow the table (grows with groups, not rows)

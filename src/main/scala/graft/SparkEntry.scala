@@ -3772,7 +3772,7 @@ object SparkEntry {
     */
   private def bpeEncodeOracle(k: Int): String = {
     val chain = (1 to k).foldLeft("s") { (acc, r) =>
-      s"replace($acc, ' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ', ' ' || (SELECT a || b FROM t$r) || ' ')"
+      s"replace($acc, coalesce(' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ', '   '), coalesce(' ' || (SELECT a || b FROM t$r) || ' ', '   '))"
     }
     s"""${bpeRoundsCte(k)},
          enc AS MATERIALIZED (
@@ -3798,6 +3798,15 @@ object SparkEntry {
     * every round references its predecessor several times (t_r three times
     * in w_r alone) — inlined, the unrolled chain re-expands w0 ~4^k times
     * and exhausts file handles before it exhausts patience.
+    *
+    * The `coalesce(…, '   ')` guards (here and in the encode chain): when
+    * merges exhaust before round k, t_r is empty and its scalar subqueries
+    * go NULL — an unguarded `replace(s, NULL, NULL)` NULL-poisons every
+    * word (the engine side treats an exhausted round as a no-op). Three
+    * consecutive spaces can never occur in a spaced-symbol string (symbols
+    * are non-space, separators are double spaces, boundaries single), so
+    * the sentinel pattern is a guaranteed no-match — the exhausted round
+    * replays as the identity.
     */
   private def bpeRoundsCte(k: Int): String = {
     val head =
@@ -3816,8 +3825,8 @@ object SparkEntry {
                  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
          w$r AS MATERIALIZED (
                  SELECT replace(s,
-                   ' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ',
-                   ' ' || (SELECT a || b FROM t$r) || ' ') s, nw FROM w${r - 1})"""
+                   coalesce(' ' || (SELECT a FROM t$r) || '  ' || (SELECT b FROM t$r) || ' ', '   '),
+                   coalesce(' ' || (SELECT a || b FROM t$r) || ' ', '   ')) s, nw FROM w${r - 1})"""
     }.mkString
     head + rounds
   }

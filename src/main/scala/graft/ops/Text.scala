@@ -197,7 +197,14 @@ object Text {
       }
       if (counts.isEmpty) r = merges + 1
       else {
-        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break by UTF-8 BYTES, not Java's UTF-16 code units: the
+        // distributed path (UTF8String) and the DuckDB oracle both compare
+        // binary UTF-8, and the two orders diverge on non-BMP symbols
+        // (U+FFFF sorts after a surrogate pair in UTF-16, before it in
+        // UTF-8) — which side of the MaxDriverVocab gate a corpus lands on
+        // must never change the merge table
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
         merged += ((r, a, b, a + b, c))
         val (pat, rep) = (" " + a + "  " + b + " ", " " + a + b + " ")
         cur = cur.map { case (s, nw) => (s.replace(pat, rep), nw) }
@@ -207,30 +214,92 @@ object Text {
     merged.toSeq
   }
 
-  /** Distributed merge loop: per round, one small (pair, count) exchange
-    * over the persisted vocabulary plus a ONE-ROW driver fetch (the argmax
-    * — the merge decision, not data); the merge application is a chained
-    * codegen'd `replace` with no exchange at all.
+  /** UTF-8 byte order on strings — the order UTF8String and DuckDB use.
+    * Java's natural `String` order compares UTF-16 code units and diverges
+    * on non-BMP code points; every driver-side tie-break that must agree
+    * with an in-plan `orderBy` goes through this.
+    */
+  private[graft] val utf8Ordering: Ordering[String] = (x: String, y: String) => {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(xb.length, yb.length)
+    var i = 0
+    var d = 0
+    while (i < n && d == 0) { d = (xb(i) & 0xFF) - (yb(i) & 0xFF); i += 1 }
+    if (d != 0) d else xb.length - yb.length
+  }
+
+  /** Adjacent-symbol pair rows of spaced-word `(s, nw)` rows, weighted
+    * `nw · sign` — the counting kernel of the distributed trainer, run over
+    * full vocab once (round 0) and over AFFECTED words only thereafter.
+    */
+  private def bpePairRows(words: DataFrame, sign: Int): DataFrame = {
+    val syms = split(trim(col("s")), "  ")
+    words
+      .select(col("nw"), col("s"), posexplode(syms).as(Seq("i", "a")))
+      .filter(col("i") < size(syms) - 1)
+      .select(col("a"), element_at(syms, col("i") + 2).as("b"),
+        (col("nw") * sign).as("w"))
+  }
+
+  /** Distributed merge loop with DELTA-MAINTAINED pair counts: the
+    * `(pair, count)` table is built ONCE from the full vocabulary, then
+    * each round updates it only from the words that CONTAIN the merged
+    * pair — pair-count maintenance costs ∝ affected words, not vocab, so
+    * per-round cost is flat in the round number (the previous form
+    * re-exploded the whole vocabulary under an r-deep replace chain every
+    * round — O(k²·vocab) over k merges, fine at the k=8 demo and wrong at
+    * the 30k–50k merges a real tokenizer trains; ScaleBench's `bpe_train`
+    * family measures the linear total). Per round: a ONE-ROW argmax fetch
+    * off the maintained counts (the merge decision, not data), one
+    * affected-only delta aggregate folded into the counts table, and one
+    * narrow no-shuffle projection re-pinning the words. Both tables are
+    * eagerly re-pinned per round ([[Checkpoints]]) — the loop is
+    * sequential by construction, so lineage would otherwise deepen by one
+    * replace per round.
+    *
+    * Dropped-pair safety: a pair whose count reaches 0 is removed and can
+    * never recur — merging `a b` only creates pairs INVOLVING the new
+    * `ab` symbol, so a zero-count pair of old symbols stays dead and a
+    * recreated adjacency is always a brand-new key.
     */
   private def bpeTrainDistributed(
       vocab: DataFrame, merges: Int): Seq[(Int, String, String, String, Long)] = {
+    val spark = vocab.sparkSession
+    val pin = Checkpoints.pinner(spark, None)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var cur: Column = col("s")
-    for (r <- 1 to merges) {
-      val syms = split(trim(cur), "  ")
-      val top = vocab
-        .select(col("nw"), col("s"), posexplode(syms).as(Seq("i", "a")))
-        .filter(col("i") < size(syms) - 1)
-        .select(col("a"), element_at(syms, col("i") + 2).as("b"), col("nw"))
-        .groupBy(col("a"), col("b")).agg(sum(col("nw")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
+    var words = pin(vocab.select(col("s"), col("nw")))
+    var counts = pin(bpePairRows(words, 1)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("cnt")))
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = counts.orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect() // bounded: exactly one row — the round's argmax
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true
+      else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merged += ((r, a, b, a + b, c))
-        cur = replace(cur, lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
+        val (pat, rep) = (" " + a + "  " + b + " ", " " + a + b + " ")
+        // delta = pairs(affected after) − pairs(affected before); folding
+        // it into the counts table is ONE aggregate whose input is the
+        // (small) counts table plus affected-word pair rows
+        val affected = words.filter(col("s").contains(pat))
+        val newCounts = pin(counts
+          .select(col("a"), col("b"), col("cnt").as("w"))
+          .unionByName(bpePairRows(
+            affected.select(replace(col("s"), lit(pat), lit(rep)).as("s"), col("nw")), 1))
+          .unionByName(bpePairRows(affected, -1))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("cnt"))
+          .filter(col("cnt") > 0))
+        val newWords = pin(words.select(
+          replace(col("s"), lit(pat), lit(rep)).as("s"), col("nw")))
+        Checkpoints.release(counts); Checkpoints.release(words)
+        counts = newCounts; words = newWords
+        r += 1
       }
     }
+    Checkpoints.release(counts); Checkpoints.release(words)
     merged.toSeq
   }
 

@@ -502,6 +502,23 @@ class TextSpec extends AnyFunSuite {
     assert(local.length == 6)
   }
 
+  test("utf8Ordering matches Spark's binary string order where UTF-16 diverges") {
+    // U+FFFF (UTF-16: FFFF; UTF-8: EF BF BF) vs U+1F600 (UTF-16 surrogate
+    // pair D83D DE00; UTF-8: F0 9F 98 80): Java's String order puts the
+    // emoji FIRST, UTF-8 byte order puts it LAST — the exact divergence the
+    // driver-side BPE tie-break must not inherit
+    val hi = "\uffff"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji.compareTo(hi) < 0, "sanity: UTF-16 order has emoji first")
+    assert(Text.utf8Ordering.lt(hi, emoji), "UTF-8 byte order has U+FFFF first")
+    // and Spark's own sort agrees with utf8Ordering, not with UTF-16
+    val sparkOrder = Seq(Tuple1(hi), Tuple1(emoji)).toDF("s")
+      .orderBy($"s").as[String].collect().toList
+    assert(sparkOrder == List(hi, emoji).sorted(Text.utf8Ordering))
+    // prefix case: shorter string first
+    assert(Text.utf8Ordering.lt("ab", "abc") && !Text.utf8Ordering.lt("abc", "ab"))
+  }
+
   test("bpeEncode: trained merges shrink token counts; 1-char and empty docs") {
     val docs = Seq(
       (1L, "aaab aaab aaab aab aab"), // merges (a,a), (a,b), (aa,ab) — see bpeTrain spec
