@@ -1020,6 +1020,23 @@ object SparkEntry {
           lanes = 32, maxHamming = 2)
         .orderBy(col("occ"))
     }),
+
+    // IMAGE perceptual near-dup (q202's construction on the raster lane):
+    // in-plan synthesis of complete VALID PNGs (stored-deflate blocks,
+    // adler32 via prefix sums, chunk CRC32 via a table-driven aggregate —
+    // all in the plan), REAL pixel decode (PngGrayCells: inflate + the
+    // five scanline filters), dHash over the 8x8 luminance grid, and the
+    // shared Hamming-banded pipeline. Docs in groups of 4: r = 0,1,2 are
+    // one base image + uniform brightness offset (dHash-identical), r = 3
+    // unrelated; the oracle replays the pixel formula and filters ALL
+    // pairs, which the banded plan (pigeonhole recall 1.0) must reproduce.
+    "q208_image_neardup" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), pngPayloadCol.as("payload"))
+      Multimodal.imageNearDupPairs(Tables.spread(src), "doc_id", "payload",
+          gw = 8, gh = 8, maxHamming = 2)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
   )
 
   /** The q202-family WAV payload: a complete 16-bit mono PCM RIFF file
@@ -1064,6 +1081,80 @@ object SparkEntry {
       le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
       lit("data").cast("binary"), le(n * 2, 4),
       unhex(sampleHex))
+  }
+
+  private lazy val crc32Table: Array[Long] = Array.tabulate(256) { i =>
+    var c = i.toLong
+    for (_ <- 0 until 8) c = if ((c & 1) == 1) 0xEDB88320L ^ (c >>> 1) else c >>> 1
+    c
+  }
+
+  /** The q208 PNG payload: a complete, VALID 16×16 8-bit grayscale PNG
+    * synthesized in-plan from `doc_id` — signature, IHDR, one IDAT whose
+    * zlib stream uses a STORED deflate block (the one deflate form
+    * expressible without a compressor: 5-byte block header + raw
+    * scanlines), a real adler32 trailer (two prefix sums mod 65521), and a
+    * real per-chunk CRC32 (table-driven `aggregate` over the chunk bytes —
+    * the 256-entry table is a literal array). Constant segments (signature,
+    * IHDR with its CRC, IEND) are computed once driver-side; only the 272
+    * scanline bytes, adler, and IDAT CRC vary per row.
+    *
+    * Pixel formula (the q202 square-mixing on the raster lane): groups of
+    * 4 docs; r = 0,1,2 share a base image with a uniform +r brightness
+    * offset — base values live in [0, 243] so the offset NEVER wraps,
+    * which is what makes the dHash exactly invariant — and r = 3 is an
+    * unrelated image. All filter bytes are 0 (filter reversal is the
+    * spec's job — MultimodalSpec feeds filtered, deflate-compressed PNGs).
+    */
+  private[graft] def pngPayloadCol: Column = {
+    val g16 = pmod(expr("doc_id DIV 4"), lit(65536))
+    val d16 = pmod(col("doc_id"), lit(65536))
+    val r = col("doc_id") % 4
+    def pix(p: Column): Column =
+      when(r === 3, pmod((d16 * d16 + 7) * (p * p + 31), lit(244)))
+        .otherwise(pmod((g16 * g16 * 131 + 7) * (p * p * 17 + p + 31), lit(244)) + r)
+    // raw scanlines: 16 rows of (filter byte 0) + 16 pixel bytes = 272 B
+    val raw = flatten(transform(sequence(lit(0), lit(15)), y =>
+      concat(array(lit(0L)),
+        transform(sequence(lit(0), lit(15)), x => pix(y * 16 + x)))))
+    val n = lit(272)
+    val adlerA = pmod(aggregate(raw, lit(1L), (acc, x) => acc + x), lit(65521))
+    val adlerB = pmod(
+      aggregate(zip_with(raw, sequence(lit(0L), lit(271L)), (x, j) => (n - j) * x),
+        n.cast("long"), (acc, x) => acc + x),
+      lit(65521))
+    // zlib stream: 0x78 0x01 header, stored block (BFINAL=1), LEN=272 LE,
+    // NLEN=~LEN LE, raw bytes, adler32 BE
+    val zlib = concat(
+      array(lit(0x78L), lit(0x01L), lit(0x01L), lit(0x10L), lit(0x01L),
+        lit(0xEFL), lit(0xFEL)),
+      raw,
+      array(shiftright(adlerB, 8), pmod(adlerB, lit(256)),
+        shiftright(adlerA, 8), pmod(adlerA, lit(256))))
+    val crcTab = array(crc32Table.map(lit): _*)
+    val crcIn = concat(array(lit(73L), lit(68L), lit(65L), lit(84L)), zlib) // "IDAT" ++ data
+    val crc = aggregate(crcIn, lit(0xFFFFFFFFL), (c, x) =>
+      element_at(crcTab, ((c.bitwiseXOR(x)).bitwiseAND(lit(255L)) + 1).cast("int"))
+        .bitwiseXOR(shiftright(c, 8)))
+      .bitwiseXOR(lit(0xFFFFFFFFL))
+    val varBytes = concat(zlib,
+      array(shiftright(crc, 24), pmod(shiftright(crc, 16), lit(256)),
+        pmod(shiftright(crc, 8), lit(256)), pmod(crc, lit(256))))
+    val varHex = array_join(transform(varBytes, b => lpad(hex(b), 2, "0")), "")
+    // constant segments, CRCs computed once here with the JDK's CRC32
+    def chunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      val c = new java.util.zip.CRC32()
+      c.update(typ.getBytes("US-ASCII")); c.update(data)
+      val v = c.getValue
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        typ.getBytes("US-ASCII") ++ data ++
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    }
+    val ihdr = chunkBytes("IHDR", Array[Byte](0, 0, 0, 16, 0, 0, 0, 16, 8, 0, 0, 0, 0))
+    val prefix = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      ihdr ++ Array[Byte](0, 0, 1, 27) ++ "IDAT".getBytes("US-ASCII") // IDAT len = 283
+    concat(lit(prefix), unhex(varHex), lit(chunkBytes("IEND", Array.empty)))
   }
 
   /** The q180/q182/q184 shared fit: standardized (ln length, space-ratio)
@@ -4265,6 +4356,36 @@ object SparkEntry {
              WHERE o.n > 16 AND e.doc_id <> o.rep))
          SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+         ORDER BY a, b""",
+
+    // Replays the PNG payloads' generative PIXEL formula (the engine
+    // instead decodes the actual bytes: chunk walk, inflate, filter
+    // reversal), folds to the same 8x8 luminance-grid dHash (bit
+    // row*7+col iff the right cell outweighs the left), and filters ALL
+    // pairs by Hamming distance — the banded plan must reproduce the
+    // quadratic filter exactly (pigeonhole recall 1.0).
+    "q208_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+         s AS (SELECT doc_id, g, r, unnest(range(256)) AS p FROM d),
+         v AS (SELECT doc_id,
+                      ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+                      CASE WHEN r = 3
+                           THEN (((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 244
+                           ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 244) + r
+                      END AS pv
+               FROM s),
+         cells AS (SELECT doc_id, cell, SUM(1000 * pv) AS ls FROM v GROUP BY doc_id, cell),
+         hx AS (SELECT a.doc_id,
+                       CAST(SUM(CASE WHEN b.ls > a.ls
+                                     THEN (1::BIGINT << ((a.cell // 8) * 7 + (a.cell % 8)))
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM cells a JOIN cells b
+                  ON a.doc_id = b.doc_id AND b.cell = a.cell + 1 AND a.cell % 8 < 7
+                GROUP BY a.doc_id)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM hx x JOIN hx y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
 
     // The same (band, key) buckets the q202 pair join uses, folded to an

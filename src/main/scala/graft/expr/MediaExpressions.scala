@@ -6,12 +6,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
-/** Real container-header parsers for multimodal `binary` columns — byte
-  * arithmetic only, no codec libraries, so unlike the (stubbed) pixel
-  * decode these run for real in any environment. They extract the metadata
-  * a curation pipeline filters on (resolution gates, aspect-ratio gates,
-  * sample-rate gates) WITHOUT decoding payloads — a scan-stage expression
-  * over the first kilobyte of each blob.
+/** Real container parsers for multimodal `binary` columns — byte
+  * arithmetic plus the JDK's raw `Inflater`, no codec libraries.
+  * [[ImageDims]]/[[WavInfo]] extract the metadata a curation pipeline
+  * filters on (resolution gates, aspect-ratio gates, sample-rate gates)
+  * WITHOUT decoding payloads — scan-stage expressions over the first
+  * kilobyte of each blob. [[PngGrayCells]] goes further: a REAL pixel
+  * decode (inflate + all five PNG scanline filters) folded straight into
+  * the perceptual-hash grid, so image near-dup runs as a codegen'd
+  * scan-stage expression too.
   */
 
 /** Image dimensions from PNG (IHDR), JPEG (SOF marker scan), or GIF
@@ -143,6 +146,157 @@ case class WavInfo(child: Expression)
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     null
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL PNG pixel decode, folded to a perceptual-hash luminance grid:
+  * walks the chunk chain, inflates the concatenated IDAT zlib stream
+  * (`java.util.zip.Inflater` — the deflate spec, not a codec library),
+  * reverses all five scanline filters (None/Sub/Up/Average/Paeth,
+  * RFC 2083 §6), and returns the `gh × gw` row-major grid of per-cell
+  * integer luminance sums — pixel (x, y) lands in cell
+  * `(y·gh DIV height, x·gw DIV width)` with luma `1000·v` for 8-bit
+  * grayscale and `299·r + 587·g + 114·b` for 8-bit truecolor (the
+  * BT.601 integer weights, which sum to 1000 — the two color types
+  * score identically on gray content). Exact integer math end to end, so
+  * an oracle that replays the payload's generative pixel formula
+  * hash-matches bit-for-bit.
+  *
+  * Supported: 8-bit depth, color types 0 (gray) and 2 (RGB),
+  * non-interlaced, zlib without preset dictionary — the overwhelmingly
+  * common encoder output. Anything else, any truncated/corrupt stream,
+  * and any image past the 2^24-pixel decompression-bomb cap returns NULL
+  * (a malformed blob must route to a filter, not kill the job).
+  * Tolerant-reader semantics: chunk CRCs and the zlib adler trailer are
+  * not verified — a flipped CRC byte should not disqualify an otherwise
+  * decodable image from DEDUP (this is a similarity gate, not an
+  * integrity check).
+  */
+case class PngGrayCells(child: Expression, gw: Int, gh: Int)
+    extends UnaryExpression {
+  require(gw >= 2 && gh >= 1 && gw * gh <= 4096, "grid in [2..] x [1..], at most 4096 cells")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_gray_cells expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pngGrayCells", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(b: Array[Byte]): Any = {
+    // signature + IHDR-first (spec-mandated chunk order)
+    if (b.length < 33 || b(0) != 0x89.toByte || b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
+        b(4) != 0x0d || b(5) != 0x0a || b(6) != 0x1a || b(7) != 0x0a ||
+        be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return null
+    val w = be32(b, 16); val h = be32(b, 20)
+    val depth = b(24) & 0xff; val ctype = b(25) & 0xff
+    val comp = b(26) & 0xff; val filt = b(27) & 0xff; val inter = b(28) & 0xff
+    if (w < 1 || h < 1 || w * h > (1L << 24) || depth != 8 ||
+        (ctype != 0 && ctype != 2) || comp != 0 || filt != 0 || inter != 0) return null
+    val bpp = if (ctype == 0) 1 else 3
+    // walk chunks, concatenating IDAT payloads (CRCs skipped, not checked)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8L
+    var ended = false
+    while (!ended && off + 8 <= b.length) {
+      val len = be32(b, off.toInt)
+      val t0 = b(off.toInt + 4); val t1 = b(off.toInt + 5)
+      val t2 = b(off.toInt + 6); val t3 = b(off.toInt + 7)
+      val body = off + 8
+      if (body + len + 4 > b.length) return null // truncated chunk
+      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T')
+        idat.write(b, body.toInt, len.toInt)
+      if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') ended = true
+      off = body + len + 4 // + CRC
+    }
+    val z = idat.toByteArray
+    // zlib header: CM = 8 (deflate), no preset dictionary; trailer unchecked
+    if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0) return null
+    val stride = 1 + w.toInt * bpp
+    val raw = new Array[Byte](h.toInt * stride)
+    val inf = new java.util.zip.Inflater(true) // raw deflate; we skip the 2-byte header
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      var n = 0
+      do {
+        n = try inf.inflate(raw, got, raw.length - got)
+            catch { case _: java.util.zip.DataFormatException => return null }
+        got += n
+      } while (n > 0 && got < raw.length)
+      if (got < raw.length) return null // short stream
+    } finally inf.end()
+    // reverse scanline filters in place (RFC 2083 §6.6): a = left, bb = up,
+    // c = upper-left, all 0 outside the image
+    var y = 0
+    while (y < h) {
+      val rs = y.toInt * stride
+      val ft = raw(rs) & 0xff
+      if (ft > 4) return null
+      var i = 1
+      while (i < stride) {
+        val a  = if (i > bpp) raw(rs + i - bpp) & 0xff else 0
+        val bb = if (y > 0) raw(rs - stride + i) & 0xff else 0
+        val c  = if (y > 0 && i > bpp) raw(rs - stride + i - bpp) & 0xff else 0
+        val x  = raw(rs + i) & 0xff
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + bb
+          case 3 => x + (a + bb) / 2
+          case 4 => // Paeth predictor
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+        }
+        raw(rs + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // fold to the luminance grid
+    val cells = new Array[Long](gw * gh)
+    y = 0
+    while (y < h) {
+      // Long products: y·gh / x·gw overflow Int once w·h approaches the cap
+      val cy = (y.toLong * gh / h).toInt * gw
+      val rs = y.toInt * stride + 1
+      var x = 0
+      while (x < w) {
+        val luma =
+          if (bpp == 1) 1000L * (raw(rs + x) & 0xff)
+          else 299L * (raw(rs + 3 * x) & 0xff) + 587L * (raw(rs + 3 * x + 1) & 0xff) +
+            114L * (raw(rs + 3 * x + 2) & 0xff)
+        cells(cy + (x.toLong * gw / w).toInt) += luma
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

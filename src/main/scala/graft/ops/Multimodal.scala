@@ -202,22 +202,18 @@ object Multimodal {
     shiftright(h, b * width).bitwiseAND(lit(mask))
   }
 
-  /** The banded dHash index behind [[audioNearDupPairs]] /
-    * [[audioBandOccupancy]]: one `(id, h, band, key)` row per payload per
-    * band, decoded once ([[decodeFeatures]]), shuffled on the LSH join key,
-    * and pinned — the index feeds up to four consumers (occupancy count,
-    * both self-join sides, star branch) and exchange reuse does not
+  /** The banded perceptual-hash index behind the Hamming near-dup family:
+    * one `(id, h, band, key)` row per hash per band, shuffled on the LSH
+    * join key and pinned — the index feeds up to four consumers (occupancy
+    * count, both self-join sides, star branch) and exchange reuse does not
     * reliably unify that many (the [[graft.ops.Text.minhashNearDupPairs]]
-    * precedent).
+    * precedent). `hashed` is `(id, h)` with the decode already applied —
+    * the audio and image front-ends differ only there.
     */
-  private def bandedIndex(df: DataFrame, idCol: String, payloadCol: String,
-      lanes: Int, maxHamming: Int): DataFrame = {
-    val nBits = lanes - 1
+  private def bandedIndex(hashed: DataFrame,
+      nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = (nBits + bands - 1) / bands
-    val hashed = decodeFeatures(df, idCol, payloadCol, lanes)
-      .filter(col("features").isNotNull)
-      .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("h"), b, nBits, width).as("key"))
     }
@@ -225,6 +221,74 @@ object Multimodal {
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
       .repartition(col("band"), col("key"))
       .localCheckpoint(false)
+  }
+
+  /** `(id, h)` decoded-audio dHash rows — the shared head of
+    * [[audioNearDupPairs]] and [[audioBandOccupancy]].
+    */
+  private def audioHashes(df: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int): DataFrame =
+    decodeFeatures(df, idCol, payloadCol, lanes)
+      .filter(col("features").isNotNull)
+      .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
+
+  /** Occupancy histogram over a banded index — shared tail of the
+    * occupancy preflights.
+    */
+  private def bandOccupancy(banded: DataFrame): DataFrame =
+    banded
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("occ"), col("n_buckets"),
+        (col("occ") * (col("occ") - 1) / 2 * col("n_buckets")).cast("long").as("cand_pairs"))
+      .orderBy(col("occ"))
+
+  /** Hamming-banded near-dup pairs over prepared `(id, h)` hashes — the
+    * shared engine behind [[audioNearDupPairs]] and [[imageNearDupPairs]];
+    * see [[audioNearDupPairs]] for the full banding / exactly-once /
+    * maxBucket contract.
+    */
+  private def hammingNearDupPairs(hashed: DataFrame, nBits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, "maxHamming in [0, nBits-1]")
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val bands = maxHamming + 1
+    val width = (nBits + bands - 1) / bands
+    val banded = bandedIndex(hashed, nBits, maxHamming)
+    def pairs(idx: DataFrame, extra: Column): DataFrame = idx.as("x")
+      .join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .filter(extra)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+    def verify(cand: DataFrame): DataFrame = cand
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    if (maxBucket == Int.MaxValue) {
+      // first-shared-band: no band before this one may have equal keys
+      val noEarlierShared = (0 until bands).map { bp =>
+        when(lit(bp) < col("x.band"),
+          bandKey(col("x.h"), bp, nBits, width) =!=
+            bandKey(col("y.h"), bp, nBits, width))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      verify(pairs(banded, noEarlierShared))
+    } else {
+      // min(struct(id, h)) orders by id first — the representative and its
+      // hash in one partial-aggregated pass on the co-partitioned index
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"), min(struct(col("id"), col("h"))).as("rep"))
+        .filter(col("occ") > maxBucket)
+      val cold = banded.join(hot.select(col("band"), col("key")),
+        Seq("band", "key"), "left_anti")
+      val candHot = banded.join(hot, Seq("band", "key"))
+        .filter(col("id") =!= col("rep.id"))
+        .select(col("rep.id").as("a"), col("id").as("b"),
+          col("rep.h").as("ha"), col("h").as("hb"))
+      verify(pairs(cold, lit(true)).unionByName(candHot).distinct())
+    }
   }
 
   /** Hamming-band bucket occupancy preflight — the measurement that decides
@@ -241,12 +305,8 @@ object Multimodal {
   def audioBandOccupancy(df: DataFrame, idCol: String, payloadCol: String,
       lanes: Int = 32, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
-    bandedIndex(df, idCol, payloadCol, lanes, maxHamming)
-      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("occ"))
-      .groupBy(col("occ")).agg(count(lit(1)).as("n_buckets"))
-      .select(col("occ"), col("n_buckets"),
-        (col("occ") * (col("occ") - 1) / 2 * col("n_buckets")).cast("long").as("cand_pairs"))
-      .orderBy(col("occ"))
+    bandOccupancy(bandedIndex(
+      audioHashes(df, idCol, payloadCol, lanes), lanes - 1, maxHamming))
   }
 
   /** Multimodal near-duplicate pairs: decode each payload's PCM for real
@@ -299,44 +359,52 @@ object Multimodal {
       lanes: Int = 32, maxHamming: Int = 2,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
-    require(maxBucket >= 1, "maxBucket must be positive")
-    val nBits = lanes - 1
-    val bands = maxHamming + 1
-    val width = (nBits + bands - 1) / bands
-    val banded = bandedIndex(df, idCol, payloadCol, lanes, maxHamming)
-    def pairs(idx: DataFrame, extra: Column): DataFrame = idx.as("x")
-      .join(idx.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .filter(extra)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.h").as("ha"), col("y.h").as("hb"))
-    def verify(cand: DataFrame): DataFrame = cand
-      .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    if (maxBucket == Int.MaxValue) {
-      // first-shared-band: no band before this one may have equal keys
-      val noEarlierShared = (0 until bands).map { bp =>
-        when(lit(bp) < col("x.band"),
-          bandKey(col("x.h"), bp, nBits, width) =!=
-            bandKey(col("y.h"), bp, nBits, width))
-          .otherwise(lit(true))
-      }.reduce(_ && _)
-      verify(pairs(banded, noEarlierShared))
-    } else {
-      // min(struct(id, h)) orders by id first — the representative and its
-      // hash in one partial-aggregated pass on the co-partitioned index
-      val hot = banded.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("occ"), min(struct(col("id"), col("h"))).as("rep"))
-        .filter(col("occ") > maxBucket)
-      val cold = banded.join(hot.select(col("band"), col("key")),
-        Seq("band", "key"), "left_anti")
-      val candHot = banded.join(hot, Seq("band", "key"))
-        .filter(col("id") =!= col("rep.id"))
-        .select(col("rep.id").as("a"), col("id").as("b"),
-          col("rep.h").as("ha"), col("h").as("hb"))
-      verify(pairs(cold, lit(true)).unionByName(candHot).distinct())
-    }
+    hammingNearDupPairs(audioHashes(df, idCol, payloadCol, lanes),
+      lanes - 1, maxHamming, maxBucket)
+  }
+
+  /** Per-cell luminance sums of a decoded PNG — the REAL pixel decode
+    * ([[graft.expr.PngGrayCells]]: inflate + the five scanline filters),
+    * run as a codegen'd scan-stage expression. NULL for anything that is
+    * not a decodable 8-bit gray/RGB non-interlaced PNG.
+    */
+  def imageGrayCells(payload: Column, gw: Int = 8, gh: Int = 8): Column =
+    asCol(graft.expr.PngGrayCells(asExpr(payload), gw, gh))
+
+  /** Perceptual dHash over the luminance grid: bit `r·(gw−1)+c` is set iff
+    * `cell[r][c+1] > cell[r][c]` — horizontal gradient signs, the classic
+    * image dHash (8×8 grid → 56 bits). Uniform brightness shifts move
+    * equal-pixel-count cells equally, so they leave the hash unchanged —
+    * near-dup, not exact-digest, semantics (the [[audioDHash]] argument in
+    * two dimensions). Disjoint literal bits summed — codegen, no HOF.
+    */
+  def imageDHash(cells: Column, gw: Int = 8, gh: Int = 8): Column = {
+    require(gw >= 2 && gh >= 1 && gh * (gw - 1) <= 62, "grid bits in [1, 62]")
+    (for { r <- 0 until gh; c <- 0 until gw - 1 } yield {
+      when(element_at(cells, r * gw + c + 2) > element_at(cells, r * gw + c + 1),
+        lit(1L << (r * (gw - 1) + c))).otherwise(lit(0L))
+    }).reduce(_ + _) // disjoint bits: + ≡ bitwise or
+  }
+
+  /** Image near-duplicate pairs — [[audioNearDupPairs]]'s construction on
+    * the RASTER lane: REAL in-plan PNG pixel decode
+    * ([[graft.expr.PngGrayCells]]), perceptual dHash over the 8×8
+    * luminance grid (gh·(gw−1) bits), then the shared Hamming-banded
+    * pipeline: pigeonhole bands (recall 1.0 by construction), exactly-once
+    * first-shared-band emission unbounded, `maxBucket` star pairing for
+    * clone floods. Undecodable payloads are excluded — a corrupt blob
+    * cannot be "similar" to anything.
+    *
+    * Output: `(a, b, hamming)` with `a < b`, one row per qualifying pair.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      gw: Int = 8, gh: Int = 8, maxHamming: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cells = imageGrayCells(col(payloadCol), gw, gh)
+    val hashed = df
+      .select(col(idCol).as("id"), cells.as("cells"))
+      .filter(col("cells").isNotNull)
+      .select(col("id"), imageDHash(col("cells"), gw, gh).as("h"))
+    hammingNearDupPairs(hashed, gh * (gw - 1), maxHamming, maxBucket)
   }
 }

@@ -250,6 +250,186 @@ class MultimodalSpec extends AnyFunSuite {
       s"unbounded path must not aggregate (distinct) the candidate stream:\n$plan")
   }
 
+  /** A REAL PNG: deflate-compressed IDAT, correct CRCs, scanlines
+    * pre-filtered with `filterOf(y)` — the decoder must reverse them.
+    * `px(y)` are the unfiltered pixel bytes of row y (bpp·w of them).
+    */
+  private def pngBytes(w: Int, h: Int, colorType: Int,
+      px: Int => Array[Int], filterOf: Int => Int): Array[Byte] = {
+    val bpp = if (colorType == 0) 1 else 3
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](w * bpp)
+    for (y <- 0 until h) {
+      val cur = px(y)
+      val ft = filterOf(y)
+      raw.write(ft)
+      for (i <- 0 until w * bpp) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw.write((cur(i) - pred) & 0xff)
+      }
+      prev = cur
+    }
+    val rawB = raw.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawB); defl.finish()
+    val zBuf = new Array[Byte](rawB.length + 128)
+    var zLen = 0
+    while (!defl.finished()) zLen += defl.deflate(zBuf, zLen, zBuf.length - zLen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue))
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", zBuf.take(zLen))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("PngGrayCells: real deflate decode across all five scanline filters; exact cell sums") {
+    // 10x10 gray, filter type y % 5 — every filter path exercised
+    def v(x: Int, y: Int) = (x * 31 + y * 17 + 5) % 256
+    val png = pngBytes(10, 10, 0, y => Array.tabulate(10)(x => v(x, y)), _ % 5)
+    val cells = Seq(Tuple1(png)).toDF("payload")
+      .select(Multimodal.imageGrayCells($"payload", 2, 2)).as[Seq[Long]].head()
+    // 2x2 grid over 10x10: quadrants of 5x5 pixels, luma 1000·v
+    def quad(x0: Int, y0: Int) =
+      (for { y <- y0 until y0 + 5; x <- x0 until x0 + 5 } yield 1000L * v(x, y)).sum
+    assert(cells == Seq(quad(0, 0), quad(5, 0), quad(0, 5), quad(5, 5)))
+  }
+
+  test("PngGrayCells: RGB truecolor uses BT.601 integer luma; gray/RGB agree on gray content") {
+    def v(x: Int, y: Int) = (x * 13 + y * 7 + 9) % 256
+    val gray = pngBytes(6, 4, 0, y => Array.tabulate(6)(x => v(x, y)), _ % 5)
+    val rgb = pngBytes(6, 4, 2,
+      y => Array.tabulate(18)(i => v(i / 3, y)), y => (y + 3) % 5)
+    val out = Seq((gray, rgb)).toDF("g", "c")
+      .select(Multimodal.imageGrayCells($"g", 3, 2).as("cg"),
+        Multimodal.imageGrayCells($"c", 3, 2).as("cc"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(out._1 == out._2, "299+587+114 = 1000: gray content scores identically")
+  }
+
+  test("PngGrayCells: corrupt, truncated, unsupported variants are NULL, not a crash") {
+    def v(x: Int, y: Int) = (x + y) % 256
+    val good = pngBytes(8, 8, 0, y => Array.tabulate(8)(x => v(x, y)), _ => 0)
+    val interlaced = good.clone(); interlaced(28) = 1     // IHDR interlace flag
+    val depth16 = good.clone(); depth16(24) = 16          // IHDR bit depth
+    val rows = Seq(
+      Tuple1(good), Tuple1(good.dropRight(20)), Tuple1(interlaced),
+      Tuple1(depth16), Tuple1("not a png".getBytes("UTF-8")))
+      .toDF("payload")
+      .select(Multimodal.imageGrayCells($"payload", 2, 2).isNull).as[Boolean].collect()
+    assert(rows.toSeq == Seq(false, true, true, true, true))
+  }
+
+  test("imageDHash: uniform brightness offset leaves the hash unchanged") {
+    def base(x: Int, y: Int) = (x * 29 + y * 31) % 240
+    val img0 = pngBytes(16, 16, 0, y => Array.tabulate(16)(x => base(x, y)), _ % 5)
+    val img1 = pngBytes(16, 16, 0, y => Array.tabulate(16)(x => base(x, y) + 7), _ % 5)
+    val other = pngBytes(16, 16, 0, y => Array.tabulate(16)(x => (x * 7 ^ y * 13) % 256), _ % 5)
+    val hs = Seq((1L, img0), (2L, img1), (3L, other)).toDF("id", "p")
+      .select($"id", Multimodal.imageDHash(Multimodal.imageGrayCells($"p", 8, 8), 8, 8).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L), "a uniform offset must not move the dHash")
+    assert(hs(1L) != hs(3L), "an unrelated image must hash differently")
+  }
+
+  test("image near-dup: banded pairs ≡ brute-force all-pairs over decoded hashes") {
+    // 12 images in 3 groups of 4: r = 0,1,2 are the same base + uniform
+    // brightness offset (identical dHash); r = 3 unrelated — the q202
+    // construction on the raster lane
+    def pix(doc: Long, x: Int, y: Int): Int = {
+      val g = doc / 4; val r = doc % 4; val p = y * 16 + x
+      if (r == 3) (((doc * doc + 7) * (p * p + 31)) % 244).toInt
+      else (((g * g * 131 + 7) * (p * p * 17 + p + 31)) % 244 + r).toInt
+    }
+    val docs = (0L until 12L).map { doc =>
+      (doc, pngBytes(16, 16, 0, y => Array.tabulate(16)(x => pix(doc, x, y)), _ % 5))
+    }
+    val df = docs.toDF("doc_id", "payload")
+    val got = Multimodal.imageNearDupPairs(df, "doc_id", "payload", 8, 8, 2)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val hs = df
+      .select($"doc_id", Multimodal.imageDHash(Multimodal.imageGrayCells($"payload", 8, 8), 8, 8).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      ham = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if ham <= 2
+    } yield (a, b, ham)).toSet
+    assert(got == brute, "pigeonhole banding must reproduce the all-pairs filter exactly")
+    for (g <- 0L until 3L)
+      assert(got.contains((g * 4, g * 4 + 1, 0)) && got.contains((g * 4, g * 4 + 2, 0)),
+        s"group $g's brightness variants must pair")
+  }
+
+  test("q208's in-plan PNG synthesis emits byte-valid files: CRCs, zlib, pixel formula") {
+    // independent validation with the JDK's own CRC32/Inflater — every
+    // chunk CRC must check out and the zlib stream must inflate to the
+    // formula's scanlines (adler verified by the wrapped Inflater)
+    val payloads = Seq(0L, 5L, 7L).toDF("doc_id")
+      .select($"doc_id", SparkEntry.pngPayloadCol.as("p"))
+      .as[(Long, Array[Byte])].collect().toMap
+    def be32(b: Array[Byte], i: Int) = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    for ((doc, b) <- payloads) {
+      assert(b.take(8).map(_ & 0xff).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      var off = 8
+      var idat = Array.empty[Byte]
+      while (off + 8 <= b.length) {
+        val len = be32(b, off).toInt
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, off + 4, 4 + len)
+        assert(crc.getValue == be32(b, off + 8 + len), s"doc $doc: $typ CRC mismatch")
+        if (typ == "IDAT") idat = b.slice(off + 8, off + 8 + len)
+        off += 12 + len
+      }
+      assert(off == b.length, s"doc $doc: trailing garbage")
+      // full zlib inflate INCLUDING the adler32 trailer check
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat)
+      val raw = new Array[Byte](272)
+      var got = 0
+      while (!inf.finished() && got < raw.length) got += inf.inflate(raw, got, raw.length - got)
+      assert(got == 272 && inf.finished(), s"doc $doc: zlib stream invalid")
+      inf.end()
+      // scanlines match the generative formula
+      val g = doc / 4; val r = doc % 4
+      for (y <- 0 until 16) {
+        assert(raw(y * 17) == 0, "filter byte")
+        for (x <- 0 until 16) {
+          val p = y * 16 + x
+          val exp = if (r == 3) ((doc % 65536) * (doc % 65536) + 7) * (p * p + 31) % 244
+                    else ((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31) % 244 + r
+          assert((raw(y * 17 + 1 + x) & 0xff) == exp.toInt, s"doc $doc pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
   test("decodeFeatures preserves partitioning (no shuffle in the plan)") {
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload").repartition(3)
     val out = Multimodal.decodeFeatures(df, "id", "payload", 2)
