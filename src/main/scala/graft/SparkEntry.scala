@@ -765,6 +765,29 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // The FAISS-style REFINE step over the persisted index: q183's
+    // code-scored search widened to the top-12 ADC candidates per probe,
+    // then exactly those 12 re-ranked on TRUE cosine against the stored
+    // `_vecs` refine store (writePqIndex(storeVectors = true)) — the
+    // recall-recovery move when the quantized ADC estimate misorders the
+    // frontier. The _vecs scan reads only the probed cells (IN-filter
+    // pushdown, PlanSpec-pinned); the oracle replays the same two-phase
+    // rank over the training CTEs.
+    "q209_pq_refine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val prefix = s"q209_pq_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx")) {
+        val n  = e.filter(col("embedding").isNotNull).count()
+        val cb = Clustering.pqTrain(e, "vec_id", "embedding", nSub = 2, k = 4, iters = 1)
+        Similarity.writePqIndex(e, "vec_id", "embedding", cb,
+          nCells = Similarity.ivfCellsFor(n, nProbe = 6), prefix, buckets = 4,
+          storeVectors = true)
+      }
+      Similarity.searchPqIndexRefined(e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", prefix, k = 3, nProbe = 6, refineR = 12)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Supervised doc-quality model fit in-engine: logistic regression on
     // standardized (ln length, space-ratio) features, label = lang == 'en',
     // 3 full-batch GD steps — each step ONE partial-aggregated corpus pass
@@ -4196,6 +4219,7 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY probe_id, rank""",
 
     "q183_pq_index_search" -> pqIndexSearchOracle(),
+    "q209_pq_refine" -> pqRefineOracle(refineR = 12, k = 3),
     // q183's replay with the deleted ids excluded from the STORED side
     // only — the frozen model still routes probes and survivors identically
     "q192_pq_index_delete" ->
@@ -4450,7 +4474,7 @@ object SparkEntry {
     * (neighbor) side — q192 replays index deletion with it; probes always
     * search.
     */
-  private def pqIndexSearchOracle(storedPred: String = "TRUE"): String =
+  private def pqSearchCtesSql(storedPred: String = "TRUE"): String =
     s"""${pqTrainCtesSql()},
        params AS (
          SELECT greatest(8, CAST(round(sqrt(count(embedding)::DOUBLE * 6.0)) AS INT)) AS nc
@@ -4478,10 +4502,35 @@ object SparkEntry {
                         * 1000000 + 0.5)/1000000 d6
                 FROM asg a JOIN asg b ON a.cell = b.cell AND b.rn = 1 AND a.vec_id <> b.vec_id
                      JOIN enc w ON w.vec_id = b.vec_id
-                WHERE a.vec_id % 25 = 0 AND $storedPred)
+                WHERE a.vec_id % 25 = 0 AND $storedPred)"""
+
+  private def pqIndexSearchOracle(storedPred: String = "TRUE"): String =
+    s"""${pqSearchCtesSql(storedPred)}
        SELECT probe_id, neighbor_id, d6 AS adc_d6, CAST(rn AS INT) AS rank
        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn FROM cand)
        WHERE rn <= 3 ORDER BY probe_id, rank"""
+
+  /** The q209 refined replay: the same code-scored candidates, top-R per
+    * probe by ADC, then an exact-cosine re-rank of exactly those R — the
+    * engine reads the stored `_vecs` rows where the oracle re-joins `e2`
+    * (bit-identical: the refine store is the cleaned corpus).
+    */
+  private def pqRefineOracle(refineR: Int, k: Int): String =
+    s"""${pqSearchCtesSql()},
+       topr AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d6, neighbor_id) rn
+                  FROM cand)
+                WHERE rn <= $refineR),
+       ref AS (SELECT t.probe_id, t.neighbor_id,
+                 floor(list_reduce(list_prepend(0.0::DOUBLE, [p.v[i] * n.v[i] for i in range(1, len(p.v) + 1)]), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in p.v]), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x for x in n.v]), (a, b) -> a + b)))
+                   * 10000 + 0.5) / 10000 AS cos4
+               FROM topr t JOIN e2 p ON p.vec_id = t.probe_id
+                           JOIN e2 n ON n.vec_id = t.neighbor_id)
+       SELECT probe_id, neighbor_id, cos4, CAST(rn AS INT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos4 DESC, neighbor_id) rn FROM ref)
+       WHERE rn <= $k ORDER BY probe_id, rank"""
 
   /** DuckDB replay of [[cdcFixture]]'s two snapshots as CTEs `v1`, `v2`. */
   private def cdcVersionsSql: String =

@@ -421,7 +421,8 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Clustering.PqCodebooks, nCells: Int, tablePrefix: String,
-      buckets: Int, seedByHash: Boolean = false): Unit = {
+      buckets: Int, seedByHash: Boolean = false,
+      storeVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val clean = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
@@ -439,7 +440,8 @@ object Similarity {
       .flatMap { case (book, s) => book.map { case (code, c) => (s, code, c) } }
       .toDF("sub", "code", "c")
       .write.mode("overwrite").saveAsTable(s"${tablePrefix}_books")
-    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "overwrite")
+    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "overwrite",
+      storeVectors)
   }
 
   /** Admit an increment into a persisted index ([[writePqIndex]]): encode
@@ -449,19 +451,28 @@ object Similarity {
     */
   def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
       tablePrefix: String, buckets: Int): Unit = {
-    val (cb, ids, vecs) = readPqModel(batch.sparkSession, tablePrefix)
+    val spark = batch.sparkSession
+    val (cb, ids, vecs) = readPqModel(spark, tablePrefix)
     val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
-    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "append")
+    // an index built with a refine store keeps it consistent under appends
+    writeIdxRows(clean, idCol, vecCol, cb, ids, vecs, tablePrefix, buckets, "append",
+      storeVectors = spark.catalog.tableExists(s"${tablePrefix}_vecs"))
   }
 
   private def writeIdxRows(clean: DataFrame, idCol: String, vecCol: String,
       cb: Clustering.PqCodebooks, ids: Seq[Long], vecs: Seq[Seq[Float]],
-      tablePrefix: String, buckets: Int, mode: String): Unit = {
+      tablePrefix: String, buckets: Int, mode: String,
+      storeVectors: Boolean = false): Unit = {
     val home = assignCellsWith(clean, idCol, vecCol, ids, vecs, 1)
       .select(col("cell"), col("id"), col("v"))
     Storage.writeBucketed(
       Clustering.pqEncode(home, "v", cb).select(col("cell"), col("id"), col("codes")),
       s"${tablePrefix}_idx", Seq("cell"), buckets, mode)
+    if (storeVectors)
+      // the FAISS refine-flat trade: exact vectors ride a SEPARATE
+      // cell-keyed table, so code-phase scans stay 2-bytes-per-vector and
+      // only the refine step's probed cells ever read vector bytes
+      Storage.writeBucketed(home, s"${tablePrefix}_vecs", Seq("cell"), buckets, mode)
   }
 
   /** Rehydrate the frozen model of a persisted index: codebooks + coarse
@@ -525,6 +536,53 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), (-col("sim")).as("adc_d6"), col("rank"))
   }
 
+  /** [[searchPqIndex]] plus the FAISS-style REFINE step: the code-scored
+    * phase keeps the `refineR` best ADC candidates per probe, then exactly
+    * those candidates re-score against their STORED exact vectors (the
+    * `_vecs` refine store `writePqIndex(storeVectors = true)` lays down)
+    * and the final top-k ranks on true cosine. Code-only scoring caps
+    * recall — ADC distance is a quantized estimate, so the true nearest
+    * neighbor can sit at ADC rank 4 of a top-3 answer; re-ranking a
+    * slightly wider R recovers it for the price of R exact distances per
+    * probe, not a corpus scan.
+    *
+    * Scale shape: the refine join reads ONLY candidate cells — the probed
+    * cell set is collected (bounded: at most the frozen model's cell
+    * count, the [[readPqModel]] economics) and pushed into the bucketed
+    * `_vecs` scan as an IN filter, so vector bytes are read for probed
+    * buckets only; the candidate stream is batch × refineR rows and AQE
+    * broadcasts it. Deleted ids never reach the refine step (the code
+    * phase anti-joins tombstones), so the `_vecs` store needs no
+    * search-time tombstone handling of its own.
+    *
+    * Output: `(probe_id, neighbor_id, cos4, rank)` — rank by (cos4 desc,
+    * neighbor_id), the 4-decimal rounding every exact-cosine oracle
+    * replays.
+    */
+  def searchPqIndexRefined(batch: DataFrame, idCol: String, vecCol: String,
+      tablePrefix: String, k: Int, nProbe: Int = 1, refineR: Int): DataFrame = {
+    require(refineR >= k, "refineR must be at least k")
+    val spark = batch.sparkSession
+    val (cb, ids, vecs) = readPqModel(spark, tablePrefix)
+    val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
+    val topR = searchPqIndex(batch, idCol, vecCol, tablePrefix, refineR, nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    // the cells this batch probes — the refine scan's pruning predicate.
+    // Bounded by the frozen cell count (≤ MaxModelRows by construction),
+    // NOT by the corpus: collecting it is model-fetch economics.
+    val probedCells = assignCellsWith(clean, idCol, vecCol, ids, vecs, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
+    val refVecs = spark.table(s"${tablePrefix}_vecs")
+      .filter(col("cell").isin(probedCells: _*)) // pushed: candidate buckets only
+      .select(col("id").as("neighbor_id"), col("v").as("nv"))
+    val probeVecs = clean.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    rankTopK(
+        topR.join(refVecs, "neighbor_id").join(probeVecs, "probe_id")
+          .select(col("probe_id"), col("neighbor_id"),
+            Summaries.r4(cosine(col("pv"), col("nv"))).as("sim")), k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim").as("cos4"), col("rank"))
+  }
+
   /** Delete vectors from a persisted IVF-PQ index ([[writePqIndex]]) without
     * rewriting it: tombstone append + search-time anti-join, the same
     * delete-vector shape as [[graft.ops.Text.deleteFromMinhashIndex]]
@@ -552,6 +610,15 @@ object Similarity {
       val keep = pin(spark.table(s"${tablePrefix}_idx").join(del, Seq("id"), "left_anti"))
       Storage.writeBucketed(keep.select(col("cell"), col("id"), col("codes")),
         s"${tablePrefix}_idx", Seq("cell"), buckets, "overwrite")
+      // a refine store compacts alongside: its deleted rows were already
+      // unreachable (the code phase anti-joins tombstones before refine),
+      // so this is storage reclamation, not a correctness step
+      if (spark.catalog.tableExists(s"${tablePrefix}_vecs")) {
+        val keepV = pin(spark.table(s"${tablePrefix}_vecs").join(del, Seq("id"), "left_anti"))
+        Storage.writeBucketed(keepV.select(col("cell"), col("id"), col("v")),
+          s"${tablePrefix}_vecs", Seq("cell"), buckets, "overwrite")
+        Checkpoints.release(keepV)
+      }
       Storage.clearTombstones(spark, s"${tablePrefix}_del")
       Checkpoints.release(keep)
     }

@@ -477,6 +477,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 PQ refine: the _vecs store is read for probed cells only (IN pushdown)") {
+    val e  = Tables.t(spark, sf, "embeddings")
+    val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 4, 1)
+    graft.ops.Similarity.writePqIndex(e, "vec_id", "embedding", cb,
+      nCells = 4, "planspec_pqref", buckets = 2, storeVectors = true)
+    val df = graft.ops.Similarity.searchPqIndexRefined(
+      e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      "planspec_pqref", k = 3, nProbe = 2, refineR = 9)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the refine scan must carry the probed-cell IN filter INTO the
+    // parquet reader — vector bytes are only read for candidate buckets
+    val vecsScan = p.linesIterator.filter(_.contains("planspec_pqref_vecs")).mkString("\n")
+    assert(vecsScan.nonEmpty, s"no _vecs scan found:\n$p")
+    assert(vecsScan.contains("PushedFilters: [In(cell"),
+      s"probed-cell IN filter not pushed to the _vecs scan:\n$vecsScan")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
