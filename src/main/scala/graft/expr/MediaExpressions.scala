@@ -301,3 +301,55 @@ case class PngGrayCells(child: Expression, gw: Int, gh: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** REAL WAV/PCM decode as a codegen'd scan-stage expression — the
+  * [[graft.ops.Multimodal.decodeWavPcm]] byte walk (RIFF chunks, 16-bit
+  * little-endian samples, exact integer feature folds) lifted out of its
+  * former `mapPartitions` site so the decode fuses into whole-stage
+  * codegen with the hashing/banding expressions that consume it. NULL for
+  * anything that is not a complete 16-bit PCM WAV.
+  */
+case class WavPcmFeatures(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && dim <= 4096, "dim in [1, 4096]")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits", IntegerType), StructField("n_samples", LongType),
+    StructField("sum_s", LongType), StructField("sum_sq", LongType),
+    StructField("peak", LongType), StructField("zero_cross", LongType),
+    StructField("features", ArrayType(LongType, containsNull = false))))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_pcm_features expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wavPcmFeatures", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pcm")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(b: Array[Byte]): Any =
+    graft.ops.Multimodal.decodeWavPcm(b, dim) match {
+      case Some(p) => InternalRow(p.sampleRate, p.channels, p.bits, p.nSamples,
+        p.sumS, p.sumSq, p.peak, p.zeroCross,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(p.laneSums))
+      case None => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

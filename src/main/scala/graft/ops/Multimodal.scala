@@ -148,30 +148,30 @@ object Multimodal {
   /** Batch feature extraction: `(id, payload)` → `(id, format, byte_len,
     * sample_rate, channels, bits, n_samples, sum_s, sum_sq, peak,
     * zero_cross, features)` with the PCM fields NULL for payloads that are
-    * not decodable 16-bit WAV. `mapPartitions`, so each executor decodes
-    * its partition's payloads in one pass — no shuffle, no driver
-    * involvement, and the partition is the batch unit a decoder amortizes
-    * setup over. `features` is the `dim` per-lane sums — an exact-integer
-    * embedding of the signal.
+    * not decodable 16-bit WAV. Pure scan-stage expressions — the byte
+    * decode runs inside [[graft.expr.WavPcmFeatures]] (codegen'd, so it
+    * fuses into the same WholeStageCodegen as the dHash/banding
+    * expressions that consume it; the former `mapPartitions` site broke
+    * the stage in two), no shuffle, no driver involvement. `features` is
+    * the `dim` per-lane sums — an exact-integer embedding of the signal.
     */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int): DataFrame = {
     require(dim >= 1, "dim must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val b = if (bytes == null) Array.empty[Byte] else bytes
-          val p = decodeWavPcm(b, dim)
-          (id, formatOf(b), b.length.toLong,
-            p.map(_.sampleRate), p.map(_.channels), p.map(_.bits),
-            p.map(_.nSamples), p.map(_.sumS), p.map(_.sumSq), p.map(_.peak),
-            p.map(_.zeroCross), p.map(_.laneSums.toSeq))
-        }
-      }
-      .toDF(idCol, "format", "byte_len", "sample_rate", "channels", "bits",
-        "n_samples", "sum_s", "sum_sq", "peak", "zero_cross", "features")
+    // NULL payloads classify like empty ones (format 'unknown', zero
+    // length) rather than NULL-ing the metadata — the mapPartitions
+    // contract this projection replaces
+    val pb = coalesce(col(payloadCol).cast("binary"), lit(Array.empty[Byte]))
+    df.select(col(idCol).cast("long").as(idCol), pb.as("__p"))
+      .select(col(idCol),
+        inferFormat(col("__p")).as("format"),
+        octet_length(col("__p")).cast("long").as("byte_len"),
+        asCol(graft.expr.WavPcmFeatures(asExpr(col("__p")), dim)).as("__f"))
+      .select(col(idCol), col("format"), col("byte_len"),
+        col("__f.sample_rate").as("sample_rate"), col("__f.channels").as("channels"),
+        col("__f.bits").as("bits"), col("__f.n_samples").as("n_samples"),
+        col("__f.sum_s").as("sum_s"), col("__f.sum_sq").as("sum_sq"),
+        col("__f.peak").as("peak"), col("__f.zero_cross").as("zero_cross"),
+        col("__f.features").as("features"))
   }
 
   /** Perceptual difference-hash (dHash) over a decoded signal's `lanes`

@@ -436,4 +436,23 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"))
   }
+
+  test("decodeFeatures is pure codegen: one WholeStageCodegen span, no object boundary") {
+    // the former mapPartitions form split the stage at a
+    // Deserialize/SerializeFromObject pair; the expression form must fuse
+    // decode + downstream hashing into a single codegen span
+    // repartition breaks ConvertToLocalRelation, which would otherwise
+    // constant-fold the whole pipeline at plan time
+    val df = Seq((1L, wavBytes(8000, Seq(1, 2, 3, 4)))).toDF("id", "payload").repartition(1)
+    val out = Multimodal.decodeFeatures(df, "id", "payload", 4)
+      .filter($"features".isNotNull)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"),
+      s"object-boundary operators survive:\n$plan")
+    // the decode projection carries the codegen marker *(n) — the former
+    // mapPartitions form ran outside any codegen span
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"decode not codegen'd:\n$plan")
+  }
 }
