@@ -2299,6 +2299,23 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
 
+    // q205's layout lifted to THREE dimensions: quantile bins on
+    // (value, user_id, event_id) at 4 bins each, indexed by the
+    // d-dimensional Skilling Hilbert walk (Storage.hilbertValueN — the
+    // codegen'd expression that removes the 2-D/8-bit unroll bound), then
+    // the per-cell population. The oracle unrolls Skilling's transpose
+    // loop for dims = 3, bits = 2 step by step — integer-exact.
+    "q210_hilbert3d_cells" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val binned = Summaries.quantileBins(ev,
+        Seq(("value", 4, "bx"), ("user_id", 4, "by"), ("event_id", 4, "bz")))
+      binned
+        .withColumn("h", Storage.hilbertValueN(Seq(col("bx"), col("by"), col("bz")), 2))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    }),
+
     // statistical aggregates: correlation, sample stddev (r4 masks the
     // partition-order jitter of streaming co-moments)
     "q64_stats" -> ((s, d) => {
@@ -3977,6 +3994,39 @@ object SparkEntry {
          SELECT d AS h, count(*) AS n FROM h$bits GROUP BY d ORDER BY d"""
   }
 
+  /** q210's oracle: 4-bin quantile binning on three columns, then
+    * Skilling's transpose algorithm (the exact
+    * [[graft.expr.HilbertIndex]] arithmetic) unrolled for dims = 3,
+    * bits = 2 — one CTE per inner-loop step (the q = 2 inverse-undo pass
+    * over i = 0, 1, 2), then the Gray encode, the trailing-t fold, and
+    * the bit interleave. Integer-exact at every step.
+    */
+  private def hilbert3dCellsOracle: String =
+    """WITH cx AS (SELECT quantile_cont(value, [x / 4.0 for x in range(1, 4)]) AS cs FROM events),
+       cy AS (SELECT quantile_cont(user_id, [x / 4.0 for x in range(1, 4)]) AS cs FROM events),
+       cz AS (SELECT quantile_cont(event_id, [x / 4.0 for x in range(1, 4)]) AS cs FROM events),
+       b AS (
+         SELECT CAST(len(list_filter((SELECT cs FROM cx), c -> c <= value)) AS BIGINT) AS x0,
+                CAST(len(list_filter((SELECT cs FROM cy), c -> c <= user_id)) AS BIGINT) AS x1,
+                CAST(len(list_filter((SELECT cs FROM cz), c -> c <= event_id)) AS BIGINT) AS x2
+         FROM events),
+       s1 AS (SELECT CASE WHEN (x0 & 2) > 0 THEN xor(x0, 1) ELSE x0 END AS x0, x1, x2 FROM b),
+       s2 AS (SELECT CASE WHEN (x1 & 2) > 0 THEN xor(x0, 1)
+                          ELSE xor(x0, xor(x0, x1) & 1) END AS x0,
+                     CASE WHEN (x1 & 2) > 0 THEN x1
+                          ELSE xor(x1, xor(x0, x1) & 1) END AS x1, x2 FROM s1),
+       s3 AS (SELECT CASE WHEN (x2 & 2) > 0 THEN xor(x0, 1)
+                          ELSE xor(x0, xor(x0, x2) & 1) END AS x0, x1,
+                     CASE WHEN (x2 & 2) > 0 THEN x2
+                          ELSE xor(x2, xor(x0, x2) & 1) END AS x2 FROM s2),
+       g AS (SELECT x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM s3),
+       f AS (SELECT x0, x1, x2, CASE WHEN (x2 & 2) > 0 THEN 1 ELSE 0 END AS t FROM g),
+       h AS (SELECT ((xor(x0, t) >> 1) & 1) * 32 + ((xor(x1, t) >> 1) & 1) * 16 +
+                    ((xor(x2, t) >> 1) & 1) * 8 + (xor(x0, t) & 1) * 4 +
+                    (xor(x1, t) & 1) * 2 + (xor(x2, t) & 1) AS hv
+             FROM f)
+       SELECT hv AS h, count(*) AS n FROM h GROUP BY hv ORDER BY hv"""
+
   private def similarityOracles: Map[String, String] = Map(
     "q117_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
@@ -5205,6 +5255,7 @@ object SparkEntry {
            FROM b)
          SELECT z, count(*) AS n FROM zz GROUP BY z ORDER BY z""",
     "q205_hilbert_cells" -> hilbertCellsOracle(4),
+    "q210_hilbert3d_cells" -> hilbert3dCellsOracle,
     "q64_stats" ->
       """SELECT l_returnflag,
                 floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)/10000 AS corr_qty_price,

@@ -184,6 +184,25 @@ object Storage {
     when(xBin.isNull || yBin.isNull, lit(null).cast("long")).otherwise(d)
   }
 
+  /** d-DIMENSIONAL Hilbert index — [[hilbertValue]] lifted past its 2-D /
+    * 8-bit expression-tree bound via [[graft.expr.HilbertIndex]]
+    * (Skilling's transpose algorithm as one codegen'd expression, cost
+    * O(dims·bits) per row). Bins must be longs in `[0, 2^bits)`;
+    * `dims · bits ≤ 62`. NULL in any bin → NULL index. Note the
+    * orientation differs from the 2-D quadrant-rotation form — layouts
+    * are writer-consistent, so only the Hilbert PROPERTIES (bijective,
+    * unit-step — StorageSpec proves both) matter, not the orientation.
+    */
+  def hilbertValueN(bins: Seq[Column], bits: Int): Column = {
+    require(bins.size >= 2 && bits >= 1 && bins.size * bits <= 62,
+      "need >= 2 bins, bits >= 1, dims*bits <= 62")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.HilbertIndex(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          array(bins.map(_.cast("long")): _*)),
+        bins.size, bits))
+  }
+
   /** Z-order clustered write — the multi-column data-skipping layout
     * (Delta/Iceberg `OPTIMIZE ZORDER BY` semantics, expressed as a plain
     * repartition+sort+write).
@@ -217,12 +236,23 @@ object Storage {
       outDir: String, nFiles: Int): Unit =
     curveWrite(df, Seq(xCol, yCol), bits, outDir, nFiles, hilbert = true)
 
+  /** [[hilbertOrderWrite]] for ANY column count ≥ 2: the same quantile-bin
+    * + curve-sort + write shape on the d-dimensional [[hilbertValueN]]
+    * walk — the full Iceberg/Delta HILBERT surface.
+    */
+  def hilbertOrderWriteN(df: DataFrame, cols: Seq[String], bits: Int,
+      outDir: String, nFiles: Int): Unit = {
+    require(cols.size >= 2, "hilbert layout needs at least two columns")
+    curveWrite(df, cols, bits, outDir, nFiles, hilbert = true)
+  }
+
   private def curveWrite(df: DataFrame, cols: Seq[String], bits: Int,
       outDir: String, nFiles: Int, hilbert: Boolean): Unit = {
     val binned = Summaries.quantileBins(df,
       cols.zipWithIndex.map { case (c, i) => (c, 1 << bits, s"__zb_$i") })
     val idx =
-      if (hilbert) hilbertValue(col("__zb_0"), col("__zb_1"), bits)
+      if (hilbert && cols.size == 2) hilbertValue(col("__zb_0"), col("__zb_1"), bits)
+      else if (hilbert) hilbertValueN(cols.indices.map(i => col(s"__zb_$i")), bits)
       else zValue(cols.indices.map(i => col(s"__zb_$i")), bits)
     // pinned: RangePartitioner's sampling job would otherwise re-execute
     // the whole binning subtree a second time (see exactQuantileArrays)

@@ -67,6 +67,62 @@ class StorageSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("hilbertValueN: bijective unit-step walk in 2-D, 3-D and 4-D; NULL and range guards") {
+    // the two properties that MAKE a curve Hilbert (any orientation):
+    // indices are a permutation of the full grid, and consecutive indices
+    // are grid-adjacent (L1 distance exactly 1 — Morton teleports instead)
+    def walk(dims: Int, bits: Int): Unit = {
+      val side = 1 << bits
+      val cells = Seq.tabulate(math.pow(side, dims).toInt) { c =>
+        Array.tabulate(dims)(d => (c / math.pow(side, d).toInt % side).toLong).toSeq
+      }
+      val got = cells.toDF("bins")
+        .select($"bins",
+          Storage.hilbertValueN((0 until dims).map(i => element_at($"bins", i + 1)), bits)
+            .as("h"))
+        .as[(Seq[Long], Long)].collect()
+      val byH = got.map { case (b, h) => h -> b }.toMap
+      assert(byH.keySet == (0L until cells.size.toLong).toSet,
+        s"$dims-D/$bits-bit walk is not a bijection")
+      for (h <- 0L until (cells.size - 1).toLong) {
+        val l1 = byH(h).zip(byH(h + 1)).map { case (a, b) => math.abs(a - b) }.sum
+        assert(l1 == 1, s"$dims-D/$bits-bit walk jumps at $h (L1 = $l1)")
+      }
+    }
+    walk(2, 3) // 64 cells
+    walk(3, 2) // 64 cells
+    walk(4, 2) // 256 cells
+    // NULL bin -> NULL index; out-of-range bin throws loudly
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(Storage.hilbertValueN(Seq($"x", $"y"), 3).as("h")).collect()
+    assert(nulls.head.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq((9L, 1L)).toDF("x", "y")
+        .select(Storage.hilbertValueN(Seq($"x", $"y"), 3)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("hilbertOrderWriteN: 3-D layout bounds per-file spans on all three columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbn").toString
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(4000)((rnd.nextInt(10000), rnd.nextInt(10000), rnd.nextInt(10000)))
+    val df = rows.toDF("a", "b", "c")
+    Storage.hilbertOrderWriteN(df, Seq("a", "b", "c"), bits = 4, s"$dir/h3", nFiles = 16)
+    val back = spark.read.parquet(s"$dir/h3")
+      .select(input_file_name().as("f"), $"a", $"b", $"c")
+    val spans = back.groupBy($"f")
+      .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"),
+        (max($"c") - min($"c")).as("sc"))
+      .agg(avg($"sa"), avg($"sb"), avg($"sc")).head()
+    // 16 files over a 10k domain: an unclustered write leaves ~10k spans;
+    // the 3-D curve must bound ALL three columns well below that
+    for (i <- 0 until 3)
+      assert(spans.getDouble(i) < 7000, s"col $i avg span ${spans.getDouble(i)}")
+    // and the same rows survive the round trip
+    assert(back.count() == 4000)
+  }
+
   test("zOrderWrite bounds per-file spans on BOTH columns; a plain sort does not") {
     val sf  = "/root/testdata/sf0.001"
     val li  = spark.read.parquet(s"$sf/lineitem.parquet")
