@@ -319,8 +319,9 @@ object ScaleBench {
         val e = e0.union(e0.select(col("s").as("c"), col("c").as("s")))
         Graph.pageRankInt(e, "c", "s", iterations = 3, pinEvery = 3).count()
       }),
-      // q177's exact shape (3 sync rounds, single-job unroll) — the
-      // suite's slowest query gets its growth exponent measured
+      // the suite's LPA shape at its historical 3 sync rounds (q177
+      // itself trimmed to 2 in round 15 for suite headroom) so the
+      // family's growth curve stays comparable across rounds
       ("label_propagation", () =>
         Graph.labelPropagation(read("edges", f), "c", "s",
           iterations = 3, pinEvery = 3).count()),

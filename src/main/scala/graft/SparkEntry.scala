@@ -2689,12 +2689,17 @@ object SparkEntry {
       def nodeStr(c: Column) = concat(
         when(c % 2 === 0, lit("c")).otherwise(lit("s")),
         shiftright(c, 1).cast("string"))
-      // pinEvery=3: with the static-fallback round shape each round reads
-      // the previous labels once, so the 3-round unroll is linear and runs
-      // as ONE job with no mid-loop pin barriers (the earlier per-round
-      // LEFT-JOIN fallback form doubled each unpinned round's subplan —
-      // 6.5 s measured at sf0.1 vs ~4.8 s pinned per round)
-      Graph.labelPropagation(pairs, "a", "b", iterations = 3, pinEvery = 3)
+      // pinEvery=2: with the static-fallback round shape each round reads
+      // the previous labels once, so the unroll is linear and runs as ONE
+      // job with no mid-loop pin barriers (the earlier per-round LEFT-JOIN
+      // fallback form doubled each unpinned round's subplan — 6.5 s
+      // measured at sf0.1 vs ~4.8 s pinned per round). 2 fixed rounds
+      // (was 3): the suite's slowest query by a wide margin, and the
+      // fixed-round CONTRACT — not a particular depth — is what q177
+      // exercises; 10-round convergence depth lives in q199, and
+      // ScaleBench's label_propagation family keeps the historical 3-round
+      // shape so its growth curve stays comparable across rounds.
+      Graph.labelPropagation(pairs, "a", "b", iterations = 2, pinEvery = 2)
         .select(nodeStr(col("v")).as("node"), nodeStr(col("label")).as("community"))
         .orderBy(col("community"), col("node"))
     }),
@@ -5774,16 +5779,10 @@ object SparkEntry {
                          row_number() OVER (PARTITION BY e.dst
                            ORDER BY count(*) DESC, l.label ASC) AS rn
                   FROM edges e JOIN l1 l ON e.src = l.v GROUP BY e.dst, l.label)
-                WHERE rn = 1),
-         l3 AS (SELECT dst AS v, label FROM (
-                  SELECT e.dst, l.label, count(*) AS cnt,
-                         row_number() OVER (PARTITION BY e.dst
-                           ORDER BY count(*) DESC, l.label ASC) AS rn
-                  FROM edges e JOIN l2 l ON e.src = l.v GROUP BY e.dst, l.label)
                 WHERE rn = 1)
          SELECT CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END || CAST(v // 2 AS VARCHAR) AS node,
                 CASE WHEN label % 2 = 0 THEN 'c' ELSE 's' END || CAST(label // 2 AS VARCHAR) AS community
-         FROM l3 ORDER BY community, node""",
+         FROM l2 ORDER BY community, node""",
 
     // Unrolls a FIXED 9 rounds of the digit-chain DAG PageRank: rounds
     // past the integer-mass fixpoint are the identity, so this equals the
