@@ -1133,36 +1133,64 @@ object SparkEntry {
     val g16 = pmod(expr("doc_id DIV 4"), lit(65536))
     val d16 = pmod(col("doc_id"), lit(65536))
     val r = col("doc_id") % 4
+    // Knuth-mix through the PRIME 65537 before the final range fold: the
+    // plain `% 244` fold left lane gradients correlated ACROSS groups
+    // (137k spurious hamming<=2 pairs on 5000 docs vs the 3750 true
+    // within-group ones — the q202 decorrelation lesson rediscovered on
+    // the raster lane); this form yields exactly the 3750. Reduce mod
+    // 65537 BEFORE the 2654435761 multiply so every intermediate stays
+    // under 2^48.
+    def mix(x: Column): Column =
+      pmod(pmod(pmod(x, lit(65537L)) * lit(2654435761L), lit(65537L)), lit(244))
     def pix(p: Column): Column =
-      when(r === 3, pmod((d16 * d16 + 7) * (p * p + 31), lit(244)))
-        .otherwise(pmod((g16 * g16 * 131 + 7) * (p * p * 17 + p + 31), lit(244)) + r)
+      when(r === 3, mix((d16 * d16 + 7) * (p * p + 31)))
+        .otherwise(mix((g16 * g16 * 131 + 7) * (p * p * 17 + p + 31)) + r)
     // raw scanlines: 16 rows of (filter byte 0) + 16 pixel bytes = 272 B
     val raw = flatten(transform(sequence(lit(0), lit(15)), y =>
       concat(array(lit(0L)),
         transform(sequence(lit(0), lit(15)), x => pix(y * 16 + x)))))
-    val n = lit(272)
-    val adlerA = pmod(aggregate(raw, lit(1L), (acc, x) => acc + x), lit(65521))
-    val adlerB = pmod(
-      aggregate(zip_with(raw, sequence(lit(0L), lit(271L)), (x, j) => (n - j) * x),
-        n.cast("long"), (acc, x) => acc + x),
-      lit(65521))
+    // both adler sums in ONE aggregate pass via the textbook recurrence
+    // (a += d; b += a) on a struct accumulator — sums stay far under 2^63
+    // for 272 bytes, so the mods fold once in the FINISH lambda, which
+    // also serializes the 4 trailer bytes so the (interpreted-HOF)
+    // aggregate subtree appears exactly once in the payload expression
+    val adlerBytes = aggregate(raw,
+      struct(lit(1L).as("a"), lit(0L).as("b")),
+      (acc, x) => struct((acc("a") + x).as("a"), (acc("b") + acc("a") + x).as("b")),
+      acc => {
+        val a = pmod(acc("a"), lit(65521)); val b = pmod(acc("b"), lit(65521))
+        array(shiftright(b, 8), pmod(b, lit(256)), shiftright(a, 8), pmod(a, lit(256)))
+      })
     // zlib stream: 0x78 0x01 header, stored block (BFINAL=1), LEN=272 LE,
     // NLEN=~LEN LE, raw bytes, adler32 BE
     val zlib = concat(
       array(lit(0x78L), lit(0x01L), lit(0x01L), lit(0x10L), lit(0x01L),
         lit(0xEFL), lit(0xFEL)),
       raw,
-      array(shiftright(adlerB, 8), pmod(adlerB, lit(256)),
-        shiftright(adlerA, 8), pmod(adlerA, lit(256))))
-    val crcTab = array(crc32Table.map(lit): _*)
-    val crcIn = concat(array(lit(73L), lit(68L), lit(65L), lit(84L)), zlib) // "IDAT" ++ data
-    val crc = aggregate(crcIn, lit(0xFFFFFFFFL), (c, x) =>
-      element_at(crcTab, ((c.bitwiseXOR(x)).bitwiseAND(lit(255L)) + 1).cast("int"))
-        .bitwiseXOR(shiftright(c, 8)))
-      .bitwiseXOR(lit(0xFFFFFFFFL))
-    val varBytes = concat(zlib,
-      array(shiftright(crc, 24), pmod(shiftright(crc, 16), lit(256)),
-        pmod(shiftright(crc, 8), lit(256)), pmod(crc, lit(256))))
+      adlerBytes)
+    // ONE array literal, not CreateArray over 256 lit nodes: the table is
+    // read inside the aggregate's lambda, where a CreateArray would be
+    // re-evaluated per STEP (≈ 287 steps × 256 children per row — measured
+    // as the dominant cost of the whole q208 synthesis at sf0.1)
+    val crcTab = lit(crc32Table)
+    // LET-BINDING device: `transform(array(zlib), z => …)` evaluates the
+    // zlib subtree exactly once and binds it to the lambda variable `z`.
+    // The naive `concat(zlib, bytesOf(crcOver(zlib)))` form re-evaluates
+    // the whole pixel+adler pipeline once per appearance (zlib 5×, the
+    // 287-step CRC aggregate 4× for its four serialized bytes — measured
+    // as ~7 ms/row at sf0.1, the whole q208 cost); with both folds
+    // finish-serialized and the input bound, every pass runs once.
+    val varBytes = flatten(transform(array(zlib), z =>
+      concat(z, aggregate(
+        concat(array(lit(73L), lit(68L), lit(65L), lit(84L)), z), // "IDAT" ++ data
+        lit(0xFFFFFFFFL),
+        (c, x) => element_at(crcTab, ((c.bitwiseXOR(x)).bitwiseAND(lit(255L)) + 1).cast("int"))
+          .bitwiseXOR(shiftright(c, 8)),
+        c => {
+          val f = c.bitwiseXOR(lit(0xFFFFFFFFL))
+          array(shiftright(f, 24), pmod(shiftright(f, 16), lit(256)),
+            pmod(shiftright(f, 8), lit(256)), pmod(f, lit(256)))
+        }))))
     val varHex = array_join(transform(varBytes, b => lpad(hex(b), 2, "0")), "")
     // constant segments, CRCs computed once here with the JDK's CRC32
     def chunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -4449,8 +4477,8 @@ object SparkEntry {
          v AS (SELECT doc_id,
                       ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
                       CASE WHEN r = 3
-                           THEN (((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 244
-                           ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 244) + r
+                           THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 65537 * 2654435761 % 65537) % 244
+                           ELSE (((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 65537 * 2654435761 % 65537) % 244) + r
                       END AS pv
                FROM s),
          cells AS (SELECT doc_id, cell, SUM(1000 * pv) AS ls FROM v GROUP BY doc_id, cell),

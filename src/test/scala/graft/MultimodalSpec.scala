@@ -418,12 +418,13 @@ class MultimodalSpec extends AnyFunSuite {
       inf.end()
       // scanlines match the generative formula
       val g = doc / 4; val r = doc % 4
+      def mix(x: Long) = x % 65537 * 2654435761L % 65537 % 244
       for (y <- 0 until 16) {
         assert(raw(y * 17) == 0, "filter byte")
         for (x <- 0 until 16) {
           val p = y * 16 + x
-          val exp = if (r == 3) ((doc % 65536) * (doc % 65536) + 7) * (p * p + 31) % 244
-                    else ((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31) % 244 + r
+          val exp = if (r == 3) mix(((doc % 65536) * (doc % 65536) + 7) * (p * p + 31))
+                    else mix(((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) + r
           assert((raw(y * 17 + 1 + x) & 0xff) == exp.toInt, s"doc $doc pixel ($x,$y)")
         }
       }
