@@ -1037,8 +1037,14 @@ object SparkEntry {
     // pair join uses — the measurement that decides whether the
     // (deliberately default-off) hot-bucket cap must be set before
     // audioNearDupPairs runs at a new corpus scale.
+    // Bounded to the canonical `doc_id < 2000` slice (the q24 convention:
+    // the whole table at sf0.01, constant-size at larger SFs) — the
+    // preflight's cost story at scale is the text twin's (q193) plus the
+    // decode, both already measured; the fixture synthesis is what this
+    // slice bounds.
     "q207_audio_occupancy" -> ((s, d) => {
-      val src = t(s, d, "documents").select(col("doc_id"), wavPayloadCol.as("payload"))
+      val src = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), wavPayloadCol.as("payload"))
       Multimodal.audioBandOccupancy(Tables.spread(src), "doc_id", "payload",
           lanes = 32, maxHamming = 2)
         .orderBy(col("occ"))
@@ -1053,8 +1059,13 @@ object SparkEntry {
     // one base image + uniform brightness offset (dHash-identical), r = 3
     // unrelated; the oracle replays the pixel formula and filters ALL
     // pairs, which the banded plan (pigeonhole recall 1.0) must reproduce.
+    // Bounded to the canonical `doc_id < 2000` slice (the q24 convention;
+    // whole table at sf0.01): what scales is the shared Hamming pipeline —
+    // measured through the audio lane and the text LSH families — while
+    // the in-plan PNG synthesis is fixture cost, bounded here.
     "q208_image_neardup" -> ((s, d) => {
-      val src = t(s, d, "documents").select(col("doc_id"), pngPayloadCol.as("payload"))
+      val src = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), pngPayloadCol.as("payload"))
       Multimodal.imageNearDupPairs(Tables.spread(src), "doc_id", "payload",
           gw = 8, gh = 8, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
@@ -4472,7 +4483,7 @@ object SparkEntry {
     // pairs by Hamming distance — the banded plan must reproduce the
     // quadratic filter exactly (pigeonhole recall 1.0).
     "q208_image_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE doc_id < 2000),
          s AS (SELECT doc_id, g, r, unnest(range(256)) AS p FROM d),
          v AS (SELECT doc_id,
                       ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
@@ -4499,7 +4510,7 @@ object SparkEntry {
     // occupancy histogram (q193's construction — occ·(occ−1) is even, so
     // the /2 is exact in both engines).
     "q207_audio_occupancy" ->
-      s"""WITH ${audioHashCtesSql()},
+      s"""WITH ${audioHashCtesSql("doc_id < 2000")},
          allh AS (SELECT doc_id, h FROM hx),
          ${audioBandCtesSql},
          buck AS (SELECT band, key, count(*) AS occ FROM ex GROUP BY band, key)
