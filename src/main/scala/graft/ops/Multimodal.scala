@@ -217,9 +217,15 @@ object Multimodal {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("h"), b, nBits, width).as("key"))
     }
+    // Pinned UNPARTITIONED (unlike the text LSH index, which pre-shuffles
+    // on (band, hv)): Hamming band keys are ≤ ~11 bits, so a pinned
+    // (band, key) layout is skew-prone and — being a checkpoint, not an
+    // exchange — would lock AQE out of skew-splitting the pair join.
+    // Letting each consumer plan its own exchange measured q202 at ×100 at
+    // 41 s vs 88 s with the pinned layout; ReusedExchange still unifies
+    // the two identical self-join sides.
     hashed.select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .repartition(col("band"), col("key"))
       .localCheckpoint(false)
   }
 
