@@ -1059,6 +1059,26 @@ object SparkEntry {
     // one base image + uniform brightness offset (dHash-identical), r = 3
     // unrelated; the oracle replays the pixel formula and filters ALL
     // pairs, which the banded plan (pigeonhole recall 1.0) must reproduce.
+    // The GIF lane of q208: in-plan synthesis of complete valid GIF89a
+    // files — 128-gray global palette, REAL LZW bitstream kept 8-bit-wide
+    // (a clear code every 126 pixels holds the decoder's dictionary under
+    // the 256-entry width bump, so every code is one byte — the classic
+    // "uncompressed GIF" device, which makes the stream expressible as a
+    // plain byte concat) — decoded by the full variable-width LZW decoder
+    // (GifGrayCells), hashed and banded by the same shared pipeline.
+    // Groups of 4 docs: r = 0,1,2 share a base raster + uniform palette-
+    // index offset (palette entry i is gray 2i, so +r is a uniform
+    // brightness shift — dHash-invariant), r = 3 unrelated. Same canonical
+    // doc_id < 2000 slice as q208.
+    "q211_gif_neardup" -> ((s, d) => {
+      val src = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), gifPayloadCol.as("payload"))
+      Multimodal.imageNearDupPairs(Tables.spread(src), "doc_id", "payload",
+          gw = 8, gh = 8, maxHamming = 2)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Bounded to the canonical `doc_id < 2000` slice (the q24 convention;
     // whole table at sf0.01): what scales is the shared Hamming pipeline —
     // measured through the audio lane and the text LSH families — while
@@ -1115,6 +1135,55 @@ object SparkEntry {
       le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
       lit("data").cast("binary"), le(n * 2, 4),
       unhex(sampleHex))
+  }
+
+  /** The q211 GIF payload: a complete, VALID 16×16 GIF89a synthesized
+    * in-plan from `doc_id`. Palette: 128 grays, entry i = (2i, 2i, 2i) —
+    * so a uniform +r index offset is a uniform brightness shift. The LZW
+    * stream is real but engineered to stay BYTE-ALIGNED: with minCode 7
+    * the initial code width is 8, and a clear code every 126 pixels keeps
+    * the decoder's dictionary under the 256-entry width bump — every code
+    * is exactly one byte (the classic "uncompressed GIF" encoder), which
+    * is what makes the stream expressible as a byte concat with no
+    * bit-packing expressions. The decoder ([[graft.expr.GifGrayCells]])
+    * still runs its full variable-width path — MultimodalSpec feeds it
+    * genuinely compressed streams.
+    *
+    * Pixel-index formula: the q208 prime-mix folded to [0, 121] so +r
+    * (r = 0, 1, 2) never exceeds the 128-entry palette; r = 3 unrelated.
+    */
+  private[graft] def gifPayloadCol: Column = {
+    val g16 = pmod(expr("doc_id DIV 4"), lit(65536))
+    val d16 = pmod(col("doc_id"), lit(65536))
+    val r = col("doc_id") % 4
+    def mix(x: Column): Column =
+      pmod(pmod(pmod(x, lit(65537L)) * lit(2654435761L), lit(65537L)), lit(122))
+    def idxOf(p: Column): Column =
+      when(r === 3, mix((d16 * d16 + 7) * (p * p + 31)))
+        .otherwise(mix((g16 * g16 * 131 + 7) * (p * p * 17 + p + 31)) + r)
+    def hexOf(from: Int, until: Int): Column = array_join(
+      transform(sequence(lit(from), lit(until - 1)), p =>
+        lpad(hex(idxOf(p)), 2, "0")), "")
+    // header + LSD (16x16, GCT of 128) + palette (i -> gray 2i) + image
+    // descriptor — all constant
+    val prefix: Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](16, 0, 16, 0, 0x86.toByte, 0, 0) ++
+        (0 until 128).flatMap(i => Seq((2 * i).toByte, (2 * i).toByte, (2 * i).toByte)) ++
+        Array[Byte](0x2C, 0, 0, 0, 0, 16, 0, 16, 0, 0) ++
+        Array[Byte](7) // LZW min code size
+    // code stream: clear ++ 126 px ++ clear ++ 126 px ++ clear ++ 4 px ++ eoi
+    // = 260 single-byte codes, framed as sub-blocks: block1 carries the
+    // first 255 (through the third clear), block2 the last 5
+    concat(
+      lit(prefix),
+      lit(Array[Byte](0xFF.toByte, 0x80.toByte)), // block1 len + clear
+      unhex(hexOf(0, 126)),
+      lit(Array[Byte](0x80.toByte)),              // clear
+      unhex(hexOf(126, 252)),
+      lit(Array[Byte](0x80.toByte, 0x05)),        // clear (ends block1) | block2 len
+      unhex(hexOf(252, 256)),
+      lit(Array[Byte](0x81.toByte, 0x00, 0x3B)))  // eoi, terminator, trailer
   }
 
   private lazy val crc32Table: Array[Long] = Array.tabulate(256) { i =>
@@ -4493,6 +4562,34 @@ object SparkEntry {
                       END AS pv
                FROM s),
          cells AS (SELECT doc_id, cell, SUM(1000 * pv) AS ls FROM v GROUP BY doc_id, cell),
+         hx AS (SELECT a.doc_id,
+                       CAST(SUM(CASE WHEN b.ls > a.ls
+                                     THEN (1::BIGINT << ((a.cell // 8) * 7 + (a.cell % 8)))
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM cells a JOIN cells b
+                  ON a.doc_id = b.doc_id AND b.cell = a.cell + 1 AND a.cell % 8 < 7
+                GROUP BY a.doc_id)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM hx x JOIN hx y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 2
+         ORDER BY a, b""",
+
+    // Replays the GIF payloads' palette-index formula (the engine instead
+    // walks the container and LZW-decodes the actual bitstream): palette
+    // entry i is gray 2i, so luma = 1000·(2·idx); same 8x8 grid dHash and
+    // all-pairs Hamming filter as q208.
+    "q211_gif_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE doc_id < 2000),
+         s AS (SELECT doc_id, g, r, unnest(range(256)) AS p FROM d),
+         v AS (SELECT doc_id,
+                      ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+                      CASE WHEN r = 3
+                           THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 65537 * 2654435761 % 65537) % 122
+                           ELSE (((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 65537 * 2654435761 % 65537) % 122) + r
+                      END AS idx
+               FROM s),
+         cells AS (SELECT doc_id, cell, SUM(2000 * idx) AS ls FROM v GROUP BY doc_id, cell),
          hx AS (SELECT a.doc_id,
                        CAST(SUM(CASE WHEN b.ls > a.ls
                                      THEN (1::BIGINT << ((a.cell // 8) * 7 + (a.cell % 8)))

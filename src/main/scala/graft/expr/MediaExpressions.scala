@@ -353,3 +353,205 @@ case class WavPcmFeatures(child: Expression, dim: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** REAL GIF pixel decode, folded to the same perceptual-hash luminance
+  * grid as [[PngGrayCells]]: header + logical screen descriptor, global
+  * color table, extension-block skip, first image descriptor (local
+  * palette honored, interlace's four-pass row order reversed), then a
+  * full variable-width LSB-first LZW decode (clear/EOI, dictionary
+  * growth to 4096, width bumps at powers of two) — the actual GIF87a/89a
+  * bitstream, not a subset. Pixels map through the palette to BT.601
+  * integer luma (`299·r + 587·g + 114·b`), so a gray palette scores
+  * identically to [[PngGrayCells]] on the same content.
+  *
+  * First frame only (the frame-sample convention for animated GIFs).
+  * Corrupt/truncated streams, missing palettes, and anything past the
+  * 2^24-pixel decompression-bomb cap return NULL.
+  */
+case class GifGrayCells(child: Expression, gw: Int, gh: Int)
+    extends UnaryExpression {
+  require(gw >= 2 && gh >= 1 && gw * gh <= 4096, "grid in [2..] x [1..], at most 4096 cells")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gif_gray_cells expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def le16(b: Array[Byte], i: Int): Int = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gifGrayCells", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("gcells")
+      s"""
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(b: Array[Byte]): Any = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    var off = 6
+    val flags = b(off + 4) & 0xff
+    off += 7 // logical screen descriptor
+    var palette: Array[Int] = null // packed 0x00RRGGBB
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      if (off + 3 * n > b.length) return null
+      palette = Array.tabulate(n)(i =>
+        ((b(off + 3 * i) & 0xff) << 16) | ((b(off + 3 * i + 1) & 0xff) << 8) | (b(off + 3 * i + 2) & 0xff))
+      off += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) { // extension
+      off += 2 // introducer + label
+      var len = if (off < b.length) b(off) & 0xff else return null
+      while (len != 0) {
+        off += 1 + len
+        if (off >= b.length) return null
+        len = b(off) & 0xff
+      }
+      off += 1 // block terminator
+    }
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return null
+    val w = le16(b, off + 5); val h = le16(b, off + 7)
+    val iflags = b(off + 9) & 0xff
+    off += 10
+    if (w < 1 || h < 1 || w.toLong * h > (1L << 24)) return null
+    if ((iflags & 0x80) != 0) { // local color table overrides
+      val n = 2 << (iflags & 7)
+      if (off + 3 * n > b.length) return null
+      palette = Array.tabulate(n)(i =>
+        ((b(off + 3 * i) & 0xff) << 16) | ((b(off + 3 * i + 1) & 0xff) << 8) | (b(off + 3 * i + 2) & 0xff))
+      off += 3 * n
+    }
+    if (palette == null || off >= b.length) return null
+    val interlaced = (iflags & 0x40) != 0
+    // LZW decode: variable-width codes, LSB-first across sub-block bytes
+    val minCode = b(off) & 0xff
+    off += 1
+    if (minCode < 2 || minCode > 8) return null
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val nPix = w * h
+    val out = new Array[Int](nPix)
+    var nOut = 0
+    // dictionary as prefix/suffix tables (entry k: prefix code + final byte)
+    val MaxDict = 4096
+    val prefix = new Array[Int](MaxDict)
+    val suffix = new Array[Int](MaxDict)
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var nBits = 0
+    var blockLen = 0; var blockLeft = 0
+    val stack = new Array[Int](MaxDict)
+    var done = false
+    def emit(code0: Int): Boolean = { // expand a code; false on overflow/corrupt
+      var code = code0
+      var sp = 0
+      while (code >= clear) { // walk the chain down to a root
+        if (sp >= MaxDict || code >= dictSize) return false
+        stack(sp) = suffix(code); sp += 1
+        code = prefix(code)
+      }
+      if (code >= palette.length || nOut + sp + 1 > nPix) return false
+      out(nOut) = code; nOut += 1
+      while (sp > 0) { sp -= 1; out(nOut) = stack(sp); nOut += 1 }
+      true
+    }
+    def firstByteOf(code0: Int): Int = {
+      var code = code0
+      while (code >= clear) code = prefix(code)
+      code
+    }
+    while (!done) {
+      // refill bits from the sub-block stream
+      while (nBits < width) {
+        if (blockLeft == 0) {
+          if (off >= b.length) return null
+          blockLen = b(off) & 0xff; off += 1
+          if (blockLen == 0) { done = true; blockLeft = -1 }
+          else blockLeft = blockLen
+        }
+        if (done) {
+          if (nOut < nPix) return null // ran out of data early
+        } else {
+          if (off >= b.length) return null
+          acc |= (b(off) & 0xffL) << nBits
+          nBits += 8; off += 1; blockLeft -= 1
+        }
+        if (done) nBits = width // break refill; loop exits below
+      }
+      if (!done) {
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; nBits -= width
+        if (code == clear) {
+          dictSize = eoi + 1; width = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          done = true
+        } else if (prev == -1) {
+          if (code >= clear || !emit(code)) return null
+          prev = code
+        } else {
+          val known = code < dictSize
+          if (!known && code != dictSize) return null // out-of-order code
+          // new dictionary entry: prev ++ firstByte(known ? code : prev)
+          if (dictSize < MaxDict) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = firstByteOf(if (known) code else prev)
+            dictSize += 1
+            if (dictSize < MaxDict && (dictSize & (dictSize - 1)) == 0 && dictSize > clear)
+              width = math.min(width + 1, 12)
+          }
+          if (!emit(code)) return null
+          prev = code
+        }
+        if (nOut == nPix) {
+          // consume to the terminator leniently (EOI/trailer may follow)
+          done = true
+        }
+      }
+    }
+    if (nOut < nPix) return null
+    // interlace: rows arrive in 4 passes (8k, 8k+4, 4k+2, 2k+1)
+    val rowOf = new Array[Int](h)
+    if (interlaced) {
+      var r = 0
+      for (y <- 0 until h by 8) { rowOf(r) = y; r += 1 }
+      for (y <- 4 until h by 8) { rowOf(r) = y; r += 1 }
+      for (y <- 2 until h by 4) { rowOf(r) = y; r += 1 }
+      for (y <- 1 until h by 2) { rowOf(r) = y; r += 1 }
+    } else {
+      for (y <- 0 until h) rowOf(y) = y
+    }
+    val cells = new Array[Long](gw * gh)
+    var sr = 0
+    while (sr < h) {
+      val y = rowOf(sr)
+      val cy = (y.toLong * gh / h).toInt * gw
+      var x = 0
+      while (x < w) {
+        val c = palette(out(sr * w + x))
+        val luma = 299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) + 114L * (c & 0xff)
+        cells(cy + (x.toLong * gw / w).toInt) += luma
+        x += 1
+      }
+      sr += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

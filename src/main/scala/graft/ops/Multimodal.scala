@@ -369,13 +369,18 @@ object Multimodal {
       lanes - 1, maxHamming, maxBucket)
   }
 
-  /** Per-cell luminance sums of a decoded PNG — the REAL pixel decode
-    * ([[graft.expr.PngGrayCells]]: inflate + the five scanline filters),
-    * run as a codegen'd scan-stage expression. NULL for anything that is
-    * not a decodable 8-bit gray/RGB non-interlaced PNG.
+  /** Per-cell luminance sums of a decoded raster — REAL pixel decode for
+    * BOTH supported containers, run as codegen'd scan-stage expressions:
+    * PNG ([[graft.expr.PngGrayCells]]: inflate + the five scanline
+    * filters) and GIF ([[graft.expr.GifGrayCells]]: full variable-width
+    * LZW, palettes, interlace). Each parser NULLs on the other's magic
+    * bytes after a cheap prefix check, so the coalesce dispatches by
+    * container with no double decode. NULL for anything undecodable.
     */
   def imageGrayCells(payload: Column, gw: Int = 8, gh: Int = 8): Column =
-    asCol(graft.expr.PngGrayCells(asExpr(payload), gw, gh))
+    coalesce(
+      asCol(graft.expr.PngGrayCells(asExpr(payload), gw, gh)),
+      asCol(graft.expr.GifGrayCells(asExpr(payload), gw, gh)))
 
   /** Perceptual dHash over the luminance grid: bit `r·(gw−1)+c` is set iff
     * `cell[r][c+1] > cell[r][c]` — horizontal gradient signs, the classic

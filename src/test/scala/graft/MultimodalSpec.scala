@@ -385,6 +385,123 @@ class MultimodalSpec extends AnyFunSuite {
         s"group $g's brightness variants must pair")
   }
 
+  /** A REAL GIF with genuinely LZW-COMPRESSED pixel data: grayscale
+    * palette of `2^minCode` levels, standard encoder (dictionary growth,
+    * width bumps, KwKwK handled by construction), optional interlace.
+    */
+  private def gifBytes(w: Int, h: Int, minCode: Int, px: (Int, Int) => Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    val nPal = 1 << minCode
+    val clear = nPal; val eoi = nPal + 1
+    // interlace reorders the ROW STREAM; pixel (x, y) is looked up by the
+    // de-interlaced position the decoder will assign
+    val rows: Seq[Int] =
+      if (interlaced) (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+      else 0 until h
+    val idx = rows.flatMap(y => (0 until w).map(x => px(x, y)))
+    // real LZW encode (dictionary growth, width bumps, dict-full reset).
+    // Width convention (python-simulated against the decoder over random +
+    // KwKwK + reset-stress streams): the decoder's dictSize lags the
+    // encoder's `next` by one, so the encoder bumps when next-1 hits
+    // 2^width — and the FINAL flush mirrors the decoder's entry-add so a
+    // width boundary just before EOI stays in sync
+    val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (code, width)
+    var width = minCode + 1
+    var dict = scala.collection.mutable.HashMap.empty[List[Int], Int]
+    var next = eoi + 1
+    def countAdd(): Unit = if (next < 4096) {
+      next += 1
+      val m = next - 1
+      if (m < 4096 && (m & (m - 1)) == 0 && m > clear) width = math.min(width + 1, 12)
+    }
+    bits += ((clear, width))
+    var cur = List.empty[Int]
+    def codeOf(s: List[Int]) = if (s.length == 1) s.head else dict(s)
+    for (p <- idx) {
+      if (cur.isEmpty) cur = List(p)
+      else {
+        val ext = cur :+ p
+        if (dict.contains(ext)) cur = ext
+        else {
+          bits += ((codeOf(cur), width))
+          if (next < 4096) { dict(ext) = next; countAdd() }
+          else {
+            bits += ((clear, width))
+            dict = scala.collection.mutable.HashMap.empty; next = eoi + 1; width = minCode + 1
+          }
+          cur = List(p)
+        }
+      }
+    }
+    if (cur.nonEmpty) { bits += ((codeOf(cur), width)); countAdd() }
+    bits += ((eoi, width))
+    // pack LSB-first
+    val packed = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L; var n = 0
+    for ((c, wd) <- bits) {
+      acc |= c.toLong << n; n += wd
+      while (n >= 8) { packed += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+    }
+    if (n > 0) packed += (acc & 0xff).toByte
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | (minCode - 1)) // GCT present, size 2^minCode
+    out.write(0); out.write(0)
+    for (i <- 0 until nPal) { val v = i * 255 / (nPal - 1); out.write(v); out.write(v); out.write(v) }
+    // a comment extension, to exercise the block skip
+    out.write(0x21); out.write(0xFE); out.write(2); out.write('h'); out.write('i'); out.write(0)
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0)
+    out.write(minCode)
+    var i = 0
+    while (i < packed.length) {
+      val len = math.min(255, packed.length - i)
+      out.write(len); out.write(packed.slice(i, i + len).toArray); i += len
+    }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("GifGrayCells: real LZW decode (dictionary growth, width bumps, block skip)") {
+    val nPal = 16 // minCode 4
+    def pv(x: Int, y: Int) = (x * 7 + y * 3) % nPal
+    val gif = gifBytes(12, 10, 4, pv)
+    val cells = Seq(Tuple1(gif)).toDF("p")
+      .select(Multimodal.imageGrayCells($"p", 2, 2)).as[Seq[Long]].head()
+    def luma(i: Int) = { val v = i * 255 / (nPal - 1); 1000L * v }
+    def quad(xs: Range, ys: Range) = (for { y <- ys; x <- xs } yield luma(pv(x, y))).sum
+    assert(cells == Seq(quad(0 until 6, 0 until 5), quad(6 until 12, 0 until 5),
+      quad(0 until 6, 5 until 10), quad(6 until 12, 5 until 10)))
+  }
+
+  test("GifGrayCells: interlaced rows land at their de-interlaced positions") {
+    def pv(x: Int, y: Int) = (x + y * 5) % 16
+    val plain = gifBytes(8, 8, 4, pv, interlaced = false)
+    val inter = gifBytes(8, 8, 4, pv, interlaced = true)
+    val out = Seq((plain, inter)).toDF("a", "b")
+      .select(Multimodal.imageGrayCells($"a", 4, 4).as("ca"),
+        Multimodal.imageGrayCells($"b", 4, 4).as("cb"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(out._1 == out._2, "interlaced decode must equal the plain raster")
+  }
+
+  test("GifGrayCells: corrupt/truncated GIFs are NULL; PNG/GIF dispatch coalesces") {
+    def pv(x: Int, y: Int) = (x + y) % 16
+    val gif = gifBytes(8, 8, 4, pv)
+    val png = pngBytes(8, 8, 0, y => Array.tabulate(8)(x => pv(x, y) * 255 / 15), _ % 5)
+    val rows = Seq(
+      Tuple1(gif), Tuple1(png), Tuple1(gif.dropRight(12)),
+      Tuple1("GIF89a junk".getBytes("US-ASCII")))
+      .toDF("p")
+      .select(Multimodal.imageGrayCells($"p", 2, 2).as("c")).collect()
+    assert(!rows(0).isNullAt(0) && !rows(1).isNullAt(0), "both containers decode")
+    assert(rows(2).isNullAt(0) && rows(3).isNullAt(0), "corrupt GIFs are NULL")
+    // gray palette ≡ gray PNG on identical content (BT.601 weights sum to 1000)
+    assert(rows(0).getSeq[Long](0) == rows(1).getSeq[Long](0))
+  }
+
   test("q208's in-plan PNG synthesis emits byte-valid files: CRCs, zlib, pixel formula") {
     // independent validation with the JDK's own CRC32/Inflater — every
     // chunk CRC must check out and the zlib stream must inflate to the
