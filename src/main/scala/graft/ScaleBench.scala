@@ -106,6 +106,8 @@ object ScaleBench {
     "pq_adc_flat"         -> Set("embeddings"),
     "ivfpq_tuned"         -> Set("embeddings"),
     "bpe_train"           -> Set.empty,
+    "audio_neardup_32"    -> Set("documents"),
+    "audio_neardup_61"    -> Set("documents"),
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
     "ivm_recompute"       -> Set("lineitem"),
     "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"),
@@ -364,6 +366,24 @@ object ScaleBench {
         Similarity.ivfPqTopK(e, "vec_id", "embedding", cb,
           Similarity.ivfCellsFor(embCount(f), 2), 3, nProbe = 2).count()
       }),
+      // Hamming-banded audio near-dup at the q202 default geometry
+      // (lanes 32 → 31 hash bits → 11/11/9-bit band keys): with ~2^11
+      // distinct keys per band, candidate volume grows ~n²/keys — this
+      // family MEASURES that narrow-key quadratic term so the exponent is
+      // a recorded fact, not a surprise. Payloads synthesize from doc_id
+      // (replica offsets give distinct signals), so f× docs = f× clips.
+      ("audio_neardup_32", () =>
+        graft.ops.Multimodal.audioNearDupPairs(
+          read("documents", f).select(col("doc_id"), SparkEntry.wavPayloadCol.as("payload")),
+          "doc_id", "payload", lanes = 32, maxHamming = 2).count()),
+      // the corpus-scale mitigation: lanes 61 → 60 bits → 20-bit band
+      // keys, ~2^20 buckets per band — occupancy (and with it the
+      // quadratic term) collapses; this is the geometry a 100 TB audio
+      // dedup runs, exactly as annPlanesFor widens sign-LSH keys with n
+      ("audio_neardup_61", () =>
+        graft.ops.Multimodal.audioNearDupPairs(
+          read("documents", f).select(col("doc_id"), SparkEntry.wavPayloadCol.as("payload")),
+          "doc_id", "payload", lanes = 61, maxHamming = 2).count()),
       // BPE training with the ROUND COUNT as the scale axis (fixed 1×
       // corpus read straight from the sf dir — no replica fixture): the
       // delta-maintained distributed trainer's claim is per-round cost

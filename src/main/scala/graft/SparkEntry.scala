@@ -1111,7 +1111,7 @@ object SparkEntry {
     * identity at every oracle scale (doc_id < 65536) and keeps every
     * intermediate under 2^60 at any scale.
     */
-  private def wavPayloadCol: Column = {
+  private[graft] def wavPayloadCol: Column = {
     def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
       lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
     val g = expr("doc_id DIV 4")
