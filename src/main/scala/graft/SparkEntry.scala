@@ -1079,6 +1079,21 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // VIDEO container metadata: in-plan synthesis of minimal valid
+    // ISO-BMFF files (exact box sizes, mvhd v0, tkhd v0 16.16 dims),
+    // parsed by the real box walker (Mp4Info — the duration/resolution
+    // gate of a video-curation pipeline, reading header boxes only). The
+    // oracle replays the generative field formulas.
+    "q212_mp4_info" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.mp4Info(mp4PayloadCol).as("m"))
+        .select(col("doc_id"),
+          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          (col("m.duration") / col("m.timescale")).cast("long").as("dur_s"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bounded to the canonical `doc_id < 2000` slice (the q24 convention;
     // whole table at sf0.01): what scales is the shared Hamming pipeline —
     // measured through the audio lane and the text LSH families — while
@@ -1135,6 +1150,37 @@ object SparkEntry {
       le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
       lit("data").cast("binary"), le(n * 2, 4),
       unhex(sampleHex))
+  }
+
+  /** The q212 MP4 payload: a minimal VALID ISO-BMFF file synthesized
+    * in-plan from `doc_id` — `ftyp` + `moov(mvhd, trak(tkhd))` with all
+    * box sizes exact, mvhd v0 carrying timescale 1000 and a per-doc
+    * duration, tkhd v0 carrying per-doc 16.16 fixed-point dimensions.
+    * Cheap by construction: fixed 156 bytes, no HOFs — just be32 fields
+    * concatenated between constant segments.
+    */
+  private[graft] def mp4PayloadCol: Column = {
+    def be32c(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    val dur = (col("doc_id") % 100000) * 40 + 40
+    val w = (col("doc_id") * 7 + 13) % 1920 + 16
+    val h = (col("doc_id") * 11 + 7) % 1080 + 16
+    val ftyp = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0)
+    // moov(140) = hdr(8) + mvhd(32) + trak(100 = hdr(8) + tkhd(92))
+    val moovHdr = Array[Byte](0, 0, 0, 140.toByte) ++ "moov".getBytes("US-ASCII")
+    // mvhd v0, body 24: ver/flags, creation, modification, timescale,
+    // duration, rate-as-padding
+    val mvhdPre = Array[Byte](0, 0, 0, 32) ++ "mvhd".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ Array[Byte](0, 0, 3, 0xE8.toByte) // timescale 1000
+    val trakTkhdPre = Array[Byte](0, 0, 0, 100) ++ "trak".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 92) ++ "tkhd".getBytes("US-ASCII") ++
+      new Array[Byte](76) // ver/flags + the 72 header bytes before width
+    concat(
+      lit(ftyp), lit(moovHdr), lit(mvhdPre),
+      be32c(dur),
+      lit(new Array[Byte](4)), // mvhd rate padding
+      lit(trakTkhdPre),
+      be32c(w * 65536), be32c(h * 65536))
   }
 
   /** The q211 GIF payload: a complete, VALID 16×16 GIF89a synthesized
@@ -4602,6 +4648,18 @@ object SparkEntry {
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
+
+    // Replays the mp4 synthesis field formulas (the engine instead walks
+    // the actual box structure and parses mvhd/tkhd). dur_s: both engines
+    // truncate the positive quotient (CAST of an exact small double vs //).
+    "q212_mp4_info" ->
+      """SELECT doc_id,
+                CAST(1000 AS INT) AS timescale,
+                CAST((doc_id % 100000) * 40 + 40 AS BIGINT) AS duration,
+                CAST((doc_id * 7 + 13) % 1920 + 16 AS INT) AS width,
+                CAST((doc_id * 11 + 7) % 1080 + 16 AS INT) AS height,
+                CAST(((doc_id % 100000) * 40 + 40) // 1000 AS BIGINT) AS dur_s
+         FROM documents ORDER BY doc_id""",
 
     // The same (band, key) buckets the q202 pair join uses, folded to an
     // occupancy histogram (q193's construction — occ·(occ−1) is even, so

@@ -555,3 +555,117 @@ case class GifGrayCells(child: Expression, gw: Int, gh: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** MP4 / ISO-BMFF container metadata: `(timescale, duration, width,
+  * height)` from the `moov` box — `mvhd` carries the movie timescale and
+  * duration (version 0 and 1 layouts both handled), the first `trak`
+  * whose `tkhd` has a non-zero size carries the presentation width and
+  * height (16.16 fixed point, truncated to pixels). A real box walk:
+  * length-prefixed boxes with 64-bit `largesize` and to-end-of-file
+  * sizes honored, nesting resolved structurally — the video-container
+  * member of the metadata-gate family ([[ImageDims]], [[WavInfo]]),
+  * reading only the header boxes. NULL for anything without a parseable
+  * `moov/mvhd`, for truncated boxes, and for absurd sizes.
+  */
+case class Mp4Info(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("timescale", IntegerType), StructField("duration", LongType),
+    StructField("width", IntegerType), StructField("height", IntegerType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp4_info expects binary, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+  private def typ(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mp4Info", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mp4")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  /** Walk the sibling boxes of `[from, to)`, returning the body range of
+    * the first box named `name`, or null. Corrupt sizes terminate as null.
+    */
+  private def findBox(b: Array[Byte], from: Long, to: Long, name: String): (Long, Long) = {
+    var off = from
+    while (off + 8 <= to) {
+      val size0 = be32(b, off.toInt)
+      val t = typ(b, off.toInt + 4)
+      var body = off + 8
+      val end =
+        if (size0 == 0) to // box extends to the end of the enclosing range
+        else if (size0 == 1) {
+          if (off + 16 > to) return null
+          body = off + 16
+          off + be64(b, off.toInt + 8)
+        } else off + size0
+      if (end < body || end > to) return null
+      if (t == name) return (body, end)
+      off = end
+    }
+    null
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 16) return null
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return null
+    val mvhd = findBox(b, moov._1, moov._2, "mvhd")
+    if (mvhd == null || mvhd._1 + 4 > mvhd._2) return null
+    val mo = mvhd._1.toInt
+    val v = b(mo) & 0xff
+    val (ts, dur) =
+      if (v == 1) {
+        if (mvhd._1 + 32 > mvhd._2) return null
+        (be32(b, mo + 20), be64(b, mo + 24))
+      } else {
+        if (mvhd._1 + 24 > mvhd._2) return null
+        (be32(b, mo + 12), be32(b, mo + 16))
+      }
+    if (ts <= 0 || ts > Int.MaxValue || dur < 0) return null
+    // first trak whose tkhd carries a non-zero size
+    var w = 0L; var h = 0L
+    var cur = moov._1
+    var found = false
+    while (!found && cur < moov._2) {
+      val trak = findBox(b, cur, moov._2, "trak")
+      if (trak == null) cur = moov._2
+      else {
+        val tkhd = findBox(b, trak._1, trak._2, "tkhd")
+        if (tkhd != null && tkhd._1 + 4 <= tkhd._2) {
+          val to = tkhd._1.toInt
+          val tv = b(to) & 0xff
+          val wOff = if (tv == 1) 88 else 76
+          if (tkhd._1 + wOff + 8 <= tkhd._2) {
+            val ww = be32(b, to + wOff) >> 16   // 16.16 fixed point
+            val hh = be32(b, to + wOff + 4) >> 16
+            if (ww > 0 && hh > 0) { w = ww; h = hh; found = true }
+          }
+        }
+        cur = trak._2
+      }
+    }
+    InternalRow(ts.toInt, dur, w.toInt, h.toInt)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -74,6 +74,14 @@ object Multimodal {
   def wavInfo(payload: Column): Column =
     asCol(graft.expr.WavInfo(asExpr(payload)))
 
+  /** REAL MP4/ISO-BMFF metadata: `struct(timescale, duration, width,
+    * height)` from the moov box ([[graft.expr.Mp4Info]] — mvhd v0/v1,
+    * first sized tkhd, largesize/to-EOF box sizes) — the video member of
+    * the metadata-gate family, NULL on anything unparseable.
+    */
+  def mp4Info(payload: Column): Column =
+    asCol(graft.expr.Mp4Info(asExpr(payload)))
+
   /** JVM-side mirror of [[inferFormat]] for the `mapPartitions` decode
     * path — same rules, same labels, kept adjacent so they evolve together.
     */

@@ -502,6 +502,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Long](0) == rows(1).getSeq[Long](0))
   }
 
+  test("Mp4Info: box walk with v0/v1 headers, largesize, skipped traks; corrupt is NULL") {
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]) =
+      be32(body.length + 8) ++ t.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // v1 mvhd: ver 1, flags 0, 8B create, 8B modify, 4B timescale, 8B duration
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(90000) ++ be64(123456789L))
+    // trak #1 has an audio-like tkhd (zero dims) — must be skipped
+    val tkhd0 = box("tkhd", Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++ be32(0) ++ be32(0))
+    // trak #2: v1 tkhd (dims at +88), 640x480 in 16.16
+    val tkhdV1 = box("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84) ++ be32(640L << 16) ++ be32(480L << 16))
+    val moov = box("moov", mvhdV1 ++ box("trak", tkhd0) ++ box("trak", tkhdV1))
+    // wrap moov in a LARGESIZE box to exercise the 64-bit length path
+    val largeMoov = be32(1) ++ "moov".getBytes("US-ASCII") ++ be64(16 + (moov.length - 8)) ++
+      moov.drop(8)
+    val good = ftyp ++ largeMoov
+    val rows = Seq(Tuple1(good), Tuple1(good.dropRight(6)), Tuple1("mp4? no".getBytes("UTF-8")))
+      .toDF("p")
+      .select(Multimodal.mp4Info($"p").as("m"))
+      .select($"m.timescale", $"m.duration", $"m.width", $"m.height").collect()
+    assert(rows(0).getInt(0) == 90000 && rows(0).getLong(1) == 123456789L &&
+      rows(0).getInt(2) == 640 && rows(0).getInt(3) == 480)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
+  test("q212's in-plan mp4 synthesis parses back to its own field formulas") {
+    val out = Seq(0L, 7L, 99L).toDF("doc_id")
+      .select($"doc_id", Multimodal.mp4Info(SparkEntry.mp4PayloadCol).as("m"))
+      .select($"doc_id", $"m.timescale", $"m.duration", $"m.width", $"m.height")
+      .as[(Long, Int, Long, Int, Int)].collect()
+    for ((doc, ts, dur, w, h) <- out) {
+      assert(ts == 1000 && dur == (doc % 100000) * 40 + 40)
+      assert(w == (doc * 7 + 13) % 1920 + 16 && h == (doc * 11 + 7) % 1080 + 16)
+    }
+  }
+
   test("q208's in-plan PNG synthesis emits byte-valid files: CRCs, zlib, pixel formula") {
     // independent validation with the JDK's own CRC32/Inflater — every
     // chunk CRC must check out and the zlib stream must inflate to the
