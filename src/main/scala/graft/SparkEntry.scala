@@ -1079,6 +1079,28 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Incremental multimodal dedup against a PERSISTED dHash index: the
+    // corpus (r = 0, 1 of every group) decodes and indexes ONCE
+    // (session-memoized build, the q183 pattern); the batch (r = 2, 3)
+    // probes the bucketed (band, key) table — r = 2 clips are uniform
+    // offsets of stored r = 0/1 signals (hamming 0, dropped), r = 3 are
+    // unrelated (kept, minus any accidental ≤ 2-bit match the oracle's
+    // quadratic replay also sees). Pigeonhole recall 1.0 makes the banded
+    // probe ≡ the oracle's NOT EXISTS filter.
+    "q213_audio_index_dedup" -> ((s, d) => {
+      val all = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      val prefix = s"q213_dh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx"))
+        Multimodal.writeDHashIndex(all.filter(col("doc_id") % 4 <= 1),
+          "doc_id", "payload", lanes = 32, maxHamming = 2, prefix, buckets = 4)
+      Multimodal.audioDedupAgainstIndex(
+          Tables.spread(all.filter(col("doc_id") % 4 >= 2)),
+          "doc_id", "payload", lanes = 32, maxHamming = 2, prefix)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // VIDEO container metadata: in-plan synthesis of minimal valid
     // ISO-BMFF files (exact box sizes, mvhd v0, tkhd v0 16.16 dims),
     // parsed by the real box walker (Mp4Info — the duration/resolution
@@ -4648,6 +4670,18 @@ object SparkEntry {
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
+
+    // Replays the split + the quadratic Hamming filter over the
+    // generative-formula hashes: a batch clip survives iff NO stored clip
+    // is within 2 bits (the banded probe has pigeonhole recall 1.0).
+    "q213_audio_index_dedup" ->
+      s"""WITH ${audioHashCtesSql("doc_id < 2000")},
+         c AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 <= 1),
+         b AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 >= 2)
+         SELECT b.doc_id FROM b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM c WHERE bit_count(xor(b.h, c.h)) <= 2)
+         ORDER BY b.doc_id""",
 
     // Replays the mp4 synthesis field formulas (the engine instead walks
     // the actual box structure and parses mvhd/tkhd). dur_s: both engines

@@ -218,13 +218,22 @@ object Multimodal {
     * precedent). `hashed` is `(id, h)` with the decode already applied —
     * the audio and image front-ends differ only there.
     */
-  private def bandedIndex(hashed: DataFrame,
-      nBits: Int, maxHamming: Int): DataFrame = {
+  /** The unpinned `(id, h, band, key)` band rows — shared by the
+    * self-join index (pinned), the persisted index write, and the probe
+    * side of the incremental search.
+    */
+  private def bandRows(hashed: DataFrame, nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = (nBits + bands - 1) / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("h"), b, nBits, width).as("key"))
     }
+    hashed.select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def bandedIndex(hashed: DataFrame,
+      nBits: Int, maxHamming: Int): DataFrame =
     // Pinned UNPARTITIONED (unlike the text LSH index, which pre-shuffles
     // on (band, hv)): Hamming band keys are ≤ ~11 bits, so a pinned
     // (band, key) layout is skew-prone and — being a checkpoint, not an
@@ -232,10 +241,7 @@ object Multimodal {
     // Letting each consumer plan its own exchange measured q202 at ×100 at
     // 41 s vs 88 s with the pinned layout; ReusedExchange still unifies
     // the two identical self-join sides.
-    hashed.select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(false)
-  }
+    bandRows(hashed, nBits, maxHamming).localCheckpoint(false)
 
   /** `(id, h)` decoded-audio dHash rows — the shared head of
     * [[audioNearDupPairs]] and [[audioBandOccupancy]].
@@ -404,6 +410,80 @@ object Multimodal {
         lit(1L << (r * (gw - 1) + c))).otherwise(lit(0L))
     }).reduce(_ + _) // disjoint bits: + ≡ bitwise or
   }
+
+  /** Persist a corpus's Hamming dHash index as ONE bucketed table —
+    * `(id, h, band, key)` bucketed by `(band, key)` — the multimodal
+    * counterpart of [[graft.ops.Text.writeMinhashIndex]], and simpler:
+    * the 64-bit hash IS the verify payload, so there is no second
+    * (shingle-set) table and the search needs no verify join-back. After
+    * this one-time shuffle, every ingest increment deduplicates against
+    * the corpus with no corpus re-decode and no corpus-side exchange.
+    * `mode = "append"` admits new clips (bucket spec preserved).
+    */
+  def writeDHashIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int, maxHamming: Int, tablePrefix: String, buckets: Int,
+      mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    val spark = corpus.sparkSession
+    // a fresh build must not inherit the previous generation's tombstones
+    if (mode == "overwrite") Storage.clearTombstones(spark, s"${tablePrefix}_del")
+    Storage.writeBucketed(
+      bandRows(audioHashes(corpus, idCol, payloadCol, lanes), lanes - 1, maxHamming),
+      s"${tablePrefix}_idx", Seq("band", "key"), buckets, mode)
+  }
+
+  /** Incremental multimodal dedup against a PERSISTED index
+    * ([[writeDHashIndex]]): drop batch clips with a stored near-duplicate
+    * within `maxHamming` bits. The batch (small by contract) decodes
+    * fresh; candidates come from an equi-join on the bucketed
+    * `(band, key)` index — AQE broadcasts the batch side, the corpus
+    * never shuffles — and the Hamming verify runs MAP-SIDE on the join
+    * output (both hashes ride the rows). Pigeonhole recall 1.0: a stored
+    * clip within `maxHamming` bits always shares a band, so the drop set
+    * is exactly the quadratic filter's (the oracle replays it as one).
+    * Pending deletes are anti-joined off the index side (tombstones are
+    * small by contract — [[deleteFromDHashIndex]]).
+    */
+  def audioDedupAgainstIndex(batch: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int, maxHamming: Int, tablePrefix: String): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    val spark = batch.sparkSession
+    val probe = bandRows(audioHashes(batch, idCol, payloadCol, lanes),
+        lanes - 1, maxHamming)
+      .select(col("id").as("bid"), col("h").as("bh"), col("band"), col("key"))
+    val idx0 = spark.table(s"${tablePrefix}_idx")
+    val idx = Storage.tombstonesOf(spark, s"${tablePrefix}_del")
+      .fold(idx0)(del => idx0.join(del, Seq("id"), "left_anti"))
+    val dup = probe.join(idx, Seq("band", "key"))
+      .filter(bit_count(col("bh").bitwiseXOR(col("h"))) <= maxHamming)
+      .select(col("bid")).distinct()
+    batch.join(dup, batch(idCol) === dup("bid"), "left_anti")
+  }
+
+  /** Tombstone clips out of a persisted dHash index without rewriting it —
+    * the shared delete-vector lifecycle
+    * ([[graft.ops.Storage.appendTombstones]]).
+    */
+  def deleteFromDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, tablePrefix: String): Unit =
+    Storage.appendTombstones(spark, ids, idCol, s"${tablePrefix}_del")
+
+  /** Fold accumulated tombstones into the physical index (bucketing
+    * preserved) and reset them — the maintenance-window rewrite, same
+    * contract as [[graft.ops.Text.compactMinhashIndex]].
+    */
+  def compactDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, buckets: Int,
+      checkpointDir: Option[String] = None): Unit =
+    Storage.tombstonesOf(spark, s"${tablePrefix}_del").foreach { del =>
+      val pin = Checkpoints.pinner(spark, checkpointDir, eager = true)
+      val keep = pin(spark.table(s"${tablePrefix}_idx").join(del, Seq("id"), "left_anti"))
+      Storage.writeBucketed(keep.select(col("id"), col("h"), col("band"), col("key")),
+        s"${tablePrefix}_idx", Seq("band", "key"), buckets, "overwrite")
+      Storage.clearTombstones(spark, s"${tablePrefix}_del")
+      Checkpoints.release(keep)
+    }
 
   /** Image near-duplicate pairs — [[audioNearDupPairs]]'s construction on
     * the RASTER lane: REAL in-plan PNG pixel decode

@@ -502,6 +502,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Long](0) == rows(1).getSeq[Long](0))
   }
 
+  test("dHash index: persisted search ≡ direct filter; appends admit; deletes resurrect") {
+    def clip(seed: Int, off: Int) =
+      wavBytes(8000, (0 until 64).map(i => ((i * seed) % 50000) - 25000 + off))
+    val corpus = Seq((1L, clip(104729, 0)), (2L, clip(31337, 0))).toDF("doc_id", "payload")
+    val batch = Seq(
+      (10L, clip(104729, 3)),  // uniform offset of stored clip 1 → dropped
+      (11L, clip(7919, 0)))    // unrelated → kept
+      .toDF("doc_id", "payload")
+    val prefix = "mmspec_dhidx"
+    Multimodal.writeDHashIndex(corpus, "doc_id", "payload", 32, 2, prefix, buckets = 2)
+    def survivors(b: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioDedupAgainstIndex(b, "doc_id", "payload", 32, 2, prefix)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(batch) == Seq(11L))
+    // admit the survivor, then a near-dup of IT must be dropped
+    Multimodal.writeDHashIndex(batch.filter($"doc_id" === 11L),
+      "doc_id", "payload", 32, 2, prefix, mode = "append", buckets = 2)
+    val batch2 = Seq((20L, clip(7919, 5))).toDF("doc_id", "payload")
+    assert(survivors(batch2) == Seq.empty, "appended clip must block its offsets")
+    // tombstone clip 1: its offset (10) is admissible again — but 11 is
+    // now STORED (appended above), so it self-matches and drops
+    Multimodal.deleteFromDHashIndex(spark, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", prefix)
+    assert(survivors(batch) == Seq(10L), "deleting the stored clip readmits its offsets")
+    // compaction folds the tombstone in physically; semantics unchanged
+    Multimodal.compactDHashIndex(spark, prefix, buckets = 2)
+    assert(survivors(batch) == Seq(10L))
+  }
+
   test("Mp4Info: box walk with v0/v1 headers, largesize, skipped traks; corrupt is NULL") {
     def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)

@@ -477,6 +477,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q213 dHash index dedup: the persisted audio index is never exchanged") {
+    // q176's separation pin on the multimodal lane: with broadcast
+    // disabled the probe side must shuffle on (band, key), so exactly one
+    // band-keyed exchange may appear — and none on the bucketed index
+    withSqlConf(
+      "spark.sql.autoBroadcastJoinThreshold"          -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), graft.SparkEntry.wavPayloadCol.as("payload"))
+      graft.ops.Multimodal.writeDHashIndex(docs.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "payload", 32, 2, "planspec_dhidx", buckets = 2)
+      val df = graft.ops.Multimodal.audioDedupAgainstIndex(
+        docs.filter(col("doc_id") % 4 >= 2), "doc_id", "payload", 32, 2, "planspec_dhidx")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val bandEx = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band#")).toSeq
+      assert(bandEx.size == 1,
+        s"only the batch probe may shuffle on (band,key):\n${bandEx.mkString("\n")}")
+    }
+  }
+
   test("q209 PQ refine: the _vecs store is read for probed cells only (IN pushdown)") {
     val e  = Tables.t(spark, sf, "embeddings")
     val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 4, 1)
