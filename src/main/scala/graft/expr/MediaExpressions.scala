@@ -215,7 +215,12 @@ case class PngGrayCells(child: Expression, gw: Int, gh: Int)
     val w = be32(b, 16); val h = be32(b, 20)
     val depth = b(24) & 0xff; val ctype = b(25) & 0xff
     val comp = b(26) & 0xff; val filt = b(27) & 0xff; val inter = b(28) & 0xff
-    if (w < 1 || h < 1 || w * h > (1L << 24) || depth != 8 ||
+    // bound each axis BEFORE multiplying: w and h are unsigned 32-bit
+    // reads, so a crafted IHDR (e.g. both 0xC0000000) would overflow the
+    // Long product past the bomb cap and crash on allocation instead of
+    // routing to NULL
+    if (w < 1 || h < 1 || w > (1L << 24) || h > (1L << 24) ||
+        w * h > (1L << 24) || depth != 8 ||
         (ctype != 0 && ctype != 2) || comp != 0 || filt != 0 || inter != 0) return null
     val bpp = if (ctype == 0) 1 else 3
     // walk chunks, concatenating IDAT payloads (CRCs skipped, not checked)
@@ -424,7 +429,9 @@ case class GifGrayCells(child: Expression, gw: Int, gh: Int)
       }
       off += 1 // block terminator
     }
-    if (off >= b.length || (b(off) & 0xff) != 0x2c) return null
+    // the 10-byte image descriptor must be complete — a payload truncated
+    // inside it must route to NULL, not throw out of le16
+    if (off + 10 > b.length || (b(off) & 0xff) != 0x2c) return null
     val w = le16(b, off + 5); val h = le16(b, off + 7)
     val iflags = b(off + 9) & 0xff
     off += 10

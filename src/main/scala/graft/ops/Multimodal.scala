@@ -210,17 +210,11 @@ object Multimodal {
     shiftright(h, b * width).bitwiseAND(lit(mask))
   }
 
-  /** The banded perceptual-hash index behind the Hamming near-dup family:
-    * one `(id, h, band, key)` row per hash per band, shuffled on the LSH
-    * join key and pinned — the index feeds up to four consumers (occupancy
-    * count, both self-join sides, star branch) and exchange reuse does not
-    * reliably unify that many (the [[graft.ops.Text.minhashNearDupPairs]]
-    * precedent). `hashed` is `(id, h)` with the decode already applied —
-    * the audio and image front-ends differ only there.
-    */
   /** The unpinned `(id, h, band, key)` band rows — shared by the
-    * self-join index (pinned), the persisted index write, and the probe
-    * side of the incremental search.
+    * self-join index (pinned), the occupancy preflight, the persisted
+    * index write, and the probe side of the incremental search. `hashed`
+    * is `(id, h)` with the decode already applied — the audio and image
+    * front-ends differ only there.
     */
   private def bandRows(hashed: DataFrame, nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
@@ -325,7 +319,9 @@ object Multimodal {
   def audioBandOccupancy(df: DataFrame, idCol: String, payloadCol: String,
       lanes: Int = 32, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
-    bandOccupancy(bandedIndex(
+    // unpinned bandRows: the occupancy tail consumes the index exactly
+    // once, so a checkpoint would be a pure extra materialization
+    bandOccupancy(bandRows(
       audioHashes(df, idCol, payloadCol, lanes), lanes - 1, maxHamming))
   }
 

@@ -563,15 +563,28 @@ object Similarity {
       tablePrefix: String, k: Int, nProbe: Int = 1, refineR: Int): DataFrame = {
     require(refineR >= k, "refineR must be at least k")
     val spark = batch.sparkSession
+    // one model fetch and ONE cell assignment serve both phases — the
+    // probes feed the code-scored join AND the probed-cell collect, so
+    // they pin (batch-sized; the collect is the materializing action)
     val (cb, ids, vecs) = readPqModel(spark, tablePrefix)
     val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) === cb.dim)
-    val topR = searchPqIndex(batch, idCol, vecCol, tablePrefix, refineR, nProbe)
+    val probes = assignCellsWith(clean, idCol, vecCol, ids, vecs, nProbe)
+      .select(col("cell"), col("id").as("probe_id"), col("v").as("pv"))
+      .localCheckpoint(false)
+    val idx0 = spark.table(s"${tablePrefix}_idx")
+    val idx = Storage.tombstonesOf(spark, s"${tablePrefix}_del")
+      .fold(idx0)(del => idx0.join(del, Seq("id"), "left_anti"))
+      .select(col("cell").as("c2"), col("id").as("neighbor_id"), col("codes"))
+    val d6 = floor(Clustering.pqAdcDist(col("pv"), col("codes"), cb) * 1000000 + 0.5) / 1000000
+    val topR = rankTopK(
+        probes.join(idx, col("cell") === col("c2") && col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"), (-d6).as("sim")), refineR)
       .select(col("probe_id"), col("neighbor_id"))
     // the cells this batch probes — the refine scan's pruning predicate.
     // Bounded by the frozen cell count (≤ MaxModelRows by construction),
     // NOT by the corpus: collecting it is model-fetch economics.
-    val probedCells = assignCellsWith(clean, idCol, vecCol, ids, vecs, nProbe)
-      .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
     val refVecs = spark.table(s"${tablePrefix}_vecs")
       .filter(col("cell").isin(probedCells: _*)) // pushed: candidate buckets only
       .select(col("id").as("neighbor_id"), col("v").as("nv"))

@@ -487,6 +487,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out._1 == out._2, "interlaced decode must equal the plain raster")
   }
 
+  test("decoder bomb/truncation guards: overflow IHDR and mid-descriptor GIF cut are NULL") {
+    // PNG IHDR with w = h = 0xC0000000: the Long product wraps past the
+    // bomb cap — must NULL, not NegativeArraySizeException (review find)
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(Array[Byte](0, 0, 0, 13))
+    png.write("IHDR".getBytes("US-ASCII"))
+    png.write(Array(0xC0, 0, 0, 0, 0xC0, 0, 0, 0, 8, 0, 0, 0, 0).map(_.toByte))
+    png.write(new Array[Byte](20)) // fake CRC + a stub chunk header tail
+    // GIF cut INSIDE the 10-byte image descriptor: bounds must route to
+    // NULL, not throw out of the le16 read (review find)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 8, 0, 0, 0, 0) ++ Array[Byte](0x2C)
+    val rows = Seq(Tuple1(png.toByteArray), Tuple1(gif)).toDF("p")
+      .select(Multimodal.imageGrayCells($"p", 2, 2).isNull).as[Boolean].collect()
+    assert(rows.toSeq == Seq(true, true))
+  }
+
   test("GifGrayCells: corrupt/truncated GIFs are NULL; PNG/GIF dispatch coalesces") {
     def pv(x: Int, y: Int) = (x + y) % 16
     val gif = gifBytes(8, 8, 4, pv)
