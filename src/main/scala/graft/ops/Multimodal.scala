@@ -219,6 +219,16 @@ object Multimodal {
   private def bandRows(hashed: DataFrame, nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = (nBits + bands - 1) / bands
+    // degenerate-geometry guard: with ceil-width bands, a (nBits, maxHamming)
+    // combination where the last band's bit range starts at or past nBits
+    // (e.g. nBits=6, maxHamming=3 → width 2, band 3 covers bits [6, 8))
+    // would give that band a constant-0 key — silently a full cross-join
+    // (output stays correct through the Hamming verify, but the candidate
+    // stream is quadratic). Fail loudly instead: every band must own ≥ 1 bit.
+    require((bands - 1) * width < nBits,
+      s"degenerate Hamming band geometry: nBits=$nBits, maxHamming=$maxHamming " +
+        s"leaves band ${bands - 1} with no bits (ceil-width $width); pick " +
+        "lanes/grid and maxHamming so all maxHamming+1 bands get at least one bit")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("h"), b, nBits, width).as("key"))
     }

@@ -548,10 +548,13 @@ object Similarity {
     *
     * Scale shape: the refine join reads ONLY candidate cells — the probed
     * cell set is collected (bounded: at most the frozen model's cell
-    * count, the [[readPqModel]] economics) and pushed into the bucketed
-    * `_vecs` scan as an IN filter, so vector bytes are read for probed
-    * buckets only; the candidate stream is batch × refineR rows and AQE
-    * broadcasts it. Deleted ids never reach the refine step (the code
+    * count, the [[readPqModel]] economics) and pruned into the bucketed
+    * `_vecs` scan: as a pushed IN filter when the set is at most
+    * `maxCellLiterals` (row-group stats skip non-probed cells — vector
+    * bytes are read for candidate buckets only), or as a broadcast semi
+    * join on cell above that bound (plan size stays bounded at any model
+    * scale; `_vecs` never shuffles). The candidate stream is
+    * batch × refineR rows and AQE broadcasts it. Deleted ids never reach the refine step (the code
     * phase anti-joins tombstones), so the `_vecs` store needs no
     * search-time tombstone handling of its own.
     *
@@ -560,9 +563,16 @@ object Similarity {
     * replays.
     */
   def searchPqIndexRefined(batch: DataFrame, idCol: String, vecCol: String,
-      tablePrefix: String, k: Int, nProbe: Int = 1, refineR: Int): DataFrame = {
+      tablePrefix: String, k: Int, nProbe: Int = 1, refineR: Int,
+      maxCellLiterals: Int = 1024): DataFrame = {
     require(refineR >= k, "refineR must be at least k")
     val spark = batch.sparkSession
+    // fail fast, before any job runs: without the refine store this would
+    // otherwise surface as a raw missing-table AnalysisException AFTER the
+    // code phase already executed
+    require(spark.catalog.tableExists(s"${tablePrefix}_vecs"),
+      s"searchPqIndexRefined needs the refine store ${tablePrefix}_vecs — " +
+        "write the index with writePqIndex(..., storeVectors = true)")
     // one model fetch and ONE cell assignment serve both phases — the
     // probes feed the code-scored join AND the probed-cell collect, so
     // they pin (batch-sized; the collect is the materializing action)
@@ -583,11 +593,32 @@ object Similarity {
     // the cells this batch probes — the refine scan's pruning predicate.
     // Bounded by the frozen cell count (≤ MaxModelRows by construction),
     // NOT by the corpus: collecting it is model-fetch economics.
+    //
+    // Two pruning shapes, picked by the probed-cell count:
+    //  - ≤ maxCellLiterals (the common case — a small batch probes few
+    //    cells): a literal IN, which Spark pushes into the parquet reader —
+    //    `_vecs` is sorted by cell inside each bucket, so row-group min/max
+    //    stats skip everything outside the probed cells; vector BYTES are
+    //    read for candidate buckets only.
+    //  - above it: a broadcast LEFT SEMI join on cell. The plan size stays
+    //    bounded at any model scale (no million-literal IN), `_vecs` never
+    //    shuffles (the probed-cell set is the broadcast build side), and
+    //    non-candidate rows drop at the scan stage map-side. Static scan
+    //    pruning is genuinely lost here — but in this regime the batch
+    //    probes more cells than the literal bound anyway, so the scan
+    //    would touch most row groups under either shape.
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val refVecs = spark.table(s"${tablePrefix}_vecs")
-      .filter(col("cell").isin(probedCells: _*)) // pushed: candidate buckets only
-      .select(col("id").as("neighbor_id"), col("v").as("nv"))
+    val vecs0 = spark.table(s"${tablePrefix}_vecs")
+    val vecsPruned =
+      if (probedCells.length <= maxCellLiterals)
+        vecs0.filter(col("cell").isin(probedCells: _*))
+      else
+        vecs0.join(
+          broadcast(spark.createDataset(probedCells.toSeq)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("cell")),
+          Seq("cell"), "left_semi")
+    val refVecs = vecsPruned.select(col("id").as("neighbor_id"), col("v").as("nv"))
     val probeVecs = clean.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     rankTopK(
         topR.join(refVecs, "neighbor_id").join(probeVecs, "probe_id")

@@ -224,36 +224,40 @@ object Storage {
   def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int, outDir: String,
       nFiles: Int): Unit = {
     require(cols.size >= 2, "z-order needs at least two columns (sort for one)")
-    curveWrite(df, cols, bits, outDir, nFiles, hilbert = false)
+    curveWrite(df, cols, bits, outDir, nFiles, bins => zValue(bins, bits))
   }
 
-  /** [[zOrderWrite]] on the Hilbert walk (2-D only — [[hilbertValue]]):
-    * identical write shape and the same per-file span bound on both
-    * columns, plus the jump-free locality that makes contiguous index
-    * ranges map to contiguous grid regions (fewer files per range scan).
+  /** [[zOrderWrite]] on the Hilbert walk (2-D only — the quadrant-rotation
+    * [[hilbertValue]], the oracle-replayed surface, bits ≤ 8): identical
+    * write shape and the same per-file span bound on both columns, plus
+    * the jump-free locality that makes contiguous index ranges map to
+    * contiguous grid regions (fewer files per range scan).
     */
   def hilbertOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
       outDir: String, nFiles: Int): Unit =
-    curveWrite(df, Seq(xCol, yCol), bits, outDir, nFiles, hilbert = true)
+    curveWrite(df, Seq(xCol, yCol), bits, outDir, nFiles,
+      bins => hilbertValue(bins(0), bins(1), bits))
 
   /** [[hilbertOrderWrite]] for ANY column count ≥ 2: the same quantile-bin
     * + curve-sort + write shape on the d-dimensional [[hilbertValueN]]
-    * walk — the full Iceberg/Delta HILBERT surface.
+    * walk — the full Iceberg/Delta HILBERT surface. ALWAYS the Skilling
+    * form, including at exactly 2 columns, so the documented contract (any
+    * column count, `cols.size · bits ≤ 62` — no 8-bit cap) and the curve
+    * orientation are uniform across column counts; the legacy 2-D
+    * quadrant-rotation orientation lives only in [[hilbertOrderWrite]],
+    * whose index the SQL oracle replays.
     */
   def hilbertOrderWriteN(df: DataFrame, cols: Seq[String], bits: Int,
       outDir: String, nFiles: Int): Unit = {
     require(cols.size >= 2, "hilbert layout needs at least two columns")
-    curveWrite(df, cols, bits, outDir, nFiles, hilbert = true)
+    curveWrite(df, cols, bits, outDir, nFiles, bins => hilbertValueN(bins, bits))
   }
 
   private def curveWrite(df: DataFrame, cols: Seq[String], bits: Int,
-      outDir: String, nFiles: Int, hilbert: Boolean): Unit = {
+      outDir: String, nFiles: Int, idxOf: Seq[Column] => Column): Unit = {
     val binned = Summaries.quantileBins(df,
       cols.zipWithIndex.map { case (c, i) => (c, 1 << bits, s"__zb_$i") })
-    val idx =
-      if (hilbert && cols.size == 2) hilbertValue(col("__zb_0"), col("__zb_1"), bits)
-      else if (hilbert) hilbertValueN(cols.indices.map(i => col(s"__zb_$i")), bits)
-      else zValue(cols.indices.map(i => col(s"__zb_$i")), bits)
+    val idx = idxOf(cols.indices.map(i => col(s"__zb_$i")))
     // pinned: RangePartitioner's sampling job would otherwise re-execute
     // the whole binning subtree a second time (see exactQuantileArrays)
     val pinned = binned

@@ -235,9 +235,15 @@ object Summaries {
       // measured as the dominant cost of the whole binning pass at sf0.1;
       // element_at with a literal index stays inside whole-stage codegen.
       val cutsCol = col(s"__cuts_$binName")
-      val rank = (1 until nBins)
-        .map(i => when(element_at(cutsCol, i) <= col(valCol), 1).otherwise(0))
-        .reduce(_ + _)
+      // BALANCED tree reduction, not reduceLeft: a left-nested chain makes
+      // the Column tree nBins deep, and the node-to-expression converter
+      // recurses per level — ~1000 bins (curve layouts at bits >= 10)
+      // overflowed the stack. Balanced depth is log2(nBins).
+      def sumTree(cs: IndexedSeq[Column]): Column =
+        if (cs.size == 1) cs.head
+        else sumTree(cs.take(cs.size / 2)) + sumTree(cs.drop(cs.size / 2))
+      val rank = sumTree((1 until nBins)
+        .map(i => when(element_at(cutsCol, i) <= col(valCol), 1).otherwise(0)))
       acc.withColumn(binName,
         // NULL value → NULL bin (a count over comparisons would yield bin 0);
         // NULL cut array (all-NULL input column) → NULL bin, as size(NULL)

@@ -155,6 +155,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs(1L) != hs(3L), "an unrelated signal must hash differently")
   }
 
+  test("degenerate band geometry fails loudly instead of cross-joining a 0-bit band") {
+    // lanes=7, maxHamming=3: nBits=6 over 4 ceil-width-2 bands puts band 3
+    // at bits [6, 8) — zero bits, constant key, silently quadratic. The
+    // guard must throw before any job runs.
+    val df = Seq((1L, wavBytes(8000, (0 until 64).map(_ % 100)))).toDF("id", "payload")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.audioNearDupPairs(df, "id", "payload", lanes = 7, maxHamming = 3)
+    }
+    assert(ex.getMessage.contains("degenerate"), ex.getMessage)
+    // the healthy default geometry still constructs
+    Multimodal.audioNearDupPairs(df, "id", "payload", lanes = 32, maxHamming = 2)
+  }
+
   test("audio near-dup: banded pairs ≡ brute-force all-pairs; CC survivors keep group min") {
     // 12 docs in 3 groups of 4 on the q202 generative formula: r = 0,1,2
     // share a base signal (constant offset apart), r = 3 is unrelated

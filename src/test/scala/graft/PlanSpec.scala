@@ -517,6 +517,30 @@ class PlanSpec extends AnyFunSuite {
       s"probed-cell IN filter not pushed to the _vecs scan:\n$vecsScan")
   }
 
+  test("q209 PQ refine above the literal bound: join-based pruning, no _vecs shuffle") {
+    val e  = Tables.t(spark, sf, "embeddings")
+    val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 4, 1)
+    graft.ops.Similarity.writePqIndex(e, "vec_id", "embedding", cb,
+      nCells = 4, "planspec_pqrefj", buckets = 2, storeVectors = true)
+    val df = graft.ops.Similarity.searchPqIndexRefined(
+      e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      "planspec_pqrefj", k = 3, nProbe = 2, refineR = 9, maxCellLiterals = 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // past maxCellLiterals the pruning becomes a broadcast semi join on
+    // cell: plan size bounded at any model scale, and the _vecs side must
+    // not shuffle (probed cells are the broadcast build side)
+    val vecsScan = p.linesIterator.filter(_.contains("planspec_pqrefj_vecs")).mkString("\n")
+    assert(vecsScan.nonEmpty, s"no _vecs scan found:\n$p")
+    assert(!vecsScan.contains("In(cell"),
+      s"literal IN should not appear above the literal bound:\n$vecsScan")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast left-semi cell pruning join:\n$p")
+    val vecsExchanged = p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("planspec_pqrefj_vecs"))
+    assert(!vecsExchanged, s"_vecs must never shuffle:\n$p")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->

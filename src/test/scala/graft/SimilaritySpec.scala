@@ -378,6 +378,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rRef >= 0.6, s"refined recall@3 = $rRef vs code-only $rCode (clustered regime)")
     // on this coarse codebook the refine must BUY a large margin
     assert(rRef > rCode + 0.3, s"refine gained too little: $rCode -> $rRef")
+    // join-based cell pruning (past maxCellLiterals) is result-identical
+    // to the pushed-IN shape
+    val refinedJoin = topk(Similarity.searchPqIndexRefined(
+      probes, "vec_id", "embedding", prefix, 3, nProbe = 4, refineR = 30,
+      maxCellLiterals = 0))
+    assert(refinedJoin == refined, "semi-join pruning changed the refine answer")
+  }
+
+  test("searchPqIndexRefined fails fast without the refine store") {
+    val df = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = graft.ops.Clustering.pqTrain(df, "vec_id", "embedding", 2, 4, 1)
+    Similarity.writePqIndex(df, "vec_id", "embedding", cb,
+      nCells = 4, "simspec_novecs", buckets = 2) // storeVectors = false
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.searchPqIndexRefined(
+        df.limit(5), "vec_id", "embedding", "simspec_novecs", 3, refineR = 5)
+    }
+    assert(ex.getMessage.contains("storeVectors"), ex.getMessage)
   }
 
   test("semanticDedupPairs: precision 1; recall ≥ 0.2 home-cell, ≥ 0.6 at nProbe=4 (sf0.001)") {

@@ -123,6 +123,24 @@ class StorageSpec extends AnyFunSuite {
     assert(back.count() == 4000)
   }
 
+  test("hilbertOrderWriteN at exactly 2 columns honors the N-dim contract (bits > 8)") {
+    // the routing bug this pins against: 2-col layouts fell through to the
+    // legacy quadrant-rotation hilbertValue, whose bits <= 8 cap threw for
+    // bits in [9, 31] despite hilbertOrderWriteN's any-dims/62-bit contract
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilb2n").toString
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(2000)((rnd.nextInt(100000), rnd.nextInt(100000))).toDF("a", "b")
+    Storage.hilbertOrderWriteN(df, Seq("a", "b"), bits = 10, s"$dir/h2", nFiles = 8)
+    val back = spark.read.parquet(s"$dir/h2")
+      .select(input_file_name().as("f"), $"a", $"b")
+    assert(back.count() == 2000)
+    val spans = back.groupBy($"f")
+      .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+      .agg(avg($"sa"), avg($"sb")).head()
+    for (i <- 0 until 2)
+      assert(spans.getDouble(i) < 70000, s"col $i avg span ${spans.getDouble(i)}")
+  }
+
   test("zOrderWrite bounds per-file spans on BOTH columns; a plain sort does not") {
     val sf  = "/root/testdata/sf0.001"
     val li  = spark.read.parquet(s"$sf/lineitem.parquet")
