@@ -60,6 +60,15 @@ object Multimodal {
   private def asExpr(c: Column) =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
+  /** [[graft.expr.Opaque]] fence: pins the undecodable-payload filters
+    * where they are written. Unfenced, `decode(payload).isNotNull` is
+    * deterministic and pushes through the fan-out exchange into the
+    * source scan — on an unsplittable single-row-group file that runs the
+    * ENTIRE decode in one task (q208 measured ~2 s single-threaded with
+    * 31 idle cores) and then recomputes it above the exchange.
+    */
+  private def fence(c: Column): Column = asCol(graft.expr.Opaque(asExpr(c)))
+
   /** REAL header parsing (not the decode stub): `struct(width, height)`
     * from PNG/JPEG/GIF headers, NULL on anything else — the resolution /
     * aspect-ratio gate of an image-curation pipeline, run in the scan
@@ -245,6 +254,12 @@ object Multimodal {
     // Letting each consumer plan its own exchange measured q202 at ×100 at
     // 41 s vs 88 s with the pinned layout; ReusedExchange still unifies
     // the two identical self-join sides.
+    // The decode below this pin must stay ABOVE the fan-out exchange —
+    // see [[fence]]: an unfenced undecodable-payload filter relocated the
+    // whole decode into the single-task source scan, which made this
+    // checkpoint read as pure overhead (the 2 s it "cost" was the pushed
+    // decode itself). Fenced, the pin is a cheap wide job and both
+    // self-join sides read its blocks (decode exactly once).
     bandRows(hashed, nBits, maxHamming).localCheckpoint(false)
 
   /** `(id, h)` decoded-audio dHash rows — the shared head of
@@ -253,7 +268,7 @@ object Multimodal {
   private def audioHashes(df: DataFrame, idCol: String, payloadCol: String,
       lanes: Int): DataFrame =
     decodeFeatures(df, idCol, payloadCol, lanes)
-      .filter(col("features").isNotNull)
+      .filter(fence(col("features").isNotNull))
       .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
 
   /** Occupancy histogram over a banded index — shared tail of the
@@ -508,7 +523,7 @@ object Multimodal {
     val cells = imageGrayCells(col(payloadCol), gw, gh)
     val hashed = df
       .select(col(idCol).as("id"), cells.as("cells"))
-      .filter(col("cells").isNotNull)
+      .filter(fence(col("cells").isNotNull))
       .select(col("id"), imageDHash(col("cells"), gw, gh).as("h"))
     hammingNearDupPairs(hashed, gh * (gw - 1), maxHamming, maxBucket)
   }
