@@ -108,6 +108,7 @@ object ScaleBench {
     "bpe_train"           -> Set.empty,
     "audio_neardup_32"    -> Set("documents"),
     "audio_neardup_61"    -> Set("documents"),
+    "audio_neardup_derived" -> Set("documents"),
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
     "ivm_recompute"       -> Set("lineitem"),
     "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"),
@@ -384,6 +385,16 @@ object ScaleBench {
         graft.ops.Multimodal.audioNearDupPairs(
           read("documents", f).select(col("doc_id"), SparkEntry.wavPayloadCol.as("payload")),
           "doc_id", "payload", lanes = 61, maxHamming = 2).count()),
+      // the RULE the two fixed points bracket: lanes = dHashLanesFor(n) —
+      // geometry follows the corpus, so the family's exponent should track
+      // the 61-lane member as replicas grow instead of the 32-lane knee
+      ("audio_neardup_derived", () => {
+        val src = read("documents", f)
+          .select(col("doc_id"), SparkEntry.wavPayloadCol.as("payload"))
+        val lanes = graft.ops.Multimodal.dHashLanesFor(src.count())
+        graft.ops.Multimodal.audioNearDupPairs(
+          src, "doc_id", "payload", lanes = lanes, maxHamming = 2).count()
+      }),
       // BPE training with the ROUND COUNT as the scale axis (fixed 1×
       // corpus read straight from the sf dir — no replica fixture): the
       // delta-maintained distributed trainer's claim is per-round cost

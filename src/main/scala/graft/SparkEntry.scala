@@ -1145,6 +1145,48 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     }),
+
+    // q202 at CORPUS-DERIVED geometry: lanes from dHashLanesFor(n) — the
+    // annPlanesFor-style occupancy-constant rule that widens band keys
+    // with the corpus instead of riding the fixed 32-lane default into
+    // its ~10^6-clip quadratic knee (SCALING.md). The rule floors at the
+    // default 32 (it only ever WIDENS the hash), so (maxHamming 3,
+    // targetBucket 1) drives the derivation ABOVE the floor at test
+    // scale — 500 docs → 37 lanes (4 bands × 9-bit width), the sf0.1
+    // slice → 45 — certifying the arithmetic, not a constant. The
+    // count() is the same one-row sizing probe q26/q58 make. The oracle
+    // replays the derived value verbatim — a rule drift fails the hash.
+    "q214_audio_neardup_derived" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id"))
+      val lanes = Multimodal.dHashLanesFor(ids.count(), maxHamming = 3, targetBucket = 1)
+      val src = Tables.spread(ids).select(col("doc_id"), wavPayloadCol.as("payload"))
+      Multimodal.audioNearDupPairs(src, "doc_id", "payload",
+          lanes = lanes, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Incremental IMAGE dedup against a persisted dHash index — q213's
+    // lifecycle on the raster lane (the round-15 verdict's named gap:
+    // image pairs existed but every ingest batch re-decoded the corpus).
+    // Corpus r = 0,1 of each group indexes once (session-memoized build);
+    // batch r = 2 images are uniform brightness shifts of stored rasters
+    // (hamming 0 — dropped), r = 3 unrelated (kept minus accidental ≤ 2-bit
+    // matches the oracle's quadratic replay also sees).
+    "q215_image_index_dedup" -> ((s, d) => {
+      val all = Tables.spread(
+          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
+        .select(col("doc_id"), pngPayloadCol.as("payload"))
+      val prefix = s"q215_idh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx"))
+        Multimodal.writeImageDHashIndex(all.filter(col("doc_id") % 4 <= 1),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2,
+          tablePrefix = prefix, buckets = 4)
+      Multimodal.imageDedupAgainstIndex(all.filter(col("doc_id") % 4 >= 2),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2, tablePrefix = prefix)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** The q202-family WAV payload: a complete 16-bit mono PCM RIFF file
@@ -4644,28 +4686,39 @@ object SparkEntry {
     // pairs by Hamming distance — the banded plan must reproduce the
     // quadratic filter exactly (pigeonhole recall 1.0).
     "q208_image_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE doc_id < 1000),
-         s AS (SELECT doc_id, g, r, unnest(range(256)) AS p FROM d),
-         v AS (SELECT doc_id,
-                      ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
-                      CASE WHEN r = 3
-                           THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 65537 * 2654435761 % 65537) % 244
-                           ELSE (((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 65537 * 2654435761 % 65537) % 244) + r
-                      END AS pv
-               FROM s),
-         cells AS (SELECT doc_id, cell, SUM(1000 * pv) AS ls FROM v GROUP BY doc_id, cell),
-         hx AS (SELECT a.doc_id,
-                       CAST(SUM(CASE WHEN b.ls > a.ls
-                                     THEN (1::BIGINT << ((a.cell // 8) * 7 + (a.cell % 8)))
-                                     ELSE 0 END) AS BIGINT) AS h
-                FROM cells a JOIN cells b
-                  ON a.doc_id = b.doc_id AND b.cell = a.cell + 1 AND a.cell % 8 < 7
-                GROUP BY a.doc_id)
+      s"""WITH ${pngHashCtesSql("doc_id < 1000")}
          SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
+
+    // Replays the derived-geometry audio dHash: dHashLanesFor(500, 3, 1)
+    // = 37 at the verify SF (width = ceil(log2(500)) = 9 bits per band,
+    // lanes = 1 + 4·9) — the literal below IS the rule's output, so a
+    // drift in the engine's derivation fails the hash loudly. Same
+    // generative replay as q202, folded to 37 lanes, verified at the
+    // query's maxHamming = 3.
+    "q214_audio_neardup_derived" ->
+      s"""WITH ${audioHashCtesSql("doc_id < 2000", lanes = 37)}
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM hx x JOIN hx y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 3
+         ORDER BY a, b""",
+
+    // Replays the image index lifecycle as the split + quadratic Hamming
+    // filter over the PNG pixel-formula hashes (q213's construction on
+    // the raster lane): a batch image survives iff NO indexed image is
+    // within 2 bits — the banded probe has pigeonhole recall 1.0.
+    "q215_image_index_dedup" ->
+      s"""WITH ${pngHashCtesSql("doc_id < 1000")},
+         c AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 <= 1),
+         b AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 >= 2)
+         SELECT b.doc_id FROM b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM c WHERE bit_count(xor(b.h, c.h)) <= 2)
+         ORDER BY b.doc_id""",
 
     // Replays the GIF payloads' palette-index formula (the engine instead
     // walks the container and LZW-decodes the actual bitstream): palette
@@ -4736,10 +4789,34 @@ object SparkEntry {
     * folded to per-lane sums, then gradient-sign bits. `pred` narrows the
     * documents driving the synthesis (q206's flood base).
     */
-  private def audioHashCtesSql(pred: String = "TRUE"): String =
+  /** DuckDB replay of the q208-family PNG dHash: the generative pixel
+    * formula folded to 8×8 grid-cell luminance sums, then horizontal
+    * gradient-sign bits — shared by the pair query (q208) and the image
+    * index-lifecycle query (q215).
+    */
+  private def pngHashCtesSql(pred: String): String =
+    s"""d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE $pred),
+       s AS (SELECT doc_id, g, r, unnest(range(256)) AS p FROM d),
+       v AS (SELECT doc_id,
+                    ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+                    CASE WHEN r = 3
+                         THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (p * p + 31)) % 65537 * 2654435761 % 65537) % 244
+                         ELSE (((((g % 65536) * (g % 65536) * 131 + 7) * (p * p * 17 + p + 31)) % 65537 * 2654435761 % 65537) % 244) + r
+                    END AS pv
+             FROM s),
+       cells AS (SELECT doc_id, cell, SUM(1000 * pv) AS ls FROM v GROUP BY doc_id, cell),
+       hx AS (SELECT a.doc_id,
+                     CAST(SUM(CASE WHEN b.ls > a.ls
+                                   THEN (1::BIGINT << ((a.cell // 8) * 7 + (a.cell % 8)))
+                                   ELSE 0 END) AS BIGINT) AS h
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND b.cell = a.cell + 1 AND a.cell % 8 < 7
+              GROUP BY a.doc_id)"""
+
+  private def audioHashCtesSql(pred: String = "TRUE", lanes: Int = 32): String =
     s"""d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE $pred),
        s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
-       v AS (SELECT doc_id, CAST(i % 32 AS INT) AS lane,
+       v AS (SELECT doc_id, CAST(i % $lanes AS INT) AS lane,
                     CASE WHEN r = 3
                          THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (i * i + 31)) % 65536) - 32768
                          ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768

@@ -201,6 +201,43 @@ object Multimodal {
     * exact digest. Built from `lanes − 1` literal-index comparisons —
     * whole-stage codegen, no HOF lambda, no per-row allocation.
     */
+  /** Corpus-derived dHash lane count — [[graft.ops.Similarity.annPlanesFor]]'s
+    * occupancy-constant rule on the Hamming-banded lane embedding: the
+    * smallest lane count whose per-band key width keeps expected bucket
+    * occupancy at or under `targetBucket`, i.e. width ≥ log2(n /
+    * targetBucket) with nBits = lanes − 1 = (maxHamming + 1) · width. A
+    * FIXED lane count degrades quadratically — candidate volume is
+    * ~n² / 2^width per band (SCALING.md: the 32-lane default's ~2^11 keys
+    * are fine to ~10^6 clips and quadratic past) — where this rule keeps
+    * it O(n · targetBucket). Pass the result as the `lanes` of
+    * [[audioNearDupPairs]] / [[audioBandOccupancy]] / [[writeDHashIndex]]
+    * whenever the corpus outgrows the default geometry;
+    * [[audioBandOccupancy]] is the preflight that shows when.
+    *
+    * Clamped to [16, 61]: the hash packs into ONE long (61 lanes → 60
+    * bits), so the cap marks the single-word boundary — past ~2.6·10^8
+    * clips (maxHamming 2, targetBucket 250) the knee returns and a
+    * multi-word hash is the next step. The unclamped value is an exact
+    * bands·width product, so the [[bandRows]] degenerate-geometry guard
+    * never fires for it; the guard still backstops clamped extremes.
+    *
+    * Floor 32 — the proven default geometry — because unlike sign-LSH
+    * (where buckets only gate CANDIDATES and the exact verify fixes
+    * semantics) the dHash lane count IS the similarity definition: fewer
+    * lanes is a coarser near-dup test (measured 98k pairs at 16 lanes vs
+    * 4.3k at 32 on the same 5k clips). The rule therefore only ever
+    * WIDENS from the default as the corpus grows — it never loosens a
+    * small corpus below it.
+    */
+  def dHashLanesFor(n: Long, maxHamming: Int = 2, targetBucket: Long = 250L): Int = {
+    require(n >= 0 && maxHamming >= 0 && targetBucket >= 1,
+      "need n >= 0, maxHamming >= 0, positive targetBucket")
+    val bands = maxHamming + 1
+    val width = math.max(1, math.ceil(
+      math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt)
+    math.min(61, math.max(32, 1 + bands * width))
+  }
+
   def audioDHash(features: Column, lanes: Int): Column = {
     require(lanes >= 2 && lanes <= 61, "lanes in [2, 61]")
     (0 until lanes - 1).map { j =>
@@ -444,13 +481,35 @@ object Multimodal {
   def writeDHashIndex(corpus: DataFrame, idCol: String, payloadCol: String,
       lanes: Int, maxHamming: Int, tablePrefix: String, buckets: Int,
       mode: String = "overwrite"): Unit = {
-    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
-    val spark = corpus.sparkSession
+    writeHashIndex(audioHashes(corpus, idCol, payloadCol, lanes),
+      lanes - 1, maxHamming, tablePrefix, buckets, mode)
+  }
+
+  /** [[writeDHashIndex]] with the RASTER hash head: PNG/GIF pixel decode
+    * ([[imageGrayCells]]) → grid dHash ([[imageDHash]]) → the SAME
+    * bucketed `(id, h, band, key)` index table, tombstone lifecycle, and
+    * probe economics. The two lanes differ only in how `(id, h)` is
+    * produced; everything persisted is shared machinery.
+    */
+  def writeImageDHashIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+      gw: Int = 8, gh: Int = 8, maxHamming: Int = 2, tablePrefix: String,
+      buckets: Int, mode: String = "overwrite"): Unit = {
+    require(maxHamming >= 0 && maxHamming < gh * (gw - 1), "maxHamming in [0, bits-1]")
+    writeHashIndex(imageHashes(corpus, idCol, payloadCol, gw, gh),
+      gh * (gw - 1), maxHamming, tablePrefix, buckets, mode)
+  }
+
+  /** Shared index writer over prepared `(id, h)` hashes — the head-agnostic
+    * tail of [[writeDHashIndex]] / [[writeImageDHashIndex]].
+    */
+  private def writeHashIndex(hashed: DataFrame, nBits: Int, maxHamming: Int,
+      tablePrefix: String, buckets: Int, mode: String): Unit = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    val spark = hashed.sparkSession
     // a fresh build must not inherit the previous generation's tombstones
     if (mode == "overwrite") Storage.clearTombstones(spark, s"${tablePrefix}_del")
-    Storage.writeBucketed(
-      bandRows(audioHashes(corpus, idCol, payloadCol, lanes), lanes - 1, maxHamming),
+    Storage.writeBucketed(bandRows(hashed, nBits, maxHamming),
       s"${tablePrefix}_idx", Seq("band", "key"), buckets, mode)
   }
 
@@ -469,9 +528,34 @@ object Multimodal {
   def audioDedupAgainstIndex(batch: DataFrame, idCol: String, payloadCol: String,
       lanes: Int, maxHamming: Int, tablePrefix: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    dedupAgainstHashIndex(batch, idCol,
+      audioHashes(batch, idCol, payloadCol, lanes), lanes - 1, maxHamming, tablePrefix)
+  }
+
+  /** [[audioDedupAgainstIndex]] on the RASTER lane: drop batch images with
+    * a stored near-duplicate within `maxHamming` bits of a
+    * [[writeImageDHashIndex]] table — the incremental image-dedup path,
+    * closing the lane gap where every ingest batch previously had to
+    * re-decode the whole image corpus. Same probe-only exchange, map-side
+    * verify, pigeonhole recall 1.0, and tombstone handling as the audio
+    * twin.
+    */
+  def imageDedupAgainstIndex(batch: DataFrame, idCol: String, payloadCol: String,
+      gw: Int = 8, gh: Int = 8, maxHamming: Int = 2, tablePrefix: String): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < gh * (gw - 1), "maxHamming in [0, bits-1]")
+    dedupAgainstHashIndex(batch, idCol,
+      imageHashes(batch, idCol, payloadCol, gw, gh), gh * (gw - 1), maxHamming,
+      tablePrefix)
+  }
+
+  /** Shared incremental-dedup tail over the batch's prepared `(id, h)`
+    * hashes — see [[audioDedupAgainstIndex]] for the full contract.
+    */
+  private def dedupAgainstHashIndex(batch: DataFrame, idCol: String,
+      batchHashes: DataFrame, nBits: Int, maxHamming: Int,
+      tablePrefix: String): DataFrame = {
     val spark = batch.sparkSession
-    val probe = bandRows(audioHashes(batch, idCol, payloadCol, lanes),
-        lanes - 1, maxHamming)
+    val probe = bandRows(batchHashes, nBits, maxHamming)
       .select(col("id").as("bid"), col("h").as("bh"), col("band"), col("key"))
     val idx0 = spark.table(s"${tablePrefix}_idx")
     val idx = Storage.tombstonesOf(spark, s"${tablePrefix}_del")
@@ -519,12 +603,19 @@ object Multimodal {
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       gw: Int = 8, gh: Int = 8, maxHamming: Int = 2,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingNearDupPairs(imageHashes(df, idCol, payloadCol, gw, gh),
+      gh * (gw - 1), maxHamming, maxBucket)
+
+  /** `(id, h)` decoded-raster dHash rows — the image twin of
+    * [[audioHashes]], shared by [[imageNearDupPairs]],
+    * [[writeImageDHashIndex]] and [[imageDedupAgainstIndex]].
+    */
+  private def imageHashes(df: DataFrame, idCol: String, payloadCol: String,
+      gw: Int, gh: Int): DataFrame = {
     val cells = imageGrayCells(col(payloadCol), gw, gh)
-    val hashed = df
-      .select(col(idCol).as("id"), cells.as("cells"))
+    df.select(col(idCol).as("id"), cells.as("cells"))
       .filter(fence(col("cells").isNotNull))
       .select(col("id"), imageDHash(col("cells"), gw, gh).as("h"))
-    hammingNearDupPairs(hashed, gh * (gw - 1), maxHamming, maxBucket)
   }
 }

@@ -561,6 +561,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(survivors(batch) == Seq(10L))
   }
 
+  test("image dHash index: persisted search ≡ direct filter; appends admit; deletes resurrect") {
+    // the audio lifecycle test's raster twin: real deflate-compressed
+    // grayscale PNGs (mixed scanline filters), uniform brightness offsets
+    // as the near-dup axis
+    def img(seed: Int, off: Int) = pngBytes(16, 16, 0,
+      y => Array.tabulate(16)(x => ((y * 16 + x) * seed) % 200 + off), _ % 5)
+    val corpus = Seq((1L, img(104729, 0)), (2L, img(31337, 0))).toDF("doc_id", "payload")
+    val batch = Seq(
+      (10L, img(104729, 3)),  // uniform brightness shift of stored image 1 → dropped
+      (11L, img(7919, 0)))    // unrelated → kept
+      .toDF("doc_id", "payload")
+    val prefix = "mmspec_idhidx"
+    Multimodal.writeImageDHashIndex(corpus, "doc_id", "payload", 8, 8, 2, prefix,
+      buckets = 2)
+    def survivors(b: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageDedupAgainstIndex(b, "doc_id", "payload", 8, 8, 2, prefix)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(batch) == Seq(11L))
+    // admit the survivor, then a brightness shift of IT must be dropped
+    Multimodal.writeImageDHashIndex(batch.filter($"doc_id" === 11L),
+      "doc_id", "payload", 8, 8, 2, prefix, mode = "append", buckets = 2)
+    val batch2 = Seq((20L, img(7919, 5))).toDF("doc_id", "payload")
+    assert(survivors(batch2) == Seq.empty, "appended image must block its shifts")
+    // tombstone image 1: its shift (10) is admissible again; 11 is stored
+    // now so it self-matches and drops
+    Multimodal.deleteFromDHashIndex(spark, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", prefix)
+    assert(survivors(batch) == Seq(10L), "deleting the stored image readmits its shifts")
+    // compaction folds the tombstone in physically; semantics unchanged
+    Multimodal.compactDHashIndex(spark, prefix, buckets = 2)
+    assert(survivors(batch) == Seq(10L))
+  }
+
+  test("dHashLanesFor: occupancy-constant widening, clamps, rule literal") {
+    // the q214 oracle literal: 500 docs, maxHamming 3, targetBucket 1
+    // → width 9 → 1 + 4·9 = 37
+    assert(Multimodal.dHashLanesFor(500, 3, 1) == 37)
+    // floor: the rule never loosens a small corpus below the default 32
+    assert(Multimodal.dHashLanesFor(1000, 2) == 32)
+    // 10^6 clips at the default target: 2^12 keys per band (the SCALING.md
+    // knee the fixed 32-lane default hits is pushed out by 2 bits here)
+    assert(Multimodal.dHashLanesFor(1000000, 2) == 37)
+    // cap: the single-long boundary
+    assert(Multimodal.dHashLanesFor(1L << 40, 2) == 61)
+    // monotone in n
+    val ls = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Multimodal.dHashLanesFor(_))
+    assert(ls == ls.sorted, ls.toString)
+    // derived geometry always clears the degenerate-band guard
+    for (n <- Seq(1L, 1000L, 1000000L, 1L << 40); mh <- 0 to 4) {
+      val lanes = Multimodal.dHashLanesFor(n, mh)
+      val nBits = lanes - 1; val bands = mh + 1
+      val width = (nBits + bands - 1) / bands
+      assert((bands - 1) * width < nBits, s"degenerate at n=$n mh=$mh lanes=$lanes")
+    }
+  }
+
   test("Mp4Info: box walk with v0/v1 headers, largesize, skipped traks; corrupt is NULL") {
     def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)

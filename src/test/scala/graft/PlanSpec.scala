@@ -499,6 +499,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q215 image dHash index dedup: the persisted raster index is never exchanged") {
+    // the q213 pin on the IMAGE lane: same shared index machinery, raster
+    // hash head — probe-only exchange, bucketed index read in place
+    withSqlConf(
+      "spark.sql.autoBroadcastJoinThreshold"          -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), graft.SparkEntry.pngPayloadCol.as("payload"))
+      graft.ops.Multimodal.writeImageDHashIndex(docs.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "payload", 8, 8, 2, "planspec_idhidx", buckets = 2)
+      val df = graft.ops.Multimodal.imageDedupAgainstIndex(
+        docs.filter(col("doc_id") % 4 >= 2), "doc_id", "payload", 8, 8, 2,
+        "planspec_idhidx")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val bandEx = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band#")).toSeq
+      assert(bandEx.size == 1,
+        s"only the batch probe may shuffle on (band,key):\n${bandEx.mkString("\n")}")
+    }
+  }
+
   test("q209 PQ refine: the _vecs store is read for probed cells only (IN pushdown)") {
     val e  = Tables.t(spark, sf, "embeddings")
     val cb = graft.ops.Clustering.pqTrain(e, "vec_id", "embedding", 2, 4, 1)
