@@ -1187,6 +1187,24 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // JPEG perceptual near-dup — the DOMINANT web image format joins the
+    // raster lane (q208 PNG / q211 GIF): in-plan synthesis of complete
+    // valid baseline JPEGs (DC-only blocks, byte-aligned custom Huffman
+    // tables — see jpegPayloadCol), REAL entropy decode + exact DC-only
+    // IDCT (JpegGrayCells), the shared grid dHash and Hamming-banded
+    // pipeline. Groups of 4: r = 0,1,2 share per-block gradient signs
+    // with a uniform +r brightness shift (dHash-identical), r = 3
+    // unrelated. Same doc_id < 1000 pixel-family slice.
+    "q216_jpeg_neardup" -> ((s, d) => {
+      val src = Tables.spread(
+          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
+        .select(col("doc_id"), jpegPayloadCol.as("payload"))
+      Multimodal.imageNearDupPairs(src, "doc_id", "payload",
+          gw = 8, gh = 8, maxHamming = 2)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
   )
 
   /** The q202-family WAV payload: a complete 16-bit mono PCM RIFF file
@@ -1311,6 +1329,81 @@ object SparkEntry {
       lit(Array[Byte](0x80.toByte, 0x05)),        // clear (ends block1) | block2 len
       unhex(hexOf(252, 256)),
       lit(Array[Byte](0x81.toByte, 0x00, 0x3B)))  // eoi, terminator, trailer
+  }
+
+  /** The q216 JPEG fixture's constant prefix: a complete baseline JFIF
+    * header for a 64×64 single-component (grayscale) image engineered so
+    * the per-doc entropy stream is BYTE-ALIGNED and integer-exact:
+    *
+    *  - quant table: all 64 entries = 8, so a DC-only block dequantizes to
+    *    8·DC and the (exact) DC-only IDCT lands every pixel at DC + 128 —
+    *    no rounding anywhere for the oracle to chase;
+    *  - DC Huffman table: category 4 at code length 4 (canonical code
+    *    0000) and category 1 at length 7 (code 0001000) — so cat-4 symbols
+    *    are code+magnitude = one byte (0x00–0x0F) and cat-1 symbols are
+    *    7+1 bits = one byte (0x10/0x11);
+    *  - AC Huffman table: only EOB, at code length 8 (code 0x00) — one
+    *    byte closes each block.
+    *
+    * Every 8×8 block is DC-only and encodes to exactly TWO bytes
+    * ([huffman byte][EOB]), none of them 0xFF (no byte stuffing), which is
+    * what makes the stream expressible as a plain in-plan byte concat —
+    * the JPEG sibling of the q211 byte-aligned-LZW device. The decoder
+    * ([[graft.expr.JpegGrayCells]]) still runs its full bit-serial
+    * entropy path — MultimodalSpec feeds it genuinely AC-carrying,
+    * chroma-subsampled files from the JDK's own encoder.
+    */
+  private lazy val jpegFixtureHeader: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def seg(m: Int, body: Seq[Int]): Unit = {
+      u8(0xFF); u8(m)
+      val len = body.length + 2
+      u8(len >> 8); u8(len)
+      body.foreach(u8)
+    }
+    u8(0xFF); u8(0xD8)                                     // SOI
+    seg(0xDB, 0x00 +: Seq.fill(64)(8))                     // DQT: table 0, all 8
+    seg(0xC0, Seq(8, 0, 64, 0, 64, 1, 1, 0x11, 0))         // SOF0: 64x64, 1 comp, 1x1
+    seg(0xC4, Seq(0x00) ++                                 // DHT DC: cat4@len4, cat1@len7
+      Seq(0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x04, 0x01))
+    seg(0xC4, Seq(0x10) ++                                 // DHT AC: EOB@len8
+      Seq(0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    seg(0xDA, Seq(1, 1, 0x00, 0, 63, 0))                   // SOS: comp 1, tables 0/0
+    out.toByteArray
+  }
+
+  /** The q216 JPEG payload: a complete, VALID baseline JPEG synthesized
+    * in-plan from `doc_id` over [[jpegFixtureHeader]]. 64 DC-only blocks;
+    * block 0 carries DC = 8 + r (a category-4 diff — the uniform
+    * brightness shift for r = 0, 1, 2, dHash-invariant), every later
+    * block a ±1 category-1 diff whose SIGN is the per-doc bit pattern
+    * (the 56 in-row signs ARE the dHash bits). The DC random walk stays
+    * within ±63 of the +8 start, so pixels (DC + 128) never clamp and
+    * the decode is integer-exact end to end. r = 3 draws its signs from
+    * an unrelated mix. Same prime-65537 Knuth mix as the q208 family —
+    * every intermediate stays far under 2^62.
+    */
+  private[graft] def jpegPayloadCol: Column = {
+    val g16 = pmod(expr("doc_id DIV 4"), lit(65536))
+    val d16 = pmod(col("doc_id"), lit(65536))
+    val r = col("doc_id") % 4
+    def sBit(b: Column): Column = {
+      def mix(x: Column): Column =
+        pmod(pmod(pmod(x, lit(65537L)) * lit(2654435761L), lit(65537L)), lit(2))
+      when(r === 3, mix((d16 * d16 + 7) * (b * b + 31)))
+        .otherwise(mix((g16 * g16 * 131 + 7) * (b * b * 17 + b + 31)))
+    }
+    // block 0: category-4 diff of 8 + r (byte 0x08 | mag bits); r = 3 has
+    // no shared base to shift off, so it keeps the plain +8
+    val blk0 = lpad(hex(lit(8) + when(r === 3, lit(0)).otherwise(r)), 2, "0")
+    // blocks 1..63: category-1 byte 0x10 | sign bit, then the 0x00 EOB
+    val rest = array_join(transform(sequence(lit(1), lit(63)), b =>
+      concat(lpad(hex(lit(16) + sBit(b)), 2, "0"), lit("00"))), "")
+    concat(
+      lit(jpegFixtureHeader),
+      unhex(concat(blk0, lit("00"), rest)),
+      lit(Array[Byte](0xFF.toByte, 0xD9.toByte)))
   }
 
   private lazy val crc32Table: Array[Long] = Array.tabulate(256) { i =>
@@ -4705,6 +4798,34 @@ object SparkEntry {
                 CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 3
+         ORDER BY a, b""",
+
+    // Replays the JPEG payloads' generative structure (the engine instead
+    // entropy-decodes the actual bitstream and runs the exact DC-only
+    // IDCT): block b's decoded value is a ±1 random walk over the sign
+    // mix, and the dHash's in-row comparison cell[b] < cell[b+1] is
+    // EXACTLY "sign s_{b+1} is +1" — so the hash assembles directly from
+    // the sign bits: bit (b//8)·7 + b%8 − 1 for every b not ≡ 0 (mod 8).
+    // The uniform +r shift never appears (it cancels in every
+    // comparison), which is the invariance q216 certifies.
+    "q216_jpeg_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE doc_id < 1000),
+         s AS (SELECT doc_id, g, r, unnest(range(1, 64)) AS b FROM d),
+         sg AS (SELECT doc_id, b,
+                       CASE WHEN r = 3
+                            THEN (((doc_id % 65536) * (doc_id % 65536) + 7) * (b * b + 31)) % 65537 * 2654435761 % 65537 % 2
+                            ELSE (((g % 65536) * (g % 65536) * 131 + 7) * (b * b * 17 + b + 31)) % 65537 * 2654435761 % 65537 % 2
+                       END AS s
+                FROM s),
+         hx AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN s = 1 AND b % 8 >= 1
+                                     THEN (1::BIGINT << ((b // 8) * 7 + (b % 8) - 1))
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM sg GROUP BY doc_id)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM hx x JOIN hx y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
 
     // Replays the image index lifecycle as the split + quadratic Hamming

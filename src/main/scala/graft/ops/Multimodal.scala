@@ -442,17 +442,20 @@ object Multimodal {
   }
 
   /** Per-cell luminance sums of a decoded raster — REAL pixel decode for
-    * BOTH supported containers, run as codegen'd scan-stage expressions:
-    * PNG ([[graft.expr.PngGrayCells]]: inflate + the five scanline
-    * filters) and GIF ([[graft.expr.GifGrayCells]]: full variable-width
-    * LZW, palettes, interlace). Each parser NULLs on the other's magic
-    * bytes after a cheap prefix check, so the coalesce dispatches by
-    * container with no double decode. NULL for anything undecodable.
+    * ALL THREE supported containers, run as codegen'd scan-stage
+    * expressions: PNG ([[graft.expr.PngGrayCells]]: inflate + the five
+    * scanline filters), GIF ([[graft.expr.GifGrayCells]]: full
+    * variable-width LZW, palettes, interlace) and JPEG
+    * ([[graft.expr.JpegGrayCells]]: baseline-DCT entropy decode, luma-only
+    * IDCT). Each parser NULLs on the others' magic bytes after a cheap
+    * prefix check, so the coalesce dispatches by container with no double
+    * decode. NULL for anything undecodable.
     */
   def imageGrayCells(payload: Column, gw: Int = 8, gh: Int = 8): Column =
     coalesce(
       asCol(graft.expr.PngGrayCells(asExpr(payload), gw, gh)),
-      asCol(graft.expr.GifGrayCells(asExpr(payload), gw, gh)))
+      asCol(graft.expr.GifGrayCells(asExpr(payload), gw, gh)),
+      asCol(graft.expr.JpegGrayCells(asExpr(payload), gw, gh)))
 
   /** Perceptual dHash over the luminance grid: bit `r·(gw−1)+c` is set iff
     * `cell[r][c+1] > cell[r][c]` — horizontal gradient signs, the classic

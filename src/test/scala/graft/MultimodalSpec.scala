@@ -561,6 +561,134 @@ class MultimodalSpec extends AnyFunSuite {
     assert(survivors(batch) == Seq(10L))
   }
 
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  private def jpegCellsOf(bytes: Array[Byte], gw: Int = 8, gh: Int = 8): Option[Seq[Long]] = {
+    val r = Seq(Tuple1(bytes)).toDF("payload")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expr.JpegGrayCells(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col("payload")), gw, gh)).as("c"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+  }
+
+  /** Ground-truth cell sums from ImageIO's OWN decode of the same bytes —
+    * the reference implementation's pixels, folded with the engine's luma
+    * and cell conventions.
+    */
+  private def imageioCells(bytes: Array[Byte], gw: Int = 8, gh: Int = 8): Seq[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    // gray JPEGs: read raster samples directly — getRGB would run the
+    // LINEAR-gray -> sRGB color-space conversion (a gamma curve) and the
+    // reference would no longer be the decoded Y samples
+    val gray = img.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
+    val cells = new Array[Long](gw * gh)
+    for (y <- 0 until h; x <- 0 until w) {
+      val luma =
+        if (gray) 1000L * img.getRaster.getSample(x, y, 0)
+        else {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        }
+      cells((y.toLong * gh / h).toInt * gw + (x.toLong * gw / w).toInt) += luma
+    }
+    cells.toSeq
+  }
+
+  test("JpegGrayCells: real baseline decode agrees with ImageIO on gray and RGB JPEGs") {
+    // grayscale: single-component, single non-interleaved scan
+    val gray = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val v = (x * 5 + y * 3 + (x * y) % 31) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val gBytes = jpegBytes(gray, 0.9f)
+    val gGot = jpegCellsOf(gBytes).getOrElse(fail("gray JPEG decoded to NULL"))
+    val gRef = imageioCells(gBytes)
+    gGot.zip(gRef).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= b / 50 + 2000, s"gray cell $i: engine $a vs ImageIO $b")
+    }
+    // RGB: three components, interleaved scan, subsampled chroma (the
+    // writer's default) — exercises the chroma entropy-advance path
+    val rgb = new java.awt.image.BufferedImage(40, 40,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 40; x <- 0 until 40)
+      rgb.setRGB(x, y, ((x * 6 % 256) << 16) | ((y * 6 % 256) << 8) | ((x + y) * 3 % 256))
+    val cBytes = jpegBytes(rgb, 0.9f)
+    val cGot = jpegCellsOf(cBytes).getOrElse(fail("RGB JPEG decoded to NULL"))
+    val cRef = imageioCells(cBytes)
+    // engine luma = decoded Y; reference = 601 luma of the YCbCr->RGB
+    // round trip — equal up to chroma rounding, so a looser (but still
+    // per-cell) bound
+    cGot.zip(cRef).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= b / 25 + 4000, s"rgb cell $i: engine $a vs ImageIO $b")
+    }
+  }
+
+  test("JpegGrayCells: progressive, truncated, and corrupt inputs are NULL") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, (x * y) % 256)
+    val prog = jpegBytes(img, 0.9f, progressive = true)
+    assert(jpegCellsOf(prog).isEmpty, "progressive must be NULL, not misdecoded")
+    val base = jpegBytes(img, 0.9f)
+    assert(jpegCellsOf(base).isDefined)
+    assert(jpegCellsOf(base.take(base.length / 2)).isEmpty, "truncated scan")
+    assert(jpegCellsOf(base.take(8)).isEmpty, "header-only prefix")
+    assert(jpegCellsOf("GIF89a then garbage".getBytes).isEmpty, "wrong container")
+    val zeroed = base.clone(); java.util.Arrays.fill(zeroed, 30, 60, 0.toByte)
+    jpegCellsOf(zeroed) // corrupt tables/headers: any outcome but a crash
+  }
+
+  test("q216's in-plan JPEG synthesis emits byte-valid files: exact DC walk, JDK-decodable") {
+    val df = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 8)
+      .select($"doc_id", graft.SparkEntry.jpegPayloadCol.as("payload"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.size == 8)
+    def sBit(doc: Long, b: Long): Long = {
+      val g = doc / 4; val r = doc % 4
+      val x = if (r == 3) ((doc % 65536) * (doc % 65536) + 7) * (b * b + 31)
+              else ((g % 65536) * (g % 65536) * 131 + 7) * (b * b * 17 + b + 31)
+      x % 65537 * 2654435761L % 65537 % 2
+    }
+    for ((doc, bytes) <- rows) {
+      val r = doc % 4
+      // expected: pixel of block b = 128 + DC_b, the ±1 walk off 8 + r
+      var dc = 8 + (if (r == 3) 0L else r)
+      val expectedCells = (0 until 64).map { b =>
+        if (b > 0) dc += 2 * sBit(doc, b) - 1
+        64000L * (128 + dc)
+      }
+      // engine decode is integer-exact
+      assert(jpegCellsOf(bytes).get == expectedCells, s"doc $doc engine cells")
+      // and the JDK's own decoder accepts the custom-table baseline file
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 64, s"doc $doc JDK read")
+      var dc2 = 8 + (if (r == 3) 0L else r)
+      for (b <- 0 until 64) {
+        if (b > 0) dc2 += 2 * sBit(doc, b) - 1
+        val px = img.getRaster.getSample((b % 8) * 8 + 3, (b / 8) * 8 + 3, 0)
+        assert(math.abs(px - (128 + dc2)) <= 1, s"doc $doc block $b: JDK $px vs ${128 + dc2}")
+      }
+    }
+  }
+
   test("image dHash index: persisted search ≡ direct filter; appends admit; deletes resurrect") {
     // the audio lifecycle test's raster twin: real deflate-compressed
     // grayscale PNGs (mixed scanline filters), uniform brightness offsets
