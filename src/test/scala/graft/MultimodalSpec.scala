@@ -655,6 +655,46 @@ class MultimodalSpec extends AnyFunSuite {
     jpegCellsOf(zeroed) // corrupt tables/headers: any outcome but a crash
   }
 
+  test("JpegGrayCells: DRI/RSTn restart intervals reset the DC predictor") {
+    // hand-built 64x64 gray baseline file on the q216 custom tables
+    // (cat4@4 bits, cat1@7, EOB@8 — every block two stuffing-free bytes),
+    // with DRI = 8 so each block row is its own restart interval: the DC
+    // predictor must reset to 0 at every RSTn, so row r's walk restarts
+    // from its first diff instead of continuing row r-1's sum
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def seg(m: Int, body: Seq[Int]): Unit = {
+      u8(0xFF); u8(m); val len = body.length + 2; u8(len >> 8); u8(len); body.foreach(u8)
+    }
+    u8(0xFF); u8(0xD8)
+    seg(0xDB, 0x00 +: Seq.fill(64)(8))
+    seg(0xC0, Seq(8, 0, 64, 0, 64, 1, 1, 0x11, 0))
+    seg(0xC4, Seq(0x00) ++ Seq(0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x04, 0x01))
+    seg(0xC4, Seq(0x10) ++ Seq(0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    seg(0xDD, Seq(0, 8)) // DRI: restart every 8 MCUs = one block row
+    seg(0xDA, Seq(1, 1, 0x00, 0, 63, 0))
+    def sgn(row: Int, c: Int): Int = if ((row * 7 + c * 3) % 2 == 0) 1 else 0
+    for (row <- 0 until 8) {
+      if (row > 0) { u8(0xFF); u8(0xD0 | ((row - 1) & 7)) } // RSTn between intervals
+      u8(0x08 + row); u8(0x00)                              // cat4 diff +(8+row)
+      for (c <- 1 until 8) { u8(0x10 | sgn(row, c)); u8(0x00) } // ±1 cat1 diffs
+    }
+    u8(0xFF); u8(0xD9)
+    val bytes = out.toByteArray
+    val got = jpegCellsOf(bytes).getOrElse(fail("RST file decoded to NULL"))
+    for (row <- 0 until 8) {
+      var dc = 8 + row // fresh predictor per interval — THE property under test
+      for (c <- 0 until 8) {
+        if (c > 0) dc += 2 * sgn(row, c) - 1
+        assert(got(row * 8 + c) == 64000L * (128 + dc), s"block ($row,$c)")
+      }
+    }
+    // the JDK decoder agrees the file is valid and restarts the same way
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getRaster.getSample(3, 3, 0) == 128 + 8)
+    assert(img.getRaster.getSample(3, 7 * 8 + 3, 0) == 128 + 15, "row 7 restarts at +15")
+  }
+
   test("q216's in-plan JPEG synthesis emits byte-valid files: exact DC walk, JDK-decodable") {
     val df = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .filter($"doc_id" < 8)
