@@ -2532,6 +2532,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // G.711 µ-law WAV decode (fmt tag 7, 8-bit companded — how telephony
+    // corpora actually ship audio): in-plan synthesis of a µ-law
+    // container whose data bytes come straight from a byte formula; the
+    // engine expands through the CCITT table (Multimodal.UlawTable) to
+    // exact 16-bit integers, and the oracle replays the SAME expansion
+    // arithmetic in SQL — table drift fails the hash loudly. q56's shape
+    // on the companded branch.
+    "q217_ulaw_features" -> ((s, d) => {
+      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+      val n    = (col("doc_id") % 64 + 64).cast("int")
+      val rate = lit(8000).cast("int")
+      val sampleHex = array_join(
+        transform(sequence(lit(0), n - 1), i =>
+          lpad(hex(pmod(col("doc_id") * 131 + i * 104729, lit(256))), 2, "0")), "")
+      val payload = concat(
+        lit("RIFF").cast("binary"), le(n + 36, 4), lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), unhex(lit("10000000")),
+        le(lit(7), 2), le(lit(1), 2), le(rate, 4),
+        le(rate, 4), le(lit(1), 2), le(lit(8), 2),
+        lit("data").cast("binary"), le(n, 4),
+        unhex(sampleHex))
+      val src = Tables.spread(t(s, d, "documents").select(col("doc_id")))
+        .select(col("doc_id"), payload.as("payload"))
+      Multimodal.decodeFeatures(src, "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), col("format"), col("byte_len"),
+          col("sample_rate"), col("bits"), col("n_samples"), col("sum_s"),
+          col("sum_sq"), col("peak"), col("zero_cross"),
+          array_join(col("features").cast("array<string>"), ",").as("features_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // S9: ORC source/sink round trip — the other columnar format a lake
+    // actually holds (Spark's reader/writer are built in; DuckDB has no
+    // ORC reader, so the oracle runs on the SAME rows' parquet original —
+    // equality certifies the round trip end to end). Write once per
+    // session (the q213 memoization pattern), read back, aggregate. The
+    // ORC scan carries predicate/column pushdown exactly like parquet —
+    // PlanSpec pins PushedFilters on it.
+    "q218_orc_roundtrip" -> ((s, d) => {
+      val dir = s"target/q218_orc_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        t(s, d, "orders").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A-pivot — wide category table (conditional aggregation both engines)
     "q59_pivot" -> ((s, d) => {
       t(s, d, "events")
@@ -5398,6 +5449,59 @@ object SparkEntry {
                 f.n_samples, f.sum_s, f.sum_sq, f.peak, f.zero_cross, l.features_csv
          FROM documents d JOIN f USING (doc_id) JOIN l USING (doc_id)
          ORDER BY doc_id""",
+    // Replays the µ-law byte formula AND the CCITT expansion arithmetic
+    // (u = ~byte; t = ((u & 0xF)·8 + 132) << ((u >> 4) & 7); negative
+    // half mirrors around the 132 bias) — the engine instead walks the
+    // RIFF container and expands through its 256-entry table.
+    "q217_ulaw_features" ->
+      """WITH s AS (
+           SELECT doc_id, unnest(range(doc_id % 64 + 64)) AS i FROM documents),
+         e AS (
+           SELECT doc_id, i,
+                  255 - ((doc_id * 131 + i * 104729) % 256) AS u
+           FROM s),
+         v AS (
+           SELECT doc_id, i,
+                  CASE WHEN u >= 128
+                       THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                       ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                  END AS sv
+           FROM e),
+         vz AS (
+           SELECT doc_id, i, sv,
+                  lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM v),
+         f AS (
+           SELECT doc_id, count(*) AS n_samples,
+                  CAST(sum(sv) AS BIGINT) AS sum_s,
+                  CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
+                  CAST(max(abs(sv)) AS BIGINT) AS peak,
+                  CAST(sum(CASE WHEN prev IS NOT NULL AND ((sv < 0) != (prev < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+           FROM vz GROUP BY doc_id),
+         l AS (
+           SELECT doc_id,
+                  string_agg(CAST(lane_sum AS VARCHAR), ',' ORDER BY lane) AS features_csv
+           FROM (SELECT doc_id, i % 16 AS lane, CAST(sum(sv) AS BIGINT) AS lane_sum
+                 FROM v GROUP BY doc_id, i % 16)
+           GROUP BY doc_id)
+         SELECT d.doc_id, 'riff' AS format,
+                CAST(44 + (d.doc_id % 64 + 64) AS BIGINT) AS byte_len,
+                CAST(8000 AS INT) AS sample_rate, CAST(8 AS INT) AS bits,
+                f.n_samples, f.sum_s, f.sum_sq, f.peak, f.zero_cross, l.features_csv
+         FROM documents d JOIN f USING (doc_id) JOIN l USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Runs against the parquet original of the same rows: equality with
+    // the ORC-round-tripped engine result is the round-trip proof.
+    "q218_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01'
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+
     "q53_multimodal" ->
       """SELECT doc_id, length(text) AS byte_len, sha256(text) AS sha,
                 ('0x' || hex(substr(text, 1, 7)))::BIGINT AS head7,

@@ -122,6 +122,29 @@ object Multimodal {
     * vector downstream similarity ops consume. None for anything that is
     * not a complete 16-bit PCM WAV.
     */
+  /** G.711 µ-law expansion table (the CCITT reference arithmetic, 16-bit
+    * scale: byte 0x00 → −32124, 0x80 → +32124, 0xFF → 0) — telephony
+    * corpora ship 8-bit companded WAV (fmt tag 7) far more often than
+    * linear PCM.
+    */
+  private[graft] val UlawTable: Array[Short] = Array.tabulate(256) { u0 =>
+    val u = ~u0 & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion table (CCITT reference arithmetic, 16-bit
+    * scale: 0x2A → −32256, 0xAA → +32256, 0x55 → −8, 0xD5 → +8).
+    */
+  private[graft] val AlawTable: Array[Short] = Array.tabulate(256) { a0 =>
+    val a = a0 ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
   private[graft] def decodeWavPcm(b: Array[Byte], dim: Int): Option[Pcm] = {
     def u8(i: Int)  = b(i) & 0xFF
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -130,7 +153,7 @@ object Multimodal {
     if (b.length < 12 || formatOf(b) != "riff" ||
         !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var off = 12
-    var rate = -1; var ch = -1; var bits = -1
+    var rate = -1; var ch = -1; var bits = -1; var tag = -1
     var dataOff = -1; var dataLen = -1L
     while (off + 8 <= b.length) {
       val id  = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -138,19 +161,29 @@ object Multimodal {
       val body = off + 8
       if (body + len > b.length) return None // truncated chunk
       if (id == "fmt " && len >= 16) {
+        tag = le16(body)
         rate = le32(body + 4).toInt; ch = le16(body + 2); bits = le16(body + 14)
       } else if (id == "data") { dataOff = body; dataLen = len }
       off = body + len.toInt + (len.toInt & 1) // chunks are even-aligned
     }
-    if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1 || dataLen % 2 != 0) return None
-    val n = dataLen / 2
+    // three decodable shapes: linear 16-bit PCM (tag 1), G.711 A-law (6)
+    // and µ-law (7) — both 8-bit companded, expanded through the CCITT
+    // tables to the same exact-integer 16-bit feature pipeline
+    val companded = (tag == 6 || tag == 7) && bits == 8
+    val linear16  = tag == 1 && bits == 16 && dataLen % 2 == 0
+    if (rate < 0 || dataOff < 0 || ch < 1 || !(companded || linear16)) return None
+    val table = if (tag == 7) UlawTable else AlawTable
+    val n = if (linear16) dataLen / 2 else dataLen
     var sumS = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
     val lanes = new Array[Long](dim)
     var prevNeg = false
     var i = 0L
     while (i < n) {
-      val raw = le16(dataOff + 2 * i.toInt)
-      val s = (if (raw >= 0x8000) raw - 0x10000 else raw).toLong
+      val s: Long =
+        if (linear16) {
+          val raw = le16(dataOff + 2 * i.toInt)
+          (if (raw >= 0x8000) raw - 0x10000 else raw).toLong
+        } else table(u8(dataOff + i.toInt)).toLong
       sumS += s; sumSq += s * s
       val a = math.abs(s); if (a > peak) peak = a
       val neg = s < 0

@@ -129,6 +129,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.toSeq == again.toSeq)
   }
 
+  test("G.711 expansion tables match the JDK's own ULAW/ALAW converters exactly") {
+    // spec anchors first (CCITT arithmetic, 16-bit scale)
+    assert(Multimodal.UlawTable(0x00) == -32124 && Multimodal.UlawTable(0x80) == 32124)
+    assert(Multimodal.UlawTable(0xFF) == 0 && Multimodal.UlawTable(0x7F) == 0)
+    assert(Multimodal.AlawTable(0x2A) == -32256 && Multimodal.AlawTable(0xAA) == 32256)
+    assert(Multimodal.AlawTable(0x55) == -8 && Multimodal.AlawTable(0xD5) == 8)
+    // then the full 256-entry tables against javax.sound's reference
+    // conversion (ULAW/ALAW -> PCM_SIGNED 16-bit)
+    import javax.sound.sampled._
+    def jdkTable(enc: AudioFormat.Encoding): Array[Short] = {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val bytes = Array.tabulate[Byte](256)(i => i.toByte)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), src, 256)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val out = AudioSystem.getAudioInputStream(dst, in)
+      val buf = out.readAllBytes()
+      Array.tabulate[Short](256)(i =>
+        ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort)
+    }
+    assert(jdkTable(AudioFormat.Encoding.ULAW).toSeq == Multimodal.UlawTable.toSeq,
+      "µ-law table diverges from the JDK reference")
+    assert(jdkTable(AudioFormat.Encoding.ALAW).toSeq == Multimodal.AlawTable.toSeq,
+      "A-law table diverges from the JDK reference")
+  }
+
+  test("decodeWavPcm: A-law and µ-law containers expand to exact integer features") {
+    def companded(tag: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit = (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      out.write("RIFF".getBytes); le(36 + data.length, 4); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le(16, 4)
+      le(tag, 2); le(1, 2); le(8000, 4); le(8000, 4); le(1, 2); le(8, 2)
+      out.write("data".getBytes); le(data.length, 4); out.write(data)
+      out.toByteArray
+    }
+    val data = Array.tabulate[Byte](64)(i => ((i * 37 + 5) % 256).toByte)
+    for ((tag, table) <- Seq(7 -> Multimodal.UlawTable, 6 -> Multimodal.AlawTable)) {
+      val p = Multimodal.decodeWavPcm(companded(tag, data), dim = 4)
+        .getOrElse(fail(s"tag $tag rejected"))
+      val expanded = data.map(b => table(b & 0xff).toLong)
+      assert(p.nSamples == 64 && p.bits == 8)
+      assert(p.sumS == expanded.sum && p.peak == expanded.map(math.abs).max)
+      assert(p.laneSums.toSeq == (0 until 4).map(l =>
+        expanded.zipWithIndex.collect { case (v, i) if i % 4 == l => v }.sum))
+    }
+    // an unknown companded tag still rejects
+    assert(Multimodal.decodeWavPcm(companded(5, data), dim = 4).isEmpty)
+  }
+
   test("decodeWavPcm rejects truncated data chunks and non-16-bit formats") {
     val good = wavBytes(8000, Seq(1, 2, 3))
     assert(Multimodal.decodeWavPcm(good, 2).isDefined)
@@ -498,6 +547,60 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.imageGrayCells($"b", 4, 4).as("cb"))
       .as[(Seq[Long], Seq[Long])].head()
     assert(out._1 == out._2, "interlaced decode must equal the plain raster")
+  }
+
+  test("decoder fuzz: random bytes and mutated/truncated valid files never crash a parser") {
+    // the never-a-crash contract, enforced mechanically: every binary
+    // parser must return a VALUE (possibly null/None) for arbitrary
+    // input — 500 random blobs plus 600 single-byte mutations and 200
+    // truncations of genuinely valid files of every supported container
+    val rnd = new scala.util.Random(424242)
+    val validPng = pngBytes(16, 16, 0, y => Array.tabulate(16)(x => (x * y) % 256), _ % 5)
+    val validGif = gifBytes(12, 10, 4, (x, y) => (x + y) % 16)
+    val validJpg = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)
+      jpegBytes(img, 0.8f)
+    }
+    val validWav = wavBytes(8000, (0 until 64).map(i => (i * 997) % 40000 - 20000))
+    val validMp4 = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" === 3).select(graft.SparkEntry.mp4PayloadCol)
+      .collect()(0).getAs[Array[Byte]](0)
+    val seeds = Seq(validPng, validGif, validJpg, validWav, validMp4)
+    def decodeAll(b: Array[Byte]): Unit = {
+      val one = org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1))
+      graft.expr.PngGrayCells(one, 8, 8).compute(b)
+      graft.expr.GifGrayCells(one, 8, 8).compute(b)
+      graft.expr.JpegGrayCells(one, 8, 8).compute(b)
+      Multimodal.decodeWavPcm(b, 16)
+      ()
+    }
+    val cases =
+      Seq.fill(500)(Array.fill[Byte](rnd.nextInt(2000))(rnd.nextInt().toByte)) ++
+      Seq.fill(600) {
+        val base = seeds(rnd.nextInt(seeds.length)).clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          base(rnd.nextInt(base.length)) = rnd.nextInt().toByte
+        base
+      } ++
+      Seq.fill(200) {
+        val base = seeds(rnd.nextInt(seeds.length))
+        base.take(rnd.nextInt(base.length + 1))
+      }
+    cases.zipWithIndex.foreach { case (b, i) =>
+      try decodeAll(b)
+      catch { case e: Throwable =>
+        fail(s"case $i (${b.length} bytes) crashed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    // the other structured parsers run through the Column API over the
+    // same corpus (mp4/dims/wav-info walk headers only)
+    val fuzzDf = cases.map(Tuple1(_)).toDF("payload")
+    fuzzDf.select(
+        Multimodal.imageDims($"payload"), Multimodal.wavInfo($"payload"),
+        Multimodal.mp4Info($"payload"), Multimodal.mediaMeta($"payload"))
+      .collect()
   }
 
   test("decoder bomb/truncation guards: overflow IHDR and mid-descriptor GIF cut are NULL") {

@@ -563,6 +563,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!vecsExchanged, s"_vecs must never shuffle:\n$p")
   }
 
+  test("q218 ORC round trip: the date predicate pushes into the ORC scan") {
+    val df = graft.SparkEntry.queries("q218_orc_roundtrip")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scan = p.linesIterator.filter(l =>
+      l.contains("FileScan orc") || l.contains("Scan orc")).mkString("\n")
+    assert(scan.nonEmpty, s"no ORC scan in the plan:\n$p")
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderdate"),
+      s"date predicate not pushed into the ORC scan:\n$scan")
+  }
+
   test("q119 bpe: the corpus collapses to the vocabulary before pairs explode") {
     val p = plan("q119_bpe_pairs")
     // bottom-up: tokenize-explode -> vocab aggregate -> pair explode ->
