@@ -26,6 +26,15 @@ object SparkEntry {
 
   private def exactSum(c: Column, scale: Int = 2) = Summaries.exactSum(c, scale)
 
+  /** Little-endian byte serialization of a column's low `n` bytes — the
+    * shared helper of every in-plan binary fixture builder.
+    */
+  private def le(c: Column, n: Int): Column = unhex(concat((0 until n).map(i =>
+    lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+
+  /** ORC round-trip dirs already written by THIS JVM (q218). */
+  private val orcWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ textQueries ++ similarityQueries ++ closureQueries
@@ -1226,8 +1235,6 @@ object SparkEntry {
     * intermediate under 2^60 at any scale.
     */
   private[graft] def wavPayloadCol: Column = {
-    def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
-      lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
     val g = expr("doc_id DIV 4")
     val r = col("doc_id") % 4
     val n = ((g % 4 + 4) * 32).cast("int")
@@ -2189,8 +2196,6 @@ object SparkEntry {
     // little-endian byte plumbing; WavInfo must recover the encoded
     // (sample_rate, channels, bits)
     "q97_wav_info" -> ((s, d) => {
-      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
-        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
       val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
       val ch   = (col("doc_id") % 2 + 1).cast("int")
       val payload = concat(
@@ -2504,8 +2509,6 @@ object SparkEntry {
     // per-lane sums) that the oracle computes from the same formula — a
     // wrong byte anywhere breaks the hash
     "q56_decode_features" -> ((s, d) => {
-      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
-        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
       val n    = (col("doc_id") % 64 + 64).cast("int")
       val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
       val sampleHex = array_join(
@@ -2540,8 +2543,6 @@ object SparkEntry {
     // arithmetic in SQL — table drift fails the hash loudly. q56's shape
     // on the companded branch.
     "q217_ulaw_features" -> ((s, d) => {
-      def le(c: Column, n: Int) = unhex(concat((0 until n).map(i =>
-        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
       val n    = (col("doc_id") % 64 + 64).cast("int")
       val rate = lit(8000).cast("int")
       val sampleHex = array_join(
@@ -2573,7 +2574,11 @@ object SparkEntry {
     // PlanSpec pins PushedFilters on it.
     "q218_orc_roundtrip" -> ((s, d) => {
       val dir = s"target/q218_orc_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      // memoized PER JVM, not per on-disk marker: a _SUCCESS check would
+      // survive restarts and serve a stale snapshot if the source dir is
+      // regenerated in place (the q213 catalog memo has the same
+      // session-scoped property)
+      if (orcWritten.add(dir))
         t(s, d, "orders").write.mode("overwrite").orc(dir)
       s.read.orc(dir)
         .filter(col("o_orderdate") >= lit("1996-01-01"))
@@ -4837,19 +4842,27 @@ object SparkEntry {
          WHERE bit_count(xor(x.h, y.h)) <= 2
          ORDER BY a, b""",
 
-    // Replays the derived-geometry audio dHash: dHashLanesFor(500, 3, 1)
-    // = 37 at the verify SF (width = ceil(log2(500)) = 9 bits per band,
-    // lanes = 1 + 4·9) — the literal below IS the rule's output, so a
-    // drift in the engine's derivation fails the hash loudly. Same
-    // generative replay as q202, folded to 37 lanes, verified at the
-    // query's maxHamming = 3.
-    "q214_audio_neardup_derived" ->
-      s"""WITH ${audioHashCtesSql("doc_id < 2000", lanes = 37)}
+    // Replays the derived-geometry audio dHash with the derivation ITSELF
+    // in SQL — lanes = min(61, max(32, 1 + 4·w)) where w is the exact
+    // smallest shift with 2^w ≥ count(*), the same integer arithmetic
+    // dHashLanesFor runs (no float log2 on either side, so power-of-two
+    // counts cannot diverge). SF-independent like every other oracle: at
+    // the sf0.01 slice (500 docs) this is 37 lanes; a rule drift at ANY
+    // scale fails the hash loudly. Verified at the query's maxHamming = 3.
+    "q214_audio_neardup_derived" -> {
+      val geo =
+        """nn AS (SELECT count(*) AS n FROM documents WHERE doc_id < 2000),
+          ww AS (SELECT MIN(t.w) AS w FROM range(1, 62) t(w), nn
+                 WHERE (1::BIGINT << t.w) >= nn.n),
+          geo AS (SELECT LEAST(61, GREATEST(32, 1 + 4 * w)) AS lanes FROM ww),"""
+      s"""WITH $geo
+         ${audioHashCtesSql("doc_id < 2000", "SELECT lanes FROM geo")}
          SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
          FROM hx x JOIN hx y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.h, y.h)) <= 3
-         ORDER BY a, b""",
+         ORDER BY a, b"""
+    },
 
     // Replays the JPEG payloads' generative structure (the engine instead
     // entropy-decodes the actual bitstream and runs the exact DC-only
@@ -4985,10 +4998,10 @@ object SparkEntry {
                 ON a.doc_id = b.doc_id AND b.cell = a.cell + 1 AND a.cell % 8 < 7
               GROUP BY a.doc_id)"""
 
-  private def audioHashCtesSql(pred: String = "TRUE", lanes: Int = 32): String =
+  private def audioHashCtesSql(pred: String = "TRUE", lanesSql: String = "32"): String =
     s"""d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents WHERE $pred),
        s AS (SELECT doc_id, g, r, unnest(range((g % 4 + 4) * 32)) AS i FROM d),
-       v AS (SELECT doc_id, CAST(i % $lanes AS INT) AS lane,
+       v AS (SELECT doc_id, CAST(i % ($lanesSql) AS INT) AS lane,
                     CASE WHEN r = 3
                          THEN ((((doc_id % 65536) * (doc_id % 65536) + 7) * (i * i + 31)) % 65536) - 32768
                          ELSE ((((g % 65536) * (g % 65536) * 131 + 7) * (i * i * 17 + i + 31) + r) % 65536) - 32768

@@ -287,6 +287,7 @@ case class JpegGrayCells(child: Expression, gw: Int, gh: Int)
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val out = new Array[Double](64)
+    val colBuf = new Array[Double](8) // hoisted: the column-pass scratch
 
     // decode one block of scan component si; fold luma into cells when
     // (bx, by) is the block's top-left pixel in image coordinates
@@ -356,16 +357,15 @@ case class JpegGrayCells(child: Expression, gw: Int, gh: Int)
       }
       var x1 = 0
       while (x1 < 8) {
-        val col = new Array[Double](8)
         var yy = 0
-        while (yy < 8) { col(yy) = out(yy * 8 + x1); yy += 1 }
+        while (yy < 8) { colBuf(yy) = out(yy * 8 + x1); yy += 1 }
         yy = 0
         while (yy < 8) {
           var acc = 0.0
           var v0 = 0
           while (v0 < 8) {
             val cv = if (v0 == 0) 0.70710678118654752440 else 1.0
-            acc += cv * col(v0) * CosTab(v0 * 8 + yy)
+            acc += cv * colBuf(v0) * CosTab(v0 * 8 + yy)
             v0 += 1
           }
           val yy2 = by + yy

@@ -166,11 +166,13 @@ object Multimodal {
       } else if (id == "data") { dataOff = body; dataLen = len }
       off = body + len.toInt + (len.toInt & 1) // chunks are even-aligned
     }
-    // three decodable shapes: linear 16-bit PCM (tag 1), G.711 A-law (6)
-    // and µ-law (7) — both 8-bit companded, expanded through the CCITT
-    // tables to the same exact-integer 16-bit feature pipeline
+    // three decodable shapes: linear 16-bit PCM (tag 1, or its
+    // WAVE_FORMAT_EXTENSIBLE wrapper 0xFFFE — ffmpeg/DAW default for many
+    // layouts, identical sample bytes), and G.711 A-law (6) / µ-law (7) —
+    // both 8-bit companded, expanded through the CCITT tables to the same
+    // exact-integer 16-bit feature pipeline
     val companded = (tag == 6 || tag == 7) && bits == 8
-    val linear16  = tag == 1 && bits == 16 && dataLen % 2 == 0
+    val linear16  = (tag == 1 || tag == 0xFFFE) && bits == 16 && dataLen % 2 == 0
     if (rate < 0 || dataOff < 0 || ch < 1 || !(companded || linear16)) return None
     val table = if (tag == 7) UlawTable else AlawTable
     val n = if (linear16) dataLen / 2 else dataLen
@@ -247,12 +249,15 @@ object Multimodal {
     * whenever the corpus outgrows the default geometry;
     * [[audioBandOccupancy]] is the preflight that shows when.
     *
-    * Clamped to [16, 61]: the hash packs into ONE long (61 lanes → 60
-    * bits), so the cap marks the single-word boundary — past ~2.6·10^8
-    * clips (maxHamming 2, targetBucket 250) the knee returns and a
-    * multi-word hash is the next step. The unclamped value is an exact
-    * bands·width product, so the [[bandRows]] degenerate-geometry guard
-    * never fires for it; the guard still backstops clamped extremes.
+    * Clamped to [32, 61]: the cap marks the single-word boundary (the
+    * hash packs into ONE long — 61 lanes → 60 bits), past which
+    * (~2.6·10^8 clips at maxHamming 2, targetBucket 250) the knee returns
+    * and a multi-word hash is the next step. The unclamped value is an
+    * exact bands·width product, so the [[bandRows]] degenerate-geometry
+    * guard never fires for it; the guard still backstops clamped
+    * extremes. Width is computed with INTEGER ceil-log2 (no floating
+    * log), so power-of-two corpus sizes land exactly and the SQL oracle
+    * can replay the same arithmetic without float-rounding divergence.
     *
     * Floor 32 — the proven default geometry — because unlike sign-LSH
     * (where buckets only gate CANDIDATES and the exact verify fixes
@@ -266,8 +271,10 @@ object Multimodal {
     require(n >= 0 && maxHamming >= 0 && targetBucket >= 1,
       "need n >= 0, maxHamming >= 0, positive targetBucket")
     val bands = maxHamming + 1
-    val width = math.max(1, math.ceil(
-      math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt)
+    val x = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    // exact smallest w with 2^w >= x — the replayable form (ceil of a
+    // float log2 can land on either side of an exact power of two)
+    val width = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x - 1))
     math.min(61, math.max(32, 1 + bands * width))
   }
 

@@ -178,6 +178,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(companded(5, data), dim = 4).isEmpty)
   }
 
+  test("decodeWavPcm accepts WAVE_FORMAT_EXTENSIBLE (0xFFFE) 16-bit PCM") {
+    // the ffmpeg/DAW default wrapper: identical 16-bit sample bytes under
+    // fmt tag 0xFFFE — a corpus-common shape that must not be dropped
+    val samples = (0 until 32).map(i => i * 1000 - 15000)
+    val plain = wavBytes(8000, samples)
+    val p1 = Multimodal.decodeWavPcm(plain, dim = 4).getOrElse(fail("tag 1 rejected"))
+    // rewrite the fmt tag in place (offset 20: fmt body starts at 12+8)
+    val ext = plain.clone()
+    ext(20) = 0xFE.toByte; ext(21) = 0xFF.toByte
+    val p2 = Multimodal.decodeWavPcm(ext, dim = 4).getOrElse(fail("tag 0xFFFE rejected"))
+    assert(p1.sumS == p2.sumS && p1.laneSums.toSeq == p2.laneSums.toSeq)
+  }
+
   test("decodeWavPcm rejects truncated data chunks and non-16-bit formats") {
     val good = wavBytes(8000, Seq(1, 2, 3))
     assert(Multimodal.decodeWavPcm(good, 2).isDefined)
@@ -832,6 +845,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-format dedup: the same raster as PNG and as JPEG hashes together") {
+    // the unified-lane payoff: one image stored in two containers (a
+    // lossless PNG and a lossy JPEG re-encode) must land within the
+    // near-dup budget — strong-gradient content so per-cell deltas dwarf
+    // JPEG quantization error
+    val w = 64; val h = 64
+    def pix(x: Int, y: Int): Int = math.min(255, x * 3 + y)
+    val png = pngBytes(w, h, 0, y => Array.tabulate(w)(x => pix(x, y)), _ % 5)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, pix(x, y))
+    val jpg = jpegBytes(img, 0.9f)
+    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload")
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L,
+      s"PNG and its JPEG re-encode must pair: ${pairs.mkString(",")}")
+    assert(pairs(0)._3 <= 2, s"cross-format hamming ${pairs(0)._3}")
+  }
+
   test("image dHash index: persisted search ≡ direct filter; appends admit; deletes resurrect") {
     // the audio lifecycle test's raster twin: real deflate-compressed
     // grayscale PNGs (mixed scanline filters), uniform brightness offsets
@@ -875,6 +908,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHashLanesFor(1000000, 2) == 37)
     // cap: the single-long boundary
     assert(Multimodal.dHashLanesFor(1L << 40, 2) == 61)
+    // integer ceil-log2: exact at powers of two (a float log2 can land on
+    // either side and diverge from the SQL oracle's integer derivation)
+    assert(Multimodal.dHashLanesFor(512, 3, 1) == 37)  // 2^9 = 512 -> w = 9
+    assert(Multimodal.dHashLanesFor(513, 3, 1) == 41)  // one past -> w = 10
     // monotone in n
     val ls = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
       .map(Multimodal.dHashLanesFor(_))
