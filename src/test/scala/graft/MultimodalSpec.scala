@@ -845,6 +845,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GifGrayCells decodes the JDK's own GIF encoder output exactly") {
+    // ImageIO's GIF writer produces genuinely compressed variable-width
+    // LZW — the decoder must reproduce the raster byte-for-byte (GIF is
+    // lossless, so unlike the JPEG check this is an EXACT gate)
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 7 + (x * y) % 29) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val bytes = out.toByteArray
+    val got = Seq(Tuple1(bytes)).toDF("payload")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expr.GifGrayCells(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col("payload")), 8, 8)).as("c"))
+      .collect()(0)
+    assert(!got.isNullAt(0), "JDK-written GIF decoded to NULL")
+    // reference: ImageIO's own decode of the same bytes (gray raster ->
+    // palette round trip may remap values, so compare against the re-read)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val ref = new Array[Long](64)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      ref((y.toLong * 8 / h).toInt * 8 + (x.toLong * 8 / w).toInt) += luma
+    }
+    assert(got.getSeq[Long](0) == ref.toSeq, "cells diverge from the JDK decode")
+  }
+
   test("cross-format dedup: the same raster as PNG and as JPEG hashes together") {
     // the unified-lane payoff: one image stored in two containers (a
     // lossless PNG and a lossy JPEG re-encode) must land within the
