@@ -175,6 +175,76 @@ object Streaming {
       }
       .start()
 
+  /** Incremental MULTIMODAL ingest — [[fuzzyIngestSink]]'s contract on the
+    * Hamming-dHash lane, shared by the audio (PCM/G.711 decode) and image
+    * (PNG/GIF/JPEG pixel decode) heads. Each micro-batch: (1) near-dups
+    * WITHIN the batch collapse to their keep-min survivor (banded pairs →
+    * connected components); (2) survivors with a stored near-duplicate in
+    * the persisted index drop (probe-only — the corpus never re-decodes
+    * or re-shuffles); (3) fresh clips append to the corpus [[TxTable]]
+    * under the replay guard; (4) fresh clips admit into the bucketed
+    * index.
+    *
+    * The two-store crash contract is [[fuzzyIngestSink]]'s verbatim, and
+    * self-healing is even more direct here: a replayed clip whose index
+    * admit survived self-matches at Hamming distance 0, so the replay
+    * admits the empty set; a lost index append re-derives identically
+    * (same index state as the first run). Duplicate index rows from a
+    * crash inside step 4 are harmless (probe candidates are distinct'd)
+    * and reclaimed by [[graft.ops.Multimodal.compactDHashIndex]].
+    */
+  def audioIngestSink(stream: DataFrame, corpusDir: String,
+      indexPrefix: String, idCol: String, payloadCol: String,
+      lanes: Int, maxHamming: Int, buckets: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dHashIngestSink(stream, corpusDir, indexPrefix, idCol, checkpoint,
+      pairsOf = b => Multimodal.audioNearDupPairs(b, idCol, payloadCol, lanes, maxHamming),
+      dedupOf = b => Multimodal.audioDedupAgainstIndex(
+        b, idCol, payloadCol, lanes, maxHamming, indexPrefix),
+      admit = (b, mode) => Multimodal.writeDHashIndex(
+        b, idCol, payloadCol, lanes, maxHamming, indexPrefix, buckets, mode))
+
+  /** [[audioIngestSink]] with the raster hash head (PNG/GIF/JPEG decode →
+    * grid dHash) — same lifecycle, same crash contract.
+    */
+  def imageIngestSink(stream: DataFrame, corpusDir: String,
+      indexPrefix: String, idCol: String, payloadCol: String,
+      gw: Int = 8, gh: Int = 8, maxHamming: Int = 2, buckets: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dHashIngestSink(stream, corpusDir, indexPrefix, idCol, checkpoint,
+      pairsOf = b => Multimodal.imageNearDupPairs(b, idCol, payloadCol, gw, gh, maxHamming),
+      dedupOf = b => Multimodal.imageDedupAgainstIndex(
+        b, idCol, payloadCol, gw, gh, maxHamming, indexPrefix),
+      admit = (b, mode) => Multimodal.writeImageDHashIndex(
+        b, idCol, payloadCol, gw, gh, maxHamming, indexPrefix, buckets, mode))
+
+  private def dHashIngestSink(stream: DataFrame, corpusDir: String,
+      indexPrefix: String, idCol: String, checkpoint: String,
+      pairsOf: DataFrame => DataFrame,
+      dedupOf: DataFrame => DataFrame,
+      admit: (DataFrame, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val losers = Dedup.nearDupSurvivors(pairsOf(batch), "a", "b")
+          .filter(!col("keep")).select(col("doc_id").as("__loser"))
+        val withinSurv = batch.join(losers,
+          batch(idCol) === col("__loser"), "left_anti")
+        val fresh = Checkpoints.pinner(spark, None)(
+          if (spark.catalog.tableExists(s"${indexPrefix}_idx")) dedupOf(withinSurv)
+          else withinSurv)
+        TxTable.append(spark, corpusDir, fresh,
+          guard = guardFor(spark, checkpoint), batchId = batchId)
+        // runs on replays too — see the crash-recovery contract above
+        admit(fresh,
+          if (spark.catalog.tableExists(s"${indexPrefix}_idx")) "append"
+          else "overwrite")
+        Checkpoints.release(fresh)
+        ()
+      }
+      .start()
+
   /** Streaming quality gate — the ONLINE half of the in-engine model fit
     * ([[graft.ops.Clustering.logisticFit]], q180): each micro-batch is
     * scored with a FROZEN weight vector (the model is a driver artifact

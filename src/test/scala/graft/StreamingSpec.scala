@@ -366,6 +366,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(replaySurvivors.count() == 0L)
   }
 
+  test("audioIngestSink: dHash near-dups blocked within and across batches; index grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base   = s"/root/repo/target/tmp/audioing_${System.nanoTime()}"
+    val prefix = s"audioing_idx_${System.nanoTime()}"
+    def clip(seed: Int, off: Int): Array[Byte] = {
+      // the MultimodalSpec wavBytes shape, inlined: 16-bit mono PCM
+      val samples = (0 until 64).map(i => ((i * seed) % 50000) - 25000 + off)
+      val out = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      out.write("RIFF".getBytes); le(36 + samples.length * 2, 4); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le(16, 4)
+      le(1, 2); le(1, 2); le(8000, 4); le(16000, 4); le(2, 2); le(16, 2)
+      out.write("data".getBytes); le(samples.length * 2, 4)
+      samples.foreach(s => le(s.toLong & 0xffff, 2))
+      out.toByteArray
+    }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.audioIngestSink(
+      input.toDF().toDF("doc_id", "payload"), s"$base/corpus", prefix,
+      "doc_id", "payload", lanes = 32, maxHamming = 2, buckets = 2, s"$base/ckpt")
+    try {
+      def corpusIds() = TxTable.read(spark, s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // in-batch: a clip and its uniform offset arrive together — keep-min
+      input.addData((1L, clip(104729, 0)), (2L, clip(104729, 3)), (3L, clip(31337, 0)))
+      q.processAllAvailable()
+      assert(corpusIds() == Seq(1L, 3L))
+      // cross-batch: a later offset of clip 1 blocks BY THE INDEX; new lands
+      input.addData((4L, clip(104729, 5)), (5L, clip(7919, 0)))
+      q.processAllAvailable()
+      assert(corpusIds() == Seq(1L, 3L, 5L))
+      // the admitted clip immediately self-blocks its own offsets
+      input.addData((6L, clip(7919, 2)))
+      q.processAllAvailable()
+      assert(corpusIds() == Seq(1L, 3L, 5L))
+      assert(spark.table(s"${prefix}_idx").select("id").as[Long].distinct()
+        .collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+    // replay self-heal: re-deriving batch 1 against the CURRENT index
+    // admits nothing — every original survivor self-matches at Hamming 0
+    val replay = graft.ops.Multimodal.audioDedupAgainstIndex(
+      Seq((1L, clip(104729, 0)), (2L, clip(104729, 3)), (3L, clip(31337, 0)))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload", 32, 2, prefix)
+    assert(replay.count() == 0L)
+  }
+
+  test("imageIngestSink: the raster head rides the same lifecycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base   = s"/root/repo/target/tmp/imaging_${System.nanoTime()}"
+    val prefix = s"imaging_idx_${System.nanoTime()}"
+    // tiny in-spec PNG builder (filter 0, stored rows via java Deflater)
+    def png(seed: Int, off: Int): Array[Byte] = {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until 16) {
+        raw.write(0)
+        for (x <- 0 until 16) raw.write(((y * 16 + x) * seed) % 200 + off)
+      }
+      val rb = raw.toByteArray
+      val defl = new java.util.zip.Deflater(); defl.setInput(rb); defl.finish()
+      val zb = new Array[Byte](rb.length + 64)
+      var zl = 0
+      while (!defl.finished()) zl += defl.deflate(zb, zl, zb.length - zl)
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length))
+        val tb = typ.getBytes("US-ASCII"); out.write(tb)
+        out.write(data)
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+        out.write(be32(crc.getValue))
+      }
+      chunk("IHDR", be32(16) ++ be32(16) ++ Array[Byte](8, 0, 0, 0, 0))
+      chunk("IDAT", zb.take(zl))
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.imageIngestSink(
+      input.toDF().toDF("doc_id", "payload"), s"$base/corpus", prefix,
+      "doc_id", "payload", buckets = 2, checkpoint = s"$base/ckpt")
+    try {
+      input.addData((1L, png(104729, 0)), (2L, png(104729, 3)), (3L, png(31337, 0)))
+      q.processAllAvailable()
+      val ids = TxTable.read(spark, s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("qualityGateSink routes by frozen-model score atomically; null scores fail closed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
