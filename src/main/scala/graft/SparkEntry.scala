@@ -1197,6 +1197,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The maxBucket PREFLIGHT for the raster lane (q207's image twin):
+    // Hamming band-bucket occupancy over the SAME (band, key) buckets the
+    // q208/q215 paths use — the measurement that decides whether the
+    // default-off hot-bucket cap must be set before the image pair join
+    // or index build runs at a new corpus scale.
+    "q219_image_occupancy" -> ((s, d) => {
+      val src = Tables.spread(
+          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
+        .select(col("doc_id"), pngPayloadCol.as("payload"))
+      Multimodal.imageBandOccupancy(src, "doc_id", "payload",
+          gw = 8, gh = 8, maxHamming = 2)
+        .orderBy(col("occ"))
+    }),
+
     // JPEG perceptual near-dup — the DOMINANT web image format joins the
     // raster lane (q208 PNG / q211 GIF): in-plan synthesis of complete
     // valid baseline JPEGs (DC-only blocks, byte-aligned custom Huffman
@@ -4863,6 +4877,19 @@ object SparkEntry {
          WHERE bit_count(xor(x.h, y.h)) <= 3
          ORDER BY a, b"""
     },
+
+    // The q208-family band layout (56 bits -> 19/19/18) folded to the
+    // occupancy histogram, q207's construction on the raster hashes.
+    "q219_image_occupancy" ->
+      s"""WITH ${pngHashCtesSql("doc_id < 1000")},
+         ex AS (
+           SELECT doc_id, h, b.band,
+                  (h >> (b.band * 19)) & (CASE WHEN b.band = 2 THEN 262143 ELSE 524287 END) AS key
+           FROM hx, (VALUES (0), (1), (2)) b(band)),
+         buck AS (SELECT band, key, count(*) AS occ FROM ex GROUP BY band, key)
+         SELECT occ, count(*) AS n_buckets,
+                CAST(occ * (occ - 1) / 2 * count(*) AS BIGINT) AS cand_pairs
+         FROM buck GROUP BY occ ORDER BY occ""",
 
     // Replays the JPEG payloads' generative structure (the engine instead
     // entropy-decodes the actual bitstream and runs the exact DC-only

@@ -427,6 +427,18 @@ object Multimodal {
       audioHashes(df, idCol, payloadCol, lanes), lanes - 1, maxHamming))
   }
 
+  /** [[audioBandOccupancy]] on the RASTER lane — the preflight that
+    * decides whether [[imageNearDupPairs]] / the image index need the
+    * `maxBucket` bound at a new corpus scale, over the SAME `(band, key)`
+    * buckets those paths use.
+    */
+  def imageBandOccupancy(df: DataFrame, idCol: String, payloadCol: String,
+      gw: Int = 8, gh: Int = 8, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < gh * (gw - 1), "maxHamming in [0, bits-1]")
+    bandOccupancy(bandRows(
+      imageHashes(df, idCol, payloadCol, gw, gh), gh * (gw - 1), maxHamming))
+  }
+
   /** Multimodal near-duplicate pairs: decode each payload's PCM for real
     * ([[decodeFeatures]] — byte-level WAV parse, the q56 pattern), dHash
     * the lane embedding, then find all id pairs within `maxHamming` bits —
