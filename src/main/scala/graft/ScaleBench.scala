@@ -109,6 +109,8 @@ object ScaleBench {
     "audio_neardup_32"    -> Set("documents"),
     "audio_neardup_61"    -> Set("documents"),
     "audio_neardup_derived" -> Set("documents"),
+    "image_neardup"       -> Set("documents"),
+    "image_index_steady"  -> Set("documents"),
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
     "ivm_recompute"       -> Set("lineitem"),
     "ivm_feed"            -> Set("liagg_g", "cdcfeed_g"),
@@ -306,6 +308,24 @@ object ScaleBench {
     // against every rot1-keyed corpus replica)
     var fuzzySeq = 0
 
+    // Steady-state IMAGE-INDEX fixture (the raster lane's measured scale
+    // story — the round-16 verdict's named gap: audio had three measured
+    // families while the image lane's flat-wall claim was inherited from
+    // shared machinery): a persisted image dHash index per factor (PNG
+    // synthesis + real pixel decode + grid dHash, untimed), then the timed
+    // family probes it with a FIXED 1×-sized batch drawn from a disjoint
+    // id range. Flat timings across factors are the "probe cost follows
+    // the batch, the corpus-side index is bucket-pruned and never
+    // exchanged" claim — index_search_steady's shape on the raster lane.
+    def imgPrefix(f: Int) = s"imgidx_${steadyTag}_f$f"
+    val imgOn = only.isEmpty || only.contains("image_index_steady")
+    if (imgOn) for (f <- factors)
+      graft.ops.Multimodal.writeImageDHashIndex(
+        read("documents", f)
+          .select(col("doc_id"), SparkEntry.pngPayloadCol.as("payload")),
+        "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2,
+        tablePrefix = imgPrefix(f), buckets = 32)
+
     def families(f: Int): Seq[(String, () => Long)] = Seq(
       ("lsh_minhash", () =>
         Text.minhashNearDupPairs(read("documents", f), "doc_id", "text", 3, 16, 0.5).count()),
@@ -394,6 +414,26 @@ object ScaleBench {
         val lanes = graft.ops.Multimodal.dHashLanesFor(src.count())
         graft.ops.Multimodal.audioNearDupPairs(
           src, "doc_id", "payload", lanes = lanes, maxHamming = 2).count()
+      }),
+      // the raster twin of audio_neardup_32: real PNG pixel decode → grid
+      // dHash → the shared Hamming-banded pair join; 56 hash bits give
+      // 19/19/18-bit band keys, so occupancy stays sparse through the 10×
+      // point and the exponent should read near-linear (fixture synthesis
+      // + decode are the per-row linear term)
+      ("image_neardup", () =>
+        graft.ops.Multimodal.imageNearDupPairs(
+          read("documents", f).select(col("doc_id"), SparkEntry.pngPayloadCol.as("payload")),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2).count()),
+      // fixed 1×-sized probe batch against the f× persisted image index
+      // (disjoint id range → unrelated rasters — steady-state probe cost
+      // is what's measured, not hit rate); flat across factors = the
+      // probe-only-exchange claim, measured rather than inherited
+      ("image_index_steady", () => {
+        val batch = read("documents", 1)
+          .select((col("doc_id") + lit(50000000000L)).as("doc_id"))
+          .select(col("doc_id"), SparkEntry.pngPayloadCol.as("payload"))
+        graft.ops.Multimodal.imageDedupAgainstStoredIndex(
+          batch, "doc_id", "payload", imgPrefix(f)).count()
       }),
       // BPE training with the ROUND COUNT as the scale axis (fixed 1×
       // corpus read straight from the sf dir — no replica fixture): the

@@ -1124,6 +1124,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q213's lifecycle at CORPUS-DERIVED geometry, closing the round-16
+    // verdict's routing gap: the 32-lane default was safe for the pair
+    // join (opt-in per call) but DURABLE in a persisted index — an index
+    // written at the default on a 10⁶+-clip corpus bakes in the quadratic
+    // knee q214's rule exists to prevent. writeDHashIndexDerived counts
+    // the corpus once at write time, derives lanes via dHashLanesFor
+    // (maxHamming 3 / targetBucket 1 push the derivation above the
+    // 32-lane floor at test scale: 250 corpus clips → 33 lanes at sf0.01),
+    // and records the geometry in the index's _meta sidecar;
+    // audioDedupAgainstStoredIndex probes with the SIDECAR's geometry —
+    // no call-site lane constant anywhere. The oracle replays the
+    // derivation itself in SQL (the q214 device) over the corpus count,
+    // then the quadratic NOT-EXISTS filter — a drift in either the rule
+    // or the sidecar round-trip fails the hash loudly.
+    "q220_audio_index_derived" -> ((s, d) => {
+      val all = Tables.spread(
+          t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
+        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      val prefix = s"q220_dh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${prefix}_idx"))
+        Multimodal.writeDHashIndexDerived(all.filter(col("doc_id") % 4 <= 1),
+          "doc_id", "payload", maxHamming = 3, tablePrefix = prefix,
+          buckets = 4, targetBucket = 1L)
+      Multimodal.audioDedupAgainstStoredIndex(all.filter(col("doc_id") % 4 >= 2),
+          "doc_id", "payload", prefix)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // VIDEO container metadata: in-plan synthesis of minimal valid
     // ISO-BMFF files (exact box sizes, mvhd v0, tkhd v0 16.16 dims),
     // parsed by the real box walker (Mp4Info — the duration/resolution
@@ -1235,7 +1264,12 @@ object SparkEntry {
     * base signal: members r = 0,1,2 differ by a constant sample offset —
     * gradient-sign-invariant, so they dHash (near-)identically — while
     * r = 3 is an unrelated signal. Sample counts are multiples of the 32
-    * lanes so a constant offset shifts equal-count lanes equally.
+    * lanes so a constant offset shifts equal-count lanes equally. (q214
+    * reuses this fixture at derived lane counts 37/45, which do NOT divide
+    * the sample counts — there the brightness-shift invariance is only
+    * approximate, with the ±1-sample lane-count skew dwarfed by the signal
+    * magnitudes; the oracle replays the same arithmetic, so equality is
+    * exact either way.)
     *
     * Square-mixed generative formula: the g² / i² products decorrelate
     * lane gradients ACROSS groups (a linear g·a + i·b form left lane
@@ -4971,6 +5005,28 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM c WHERE bit_count(xor(b.h, c.h)) <= 2)
          ORDER BY b.doc_id""",
+
+    // q213's split replayed at DERIVED geometry: the lane derivation runs
+    // in SQL over the CORPUS half's count (the q214 device — exact
+    // integer shift, no float log2), then the quadratic NOT-EXISTS filter
+    // at the query's maxHamming 3. A drift in dHashLanesFor OR in the
+    // _meta sidecar round-trip changes the hashes and fails loudly.
+    "q220_audio_index_derived" -> {
+      val geo =
+        """nn AS (SELECT count(*) AS n FROM documents
+                  WHERE doc_id < 2000 AND doc_id % 4 <= 1),
+          ww AS (SELECT MIN(t.w) AS w FROM range(1, 62) t(w), nn
+                 WHERE (1::BIGINT << t.w) >= nn.n),
+          geo AS (SELECT LEAST(61, GREATEST(32, 1 + 4 * w)) AS lanes FROM ww),"""
+      s"""WITH $geo
+         ${audioHashCtesSql("doc_id < 2000", "SELECT lanes FROM geo")},
+         c AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 <= 1),
+         b AS (SELECT doc_id, h FROM hx WHERE doc_id % 4 >= 2)
+         SELECT b.doc_id FROM b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM c WHERE bit_count(xor(b.h, c.h)) <= 3)
+         ORDER BY b.doc_id"""
+    },
 
     // Replays the mp4 synthesis field formulas (the engine instead walks
     // the actual box structure and parses mvhd/tkhd). dur_s: both engines

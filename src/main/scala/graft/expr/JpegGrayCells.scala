@@ -31,7 +31,9 @@ import org.apache.spark.sql.types._
   *  coding — the formats a curation pipeline re-encodes rather than
   *  feature-extracts; multi-scan files whose FIRST scan lacks the luma
   *  component; luma not at full sampling resolution (h1 < maxH or
-  *  v1 < maxV — no standard encoder subsamples Y).
+  *  v1 < maxV — no standard encoder subsamples Y); 4-component Adobe
+  *  CMYK/YCCK, where component 0 is not luma (cyan, typically inverted)
+  *  and decoding it as Y would be wrong-but-plausible.
   *
   * Bomb guards mirror [[PngGrayCells]]: w·h ≤ 2^24 before any allocation,
   * every read bounds-checked, all loops bounded by the byte length.
@@ -142,8 +144,12 @@ case class JpegGrayCells(child: Expression, gw: Int, gh: Int)
           h = (u8(off + 3) << 8) | u8(off + 4)
           w = (u8(off + 5) << 8) | u8(off + 6)
           nComp = u8(off + 7)
+          // component 0 is treated as luma below; that holds for grayscale
+          // (1) and JFIF YCbCr (3) but NOT Adobe CMYK/YCCK (4), where
+          // channel 0 is cyan (often inverted) — NULL rather than produce
+          // wrong-but-plausible cell sums
           if (prec != 8 || w < 1 || h < 1 || w.toLong * h > (1L << 24) ||
-              nComp < 1 || nComp > 4 || len < 8 + 3 * nComp) return null
+              (nComp != 1 && nComp != 3) || len < 8 + 3 * nComp) return null
           compId = new Array[Int](nComp); compH = new Array[Int](nComp)
           compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
           var c = 0

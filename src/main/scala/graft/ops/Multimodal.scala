@@ -154,6 +154,7 @@ object Multimodal {
         !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var off = 12
     var rate = -1; var ch = -1; var bits = -1; var tag = -1
+    var subTag = -1 // WAVE_FORMAT_EXTENSIBLE SubFormat GUID, first 16 bits
     var dataOff = -1; var dataLen = -1L
     while (off + 8 <= b.length) {
       val id  = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -163,16 +164,24 @@ object Multimodal {
       if (id == "fmt " && len >= 16) {
         tag = le16(body)
         rate = le32(body + 4).toInt; ch = le16(body + 2); bits = le16(body + 14)
+        // WAVEFORMATEXTENSIBLE (len >= 40): cbSize@16, wValidBits@18,
+        // dwChannelMask@20, SubFormat GUID@24 — the GUID's leading 16 bits
+        // are the real codec tag; an extensible wrapper around a non-PCM
+        // codec must be rejected, not misdecoded as linear samples
+        if (tag == 0xFFFE) subTag = if (len >= 40) le16(body + 24) else -1
       } else if (id == "data") { dataOff = body; dataLen = len }
       off = body + len.toInt + (len.toInt & 1) // chunks are even-aligned
     }
-    // three decodable shapes: linear 16-bit PCM (tag 1, or its
-    // WAVE_FORMAT_EXTENSIBLE wrapper 0xFFFE — ffmpeg/DAW default for many
-    // layouts, identical sample bytes), and G.711 A-law (6) / µ-law (7) —
+    // three decodable shapes: linear 16-bit PCM (tag 1, or a
+    // WAVE_FORMAT_EXTENSIBLE wrapper whose SubFormat GUID names PCM —
+    // ffmpeg/DAW default for many layouts, identical sample bytes; an
+    // extensible wrapper around any other codec rejects via subTag),
+    // and G.711 A-law (6) / µ-law (7) —
     // both 8-bit companded, expanded through the CCITT tables to the same
     // exact-integer 16-bit feature pipeline
     val companded = (tag == 6 || tag == 7) && bits == 8
-    val linear16  = (tag == 1 || tag == 0xFFFE) && bits == 16 && dataLen % 2 == 0
+    val pcmTag    = tag == 1 || (tag == 0xFFFE && subTag == 1)
+    val linear16  = pcmTag && bits == 16 && dataLen % 2 == 0
     if (rate < 0 || dataOff < 0 || ch < 1 || !(companded || linear16)) return None
     val table = if (tag == 7) UlawTable else AlawTable
     val n = if (linear16) dataLen / 2 else dataLen
@@ -538,7 +547,34 @@ object Multimodal {
       mode: String = "overwrite"): Unit = {
     require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
     writeHashIndex(audioHashes(corpus, idCol, payloadCol, lanes),
-      lanes - 1, maxHamming, tablePrefix, buckets, mode)
+      HashIndexGeometry("audio", lanes - 1, maxHamming, Some(lanes),
+        None, None, None, derived = false),
+      tablePrefix, buckets, mode)
+  }
+
+  /** [[writeDHashIndex]] with CORPUS-DERIVED lane geometry: one cheap
+    * `count()` of the corpus at write time feeds [[dHashLanesFor]], so the
+    * persisted band-key width grows with the corpus instead of baking the
+    * 32-lane default's ~10⁶-clip quadratic knee into a durable table — the
+    * one place a fixed default outlives the corpus size it was right for.
+    * The derived geometry (and the count that produced it) is recorded in
+    * the `_meta` sidecar; probe increments with
+    * [[audioDedupAgainstStoredIndex]], which reads it back rather than
+    * trusting a call-site constant. Returns the derived lane count.
+    * Overwrite-only by design: an append cannot re-derive (the stored
+    * rows' hashes are fixed) — grow a drifted index via the compaction
+    * window (rebuild) instead.
+    */
+  def writeDHashIndexDerived(corpus: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, tablePrefix: String, buckets: Int,
+      targetBucket: Long = 250L): Int = {
+    val n = corpus.select(col(idCol)).count()
+    val lanes = dHashLanesFor(n, maxHamming, targetBucket)
+    writeHashIndex(audioHashes(corpus, idCol, payloadCol, lanes),
+      HashIndexGeometry("audio", lanes - 1, maxHamming, Some(lanes),
+        None, None, Some(n), derived = true),
+      tablePrefix, buckets, "overwrite")
+    lanes
   }
 
   /** [[writeDHashIndex]] with the RASTER hash head: PNG/GIF pixel decode
@@ -552,20 +588,91 @@ object Multimodal {
       buckets: Int, mode: String = "overwrite"): Unit = {
     require(maxHamming >= 0 && maxHamming < gh * (gw - 1), "maxHamming in [0, bits-1]")
     writeHashIndex(imageHashes(corpus, idCol, payloadCol, gw, gh),
-      gh * (gw - 1), maxHamming, tablePrefix, buckets, mode)
+      HashIndexGeometry("image", gh * (gw - 1), maxHamming, None,
+        Some(gw), Some(gh), None, derived = false),
+      tablePrefix, buckets, mode)
+  }
+
+  /** Geometry sidecar of a persisted hash index: ONE recorded row —
+    * `(head, n_bits, max_hamming, lanes, gw, gh, corpus_n, derived)` —
+    * written alongside the `_idx` table so readers can probe with EXACTLY
+    * the geometry the index was built under instead of re-supplying it.
+    * The hash definition IS the similarity definition on the dHash lanes,
+    * so a caller default that drifts from the persisted geometry would
+    * produce hashes from a DIFFERENT space: same schema, silently-empty
+    * joins, zero recall with no error. The sidecar makes the geometry a
+    * property of the index, not of every call site's memory.
+    */
+  final case class HashIndexGeometry(head: String, nBits: Int, maxHamming: Int,
+      lanes: Option[Int], gw: Option[Int], gh: Option[Int],
+      corpusN: Option[Long], derived: Boolean)
+
+  /** Read an index's geometry sidecar (None for an index written before
+    * geometry recording existed — probe those with the explicit form or
+    * rebuild).
+    */
+  def hashIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Option[HashIndexGeometry] = {
+    val tbl = s"${tablePrefix}_meta"
+    if (!spark.catalog.tableExists(tbl)) None
+    else {
+      val r = spark.table(tbl).collect().head // one row by construction
+      def optInt(c: String)  = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
+      def optLong(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      Some(HashIndexGeometry(r.getAs[String]("head"), r.getAs[Int]("n_bits"),
+        r.getAs[Int]("max_hamming"), optInt("lanes"), optInt("gw"), optInt("gh"),
+        optLong("corpus_n"), r.getAs[Boolean]("derived")))
+    }
+  }
+
+  private def writeHashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, g: HashIndexGeometry): Unit = {
+    import spark.implicits._
+    val tbl = s"${tablePrefix}_meta"
+    Storage.reclaimStaleLocation(spark, tbl)
+    Seq((g.head, g.nBits, g.maxHamming, g.lanes, g.gw, g.gh, g.corpusN, g.derived))
+      .toDF("head", "n_bits", "max_hamming", "lanes", "gw", "gh", "corpus_n", "derived")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+  }
+
+  private def requireGeometry(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, head: String): HashIndexGeometry = {
+    val g = hashIndexGeometry(spark, tablePrefix).getOrElse(throw new IllegalStateException(
+      s"no geometry sidecar ${tablePrefix}_meta — the index predates geometry " +
+        "recording; probe with the explicit-geometry form or rebuild the index"))
+    require(g.head == head,
+      s"index $tablePrefix was built by the '${g.head}' hash head, probed as '$head'")
+    g
   }
 
   /** Shared index writer over prepared `(id, h)` hashes — the head-agnostic
-    * tail of [[writeDHashIndex]] / [[writeImageDHashIndex]].
+    * tail of [[writeDHashIndex]] / [[writeImageDHashIndex]]. Records the
+    * geometry sidecar on create; APPENDS verify the incoming geometry
+    * against the stored row and fail loudly on mismatch — an index only
+    * means anything under one hash definition, and the failure mode of a
+    * mismatched append is silent (disjoint hash spaces, not an error).
     */
-  private def writeHashIndex(hashed: DataFrame, nBits: Int, maxHamming: Int,
+  private def writeHashIndex(hashed: DataFrame, geom: HashIndexGeometry,
       tablePrefix: String, buckets: Int, mode: String): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = hashed.sparkSession
     // a fresh build must not inherit the previous generation's tombstones
     if (mode == "overwrite") Storage.clearTombstones(spark, s"${tablePrefix}_del")
-    Storage.writeBucketed(bandRows(hashed, nBits, maxHamming),
+    if (mode == "append") hashIndexGeometry(spark, tablePrefix).foreach { stored =>
+      require(stored.head == geom.head && stored.nBits == geom.nBits &&
+          stored.maxHamming == geom.maxHamming && stored.lanes == geom.lanes &&
+          stored.gw == geom.gw && stored.gh == geom.gh,
+        s"hash-index geometry mismatch on append to $tablePrefix: stored " +
+          s"$stored vs incoming $geom — probe/append with " +
+          "hashIndexGeometry(...) or rebuild with mode=overwrite")
+    }
+    Storage.writeBucketed(bandRows(hashed, geom.nBits, geom.maxHamming),
       s"${tablePrefix}_idx", Seq("band", "key"), buckets, mode)
+    // appends to a pre-sidecar index adopt the (validated-compatible)
+    // incoming geometry; the stored row otherwise stays authoritative
+    if (mode == "overwrite" || !spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      writeHashIndexMeta(spark, tablePrefix, geom)
   }
 
   /** Incremental multimodal dedup against a PERSISTED index
@@ -601,6 +708,31 @@ object Multimodal {
     dedupAgainstHashIndex(batch, idCol,
       imageHashes(batch, idCol, payloadCol, gw, gh), gh * (gw - 1), maxHamming,
       tablePrefix)
+  }
+
+  /** [[audioDedupAgainstIndex]] probing with the PERSISTED geometry: lane
+    * count and maxHamming come from the index's `_meta` sidecar, so a
+    * [[writeDHashIndexDerived]] index is always probed in the hash space
+    * it was built in — the derived-geometry rule cannot be silently
+    * undone by a call-site default. Fails loudly on a sidecar-less or
+    * wrong-head index.
+    */
+  def audioDedupAgainstStoredIndex(batch: DataFrame, idCol: String,
+      payloadCol: String, tablePrefix: String): DataFrame = {
+    val g = requireGeometry(batch.sparkSession, tablePrefix, "audio")
+    audioDedupAgainstIndex(batch, idCol, payloadCol,
+      g.lanes.getOrElse(g.nBits + 1), g.maxHamming, tablePrefix)
+  }
+
+  /** [[imageDedupAgainstIndex]] probing with the PERSISTED grid geometry
+    * from the `_meta` sidecar — [[audioDedupAgainstStoredIndex]]'s raster
+    * twin.
+    */
+  def imageDedupAgainstStoredIndex(batch: DataFrame, idCol: String,
+      payloadCol: String, tablePrefix: String): DataFrame = {
+    val g = requireGeometry(batch.sparkSession, tablePrefix, "image")
+    imageDedupAgainstIndex(batch, idCol, payloadCol,
+      g.gw.getOrElse(8), g.gh.getOrElse(8), g.maxHamming, tablePrefix)
   }
 
   /** Shared incremental-dedup tail over the batch's prepared `(id, h)`

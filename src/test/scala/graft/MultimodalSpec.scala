@@ -178,17 +178,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(companded(5, data), dim = 4).isEmpty)
   }
 
-  test("decodeWavPcm accepts WAVE_FORMAT_EXTENSIBLE (0xFFFE) 16-bit PCM") {
+  test("decodeWavPcm accepts WAVE_FORMAT_EXTENSIBLE (0xFFFE) 16-bit PCM, GUID-gated") {
     // the ffmpeg/DAW default wrapper: identical 16-bit sample bytes under
-    // fmt tag 0xFFFE — a corpus-common shape that must not be dropped
+    // fmt tag 0xFFFE — accepted ONLY when the 40-byte fmt chunk's SubFormat
+    // GUID names PCM (leading 16 bits 0x0001); an extensible wrapper around
+    // another codec, or a 0xFFFE tag without the extension block, rejects
+    def extensibleWav(subTag: Int, samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit = (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      val dataLen = samples.length * 2
+      out.write("RIFF".getBytes); le(12 + 48 + 8 + dataLen - 8, 4); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le(40, 4)
+      le(0xFFFE, 2); le(1, 2); le(8000, 4); le(16000, 4); le(2, 2); le(16, 2)
+      le(22, 2)          // cbSize
+      le(16, 2)          // wValidBitsPerSample
+      le(0x4, 4)         // dwChannelMask
+      // SubFormat GUID: {subTag}-0000-0010-8000-00AA00389B71 (KSDATAFORMAT base)
+      le(subTag, 2); le(0, 2); le(0, 2); le(0x10, 2)
+      out.write(Array(0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte))
+      out.write("data".getBytes); le(dataLen, 4)
+      samples.foreach(s => le(s & 0xffff, 2))
+      out.toByteArray
+    }
     val samples = (0 until 32).map(i => i * 1000 - 15000)
-    val plain = wavBytes(8000, samples)
-    val p1 = Multimodal.decodeWavPcm(plain, dim = 4).getOrElse(fail("tag 1 rejected"))
-    // rewrite the fmt tag in place (offset 20: fmt body starts at 12+8)
-    val ext = plain.clone()
-    ext(20) = 0xFE.toByte; ext(21) = 0xFF.toByte
-    val p2 = Multimodal.decodeWavPcm(ext, dim = 4).getOrElse(fail("tag 0xFFFE rejected"))
+    val p1 = Multimodal.decodeWavPcm(wavBytes(8000, samples), dim = 4).getOrElse(fail("tag 1 rejected"))
+    val p2 = Multimodal.decodeWavPcm(extensibleWav(1, samples), dim = 4)
+      .getOrElse(fail("extensible PCM GUID rejected"))
     assert(p1.sumS == p2.sumS && p1.laneSums.toSeq == p2.laneSums.toSeq)
+    // extensible wrapping IEEE float (0x0003): same 16 declared bits would
+    // misdecode — must reject, not guess
+    assert(Multimodal.decodeWavPcm(extensibleWav(3, samples), dim = 4).isEmpty)
+    // 0xFFFE tag on a bare 16-byte fmt chunk (no SubFormat to consult): reject
+    val bare = wavBytes(8000, samples).clone()
+    bare(20) = 0xFE.toByte; bare(21) = 0xFF.toByte
+    assert(Multimodal.decodeWavPcm(bare, dim = 4).isEmpty)
   }
 
   test("decodeWavPcm rejects truncated data chunks and non-16-bit formats") {
@@ -675,6 +698,56 @@ class MultimodalSpec extends AnyFunSuite {
     // compaction folds the tombstone in physically; semantics unchanged
     Multimodal.compactDHashIndex(spark, prefix, buckets = 2)
     assert(survivors(batch) == Seq(10L))
+  }
+
+  test("dHash index geometry sidecar: derived writes record it, stored probes " +
+      "read it back, mismatched appends fail loudly") {
+    def clip(seed: Int, off: Int) =
+      wavBytes(8000, (0 until 64).map(i => ((i * seed) % 50000) - 25000 + off))
+    val corpus = Seq((1L, clip(104729, 0)), (2L, clip(31337, 0))).toDF("doc_id", "payload")
+    val prefix = "mmspec_dhgeo"
+    // derived write: 2 clips at targetBucket 1 → width 1, 1+3·1=4 → floor 32
+    val lanes = Multimodal.writeDHashIndexDerived(corpus, "doc_id", "payload",
+      maxHamming = 2, tablePrefix = prefix, buckets = 2, targetBucket = 1L)
+    assert(lanes == Multimodal.dHashLanesFor(2L, 2, 1L))
+    val g = Multimodal.hashIndexGeometry(spark, prefix).getOrElse(fail("no sidecar"))
+    assert(g.head == "audio" && g.lanes.contains(lanes) && g.nBits == lanes - 1 &&
+      g.maxHamming == 2 && g.corpusN.contains(2L) && g.derived)
+    // stored-geometry probe ≡ explicit-geometry probe with the sidecar's values
+    val batch = Seq((10L, clip(104729, 3)), (11L, clip(7919, 0))).toDF("doc_id", "payload")
+    val viaStored = Multimodal.audioDedupAgainstStoredIndex(batch, "doc_id", "payload", prefix)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaExplicit = Multimodal.audioDedupAgainstIndex(batch, "doc_id", "payload",
+        lanes, 2, prefix)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaStored == viaExplicit && viaStored == Seq(11L))
+    // appending under a DIFFERENT geometry is the silent-zero-recall bug —
+    // it must fail loudly, and the index must be untouched by the attempt
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.writeDHashIndex(batch.filter($"doc_id" === 11L),
+        "doc_id", "payload", lanes = 48, maxHamming = 2, prefix,
+        buckets = 2, mode = "append")
+    }
+    assert(ex.getMessage.contains("geometry mismatch"))
+    assert(Multimodal.audioDedupAgainstStoredIndex(batch, "doc_id", "payload", prefix)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
+    // matching-geometry append still admits (and keeps the sidecar)
+    Multimodal.writeDHashIndex(batch.filter($"doc_id" === 11L),
+      "doc_id", "payload", lanes, 2, prefix, buckets = 2, mode = "append")
+    assert(Multimodal.audioDedupAgainstStoredIndex(
+        Seq((20L, clip(7919, 5))).toDF("doc_id", "payload"),
+        "doc_id", "payload", prefix)
+      .select("doc_id").as[Long].collect().isEmpty)
+    // a probe against a sidecar-less prefix fails loudly, not silently
+    val miss = intercept[IllegalStateException] {
+      Multimodal.audioDedupAgainstStoredIndex(batch, "doc_id", "payload", "mmspec_nosuch")
+    }
+    assert(miss.getMessage.contains("geometry sidecar"))
+    // the image head rejects an audio-head index
+    val wrongHead = intercept[IllegalArgumentException] {
+      Multimodal.imageDedupAgainstStoredIndex(batch, "doc_id", "payload", prefix)
+    }
+    assert(wrongHead.getMessage.contains("hash head"))
   }
 
   private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float,
