@@ -1018,15 +1018,9 @@ object SparkEntry {
       // canonical doc_id < 2000 slice (the q24 convention; the whole table
       // at sf0.01): what scales is the shared Hamming pipeline, measured
       // through ScaleBench's audio families — the slice bounds the in-plan
-      // WAV synthesis, which is fixture cost, not operator cost.
-      // spread BEFORE the payload select: below it, the synthesis runs
-      // inside the unsplittable single-row-group scan's ONE task (measured
-      // wall ≈ cpu — serial); above it, 32 tasks synthesize and the
-      // exchange carries 8-byte doc_ids, not payloads
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
-        .select(col("doc_id"), wavPayloadCol.as("payload"))
-      Multimodal.audioNearDupPairs(src, "doc_id", "payload",
+      // WAV synthesis, which is fixture cost, not operator cost (and is
+      // session-memoized: see memoPayloads/wavDocs2k)
+      Multimodal.audioNearDupPairs(wavDocs2k(s, d), "doc_id", "payload",
           lanes = 32, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
@@ -1040,10 +1034,8 @@ object SparkEntry {
     // exact all-pairs semantics. The oracle replays the cap: same band
     // keys, same occ threshold, same min-id representative.
     "q206_audio_flood" -> ((s, d) => {
-      // the q202 spread-before-synthesis shape: ids shuffle, payloads don't
-      val base = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 200).select(col("doc_id")))
-        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      // the memoized q202 slice, narrowed to its doc_id < 200 flood base
+      val base = wavDocs2k(s, d).filter(col("doc_id") < 200)
       val p0 = base.filter(col("doc_id") === 0).select(col("payload").as("p0"))
       val clones = s.range(300).crossJoin(p0)
         .select((col("id") + 1000000L).as("doc_id"), col("p0").as("payload"))
@@ -1064,10 +1056,7 @@ object SparkEntry {
     // decode, both already measured; the fixture synthesis is what this
     // slice bounds.
     "q207_audio_occupancy" -> ((s, d) => {
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
-        .select(col("doc_id"), wavPayloadCol.as("payload"))
-      Multimodal.audioBandOccupancy(src, "doc_id", "payload",
+      Multimodal.audioBandOccupancy(wavDocs2k(s, d), "doc_id", "payload",
           lanes = 32, maxHamming = 2)
         .orderBy(col("occ"))
     }),
@@ -1093,11 +1082,8 @@ object SparkEntry {
     // brightness shift — dHash-invariant), r = 3 unrelated. Same doc_id
     // < 1000 pixel-family slice as q208 (whole table at sf0.01).
     "q211_gif_neardup" -> ((s, d) => {
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
-        .select(col("doc_id"), gifPayloadCol.as("payload"))
-      Multimodal.imageNearDupPairs(src, "doc_id", "payload",
-          gw = 8, gh = 8, maxHamming = 2)
+      Multimodal.imageNearDupPairs(imageDocs1k(s, d, "gif1k", gifPayloadCol),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1111,9 +1097,7 @@ object SparkEntry {
     // quadratic replay also sees). Pigeonhole recall 1.0 makes the banded
     // probe ≡ the oracle's NOT EXISTS filter.
     "q213_audio_index_dedup" -> ((s, d) => {
-      val all = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
-        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      val all = wavDocs2k(s, d)
       val prefix = s"q213_dh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
       if (!s.catalog.tableExists(s"${prefix}_idx"))
         Multimodal.writeDHashIndex(all.filter(col("doc_id") % 4 <= 1),
@@ -1139,9 +1123,7 @@ object SparkEntry {
     // then the quadratic NOT-EXISTS filter — a drift in either the rule
     // or the sidecar round-trip fails the hash loudly.
     "q220_audio_index_derived" -> ((s, d) => {
-      val all = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
-        .select(col("doc_id"), wavPayloadCol.as("payload"))
+      val all = wavDocs2k(s, d)
       val prefix = s"q220_dh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
       if (!s.catalog.tableExists(s"${prefix}_idx"))
         Multimodal.writeDHashIndexDerived(all.filter(col("doc_id") % 4 <= 1),
@@ -1175,11 +1157,8 @@ object SparkEntry {
     // pipeline — measured through the audio lane and the text LSH
     // families — while the in-plan PNG synthesis is fixture cost.
     "q208_image_neardup" -> ((s, d) => {
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
-        .select(col("doc_id"), pngPayloadCol.as("payload"))
-      Multimodal.imageNearDupPairs(src, "doc_id", "payload",
-          gw = 8, gh = 8, maxHamming = 2)
+      Multimodal.imageNearDupPairs(imageDocs1k(s, d, "png1k", pngPayloadCol),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1195,9 +1174,8 @@ object SparkEntry {
     // count() is the same one-row sizing probe q26/q58 make. The oracle
     // replays the derived value verbatim — a rule drift fails the hash.
     "q214_audio_neardup_derived" -> ((s, d) => {
-      val ids = t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id"))
-      val lanes = Multimodal.dHashLanesFor(ids.count(), maxHamming = 3, targetBucket = 1)
-      val src = Tables.spread(ids).select(col("doc_id"), wavPayloadCol.as("payload"))
+      val src = wavDocs2k(s, d)
+      val lanes = Multimodal.dHashLanesFor(src.count(), maxHamming = 3, targetBucket = 1)
       Multimodal.audioNearDupPairs(src, "doc_id", "payload",
           lanes = lanes, maxHamming = 3)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
@@ -1212,9 +1190,7 @@ object SparkEntry {
     // (hamming 0 — dropped), r = 3 unrelated (kept minus accidental ≤ 2-bit
     // matches the oracle's quadratic replay also sees).
     "q215_image_index_dedup" -> ((s, d) => {
-      val all = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
-        .select(col("doc_id"), pngPayloadCol.as("payload"))
+      val all = imageDocs1k(s, d, "png1k", pngPayloadCol)
       val prefix = s"q215_idh_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
       if (!s.catalog.tableExists(s"${prefix}_idx"))
         Multimodal.writeImageDHashIndex(all.filter(col("doc_id") % 4 <= 1),
@@ -1232,11 +1208,8 @@ object SparkEntry {
     // default-off hot-bucket cap must be set before the image pair join
     // or index build runs at a new corpus scale.
     "q219_image_occupancy" -> ((s, d) => {
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
-        .select(col("doc_id"), pngPayloadCol.as("payload"))
-      Multimodal.imageBandOccupancy(src, "doc_id", "payload",
-          gw = 8, gh = 8, maxHamming = 2)
+      Multimodal.imageBandOccupancy(imageDocs1k(s, d, "png1k", pngPayloadCol),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2)
         .orderBy(col("occ"))
     }),
 
@@ -1249,11 +1222,8 @@ object SparkEntry {
     // with a uniform +r brightness shift (dHash-identical), r = 3
     // unrelated. Same doc_id < 1000 pixel-family slice.
     "q216_jpeg_neardup" -> ((s, d) => {
-      val src = Tables.spread(
-          t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
-        .select(col("doc_id"), jpegPayloadCol.as("payload"))
-      Multimodal.imageNearDupPairs(src, "doc_id", "payload",
-          gw = 8, gh = 8, maxHamming = 2)
+      Multimodal.imageNearDupPairs(imageDocs1k(s, d, "jpeg1k", jpegPayloadCol),
+          "doc_id", "payload", gw = 8, gh = 8, maxHamming = 2)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1282,6 +1252,50 @@ object SparkEntry {
     * identity at every oracle scale (doc_id < 65536) and keeps every
     * intermediate under 2^60 at any scale.
     */
+  /** Session-memoized payload fixtures — the q213 index-build memo
+    * generalized to the payload TABLES (the round-16 verdict's "keep
+    * shrinking fixture-synthesis cost" lever): the in-plan WAV/PNG/GIF/JPEG
+    * byte synthesis is fixture cost, not operator cost, and every query
+    * (and every bench pass) touching a lane re-paid it. Each family now
+    * synthesizes once per session into a managed table — spread ABOVE the
+    * synthesis (ids shuffle, payloads don't; 32-way parallel build),
+    * `repartition(8)` below it (a scan-friendly file count — the round-17
+    * tablecache experiment measured ~40-80 ms of per-task parquet-reader
+    * setup, so tiny many-file tables tax every scan) — and every consumer
+    * scans stored bytes. What stays inside each query is exactly the
+    * operator under test: decode, hash, band, join, index probe. Oracles
+    * are unaffected: they replay the same generative formulas the build
+    * ran, and the memo content is deterministic in doc_id.
+    */
+  private def memoPayloads(s: SparkSession, d: String, family: String)
+      (build: => DataFrame): DataFrame = {
+    val tbl = s"memo_${family}_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+    this.synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        Storage.reclaimStaleLocation(s, tbl)
+        build.write.format("parquet").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl)
+  }
+
+  /** The canonical `doc_id < 2000` WAV slice (q202/q206/q207/q213/q214/
+    * q220), memoized.
+    */
+  private def wavDocs2k(s: SparkSession, d: String): DataFrame =
+    memoPayloads(s, d, "wav2k")(
+      Tables.spread(t(s, d, "documents").filter(col("doc_id") < 2000).select(col("doc_id")))
+        .select(col("doc_id"), wavPayloadCol.as("payload")).repartition(8))
+
+  /** The `doc_id < 1000` pixel-family slices (q208/q211/q215/q216/q219),
+    * memoized per container format.
+    */
+  private def imageDocs1k(s: SparkSession, d: String, family: String,
+      payload: Column): DataFrame =
+    memoPayloads(s, d, family)(
+      Tables.spread(t(s, d, "documents").filter(col("doc_id") < 1000).select(col("doc_id")))
+        .select(col("doc_id"), payload.as("payload")).repartition(8))
+
   private[graft] def wavPayloadCol: Column = {
     val g = expr("doc_id DIV 4")
     val r = col("doc_id") % 4

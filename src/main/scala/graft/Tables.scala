@@ -17,6 +17,16 @@ object Tables {
     * long nanos, converted here to a µs timestamp with integral division (no
     * double round-trip — 1.7e18 ns exceeds double's 53-bit mantissa). DuckDB
     * also truncates ns→µs on read, so oracle and engine agree (SURVEY §7.5).
+    *
+    * Scan layout note: the driver's files are ONE parquet row group each —
+    * a row group is Spark's split floor, so every raw scan is a single
+    * task. A transparent re-layout cache was measured (round 17) and
+    * REJECTED: Spark 4's per-task parquet-reader setup costs ~40-80 ms of
+    * CPU, so splitting every table into many small files added that
+    * constant to every scan of every query (+43% suite wall, cpu 540→1386 s)
+    * while only per-row-CPU-heavy scans profited. The targeted fix stays
+    * [[spread]] at the call sites whose SCAN-STAGE work is the bottleneck;
+    * a real corpus (many files, many row groups) splits by itself.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

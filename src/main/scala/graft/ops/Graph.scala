@@ -139,6 +139,17 @@ object Graph {
       // value is bit-identical to a full round's.
       val useDelta = converge && changedPrev.nonEmpty && changedCount * 5 < nodeCount
       var roundPin: Option[DataFrame] = None
+      // Converge rounds FUSE the fixpoint probe into the round aggregate:
+      // the base-term branch of the union carries last round's mass as an
+      // extra `pm` column (contribution rows carry NULL; every node has
+      // exactly one base row, so `max(pm)` is exact), and the changed set
+      // is then a plain FILTER `m =!= pm` over the round's own pinned
+      // output — where the unfused shape paid a separate node-wide
+      // ranks-diff join per round. One fewer stage in every round-job, no
+      // second read of the previous rank table. Fixed-round mode never
+      // computes pm (no probe — dead column, and the oracle-able unroll
+      // stays byte-identical to before).
+      val pmNull = lit(null).cast("long").as("pm")
       val next =
         if (useDelta) {
           val affected = lazyPin(
@@ -148,12 +159,14 @@ object Graph {
           val updated = e
             .join(affected, Seq("dst"), "left_semi")
             .join(ranks, col("src") === col("v"))
-            .select(col("dst"), expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
-            .union(affected.select(col("dst"), lit(base).as("c")))
-            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-            .select(col("dst").as("v"), col("m"))
+            .select(col("dst"), expr(s"(m * $dampingPct) DIV (100 * d)").as("c"), pmNull)
+            .union(affected.join(ranks, col("dst") === col("v"))
+              .select(col("dst"), lit(base).as("c"), col("m").as("pm")))
+            .groupBy(col("dst")).agg(sum(col("c")).as("m"), max(col("pm")).as("pm"))
+            .select(col("dst").as("v"), col("m"), col("pm"))
           updated.unionByName(
-            ranks.join(affected.select(col("dst").as("v")), Seq("v"), "left_anti"))
+            ranks.join(affected.select(col("dst").as("v")), Seq("v"), "left_anti")
+              .select(col("v"), col("m"), col("m").as("pm")))
         } else {
           // Round 1 shortcut: ranks are still the uniform constant, so the
           // per-edge term is (1 000 000 · damping) DIV (100 · d) — a plain
@@ -167,18 +180,21 @@ object Graph {
               e.join(ranks, col("src") === col("v"))
                 .select(col("dst").as("v"),
                   expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
-          contrib.union(ranks.select(col("v"), lit(base).as("c")))
-            .groupBy(col("v")).agg(sum(col("c")).as("m"))
+          if (converge)
+            contrib.select(col("v"), col("c"), pmNull)
+              .union(ranks.select(col("v"), lit(base).as("c"), col("m").as("pm")))
+              .groupBy(col("v")).agg(sum(col("c")).as("m"), max(col("pm")).as("pm"))
+          else
+            contrib.union(ranks.select(col("v"), lit(base).as("c")))
+              .groupBy(col("v")).agg(sum(col("c")).as("m"))
         }
       iter += 1
       if (converge) {
         // CC's round shape: lazy pins; the changed-count probe is the
         // round's one action and materializes both as its side effect
         val pinned = lazyPin(next)
-        val chg = lazyPin(pinned.as("n")
-          .join(ranks.as("p"), col("n.v") === col("p.v"))
-          .filter(col("n.m") =!= col("p.m"))
-          .select(col("n.v").as("cv")))
+        val chg = lazyPin(
+          pinned.filter(col("m") =!= col("pm")).select(col("v").as("cv")))
         changedCount = chg.count()
         fixed = changedCount == 0L
         if (lastPinnedRanks ne null) Checkpoints.release(lastPinnedRanks)
@@ -186,7 +202,7 @@ object Graph {
         roundPin.foreach(Checkpoints.release)
         changedPrev = Some(chg)
         lastPinnedRanks = pinned
-        ranks = pinned
+        ranks = pinned.select(col("v"), col("m"))
       } else if (iter < iterations && iter % pinEvery == 0) {
         val pinned = pin(next)
         Checkpoints.release(lastPinnedRanks) // superseded — don't pin O(rounds) copies
@@ -365,7 +381,13 @@ object Graph {
         }
       if (converge) {
         // CC's round shape: lazy pins; the changed-count probe is the
-        // round's one action and materializes both as its side effect
+        // round's one action and materializes both as its side effect.
+        // (The pageRankInt probe-fusion device — prev value carried through
+        // the aggregate — was MEASURED here and reverted: LPA's argmax
+        // needs a sentinel vote row per voter to ride the two-stage
+        // aggregate, and pushing voter-sized sentinel rows through the
+        // vote exchange cost more than the node-wide co-partitioned diff
+        // join it replaced.)
         val pinned = lazyPin(next)
         val chg = lazyPin(pinned.as("n")
           .join(labels.as("p"), col("n.v") === col("p.v"))

@@ -265,11 +265,13 @@ object Summaries {
     * `l_extendedprice` vs 0.26 s on 50-distinct `l_quantity`). Here one
     * scan explodes (columnId, value) pairs and a parallel `groupBy`
     * reduces to the DISTINCT domain with counts; cumulative ranks come
-    * from the two-phase pattern — range-partition the domain, run the
-    * cumulative sum WITHIN each contiguous range in parallel, then add
-    * broadcast per-partition offsets — so no task ever sorts more than its
-    * slice (a window partitioned only by columnId would put one whole
-    * column's domain in one task). The needed order statistics are picked
+    * from the two-phase pattern — assign each value a DETERMINISTIC
+    * contiguous range id (equi-width over the column's [min, max], one
+    * tiny collected probe), run the cumulative sum WITHIN each range in
+    * parallel, then add broadcast per-range offsets — so no task ever
+    * sorts more than its slice (a window partitioned only by columnId
+    * would put one whole column's domain in one task). The needed order
+    * statistics are picked
     * out by a broadcast join against the literal quantile targets, with
     * rank arithmetic inline in the predicate. Bounded by distinct count,
     * not row count — and when even the distinct domain is too large,
@@ -287,42 +289,60 @@ object Summaries {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need non-empty quantile lists")
     require(specs.flatMap(_._2).forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
     val nPart = df.sparkSession.sparkContext.defaultParallelism
-    // Both consumers below must observe the SAME spark_partition_id per row.
-    // The explicit partition count stops AQE from re-coalescing the two
-    // consumer stages differently, and the lazy localCheckpoint pins one
-    // materialization of the range shuffle: without it, correctness would
-    // hang on exchange REUSE — if the two branches ever executed the
-    // repartitionByRange twice (reuse disabled, plans de-canonicalized),
-    // each execution re-samples its range boundaries and the pids silently
-    // desynchronize. Cache footprint = the distinct domain with counts,
-    // exactly what this operator is bounded by.
+    // ONE pinned artifact: the distinct domain with counts — exactly what
+    // this operator is bounded by. Three consumers read it (the bounds
+    // probe, the in-range cumsums, the per-range offsets).
     val domain = df
       .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy(col("__ci"), col("__v")).agg(count(lit(1)).as("__c"))
-      // pinned BEFORE the range partition: RangePartitioner runs a separate
-      // sampling job over its child, which would re-execute this whole
-      // aggregate a second time (measured ~2× the operator's cost)
       .localCheckpoint(false)
-    val ranged = domain
-      .repartitionByRange(nPart, col("__ci"), col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val local = ranged.withColumn("__lhi", sum(col("__c"))
-      .over(Window.partitionBy(col("__ci"), col("__pid")).orderBy(col("__v"))))
+    // Contiguous range ids as a DETERMINISTIC row function — equi-width
+    // buckets over each column's [min, max], from one tiny collected probe
+    // of the pinned domain (the Storage stats-plan pattern). This replaces
+    // the former repartitionByRange + spark_partition_id construction,
+    // which needed a SECOND pinned materialization purely so both
+    // consumers observed the same sampled boundaries (a re-executed range
+    // partitioner re-samples and the pids silently desynchronize); a value-
+    // derived id cannot desynchronize, so the whole hazard class — and one
+    // full materialization plus the sampler's extra pass — disappears.
+    // Monotone in v by construction, so off + in-range cumsum is the exact
+    // global rank. Balance note: equi-WIDTH ranges follow the value spread
+    // where sampled ranges followed the mass; the window runs over the
+    // DISTINCT domain, so the duplicate-heavy case (where mass and spread
+    // diverge most) is precisely where the domain is small. NaN sorts
+    // highest in Spark's ordering → pinned to the last range; a constant
+    // column (hi == lo) degenerates to one range, exact either way.
+    val bounds = domain.groupBy(col("__ci"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val bucket = specs.indices.foldLeft(lit(0).cast("int")) { (acc, i) =>
+      val b = bounds.get(i) match {
+        case Some((lo, hi)) if hi > lo =>
+          when(isnan(col("__v")), lit(nPart - 1)).otherwise(
+            least(lit(nPart - 1), greatest(lit(0),
+              floor((col("__v") - lit(lo)) / lit(hi - lo) * nPart)))).cast("int")
+        case _ => lit(0).cast("int")
+      }
+      when(col("__ci") === i, b).otherwise(acc)
+    }
+    val bucketed = domain.withColumn("__b", bucket)
+    val local = bucketed.withColumn("__lhi", sum(col("__c"))
+      .over(Window.partitionBy(col("__ci"), col("__b")).orderBy(col("__v"))))
     val byCol   = Window.partitionBy(col("__ci"))
-    val offsets = ranged.groupBy(col("__ci"), col("__pid"))
+    val offsets = bucketed.groupBy(col("__ci"), col("__b"))
       .agg(sum(col("__c")).as("__ps"))
       .withColumn("__off", coalesce(sum(col("__ps"))
-        .over(byCol.orderBy(col("__pid"))
+        .over(byCol.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__n", sum(col("__ps")).over(byCol))
-      .select(col("__ci").as("__oci"), col("__pid").as("__opid"),
+      .select(col("__ci").as("__oci"), col("__b").as("__ob"),
         col("__off"), col("__n"))
     val cum = local
       .join(broadcast(offsets),
-        col("__ci") === col("__oci") && col("__pid") === col("__opid"))
+        col("__ci") === col("__oci") && col("__b") === col("__ob"))
       .withColumn("__hi", col("__lhi") + col("__off"))
       .withColumn("__lo", col("__hi") - col("__c"))
     val targets = df.sparkSession.range(1)
