@@ -109,6 +109,7 @@ object ScaleBench {
     "audio_neardup_32"    -> Set("documents"),
     "audio_neardup_61"    -> Set("documents"),
     "audio_neardup_derived" -> Set("documents"),
+    "audio_neardup_wide"  -> Set("documents"),
     "image_neardup"       -> Set("documents"),
     "image_index_steady"  -> Set("documents"),
     "ivm_maintain"        -> Set("liagg_g", "cdcfeed_g"),
@@ -415,6 +416,15 @@ object ScaleBench {
         graft.ops.Multimodal.audioNearDupPairs(
           src, "doc_id", "payload", lanes = lanes, maxHamming = 2).count()
       }),
+      // the two-word hash past the single-long boundary (101 lanes → 100
+      // bits, maxHamming 3 → four 25-bit band keys, band 2 straddling the
+      // word boundary): the multi-word engine's scale point — band keys
+      // this wide keep occupancy sparse at ANY corpus the rule reaches,
+      // so the family should read flat like the 61-lane member
+      ("audio_neardup_wide", () =>
+        graft.ops.Multimodal.audioNearDupPairsWide(
+          read("documents", f).select(col("doc_id"), SparkEntry.wavPayloadCol.as("payload")),
+          "doc_id", "payload", lanes = 101, maxHamming = 3).count()),
       // the raster twin of audio_neardup_32: real PNG pixel decode → grid
       // dHash → the shared Hamming-banded pair join; 56 hash bits give
       // 19/19/18-bit band keys, so occupancy stays sparse through the 10×

@@ -1135,6 +1135,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MULTI-WORD dHash past the single-long boundary (SCALING.md's design
+    // note, implemented): 101 lanes → 100 gradient bits in two 60-bit
+    // words, through the same Hamming-banded pipeline — at maxHamming 3
+    // the 4 bands are 25 bits wide, and band 2 ([50, 75)) STRADDLES the
+    // word boundary, exercising the two-word key stitch in the oracle
+    // gate, not just a spec. The oracle replays the hash as two explicit
+    // words over the shared generative lane CTEs and runs the quadratic
+    // two-popcount filter — banded recall 1.0 must reproduce it exactly.
+    // The lane count is pinned (not derived): dHashLanesForWide only
+    // leaves the [32, 61] range at corpus sizes no oracle-scale fixture
+    // reaches, and what q221 certifies is the wide ENGINE, whose geometry
+    // inputs are literals either way.
+    "q221_audio_neardup_wide" -> ((s, d) => {
+      Multimodal.audioNearDupPairsWide(wavDocs2k(s, d), "doc_id", "payload",
+          lanes = 101, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // VIDEO container metadata: in-plan synthesis of minimal valid
     // ISO-BMFF files (exact box sizes, mvhd v0, tkhd v0 16.16 dims),
     // parsed by the real box walker (Mp4Info — the duration/resolution
@@ -5041,6 +5060,30 @@ object SparkEntry {
            SELECT 1 FROM c WHERE bit_count(xor(b.h, c.h)) <= 3)
          ORDER BY b.doc_id"""
     },
+
+    // Replays the TWO-WORD dHash: gradient bit b lands in word b/60 at
+    // position b%60, and the Hamming distance is the sum of the two
+    // per-word popcounts. Reuses the shared generative lane CTEs at 101
+    // lanes; the single-word hx CTE in that block is never referenced, so
+    // DuckDB neither executes it nor evaluates its (would-overflow)
+    // 1<<lane shift. The engine's banded plan — including the band that
+    // straddles the word boundary — must reproduce this quadratic filter
+    // bit-for-bit (pigeonhole recall 1.0).
+    "q221_audio_neardup_wide" ->
+      s"""WITH ${audioHashCtesSql("doc_id < 2000", "101")},
+         hx2 AS (SELECT a.doc_id,
+                  CAST(SUM(CASE WHEN b.ls > a.ls AND a.lane < 60
+                                THEN (1::BIGINT << a.lane) ELSE 0 END) AS BIGINT) AS h0,
+                  CAST(SUM(CASE WHEN b.ls > a.ls AND a.lane >= 60
+                                THEN (1::BIGINT << (a.lane - 60)) ELSE 0 END) AS BIGINT) AS h1
+                 FROM lanes a JOIN lanes b
+                   ON a.doc_id = b.doc_id AND b.lane = a.lane + 1
+                 GROUP BY a.doc_id)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS INT) AS hamming
+         FROM hx2 x JOIN hx2 y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3
+         ORDER BY a, b""",
 
     // Replays the mp4 synthesis field formulas (the engine instead walks
     // the actual box structure and parses mvhd/tkhd). dur_s: both engines

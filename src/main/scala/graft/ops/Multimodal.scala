@@ -280,7 +280,9 @@ object Multimodal {
     require(n >= 0 && maxHamming >= 0 && targetBucket >= 1,
       "need n >= 0, maxHamming >= 0, positive targetBucket")
     val bands = maxHamming + 1
-    val x = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    // overflow-safe ceil-div: the additive form (n + tb - 1) wraps for n
+    // near Long.MaxValue and silently floored the rule to 32
+    val x = math.max(1L, n / targetBucket + (if (n % targetBucket == 0) 0L else 1L))
     // exact smallest w with 2^w >= x — the replayable form (ceil of a
     // float log2 can land on either side of an exact power of two)
     val width = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x - 1))
@@ -303,6 +305,26 @@ object Multimodal {
   private def bandKey(h: Column, b: Int, nBits: Int, width: Int): Column = {
     val mask = (1L << math.min(width, nBits - b * width)) - 1
     shiftright(h, b * width).bitwiseAND(lit(mask))
+  }
+
+  /** [[bandKey]] over a TWO-WORD hash (60 bits per word): the band's bit
+    * range `[b·width, b·width+width)` addresses the CONCATENATED bit
+    * space, so a band that straddles the word boundary stitches its key
+    * from both words with plan-time-literal shifts/masks — the pigeonhole
+    * argument never looks inside the width. W > 2 words follows the same
+    * construction (each band spans at most two adjacent words as long as
+    * width ≤ 60, which `bandRowsWide`'s geometry guard implies).
+    */
+  private def bandKeyWide(h0: Column, h1: Column, b: Int, nBits: Int,
+      width: Int): Column = {
+    val lo = b * width
+    val w  = math.min(width, nBits - lo)
+    val off = lo % 60
+    val first = if (lo / 60 == 0) h0 else h1
+    val bits0 = math.min(w, 60 - off)
+    val k0 = shiftright(first, off).bitwiseAND(lit((1L << bits0) - 1))
+    if (bits0 >= w) k0
+    else k0.bitwiseOR(shiftleft(h1.bitwiseAND(lit((1L << (w - bits0)) - 1)), bits0))
   }
 
   /** The unpinned `(id, h, band, key)` band rows — shared by the
@@ -331,6 +353,30 @@ object Multimodal {
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** [[bandRows]] over the two-word hash: `(id, h0, h1, band, key)` with
+    * keys from [[bandKeyWide]]. The geometry guard additionally pins
+    * `width ≤ 60` so no band ever spans MORE than two words — with
+    * `nBits ≤ 120` and `bands = maxHamming + 1 ≥ 2` that always holds, and
+    * the loud require documents the invariant the key stitcher relies on.
+    */
+  private def bandRowsWide(hashed: DataFrame, nBits: Int,
+      maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val width = (nBits + bands - 1) / bands
+    require((bands - 1) * width < nBits,
+      s"degenerate Hamming band geometry: nBits=$nBits, maxHamming=$maxHamming " +
+        s"leaves band ${bands - 1} with no bits (ceil-width $width)")
+    require(width <= 60, s"band width $width exceeds one 60-bit word — " +
+      "raise maxHamming (more, narrower bands) for a hash this wide")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bandKeyWide(col("h0"), col("h1"), b, nBits, width).as("key"))
+    }
+    hashed.select(col("id"), col("h0"), col("h1"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("h0"), col("h1"), col("bk.band"), col("bk.key"))
+  }
+
   private def bandedIndex(hashed: DataFrame,
       nBits: Int, maxHamming: Int): DataFrame =
     // Pinned UNPARTITIONED (unlike the text LSH index, which pre-shuffles
@@ -356,6 +402,34 @@ object Multimodal {
     decodeFeatures(df, idCol, payloadCol, lanes)
       .filter(fence(col("features").isNotNull))
       .select(col(idCol).as("id"), audioDHash(col("features"), lanes).as("h"))
+
+  /** One 60-bit word of the WIDE dHash: gradient-sign bit `b`
+    * (`lane[b+1] > lane[b]`, the [[audioDHash]] definition over the
+    * concatenated bit space) lands in word `b / 60` at in-word position
+    * `b % 60`. Disjoint literal bits summed — codegen, no HOF.
+    */
+  private def dHashWideWord(features: Column, lanes: Int, word: Int): Column = {
+    val bits = (60 * word) until math.min(lanes - 1, 60 * word + 60)
+    bits.map { b =>
+      when(element_at(features, b + 2) > element_at(features, b + 1),
+        lit(1L << (b - 60 * word))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** `(id, h0, h1)` decoded-audio WIDE dHash rows — [[audioHashes]] past
+    * the single-long boundary (62..121 lanes → 61..120 gradient bits in
+    * two 60-bit words).
+    */
+  private[graft] def audioHashesWide(df: DataFrame, idCol: String,
+      payloadCol: String, lanes: Int): DataFrame = {
+    require(lanes >= 62 && lanes <= 121,
+      "wide dHash covers lanes in [62, 121]; use audioNearDupPairs below 62")
+    decodeFeatures(df, idCol, payloadCol, lanes)
+      .filter(fence(col("features").isNotNull))
+      .select(col(idCol).as("id"),
+        dHashWideWord(col("features"), lanes, 0).as("h0"),
+        dHashWideWord(col("features"), lanes, 1).as("h1"))
+  }
 
   /** Occupancy histogram over a banded index — shared tail of the
     * occupancy preflights.
@@ -414,6 +488,94 @@ object Multimodal {
           col("rep.h").as("ha"), col("h").as("hb"))
       verify(pairs(cold, lit(true)).unionByName(candHot).distinct())
     }
+  }
+
+  /** [[hammingNearDupPairs]] over the TWO-WORD hash — the same banded
+    * construction verbatim with `(h0, h1)` riding where `h` rode: per-band
+    * equi-join on [[bandKeyWide]] keys, exactly-once first-shared-band
+    * emission (earlier bands' keys provably differ, checked map-side),
+    * `maxBucket` star pairing for floods, and the exact verify
+    * `bit_count(a0⊕b0) + bit_count(a1⊕b1) ≤ maxHamming` on the join
+    * output. Pigeonhole recall stays 1.0: the bands partition the
+    * concatenated bit space, so ≤ maxHamming differing bits still leave at
+    * least one band exactly equal — nothing in the argument sees the word
+    * boundary.
+    */
+  private def hammingNearDupPairsWide(hashed: DataFrame, nBits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, "maxHamming in [0, nBits-1]")
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val bands = maxHamming + 1
+    val width = (nBits + bands - 1) / bands
+    val banded = bandRowsWide(hashed, nBits, maxHamming).localCheckpoint(false)
+    def pairs(idx: DataFrame, extra: Column): DataFrame = idx.as("x")
+      .join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .filter(extra)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h0").as("ha0"), col("x.h1").as("ha1"),
+        col("y.h0").as("hb0"), col("y.h1").as("hb1"))
+    def verify(cand: DataFrame): DataFrame = cand
+      .select(col("a"), col("b"),
+        (bit_count(col("ha0").bitwiseXOR(col("hb0"))) +
+          bit_count(col("ha1").bitwiseXOR(col("hb1")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    if (maxBucket == Int.MaxValue) {
+      val noEarlierShared = (0 until bands).map { bp =>
+        when(lit(bp) < col("x.band"),
+          bandKeyWide(col("x.h0"), col("x.h1"), bp, nBits, width) =!=
+            bandKeyWide(col("y.h0"), col("y.h1"), bp, nBits, width))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      verify(pairs(banded, noEarlierShared))
+    } else {
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"),
+          min(struct(col("id"), col("h0"), col("h1"))).as("rep"))
+        .filter(col("occ") > maxBucket)
+      val cold = banded.join(hot.select(col("band"), col("key")),
+        Seq("band", "key"), "left_anti")
+      val candHot = banded.join(hot, Seq("band", "key"))
+        .filter(col("id") =!= col("rep.id"))
+        .select(col("rep.id").as("a"), col("id").as("b"),
+          col("rep.h0").as("ha0"), col("rep.h1").as("ha1"),
+          col("h0").as("hb0"), col("h1").as("hb1"))
+      verify(pairs(cold, lit(true)).unionByName(candHot).distinct())
+    }
+  }
+
+  /** [[dHashLanesFor]] PAST the single-long boundary: the same exact
+    * integer occupancy rule with the cap lifted to the two-word limit
+    * (121 lanes → 120 gradient bits in two 60-bit words). Below 62 the
+    * value coincides with [[dHashLanesFor]]'s and the single-word
+    * operator is the right consumer; above it, route pairs through
+    * [[audioNearDupPairsWide]]. At `maxHamming = 2`, `targetBucket = 250`
+    * the widened cap moves the geometry knee from ~2.6·10⁸ clips out past
+    * ~10¹⁹ — effectively unreachable; W > 2 words follows the identical
+    * construction if it ever isn't.
+    */
+  def dHashLanesForWide(n: Long, maxHamming: Int = 2,
+      targetBucket: Long = 250L): Int = {
+    require(n >= 0 && maxHamming >= 0 && targetBucket >= 1,
+      "need n >= 0, maxHamming >= 0, positive targetBucket")
+    val bands = maxHamming + 1
+    val x = math.max(1L, n / targetBucket + (if (n % targetBucket == 0) 0L else 1L))
+    val width = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x - 1))
+    math.min(121, math.max(32, 1 + bands * width))
+  }
+
+  /** [[audioNearDupPairs]] past the 61-lane single-long boundary: the
+    * WIDE (two-word) hash head feeding the same Hamming-banded pipeline —
+    * the implementation of SCALING.md's multi-word design note. Output:
+    * `(a, b, hamming)` with `a < b`, one row per qualifying pair, exactly
+    * the single-word operator's contract at up to 120 gradient bits.
+    */
+  def audioNearDupPairsWide(df: DataFrame, idCol: String, payloadCol: String,
+      lanes: Int, maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < lanes - 1, "maxHamming in [0, lanes-2]")
+    hammingNearDupPairsWide(audioHashesWide(df, idCol, payloadCol, lanes),
+      lanes - 1, maxHamming, maxBucket)
   }
 
   /** Hamming-band bucket occupancy preflight — the measurement that decides

@@ -700,6 +700,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(survivors(batch) == Seq(10L))
   }
 
+  test("wide (two-word) dHash: banded pairs ≡ brute force; word-straddling " +
+      "band keys; geometry guard; widened rule") {
+    import org.apache.spark.sql.functions.{col => c}
+    // 40 clips in groups of 4 (r=0,1,2 offsets of a base, r=3 unrelated),
+    // long enough that 101 lanes all receive samples
+    def clip(seed: Int, off: Int) =
+      wavBytes(8000, (0 until 160).map(i => ((i * seed) % 50000) - 25000 + off))
+    val rows = (0 until 40).map { id =>
+      val g = id / 4; val r = id % 4
+      val payload =
+        if (r == 3) clip(7919 + 131 * id, 0) else clip(104729 + 977 * g, r)
+      (id.toLong, payload)
+    }
+    val df = rows.toDF("doc_id", "payload")
+    val got = Multimodal.audioNearDupPairsWide(df, "doc_id", "payload",
+        lanes = 101, maxHamming = 3)
+      .select(c("a"), c("b"), c("hamming")).as[(Long, Long, Long)]
+      .collect().toSet
+    // brute force over the SAME wide hashes (two-word popcount sum)
+    val hs = Multimodal.audioHashesWide(df, "doc_id", "payload", 101)
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, a0, a1) <- hs; (b, b0, b1) <- hs if a < b
+      h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute, s"banded ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must produce at least one qualifying pair")
+    // every within-group offset pair qualifies (gradient-sign invariance is
+    // approximate at the non-divisor lane count, but ≤ 3 bits here)
+    // — implied by the equality above; spot-check one expected pair exists
+    assert(brute.exists { case (a, b, _) => b - a <= 2 && a / 4 == b / 4 })
+    // exactly-once: no duplicate (a, b) from multi-band collisions
+    val ab = got.toSeq.map { case (a, b, _) => (a, b) }
+    assert(ab.distinct.size == ab.size)
+    // degenerate geometry fails loudly: lanes=101 (100 bits), maxHamming 50
+    // → 51 bands of ceil-width 2 → band 50 starts at bit 100: bitless
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.audioNearDupPairsWide(df, "doc_id", "payload",
+        lanes = 101, maxHamming = 50).collect()
+    }
+    assert(ex.getMessage.contains("degenerate") || ex.getMessage.contains("width"))
+    // widened rule: coincides with the single-word rule inside its range,
+    // lifts the cap past it, clamps at the two-word limit
+    assert(Multimodal.dHashLanesForWide(1000L) == Multimodal.dHashLanesFor(1000L))
+    assert(Multimodal.dHashLanesFor(300000000L) == 61) // single-word cap
+    assert(Multimodal.dHashLanesForWide(300000000L) == 1 + 3 * 21) // 64 — past it
+    assert(Multimodal.dHashLanesForWide(Long.MaxValue) == 121) // two-word cap
+  }
+
   test("dHash index geometry sidecar: derived writes record it, stored probes " +
       "read it back, mismatched appends fail loudly") {
     def clip(seed: Int, off: Int) =
