@@ -97,11 +97,14 @@ object Dedup {
     * min-aggregate = two shuffles per round), converging in O(graph diameter)
     * rounds. Near-dup graphs are dense clusters with tiny diameters, so this
     * typically fixpoints in 2–4 rounds; `maxIter` bounds adversarial chains.
-    * Convergence is detected by the label sum — labels only ever decrease, so
-    * the (exact, decimal) sum is strictly decreasing until fixpoint. The
-    * round's pin is LAZY: the signature aggregate is the round's ONE action,
-    * and materializing the pinned labels is its side effect — there is no
-    * separate convergence-probe job adding barrier latency per round
+    * Convergence is detected by the exact per-node CHANGED count, fused into
+    * the round aggregate itself: the labels branch of the round's union
+    * carries the previous label as an extra column, so "did anything move"
+    * is a filter over the round's own pinned output — no separate
+    * convergence-probe job, no signature job on the initial labels, and no
+    * hash-collision caveat (empty ⟺ fixed, per-node equality). The round's
+    * pin is LAZY: the changed-count is the round's ONE action, and
+    * materializing the pinned labels is its side effect
     * (PlanSpec pins the per-round action count). `localCheckpoint` truncates
     * the growing lineage so round N's plan does not replay rounds 1..N-1.
     * (At extreme graph scale the alternating large-star/small-star variant
@@ -126,38 +129,55 @@ object Dedup {
       bCol: String,
       maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val pin = Checkpoints.pinner(pairs.sparkSession, checkpointDir)
-    // Round pins are LAZY: the labelSum action below both materializes the
-    // pinned round AND returns the convergence signature — one action per
+    // Round pins are LAZY: the changed-count probe below both materializes
+    // the pinned round AND returns the fixpoint test — one action per
     // round, not a checkpoint job followed by a probe job. (Lazy pins are
     // safe to release here because every round IS materialized by its
-    // signature probe before the next round supersedes it.)
+    // probe before the next round supersedes it.)
     val pinLazy = Checkpoints.pinner(pairs.sparkSession, checkpointDir, eager = false)
-    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Edge table pinned LAZILY and HASH-PARTITIONED ON dst: every round's
+    // propagation join probes edges by dst against the node-sized labels,
+    // so pre-partitioning the pinned artifact means rounds re-exchange only
+    // the labels side (the Graph converge-mode layout device), and the lazy
+    // pin folds edge materialization into round 1's probe action instead of
+    // paying a standalone eager-checkpoint job — on a pair graph fed by a
+    // whole candidate pipeline (minhash/simhash verify) that job was a full
+    // extra barrier.
+    val edges = pinLazy(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct())
-    // Convergence signature over HASHES of the labels, not a numeric cast:
-    // string ids like "doc-17" would throw under ANSI mode or cast to NULL
-    // without it — and an all-NULL sum "converges" after one round, halting
-    // the propagation early with wrong components. Hash-sum equality on
-    // CHANGED labels is a ~2^-64 coincidence per round.
-    def labelSum(df: DataFrame): String =
-      String.valueOf(df.agg(sum(xxhash64(col("comp")).cast("decimal(38,0)"))).head().get(0))
+      .distinct()
+      .repartition(col("dst")))
     var labels = pinLazy(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
-    var sig       = labelSum(labels)
+    val idType = edges.select(col("src")).schema.head.dataType
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"))
-      val next = pinLazy(labels.union(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val nsig = labelSum(next)
-      converged = nsig == sig
-      sig = nsig
-      Checkpoints.release(labels) // superseded — don't pin O(rounds) copies
-      labels = next
+      // The fixpoint probe is FUSED into the round aggregate: the labels
+      // branch of the union carries its own comp as an extra `pm` column
+      // (propagation rows carry NULL; every node has exactly ONE labels row,
+      // so `max(pm)` is exactly the previous label), and the round's one
+      // action counts rows whose comp moved — a filter over the round's own
+      // pinned output. This replaces the former per-round label-hash-sum
+      // probe AND the standalone signature job on the initial labels: the
+      // changed count is exact per-node equality (empty ⟺ fixed), with no
+      // hash-collision caveat, and a fresh invocation runs one fewer action.
+      val prop = edges.join(labels.select(col("id"), col("comp")),
+          col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"),
+          lit(null).cast(idType).as("pm"))
+      val next = pinLazy(labels
+        .select(col("id"), col("comp"), col("comp").as("pm"))
+        .union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"), max(col("pm")).as("pm")))
+      // NULL-safe inequality: a node whose id (and so initial label) is NULL
+      // keeps the old fixpoint semantics — <=> treats NULL = NULL as equal.
+      val changed = next.filter(!(col("comp") <=> col("pm"))).count()
+      converged = changed == 0L
+      // superseded — don't pin O(rounds) copies (the initial labels pin was
+      // materialized by round 1's probe, so releasing it is well-defined)
+      Checkpoints.release(labels)
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     // Unconverged labels are WRONG labels (a node could carry keep=true

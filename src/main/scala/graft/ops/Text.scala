@@ -772,7 +772,18 @@ object Text {
       allPairs(cold).unionByName(candHot)
     }).distinct()
     val j = jaccardOf(col("x.ss"), col("y.ss"))
+    // The verify stage is byte-SMALL but CPU-DENSE: candidate rows are 16 B
+    // each, so AQE's byte-based coalescing packs them into a handful of
+    // tasks — while each row then pays an exact set-jaccard over two
+    // shingle arrays (measured: 103k candidates verified in 3 tasks,
+    // 0.75 s of single-stage wall that is ~70 ms at full width; with the
+    // shingle side under the broadcast threshold BOTH attach joins run in
+    // that same narrow stage). An explicit user repartition on the probe
+    // key is exempt from AQE coalescing and restores full parallelism; at
+    // corpus scale the candidate set is large and this exchange is the
+    // same doc_a hash the join needs anyway.
     cand
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
       .join(sh.as("x"), col("doc_a") === col("x.id"))
       .join(sh.as("y"), col("doc_b") === col("y.id"))
       .filter(j >= threshold)
