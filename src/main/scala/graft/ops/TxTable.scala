@@ -695,9 +695,30 @@ object TxTable {
       val v = math.max(commits.lastOption.map(_.version).getOrElse(0L),
         maxClaimedVersion(fs, rp)) + 1
       if (entries == null)
-        entries = writes.zipWithIndex.map { case ((table, mode, df), i) =>
-          stage(root, v, i, table, df, token).copy(mode = mode)
-        }
+        entries =
+          if (writes.size == 1) {
+            val (table, mode, df) = writes.head
+            Seq(stage(root, v, 0, table, df, token).copy(mode = mode))
+          } else {
+            // Stage the writes CONCURRENTLY: each stages into its own new
+            // dir, so the jobs are independent until the manifest rename,
+            // and Spark's scheduler back-fills one write's task tail with
+            // the next write's tasks — a multi-table commit's staging wall
+            // is the largest write, not the sum (guide: overlap independent
+            // jobs). Entry order is preserved, so same-table double writes
+            // keep their last-wins resolution.
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(writes.size, 4))
+            try {
+              val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+              val futs = writes.zipWithIndex.map { case ((table, mode, df), i) =>
+                scala.concurrent.Future(
+                  stage(root, v, i, table, df, token).copy(mode = mode))(ec)
+              }
+              futs.map(f => scala.concurrent.Await.result(
+                f, scala.concurrent.duration.Duration.Inf))
+            } finally pool.shutdown()
+          }
       // temp manifest + rename: the ONE atomic step. A reader lists the log
       // before or after this rename; there is no in-between.
       val target = commitPath(rp, v)
