@@ -3353,9 +3353,13 @@ object SparkEntry {
     // report every corpus build publishes. Each stage reuses the shipped
     // operator; the fuzzy stage runs on the exact-deduped remainder
     "q165_dedup_funnel" -> ((s, d) => {
+      // pinned: the (text, nt) projection feeds THREE stage aggregates plus
+      // the digest dedup and the minhash pipeline — without the pin each
+      // consumer re-scans the parquet and re-tokenizes every document
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
           size(Text.tokens(col("text"))).cast("long").as("nt"))
+        .localCheckpoint(false)
       val exact = Dedup.dedupByDigest(docs, "text", "doc_id")
       val dropped = Dedup.nearDupSurvivors(
           Text.minhashNearDupPairs(exact, "doc_id", "text", 3, 16, 0.5),

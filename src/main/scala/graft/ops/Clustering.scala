@@ -100,8 +100,13 @@ object Clustering {
     val dim = seeds.head.length
     // NULL or wrong-dimension vectors cannot be assigned (null distances
     // would silently collapse into cluster 0; zip_with would truncate a
-    // short vector) — they are EXCLUDED from assignment and means alike
+    // short vector) — they are EXCLUDED from assignment and means alike.
+    // Spread before the distance pass: the per-row k×dim distance kernel
+    // is CPU-bound and a small parquet input arrives as ONE split, which
+    // would serialize every iteration (measured: q117's per-iteration
+    // assign+mean jobs ran single-task) — the minhashNearDupPairs device.
     val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     var centroids: Seq[(Int, Seq[Double])] = seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     var assigned  = clean
     var stats     = Seq.empty[(Int, Long, Seq[Double])]

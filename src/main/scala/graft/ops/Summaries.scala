@@ -292,6 +292,11 @@ object Summaries {
     // ONE pinned artifact: the distinct domain with counts — exactly what
     // this operator is bounded by. Three consumers read it (the bounds
     // probe, the in-range cumsums, the per-range offsets).
+    // (Measured and REJECTED: spreading the projected spec columns across
+    // defaultParallelism before the explode — the minhashNearDupPairs
+    // device. The domain scan is NOT this operator's wall: the extra
+    // exchange barrier cost more than the widened partial agg saved —
+    // q94 0.71 → 1.51 s, q210 1.38 → 1.87 s settled.)
     val domain = df
       .select(posexplode(array(specs.map(s => col(s._1).cast("double")): _*))
         .as(Seq("__ci", "__v")))

@@ -1462,6 +1462,12 @@ object Text {
       textCol: String): DataFrame =
     docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
+      .select(col(idCol), col(textCol))
+      // the per-character histogram pass is CPU-bound and a small parquet
+      // input arrives as ONE split, which would serialize it (measured:
+      // q126's pin materialized as two 1.5 s single-task jobs) — same
+      // spread-before-the-heavy-expression device as minhashNearDupPairs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         explode(asCol(graft.expr.CharBigramCounts(asExpr(col(textCol)))))
           .as(Seq("bg", "c_db")))
