@@ -366,8 +366,14 @@ object Multimodal {
     require((bands - 1) * width < nBits,
       s"degenerate Hamming band geometry: nBits=$nBits, maxHamming=$maxHamming " +
         s"leaves band ${bands - 1} with no bits (ceil-width $width)")
+    // Consequence of this guard (documented contract): the wide path
+    // effectively requires maxHamming >= 1 past 61 bits — maxHamming = 0
+    // means ONE band of nBits > 60 bits, which always trips the width
+    // bound. Exact-duplicate detection on a wide hash is an equality join
+    // on the (h0, h1) pair, not a banded search; use the exact-dedup lane.
     require(width <= 60, s"band width $width exceeds one 60-bit word — " +
-      "raise maxHamming (more, narrower bands) for a hash this wide")
+      "raise maxHamming (more, narrower bands) for a hash this wide; " +
+      "for maxHamming = 0 use an exact (h0, h1) equality dedup instead")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         bandKeyWide(col("h0"), col("h1"), b, nBits, width).as("key"))
@@ -778,12 +784,17 @@ object Multimodal {
     val tbl = s"${tablePrefix}_meta"
     if (!spark.catalog.tableExists(tbl)) None
     else {
-      val r = spark.table(tbl).collect().head // one row by construction
-      def optInt(c: String)  = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
-      def optLong(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
-      Some(HashIndexGeometry(r.getAs[String]("head"), r.getAs[Int]("n_bits"),
-        r.getAs[Int]("max_hamming"), optInt("lanes"), optInt("gw"), optInt("gh"),
-        optLong("corpus_n"), r.getAs[Boolean]("derived")))
+      // headOption: a partially-written or manually-truncated sidecar
+      // (table exists, zero rows) must fold into the same None path as a
+      // missing sidecar — the caller's loud "rebuild the index" refusal —
+      // not a bare NoSuchElementException
+      spark.table(tbl).collect().headOption.map { r =>
+        def optInt(c: String)  = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
+        def optLong(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+        HashIndexGeometry(r.getAs[String]("head"), r.getAs[Int]("n_bits"),
+          r.getAs[Int]("max_hamming"), optInt("lanes"), optInt("gw"), optInt("gh"),
+          optLong("corpus_n"), r.getAs[Boolean]("derived"))
+      }
     }
   }
 

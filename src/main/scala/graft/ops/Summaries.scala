@@ -319,6 +319,13 @@ object Summaries {
     // diverge most) is precisely where the domain is small. NaN sorts
     // highest in Spark's ordering → pinned to the last range; a constant
     // column (hi == lo) degenerates to one range, exact either way.
+    // Degenerate-balance cases (correct, but single-range): an extreme
+    // outlier can put virtually the whole domain in bucket 0, and a ±Inf
+    // value makes (v − lo)/(hi − lo) NaN-collapse every row into one
+    // bucket — assignment stays monotone (exact result), only the
+    // "no task sorts more than its slice" guarantee degrades to the
+    // single-task behavior; clamp infinities upstream or move to
+    // equi-depth boundaries if a production domain hits this.
     val bounds = domain.groupBy(col("__ci"))
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
       .collect()

@@ -798,6 +798,19 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.imageDedupAgainstStoredIndex(batch, "doc_id", "payload", prefix)
     }
     assert(wrongHead.getMessage.contains("hash head"))
+    // a TRUNCATED sidecar (table exists, zero rows — a partially-written
+    // _meta) folds into the same None / loud-refusal path as a missing
+    // one, not a bare NoSuchElementException
+    val metaSchema = spark.table(s"${prefix}_meta").schema
+    spark.sql(s"DROP TABLE ${prefix}_meta")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
+      .write.format("parquet").saveAsTable(s"${prefix}_meta")
+    assert(Multimodal.hashIndexGeometry(spark, prefix).isEmpty)
+    val trunc = intercept[IllegalStateException] {
+      Multimodal.audioDedupAgainstStoredIndex(batch, "doc_id", "payload", prefix)
+    }
+    assert(trunc.getMessage.contains("geometry sidecar"))
   }
 
   private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float,
